@@ -1,0 +1,272 @@
+"""I. Similarity / vector operators (SURVEY.md §2.2-I).
+
+This is the reference's core capability re-expressed for embeddings: R8
+(threshold search), R9 (kNN search), R16 (brute-force baseline) from the
+DFT framework [P §4-§5], with the reference's STR-partition + R-tree
+pruning replaced by *blocking*: every pairwise operator is either
+broadcast-bounded (one tiny query side) or label/grid-blocked so nothing
+is quadratic in the corpus. At 100 TB the block key is what the shuffle
+partitions on; within-block work stays linear-ish and AQE splits skewed
+blocks.
+
+All distance math runs JVM-side via higher-order functions
+(``functions/vector.py``) — zero Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine, euclidean, to_double
+from ..registry import query
+from ..tables import Tables
+
+# DuckDB-side helpers: embeddings exploded to (vec_id, i, v) in double.
+_ORACLE_EXPLODED = """
+    ev AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    )
+"""
+
+
+def _emb(t: Tables) -> DataFrame:
+    return t.embeddings.select(
+        "vec_id", "label", to_double("embedding").alias("emb")
+    )
+
+
+def _query_vec(emb: DataFrame, vec_id: int = 0) -> DataFrame:
+    """The 1-row query side (reference analog: the query trajectory Q)."""
+    return emb.filter(F.col("vec_id") == vec_id).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+
+
+@query(
+    "sim_pair_distance",
+    oracle=f"""
+    WITH {_ORACLE_EXPLODED},
+    a AS (SELECT i, v FROM ev WHERE vec_id = 0),
+    b AS (SELECT i, v FROM ev WHERE vec_id = 1)
+    SELECT 0 AS id_a, 1 AS id_b,
+           ROUND(SUM(a.v * b.v)
+                 / (SQRT(SUM(a.v * a.v)) * SQRT(SUM(b.v * b.v))), 6) AS cos_sim,
+           ROUND(SQRT(SUM((a.v - b.v) * (a.v - b.v))), 6) AS l2_dist
+    FROM a JOIN b USING (i)
+    """,
+)
+def sim_pair_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine + Euclidean between vectors 0 and 1 — the kernel in isolation."""
+    t = Tables(spark, sf_dir)
+    emb = _emb(t)
+    a = emb.filter(F.col("vec_id") == 0).select(F.col("emb").alias("ea"))
+    b = emb.filter(F.col("vec_id") == 1).select(F.col("emb").alias("eb"))
+    return a.crossJoin(b).select(
+        F.lit(0).alias("id_a"),
+        F.lit(1).alias("id_b"),
+        F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+        F.round(euclidean(F.col("ea"), F.col("eb")), 6).alias("l2_dist"),
+    )
+
+
+@query(
+    "sim_knn",
+    oracle=f"""
+    WITH {_ORACLE_EXPLODED},
+    q AS (SELECT i, v FROM ev WHERE vec_id = 0),
+    qn AS (SELECT SQRT(SUM(v * v)) AS n FROM q),
+    dots AS (
+        SELECT ev.vec_id,
+               SUM(ev.v * q.v) AS dp,
+               SQRT(SUM(ev.v * ev.v)) AS n2
+        FROM ev JOIN q USING (i)
+        WHERE ev.vec_id <> 0
+        GROUP BY ev.vec_id
+    )
+    SELECT vec_id, ROUND(dp / (n2 * (SELECT n FROM qn)), 6) AS cos_sim
+    FROM dots
+    ORDER BY dp / (n2 * (SELECT n FROM qn)) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9's shape: k nearest embeddings to a query vector.
+
+    The 1-row query side is broadcast (replacing the reference's
+    driver-held global index); the scan side streams once; top-k is
+    TakeOrderedAndProject — no global sort, no driver collect.
+    """
+    t = Tables(spark, sf_dir)
+    emb = _emb(t)
+    q = _query_vec(emb, 0)
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .withColumn("cos_raw", cosine(F.col("emb"), F.col("q_emb")))
+        .orderBy(F.col("cos_raw").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
+@query(
+    "sim_threshold_join",
+    oracle=f"""
+    WITH {_ORACLE_EXPLODED},
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               SUM(a.v * b.v)
+               / (SQRT(SUM(a.v * a.v)) * SQRT(SUM(b.v * b.v))) AS cs
+        FROM ev a JOIN ev b ON a.i = b.i AND a.label = b.label
+                  AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(cs, 6) AS cos_sim
+    FROM pairs WHERE cs >= 0.25
+    """,
+)
+def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8's shape: all pairs with cosine >= tau, label-blocked.
+
+    The equi-join on ``label`` is the blocking prefilter (reference
+    analog: STR-partition pruning) — pair count is quadratic only within
+    a block, and the shuffle key is the block key.
+    """
+    t = Tables(spark, sf_dir)
+    emb = _emb(t)
+    a = emb.select("label", F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"))
+    b = emb.select("label", F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cs", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cs") >= 0.25)
+        .select("id_a", "id_b", F.round("cs", 6).alias("cos_sim"))
+    )
+
+
+@query(
+    "sim_topk_join",
+    oracle=f"""
+    WITH {_ORACLE_EXPLODED},
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               SUM(a.v * b.v)
+               / (SQRT(SUM(a.v * a.v)) * SQRT(SUM(b.v * b.v))) AS cs
+        FROM ev a JOIN ev b ON a.i = b.i AND a.label = b.label
+                  AND a.vec_id <> b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    ranked AS (
+        SELECT id_a, id_b, cs,
+               ROW_NUMBER() OVER (PARTITION BY id_a
+                                  ORDER BY cs DESC, id_b) AS rn
+        FROM pairs
+    )
+    SELECT id_a, id_b, ROUND(cs, 6) AS cos_sim
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def sim_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector k nearest neighbors within its label block (k-NN join)."""
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    emb = _emb(t)
+    a = emb.select("label", F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"))
+    b = emb.select("label", F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"))
+    w = W.partitionBy("id_a").orderBy(F.col("cs").desc(), "id_b")
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn("cs", cosine(F.col("ea"), F.col("eb")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("id_a", "id_b", F.round("cs", 6).alias("cos_sim"))
+    )
+
+
+@query(
+    "sim_dedup_exact",
+    oracle="""
+    SELECT MIN(vec_id) AS rep_id, COUNT(*) AS dup_cnt
+    FROM embeddings
+    GROUP BY embedding
+    """,
+)
+def sim_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-vector grouping: representative id + multiplicity."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.embeddings.groupBy("embedding")
+        .agg(F.min("vec_id").alias("rep_id"), F.count("*").alias("dup_cnt"))
+        .select("rep_id", "dup_cnt")
+    )
+
+
+@query(
+    "sim_knn_ivf",
+    oracle=f"""
+    WITH {_ORACLE_EXPLODED},
+    sig AS (
+        SELECT vec_id,
+               STRING_AGG(CASE WHEN v >= 0 THEN '1' ELSE '0' END, ''
+                          ORDER BY i) AS bucket
+        FROM ev WHERE i <= 4
+        GROUP BY vec_id
+    ),
+    q AS (SELECT i, v FROM ev WHERE vec_id = 0),
+    qb AS (SELECT bucket FROM sig WHERE vec_id = 0),
+    cand AS (SELECT vec_id FROM sig
+             WHERE bucket = (SELECT bucket FROM qb) AND vec_id <> 0),
+    dots AS (
+        SELECT ev.vec_id,
+               SUM(ev.v * q.v) AS dp,
+               SQRT(SUM(ev.v * ev.v)) AS n2
+        FROM ev JOIN q USING (i)
+        WHERE ev.vec_id IN (SELECT vec_id FROM cand)
+        GROUP BY ev.vec_id
+    ),
+    qn AS (SELECT SQRT(SUM(v * v)) AS n FROM q)
+    SELECT vec_id, ROUND(dp / (n2 * (SELECT n FROM qn)), 6) AS cos_sim
+    FROM dots
+    ORDER BY dp / (n2 * (SELECT n FROM qn)) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN, bucketed (IVF/LSH-style) — the 100 TB scale path.
+
+    Sign-quantize the first 8 dimensions into a hyperplane-LSH bucket key;
+    the query probes only its own bucket (an equi-join on the bucket key),
+    so candidate generation is a hash join on a low-cardinality key rather
+    than a full scan — the reference's global-index partition pruning
+    [P §4.2] re-expressed as join pruning.
+    """
+    t = Tables(spark, sf_dir)
+    emb = _emb(t)
+    bucketed = emb.withColumn(
+        "bucket",
+        F.concat_ws(
+            "",
+            F.transform(
+                F.slice("emb", 1, 4),
+                lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+            ),
+        ),
+    )
+    q = bucketed.filter(F.col("vec_id") == 0).select(
+        F.col("bucket"), F.col("emb").alias("q_emb")
+    )
+    return (
+        bucketed.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), "bucket")
+        .withColumn("cos_raw", cosine(F.col("emb"), F.col("q_emb")))
+        .orderBy(F.col("cos_raw").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("cos_raw", 6).alias("cos_sim"))
+    )

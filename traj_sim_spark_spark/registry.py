@@ -1,0 +1,73 @@
+"""Query registry.
+
+Every operator from SURVEY.md §2.2 registers here under its binding key.
+``QUERIES[key]`` is a callable ``(spark, sf_dir) -> DataFrame``;
+``ORACLES[key]`` is the equivalent DuckDB SQL (omitted for WEAK rows —
+ops not expressible in ANSI SQL, which the driver checks rows-only).
+
+The registry is the single source of truth consumed by
+``__spark_entry__.py``, ``bench.py`` and the pytest oracle harness.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+_MODULES = (
+    "traj_sim_spark_spark.operators.scans",
+    "traj_sim_spark_spark.operators.filters",
+    "traj_sim_spark_spark.operators.joins",
+    "traj_sim_spark_spark.operators.aggregates",
+    "traj_sim_spark_spark.operators.windows",
+    "traj_sim_spark_spark.operators.setops",
+    "traj_sim_spark_spark.functions.scalars",
+    "traj_sim_spark_spark.operators.similarity",
+    "traj_sim_spark_spark.operators.trajectory",
+    "traj_sim_spark_spark.operators.text",
+    "traj_sim_spark_spark.operators.udfs",
+    "traj_sim_spark_spark.streaming.streams",
+)
+
+_loaded = False
+
+
+def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query builder (and its DuckDB oracle SQL)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if key in QUERIES:
+            raise ValueError(f"duplicate query key {key!r}")
+        QUERIES[key] = fn
+        if oracle is not None:
+            ORACLES[key] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every operator module so their registrations run."""
+    global _loaded
+    if _loaded:
+        return
+    for mod in _MODULES:
+        importlib.import_module(mod)
+    _loaded = True
+
+
+def all_queries() -> dict[str, QueryFn]:
+    load_all()
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    load_all()
+    return dict(ORACLES)
