@@ -1,1 +1,188 @@
-"""TODO: operators pending."""
+"""D. Aggregations (SURVEY.md §2.2-D).
+
+Reference analog: the only aggregations traj-sim-spark performs are
+min/max/count folds inside its MBR and stats code (R4, R18); the full
+grouped-aggregation surface here is new capability. Everything is a hash
+aggregate with map-side partial aggregation (Catalyst emits
+partial+final automatically — the distributed-combine behavior the
+reference hand-codes with reduceByKey).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+
+
+@query(
+    "rel_agg_basic",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 6) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
+               AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def rel_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: the canonical wide hash aggregate."""
+    t = Tables(spark, sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.lineitem.filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias(
+                "sum_charge"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "rel_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS nd_parts,
+           COUNT(DISTINCT l_suppkey) AS nd_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def rel_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) per group (expand + two-phase aggregate)."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd_parts"),
+        F.countDistinct("l_suppkey").alias("nd_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query("rel_agg_approx")  # WEAK: HLL sketches differ across engines
+def rel_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate count-distinct (HyperLogLog++) — the sketch path that
+    replaces exact distinct at 100 TB. No cross-engine oracle (sketch
+    implementations differ); pytest asserts <=5% error vs exact."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("apx_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "rel_agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 6) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rel_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (rollup): (flag, status), (flag), ()."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "rel_agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice), 6) AS sum_price,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def rel_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full grouping-set lattice (cube) over two dimensions."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "rel_agg_having",
+    oracle="""
+    SELECT o_custkey,
+           ROUND(SUM(o_totalprice), 6) AS spend,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING SUM(o_totalprice) > 1500000
+    """,
+)
+def rel_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.groupBy("o_custkey")
+        .agg(
+            F.sum("o_totalprice").alias("spend_raw"),
+            F.count("*").alias("n_orders"),
+        )
+        .filter(F.col("spend_raw") > 1500000)
+        .select(
+            "o_custkey",
+            F.round("spend_raw", 6).alias("spend"),
+            "n_orders",
+        )
+    )
+
+
+@query(
+    "traj_stats",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_points,
+           ROUND(SUM(value), 6) AS sum_value,
+           ROUND(MIN(value), 6) AS min_value,
+           ROUND(MAX(value), 6) AS max_value,
+           epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS start_us,
+           epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS end_us
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def traj_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-trajectory extent stats — the reference's R4 MBR aggregation:
+    per-trajectory bounding box (1-D value extent) + temporal extent +
+    point count, as one hash aggregate."""
+    t = Tables(spark, sf_dir)
+    return t.events.groupBy("user_id").agg(
+        F.count("*").alias("n_points"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        F.unix_micros(F.max("ts")).alias("end_us"),
+    )
