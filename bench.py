@@ -1,0 +1,82 @@
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {key: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (computes every
+operator, writes nothing) so timings measure the real plan, not a
+count-only pruned variant. Streaming queries materialize via their
+memory sink inside the builder and are timed the same way.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from traj_sim_spark_spark import registry  # noqa: E402
+from traj_sim_spark_spark.session import get_session  # noqa: E402
+
+# Headline set: one representative per operator family, weighted toward
+# the scale-critical paths (joins, windows, similarity, trajectory, text).
+HEADLINE = [
+    "rel_scan_filter",
+    "rel_agg_basic",
+    "rel_agg_distinct",
+    "rel_join_smj",
+    "rel_join_multiway",
+    "rel_join_asof",
+    "rel_win_rank",
+    "rel_win_range_time",
+    "rel_topk_global",
+    "sim_knn",
+    "sim_threshold_join",
+    "sim_topk_join",
+    "sim_band_join",
+    "traj_hausdorff_knn",
+    "traj_frechet_knn",
+    "traj_session_batch",
+    "text_exact_dedup",
+    "text_minhash_neardup",
+    "text_tfidf",
+    "stream_tumbling",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    registry.load_all()
+    spark = get_session("bench")
+    timings: dict[str, float] = {}
+    # warm the JVM/scan path once so timings measure steady state
+    registry.QUERIES["rel_scan_project"](spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    for key in HEADLINE:
+        fn = registry.QUERIES[key]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[key] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Property tests for the trajectory distance kernels (SURVEY.md §5.2-3).
+
+References are naive O(n*m) NumPy implementations written independently
+of the production kernels; metamorphic invariants follow [P §2]:
+Hausdorff and discrete Fréchet are metrics (symmetry, identity,
+triangle inequality); DTW is not a metric; Fréchet >= Hausdorff always.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from traj_sim_spark_spark.functions import kernels
+
+series = st.lists(
+    st.floats(min_value=-1e3, max_value=1e3, allow_nan=False), min_size=1, max_size=24
+).map(lambda xs: np.asarray(xs, dtype=np.float64))
+
+
+def ref_hausdorff(a, b):
+    d = np.abs(a[:, None] - b[None, :])
+    return max(d.min(axis=1).max(), d.min(axis=0).max())
+
+
+def ref_frechet(a, b):
+    from functools import lru_cache
+
+    @lru_cache(maxsize=None)
+    def rec(i, j):
+        d = abs(a[i] - b[j])
+        if i == 0 and j == 0:
+            return d
+        if i == 0:
+            return max(rec(0, j - 1), d)
+        if j == 0:
+            return max(rec(i - 1, 0), d)
+        return max(min(rec(i - 1, j), rec(i, j - 1), rec(i - 1, j - 1)), d)
+
+    import sys
+
+    sys.setrecursionlimit(100000)
+    return rec(len(a) - 1, len(b) - 1)
+
+
+def ref_dtw(a, b):
+    n, m = len(a), len(b)
+    big = float("inf")
+    acc = np.full((n + 1, m + 1), big)
+    acc[0, 0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            acc[i, j] = abs(a[i - 1] - b[j - 1]) + min(
+                acc[i - 1, j], acc[i, j - 1], acc[i - 1, j - 1]
+            )
+    return acc[n, m]
+
+
+@settings(max_examples=200, deadline=None)
+@given(series, series)
+def test_against_references(a, b):
+    assert np.isclose(kernels.hausdorff(a, b), ref_hausdorff(a, b))
+    assert np.isclose(kernels.frechet(a, b), ref_frechet(tuple(a), tuple(b)))
+    assert np.isclose(kernels.dtw(a, b), ref_dtw(a, b))
+
+
+@settings(max_examples=200, deadline=None)
+@given(series, series)
+def test_symmetry(a, b):
+    assert np.isclose(kernels.hausdorff(a, b), kernels.hausdorff(b, a))
+    assert np.isclose(kernels.frechet(a, b), kernels.frechet(b, a))
+    assert np.isclose(kernels.dtw(a, b), kernels.dtw(b, a))
+
+
+@settings(max_examples=100, deadline=None)
+@given(series)
+def test_identity(a):
+    assert kernels.hausdorff(a, a) == 0.0
+    assert kernels.frechet(a, a) == 0.0
+    # DTW(a,a)=0 holds for the standard recurrence too
+    assert kernels.dtw(a, a) == 0.0
+
+
+@settings(max_examples=150, deadline=None)
+@given(series, series, series)
+def test_triangle_inequality_for_metrics(a, b, c):
+    tol = 1e-9
+    assert kernels.hausdorff(a, c) <= (
+        kernels.hausdorff(a, b) + kernels.hausdorff(b, c) + tol
+    )
+    assert kernels.frechet(a, c) <= (
+        kernels.frechet(a, b) + kernels.frechet(b, c) + tol
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(series, series)
+def test_frechet_dominates_hausdorff(a, b):
+    # Fréchet >= Hausdorff on every pair [P §5.1] — the lower-bound prune
+    assert kernels.frechet(a, b) >= kernels.hausdorff(a, b) - 1e-12
+
+
+def test_dtw_not_a_metric_witness():
+    # DTW violates the triangle inequality; keep one concrete witness so
+    # the suite documents the asymmetry with the metrics above.
+    a = np.array([1.0, 1.0, 1.0])
+    b = np.array([1.0])
+    c = np.array([0.0])
+    # dtw(a,c)=3 (every point pays) > dtw(a,b)=0 + dtw(b,c)=1
+    assert kernels.dtw(a, c) > kernels.dtw(a, b) + kernels.dtw(b, c)

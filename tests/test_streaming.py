@@ -1,0 +1,129 @@
+"""Streaming semantics tests (SURVEY.md §5.2-5).
+
+Multi-batch behavior the single-replay oracle cannot see: watermark
+late-data drop, cross-batch stateful accumulation, and the
+sessionization batch/stream equivalence.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_batch(spark, d: str, name: str, rows: list[tuple]) -> None:
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(d)
+    # distinct mtimes so the file source sees them as separate batches
+    time.sleep(0.05)
+
+
+@pytest.fixture
+def stream_dir(tmp_path):
+    return str(tmp_path / "stream_in")
+
+
+def test_late_rows_dropped_after_watermark(spark, stream_dir, tmp_path):
+    """A row older than the watermark must not resurrect a closed window."""
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    # batch 1: events at 10:00 and 12:00 -> watermark reaches 11:50
+    _write_batch(
+        spark,
+        stream_dir,
+        "b1",
+        [(1, "2024-01-01 10:00:00", 1, 1.0), (2, "2024-01-01 12:00:00", 1, 1.0)],
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.sum("value").alias("s"))
+        .select(F.unix_micros("window.start").alias("w"), "s")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE row for the already-closed 10:00 window
+        _write_batch(spark, stream_dir, "b2", [(3, "2024-01-01 10:30:00", 1, 99.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {r["w"]: r["s"] for r in spark.table("late_test").collect()}
+    ten = 1704103200000000  # 2024-01-01 10:00:00 UTC in µs
+    assert out.get(ten) == 1.0, f"late row leaked into closed window: {out}"
+
+
+def test_stateful_accumulates_across_batches(spark, stream_dir, tmp_path):
+    """applyInPandasWithState must carry state between micro-batches."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    _write_batch(spark, stream_dir, "b1", [(1, "2024-01-01 10:00:00", 7, 1.0)])
+
+    def update(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    out = src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("state_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, stream_dir, "b2", [(2, "2024-01-01 10:01:00", 7, 1.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ns = [r["n"] for r in spark.table("state_test").collect()]
+    assert max(ns) == 2, f"state did not accumulate across batches: {ns}"
+
+
+def test_session_stream_equals_batch(spark, sf_dir):
+    """session_window (stream) == gaps-and-islands (batch) on closed
+    sessions — the reference's two-implementations cross-check idea."""
+    from traj_sim_spark_spark import registry
+
+    registry.load_all()
+    stream = registry.QUERIES["stream_session"](spark, sf_dir).toPandas()
+    batch_all = registry.QUERIES["traj_session_batch"](spark, sf_dir).toPandas()
+    max_us = batch_all["end_us"].max()
+    cutoff = max_us - 10 * 60 * 1_000_000
+    batch = batch_all[batch_all["end_us"] + 1_800_000_000 <= cutoff]
+    s = stream.sort_values(["user_id", "start_us"]).reset_index(drop=True)
+    b = batch.sort_values(["user_id", "start_us"]).reset_index(drop=True)
+    assert len(s) == len(b)
+    assert (s["user_id"] == b["user_id"]).all()
+    assert (s["n_events"].to_numpy() == b["n_events"].to_numpy()).all()

@@ -1,0 +1,58 @@
+"""Two-phase equivalence (SURVEY.md §5.2-4): every pruned similarity
+query must equal its unpruned brute-force twin — the reference's own
+validation idea (indexed solutions vs BF* mains, R16), automated.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from traj_sim_spark_spark import registry
+from traj_sim_spark_spark.functions import kernels
+from traj_sim_spark_spark.tables import Tables
+
+registry.load_all()
+
+
+def _series_by_user(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    rows = t.user_points().select("user_id", "seq", "value").collect()
+    out: dict[int, list[tuple[int, float]]] = {}
+    for r in rows:
+        out.setdefault(r["user_id"], []).append((r["seq"], r["value"]))
+    return {
+        u: np.asarray([v for _, v in sorted(pts)], dtype=np.float64)
+        for u, pts in out.items()
+    }
+
+
+def test_frechet_knn_two_phase_is_exact(spark, sf_dir):
+    """The Hausdorff-lower-bound pruned kNN must return exactly the
+    brute-force top-k (refine every user, no pruning)."""
+    series = _series_by_user(spark, sf_dir)
+    q = series[1]
+    brute = sorted(
+        (round(kernels.frechet(s, q), 6), u)
+        for u, s in series.items()
+        if u != 1
+    )[:10]
+    pruned = registry.QUERIES["traj_frechet_knn"](spark, sf_dir).collect()
+    got = [(r["frechet"], r["user_id"]) for r in pruned]
+    assert got == brute, f"two-phase != brute force:\n{got}\n{brute}"
+
+
+def test_hausdorff_knn_matches_kernel(spark, sf_dir):
+    """The SQL Hausdorff (set semantics over distinct values) must equal
+    the NumPy kernel (multiplicities are distance-irrelevant)."""
+    series = _series_by_user(spark, sf_dir)
+    q = series[1]
+    brute = sorted(
+        (round(kernels.hausdorff(s, q), 6), u)
+        for u, s in series.items()
+        if u != 1
+    )[:10]
+    got = [
+        (r["hausdorff"], r["user_id"])
+        for r in registry.QUERIES["traj_hausdorff_knn"](spark, sf_dir).collect()
+    ]
+    assert got == brute

@@ -1,0 +1,79 @@
+"""Trajectory distance kernels (NumPy, Arrow-batched).
+
+The reference implements these as Scala object code over Array[Point]
+(SURVEY.md §2.1 R12-R14; [P §2]); here they are vectorized NumPy kernels
+invoked per candidate pair inside ``applyInPandas`` — the Python hop is
+paid only for the order-sensitive DP kernels (Fréchet, DTW) that SQL
+cannot express; Hausdorff additionally has a pure-SQL twin
+(``operators/trajectory.py``) because it is order-insensitive.
+
+Series are 1-D float arrays (the fixtures' ``value`` coordinate; see
+FIXTURES.md "trajectory derivation"). The kernels generalize to 2-D by
+replacing ``|a-b|`` with row-wise Euclidean distance on an (n,2) array —
+the DP recurrences are unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def pairwise_dist(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """|a_i - b_j| matrix for 1-D series, Euclidean for (n,d) series."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    if a.ndim == 1:
+        return np.abs(a[:, None] - b[None, :])
+    diff = a[:, None, :] - b[None, :, :]
+    return np.sqrt((diff * diff).sum(axis=2))
+
+
+def hausdorff(a: np.ndarray, b: np.ndarray) -> float:
+    """Symmetric Hausdorff distance H(A,B)=max(h(A,B), h(B,A)) with
+    h(A,B)=max_a min_b d(a,b)  [P §2]."""
+    d = pairwise_dist(a, b)
+    return float(max(d.min(axis=1).max(), d.min(axis=0).max()))
+
+
+def _antidiagonal_dp(d: np.ndarray, is_frechet: bool) -> float:
+    """Shared DP engine, vectorized along antidiagonals.
+
+    Cell (i,j) depends only on antidiagonals k-1 ((i-1,j), (i,j-1)) and
+    k-2 ((i-1,j-1)), so each antidiagonal is one NumPy expression —
+    O(n+m) array ops instead of O(n*m) Python-loop iterations (~50x on
+    100-point series). Arrays are length n+1 with position p = i+1 and an
+    inf sentinel at p=0, so the i-1 accesses never need bounds checks.
+    """
+    n, m = d.shape
+    inf = np.inf
+    prev2 = np.full(n + 1, inf)  # antidiagonal k-2, prev2[i+1] = value at i
+    prev1 = np.full(n + 1, inf)  # antidiagonal k-1
+    prev1[1] = d[0, 0]
+    if n == 1 and m == 1:
+        return float(d[0, 0])
+    for k in range(1, n + m - 1):
+        lo = max(0, k - m + 1)
+        hi = min(k, n - 1)
+        idx = np.arange(lo, hi + 1)
+        dk = d[idx, k - idx]
+        best = np.minimum(
+            np.minimum(prev1[idx], prev1[idx + 1]), prev2[idx]
+        )  # (i-1,j), (i,j-1), (i-1,j-1)
+        cur = np.full(n + 1, inf)
+        cur[idx + 1] = np.maximum(dk, best) if is_frechet else dk + best
+        prev2, prev1 = prev1, cur
+    return float(prev1[n])
+
+
+def frechet(a: np.ndarray, b: np.ndarray) -> float:
+    """Discrete Fréchet distance via the classic DP:
+    dF(i,j) = max(d(a_i,b_j), min(dF(i-1,j), dF(i,j-1), dF(i-1,j-1)))
+    [P §2], evaluated antidiagonal-vectorized."""
+    return _antidiagonal_dp(pairwise_dist(a, b), is_frechet=True)
+
+
+def dtw(a: np.ndarray, b: np.ndarray) -> float:
+    """Dynamic time warping cost (sum-of-distances variant):
+    dtw(i,j) = d(a_i,b_j) + min(dtw(i-1,j), dtw(i,j-1), dtw(i-1,j-1)).
+    Not a metric (no triangle inequality) — R14."""
+    return _antidiagonal_dp(pairwise_dist(a, b), is_frechet=False)

@@ -1,0 +1,126 @@
+"""Multimodal (binary) column operators — north-star extension.
+
+Image/audio/video content is modeled as opaque ``binary`` columns with
+typed metadata, processed by Arrow-batched ``mapInPandas`` stages. The
+container has no decode libraries (PIL/librosa/av), so the DECODE step is
+a clearly marked deterministic STUB — but everything Spark-side is real
+and tested: schema, binary encoding, partitioned batch iteration, UDF
+signatures, and output shapes. Swapping the stub for a real decoder is a
+one-function change.
+
+The fixtures carry no binary table, so bytes are derived from
+``documents.text`` (utf-8) — structurally identical to reading a BLOB
+column from Parquet.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+
+#: bytes per fake "frame" for the frame-sampling stub
+_FRAME_BYTES = 32
+
+
+def _fake_decode(payload: bytes) -> np.ndarray:
+    """STUB decoder — stands in for image/audio decode (PIL/librosa are
+    not installed in this environment). Deterministic: interprets the
+    byte stream as uint8 samples. A real deployment replaces exactly this
+    function with e.g. ``PIL.Image.open(io.BytesIO(payload))``."""
+    return np.frombuffer(payload, dtype=np.uint8)
+
+
+@query(
+    "mm_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_hash,
+           lang
+    FROM documents
+    """,
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata extraction: payload size + content hash —
+    the JVM-side (codegen) part of the multimodal pipeline."""
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        F.md5("text").alias("content_hash"),
+        "lang",
+    )
+
+
+@query("mm_decode_features")  # WEAK: decode is stubbed (no image libs)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract over binary payloads via ``mapInPandas``.
+
+    Per payload: 'decode' (stub), then compute a 4-dim feature vector
+    (length, mean, min, max of the sample stream) — the shape of a real
+    image-embedding or audio-feature stage: binary in, fixed-width float
+    vector out, streamed per Arrow batch with no driver involvement."""
+    t = Tables(spark, sf_dir)
+    src = t.documents.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                s = _fake_decode(bytes(payload))
+                feats.append(
+                    [
+                        float(len(s)),
+                        float(s.mean()),
+                        float(s.min()),
+                        float(s.max()),
+                    ]
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "features": feats}
+            )
+
+    return src.mapInPandas(
+        extract, schema="doc_id bigint, features array<double>"
+    )
+
+
+@query("mm_frame_sample")  # WEAK: frame decode is stubbed
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: split each payload into
+    fixed-size 'frames' (stub for video frame extraction), emit every
+    4th frame with its index and mean intensity — one-to-many binary op
+    via ``mapInPandas`` (UDTF-like fan-out, Arrow-batched)."""
+    t = Tables(spark, sf_dir)
+    src = t.documents.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, means = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = _fake_decode(bytes(payload))
+                n_frames = len(s) // _FRAME_BYTES
+                for f in range(0, n_frames, 4):
+                    frame = s[f * _FRAME_BYTES : (f + 1) * _FRAME_BYTES]
+                    ids.append(doc_id)
+                    idxs.append(f)
+                    means.append(float(frame.mean()))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "mean_intensity": means}
+            )
+
+    return src.mapInPandas(
+        sample, schema="doc_id bigint, frame_idx int, mean_intensity double"
+    )

@@ -1,1 +1,445 @@
-"""TODO: operators pending."""
+"""K. Text / LLM-pipeline operators (SURVEY.md §2.2-K; north-star).
+
+The dedup/similarity machinery a 100 TB training-data pipeline needs,
+expressed with the same discipline as the trajectory ops: exact dedup is a
+hash aggregate; near-dup is *blocked* pair generation (never all-pairs);
+MinHash-LSH is the scale path — signatures are per-doc aggregates (linear),
+candidate pairs come from an equi-join on band buckets. All hashing uses
+md5 so the DuckDB oracle computes identical signatures.
+
+``documents.text`` is space-separated lowercase word soup (FIXTURES.md),
+so whitespace tokenization is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine, to_double
+from ..registry import query
+from ..tables import Tables
+
+_N_MINHASH = 8  # signature length
+_BAND_W = 4  # hashes per LSH band -> 2 bands; P(candidate) ~ jaccard^4
+
+
+@query(
+    "text_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one hash aggregate, keep-lowest-id.
+    At 100 TB this is the cheapest pass and always runs first."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@query(
+    "text_jaccard_neardup",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT d.doc_id, d.lang, d.source, t.token
+        FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(token)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS both_n
+        FROM tok a JOIN tok b
+          ON a.token = b.token AND a.lang = b.lang AND a.source = b.source
+         AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(both_n * 1.0 / (sa.n + sb.n - both_n), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE both_n * 1.0 / (sa.n + sb.n - both_n) >= 0.2
+    """,
+)
+def text_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by token-set Jaccard >= 0.2, blocked by
+    (lang, source) so pair generation is quadratic only within a block —
+    the same blocking discipline as the similarity joins (§2.2-I)."""
+    t = Tables(spark, sf_dir)
+    tok = (
+        t.documents.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .distinct()
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = tok.select(
+        F.col("doc_id").alias("id_a"), "lang", "source", "token"
+    )
+    b = tok.select(
+        F.col("doc_id").alias("id_b"), "lang", "source", "token"
+    )
+    inter = (
+        a.join(b, ["token", "lang", "source"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("both_n"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("both_n") / (F.col("na") + F.col("nb") - F.col("both_n"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(jac >= 0.2)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _minhash_cols() -> list:
+    """min(md5(token||'#i')) aggregate expressions, i in 0..N-1."""
+    return [
+        F.min(F.md5(F.concat(F.col("token"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        for i in range(_N_MINHASH)
+    ]
+
+
+_MINHASH_ORACLE_SIG = ", ".join(
+    f"MIN(md5(token || '#{i}')) AS mh{i}" for i in range(_N_MINHASH)
+)
+_MINHASH_ORACLE_BANDS = " UNION ALL ".join(
+    "SELECT doc_id, {j} AS band, {concat} AS bucket FROM sig".format(
+        j=j,
+        concat=" || ".join(f"mh{_BAND_W * j + r}" for r in range(_BAND_W)),
+    )
+    for j in range(_N_MINHASH // _BAND_W)
+)
+
+
+@query(
+    "text_minhash_neardup",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT d.doc_id, t.token
+        FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(token)
+    ),
+    sig AS (SELECT doc_id, {_MINHASH_ORACLE_SIG} FROM tok GROUP BY doc_id),
+    bands AS ({_MINHASH_ORACLE_BANDS})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+)
+def text_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH candidate pairs — the near-dup SCALE path.
+
+    Signature: 8 md5-based min-hashes per doc (one linear aggregate over
+    distinct tokens). LSH: signatures banded 4-wide into 2 buckets;
+    candidate pairs = docs colliding in any band, found by an equi-join on
+    (band, bucket). Work is linear in corpus + output pairs — never
+    all-pairs. md5 on both engines makes the signatures (and hence the
+    candidate set) bit-identical, so even this sketch op is FULLY
+    oracle-checked."""
+    t = Tables(spark, sf_dir)
+    tok = t.doc_tokens().distinct()
+    sig = tok.groupBy("doc_id").agg(*_minhash_cols())
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.concat(
+                            *[
+                                F.col(f"mh{_BAND_W * j + r}")
+                                for r in range(_BAND_W)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for j in range(_N_MINHASH // _BAND_W)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), "band", "bucket"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), "band", "bucket"
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+@query(
+    "text_tokens_topn",
+    oracle="""
+    SELECT t.token, COUNT(*) AS n
+    FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(token)
+    GROUP BY t.token
+    ORDER BY n DESC, t.token
+    LIMIT 20
+    """,
+)
+def text_tokens_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency top-20 (explode + agg + top-k)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.doc_tokens()
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (
+        SELECT d.doc_id, t.token
+        FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(token)
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+           GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok
+           GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               tf.tf * LN((SELECT n_docs FROM n) * 1.0 / df.df) AS tfidf,
+               ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf * LN((SELECT n_docs FROM n)
+                                           * 1.0 / df.df) DESC,
+                                           tf.token) AS rn
+        FROM tf JOIN df ON tf.token = df.token
+    )
+    SELECT doc_id, token AS top_term, ROUND(tfidf, 6) AS tfidf
+    FROM scored WHERE rn = 1
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf: top-scoring term per document.
+
+    tf and df are two grouped aggregates over the exploded token table;
+    the corpus size joins in as a broadcast scalar; per-doc argmax is a
+    window. All relational — no UDFs."""
+    t = Tables(spark, sf_dir)
+    tok = t.doc_tokens()
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = t.documents.agg(F.count("*").alias("n_docs"))
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf_raw").desc(), "token")
+    return (
+        tf.join(df, "token")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf_raw",
+            F.col("tf") * F.log(F.col("n_docs") / F.col("df")),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("token").alias("top_term"),
+            F.round("tfidf_raw", 6).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "text_lang_stats",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 6) AS avg_chars,
+           ROUND(AVG(LEN(string_split(text, ' '))), 6) AS avg_tokens,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus statistics."""
+    t = Tables(spark, sf_dir)
+    return t.documents.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg(F.size(F.split("text", " "))), 6).alias("avg_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH feat AS (
+        SELECT doc_id,
+               LEN(string_split(text, ' ')) AS n_tokens,
+               n_chars,
+               LEN(list_filter(string_split(text, ' '),
+                   t -> t IN ('the','a','of','and','to','in','is','on')))
+                   AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(n_chars * 1.0 / n_tokens, 6) AS avg_token_len,
+           ROUND(n_stop * 1.0 / n_tokens, 6) AS stop_ratio,
+           CASE WHEN n_tokens BETWEEN 20 AND 80
+                 AND n_chars * 1.0 / n_tokens BETWEEN 3 AND 12
+                THEN 1 ELSE 0 END AS quality_ok
+    FROM feat
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic doc-quality features: token count, mean token length,
+    stopword ratio, and a keep/drop flag — the standard cheap pre-filter
+    stage of an LLM data pipeline."""
+    t = Tables(spark, sf_dir)
+    stop = ("the", "a", "of", "and", "to", "in", "is", "on")
+    toks = F.split("text", " ")
+    feat = t.documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.col("n_chars"),
+        F.size(
+            F.filter(toks, lambda x: x.isin(*stop))
+        ).alias("n_stop"),
+    )
+    avg_len = F.col("n_chars") / F.col("n_tokens")
+    return feat.select(
+        "doc_id",
+        "n_tokens",
+        F.round(avg_len, 6).alias("avg_token_len"),
+        F.round(F.col("n_stop") / F.col("n_tokens"), 6).alias("stop_ratio"),
+        F.when(
+            F.col("n_tokens").between(20, 80) & avg_len.between(3, 12), 1
+        )
+        .otherwise(0)
+        .alias("quality_ok"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           LEN(string_split(text, ' ')) AS ws_tokens,
+           LEN(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace words and a BPE-ish greedy
+    <=4-char subword chunking via regexp — the cheap token-budget
+    estimator for training-data accounting."""
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]{1,4}"), 0)).alias(
+            "bpe_tokens"
+        ),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS token,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               token || ' ' || LEAD(token, 1) OVER w || ' '
+                     || LEAD(token, 2) OVER w AS shingle
+        FROM tok
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY LEAD(token, 2) OVER w IS NOT NULL
+    )
+    SELECT doc_id,
+           MIN(md5(shingle)) AS fingerprint,
+           COUNT(DISTINCT shingle) AS n_shingles
+    FROM sh
+    GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-hash over 3-token shingles (winnowing
+    k-min sketch with k=1) + distinct-shingle count. Shingles come from a
+    window over the position-exploded token table."""
+    t = Tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        tok.withColumn("t1", F.lead("token", 1).over(w))
+        .withColumn("t2", F.lead("token", 2).over(w))
+        .filter(F.col("t2").isNotNull())
+        .withColumn("shingle", F.concat_ws(" ", "token", "t1", "t2"))
+    )
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5("shingle")).alias("fingerprint"),
+        F.countDistinct("shingle").alias("n_shingles"),
+    )
+
+
+@query(
+    "mm_multimodal_join",
+    oracle="""
+    WITH ev AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT i, v FROM ev WHERE vec_id = 0),
+    cs AS (
+        SELECT ev.vec_id,
+               SUM(ev.v * q.v)
+               / (SQRT(SUM(ev.v * ev.v)) * SQRT(SUM(q.v * q.v))) AS c
+        FROM ev JOIN q USING (i)
+        GROUP BY ev.vec_id
+    )
+    SELECT d.doc_id, d.lang, d.n_chars, ROUND(cs.c, 6) AS cos_sim
+    FROM documents d JOIN cs ON d.doc_id = cs.vec_id
+    WHERE d.lang = 'en'
+    """,
+)
+def mm_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal join: text metadata ⋈ embedding vectors (doc_id=vec_id)
+    with query-vector cosine + language filter — the retrieval-style
+    text+vector fusion query."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", to_double("embedding").alias("emb"))
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("emb").alias("q_emb"))
+    docs = t.documents.filter(F.col("lang") == "en").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .join(F.broadcast(q))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(cosine(F.col("emb"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+    )

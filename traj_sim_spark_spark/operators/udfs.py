@@ -1,1 +1,175 @@
-"""TODO: operators pending."""
+"""M. UDF / UDAF / UDTF surface (SURVEY.md §2.2-M).
+
+Every Python-extension mechanism the engine supports, each verified
+against a pure-SQL twin where semantics allow:
+
+- ``udf_scalar_pandas``   — vectorized scalar pandas_udf (Arrow batches)
+- ``udf_agg_pandas``      — GROUPED_AGG pandas UDAF
+- ``udf_grouped_map``     — applyInPandas grouped-map transform
+- ``udtf_segmentize``     — Python UDTF (lateral table function)
+
+Row-at-a-time Python UDFs are deliberately absent: the engine's rule is
+Arrow-vectorized or JVM built-in (SURVEY.md §4, O11).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..tables import Tables
+
+
+@query(
+    "udf_scalar_pandas",
+    oracle="""
+    WITH ev AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT i, v FROM ev WHERE vec_id = 0)
+    SELECT ev.vec_id,
+           ROUND(SUM(ev.v * q.v)
+                 / (SQRT(SUM(ev.v * ev.v)) * SQRT(SUM(q.v * q.v))), 6)
+               AS cos_sim
+    FROM ev JOIN q USING (i)
+    GROUP BY ev.vec_id
+    """,
+)
+def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized cosine as a scalar pandas_udf.
+
+    Same result as the higher-order-function twin (``sim_*``) — this row
+    exists to verify the Arrow UDF path itself. The query vector rides
+    into the closure (one 64-float constant, serialized once per task —
+    the broadcast-variable pattern at trivial size)."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    q_vec = np.asarray(
+        emb.filter(F.col("vec_id") == 0).select("embedding").head()[0],
+        dtype=np.float64,
+    )
+    qn = float(np.sqrt((q_vec * q_vec).sum()))
+
+    @F.pandas_udf(T.DoubleType())
+    def cos_to_q(s: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in s])
+        return pd.Series(
+            (m @ q_vec) / (np.sqrt((m * m).sum(axis=1)) * qn)
+        )
+
+    return emb.select(
+        "vec_id", F.round(cos_to_q("embedding"), 6).alias("cos_sim")
+    )
+
+
+@query(
+    "udf_agg_pandas",
+    oracle="""
+    SELECT event_type,
+           ROUND(SUM(value * CAST(json_extract_string(props, '$.k') AS INTEGER))
+                 / SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6)
+               AS wmean
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def udf_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom weighted-mean UDAF (GROUPED_AGG pandas_udf), weights drawn
+    from the JSON props — oracle is the algebraic SQL identity."""
+    t = Tables(spark, sf_dir)
+
+    @F.pandas_udf(T.DoubleType())
+    def wmean(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    ev = t.events.withColumn(
+        "w", F.get_json_object("props", "$.k").cast("int")
+    )
+    return ev.groupBy("event_type").agg(
+        F.round(wmean("value", "w"), 6).alias("wmean")
+    )
+
+
+@query(
+    "udf_grouped_map",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND((value - AVG(value) OVER (PARTITION BY user_id))
+                 / STDDEV_SAMP(value) OVER (PARTITION BY user_id), 6) AS z
+    FROM events
+    """,
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score via applyInPandas (grouped-map) — the same harness
+    that runs the Fréchet/DTW kernels, here with a SQL-checkable body
+    (pandas ``std`` ddof=1 == STDDEV_SAMP)."""
+    t = Tables(spark, sf_dir)
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        z = ((v - v.mean()) / v.std()).round(6)
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "z": z}
+        )
+
+    return (
+        t.events.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(normalize, schema="user_id bigint, event_id bigint, z double")
+    )
+
+
+@query(
+    "udtf_segmentize",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS seq
+        FROM events
+    )
+    SELECT user_id, CAST(seq AS INTEGER) AS seq, value AS v0,
+           LEAD(value) OVER (PARTITION BY user_id ORDER BY seq) AS v1
+    FROM pts
+    QUALIFY LEAD(value) OVER (PARTITION BY user_id ORDER BY seq) IS NOT NULL
+    """,
+)
+def udtf_segmentize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 as a Python UDTF: one trajectory row in, (n-1) segment rows out
+    — the table-function form of segment decomposition, lateral-joined
+    against the assembled-trajectory view. Oracle = the window-function
+    twin (``traj_segments``'s logic)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="seq int, v0 double, v1 double")
+    class Segmentize:
+        def eval(self, vals):  # noqa: ANN001
+            if vals is None:
+                return
+            for i in range(len(vals) - 1):
+                yield i + 1, float(vals[i]), float(vals[i + 1])
+
+    t = Tables(spark, sf_dir)
+    traj = (
+        t.user_points()
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("seq", "value"))).alias("pts")
+        )
+        .select("user_id", F.col("pts.value").alias("vals"))
+    )
+    spark.udtf.register("segmentize", Segmentize)
+    traj.createOrReplaceTempView("__traj_arrays")
+    return spark.sql(
+        """
+        SELECT t.user_id, s.seq, s.v0, s.v1
+        FROM __traj_arrays t, LATERAL segmentize(t.vals) s
+        """
+    )
