@@ -1,0 +1,304 @@
+"""Coverage extras: remaining north-star dedup family + reshaping ops.
+
+- SimHash document signatures (bit-identical across engines via md5-hex
+  -> int conversion, so the sketch itself is oracle-checked)
+- character-3-gram Jaccard near-dup (the n-gram variant of the token-set
+  Jaccard in operators/text.py)
+- embedding-cosine near-dup behind a hyperplane-LSH block (the dedup
+  framing of the similarity threshold join — the shape that scales)
+- pivot / unpivot / GROUPING SETS relational reshaping
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine, to_double
+from ..registry import query
+from ..tables import Tables
+
+_SIMHASH_BITS = 32
+
+
+@query(
+    "text_simhash",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    th AS (
+        SELECT doc_id,
+               CAST(CAST(CONCAT('0x', substr(md5(token), 1, 8)) AS UBIGINT)
+                    AS BIGINT) AS h
+        FROM tok
+    ),
+    bits AS (
+        SELECT doc_id, j.j AS j,
+               SUM(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS bal
+        FROM th CROSS JOIN (
+            SELECT unnest(generate_series(0, {_SIMHASH_BITS - 1})) AS j) j
+        GROUP BY doc_id, j.j
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN bal > 0 THEN (CAST(1 AS BIGINT) << j)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits
+    GROUP BY doc_id
+    """,
+)
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document.
+
+    Per distinct token: a 32-bit hash (first 8 md5 hex chars); each bit
+    votes +1/-1; signature bit j is 1 when the balance is positive.
+    Near-dup docs differ in few bits, so candidate pairs at scale come
+    from an equi-join on signature prefixes (same pattern as
+    text_minhash_neardup's bands). The signature computation is two hash
+    aggregates over an exploded (token x bit) table — linear, shuffled on
+    doc_id."""
+    t = Tables(spark, sf_dir)
+    tok = t.doc_tokens().distinct()
+    th = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    # bit j of h == (h div 2^j) % 2, with 2^j precomputed per exploded row
+    # (shiftleft/shiftright need literal bit counts, so arithmetic it is)
+    pow2 = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.lit(1 << j).cast("long").alias("p"),
+                )
+                for j in range(_SIMHASH_BITS)
+            ]
+        )
+    )
+    bits = (
+        th.select("doc_id", "h", pow2.alias("jp"))
+        .select(
+            "doc_id",
+            F.col("jp.j").alias("j"),
+            F.col("jp.p").alias("p"),
+            F.when(((F.col("h") / F.col("jp.p")).cast("long") % 2) == 1, 1)
+            .otherwise(-1)
+            .alias("vote"),
+        )
+        .groupBy("doc_id", "j", "p")
+        .agg(F.sum("vote").alias("bal"))
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("bal") > 0, F.col("p")).otherwise(0)).alias(
+            "simhash"
+        )
+    )
+
+
+@query(
+    "text_ngram_jaccard",
+    oracle="""
+    WITH grams AS (
+        SELECT DISTINCT d.doc_id, d.lang,
+               substr(d.text, i.i, 3) AS g
+        FROM documents d
+        CROSS JOIN (SELECT unnest(generate_series(1, 2000)) AS i) i
+        WHERE i.i <= LEN(d.text) - 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS both_n
+        FROM grams a JOIN grams b
+          ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(both_n * 1.0 / (sa.n + sb.n - both_n), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE both_n * 1.0 / (sa.n + sb.n - both_n) >= 0.75
+    """,
+)
+def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram Jaccard near-dup (>= 0.75), lang-blocked — the
+    n-gram complement of the token-set variant; robust to token
+    reordering, which is exactly what word-soup near-dups look like."""
+    t = Tables(spark, sf_dir)
+    grams = (
+        t.documents.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr("sequence(1, greatest(length(text) - 2, 0))")
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id", "lang", F.expr("substring(text, i, 3)").alias("g")
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = grams.select(F.col("doc_id").alias("id_a"), "lang", "g")
+    b = grams.select(F.col("doc_id").alias("id_b"), "lang", "g")
+    inter = (
+        a.join(b, ["g", "lang"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("both_n"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("both_n") / (F.col("na") + F.col("nb") - F.col("both_n"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(jac >= 0.75)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query(
+    "emb_neardup_lsh",
+    oracle="""
+    WITH ev AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    sig AS (
+        SELECT vec_id,
+               STRING_AGG(CASE WHEN v >= 0 THEN '1' ELSE '0' END, ''
+                          ORDER BY i) AS bucket
+        FROM ev WHERE i <= 4
+        GROUP BY vec_id
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               SUM(ea.v * eb.v)
+               / (SQRT(SUM(ea.v * ea.v)) * SQRT(SUM(eb.v * eb.v))) AS cs
+        FROM sig a
+        JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        JOIN ev ea ON ea.vec_id = a.vec_id
+        JOIN ev eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
+        GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(cs, 6) AS cos_sim
+    FROM pairs WHERE cs >= 0.4
+    """,
+)
+def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos >= 0.4) with hyperplane-LSH
+    blocking: candidates share a 4-bit sign bucket, so pair generation is
+    an equi-join on the bucket key — near-dup dedup that stays sub-
+    quadratic at corpus scale (high-cosine pairs land in the same bucket
+    with high probability; recall/bits traded like any LSH)."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", to_double("embedding").alias("emb")
+    ).withColumn(
+        "bucket",
+        F.concat_ws(
+            "",
+            F.transform(
+                F.slice("emb", 1, 4),
+                lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+            ),
+        ),
+    )
+    a = emb.select("bucket", F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"))
+    b = emb.select("bucket", F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cs", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cs") >= 0.4)
+        .select("id_a", "id_b", F.round("cs", 6).alias("cos_sim"))
+    )
+
+
+@query(
+    "rel_pivot",
+    oracle="""
+    SELECT user_id,
+           ROUND(COALESCE(SUM(CASE WHEN event_type = 'click' THEN value END), 0), 6) AS click,
+           ROUND(COALESCE(SUM(CASE WHEN event_type = 'view' THEN value END), 0), 6) AS view,
+           ROUND(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN value END), 0), 6) AS purchase,
+           ROUND(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN value END), 0), 6) AS signup,
+           ROUND(COALESCE(SUM(CASE WHEN event_type = 'error' THEN value END), 0), 6) AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user value sums spread across event_type columns (the
+    explicit value list keeps the plan single-pass, no distinct-scan)."""
+    t = Tables(spark, sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    piv = (
+        t.events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 6))
+    )
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in types],
+    )
+
+
+@query(
+    "rel_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, k.kind AS kind,
+           CASE k.kind WHEN 'price' THEN l_extendedprice
+                       WHEN 'discount' THEN l_discount
+                       WHEN 'tax' THEN l_tax END AS amount
+    FROM lineitem
+    CROSS JOIN (SELECT unnest(['price', 'discount', 'tax']) AS kind) k
+    """,
+)
+def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide price columns to (kind, amount) rows."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "kind",
+        "amount",
+    ).withColumn(
+        "kind",
+        F.when(F.col("kind") == "l_extendedprice", "price")
+        .when(F.col("kind") == "l_discount", "discount")
+        .otherwise("tax"),
+    )
+
+
+@query(
+    "rel_agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 6) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def rel_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube): per-flag,
+    per-status, and grand total in one pass."""
+    t = Tables(spark, sf_dir)
+    t.lineitem.createOrReplaceTempView("__li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 6) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM __li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )

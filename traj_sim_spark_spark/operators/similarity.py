@@ -132,20 +132,39 @@ def sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R8's shape: all pairs with cosine >= tau, label-blocked.
 
-    The equi-join on ``label`` is the blocking prefilter (reference
-    analog: STR-partition pruning) — pair count is quadratic only within
-    a block, and the shuffle key is the block key.
+    Blocking on ``label`` is the prefilter (reference analog:
+    STR-partition pruning); within each block the full pair set is
+    evaluated as ONE normalized matmul in an ``applyInPandas`` stage
+    rather than 200k zip_with folds — the reference's "local search
+    inside a partition" [P §4.2] as vectorized math. Shuffle key = block
+    key; block size is the designer's memory bound (AQE splits skew).
     """
+    import numpy as np
+    import pandas as pd
+
     t = Tables(spark, sf_dir)
-    emb = _emb(t)
-    a = emb.select("label", F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"))
-    b = emb.select("label", F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"))
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )
+        norms = np.sqrt((m * m).sum(axis=1))
+        c = (m @ m.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        cs = c[iu, ju]
+        keep = cs >= 0.25
+        ia, ib = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cos_sim": np.round(cs[keep], 6)}
+        )
+
     return (
-        a.join(b, "label")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cs", cosine(F.col("ea"), F.col("eb")))
-        .filter(F.col("cs") >= 0.25)
-        .select("id_a", "id_b", F.round("cs", 6).alias("cos_sim"))
+        t.embeddings.groupBy("label")
+        .applyInPandas(
+            per_block, schema="id_a bigint, id_b bigint, cos_sim double"
+        )
     )
 
 
@@ -172,21 +191,47 @@ def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vector k nearest neighbors within its label block (k-NN join)."""
-    from pyspark.sql import Window as W
+    """Per-vector k nearest neighbors within its label block (k-NN join).
+
+    Same blocked-matmul strategy as ``sim_threshold_join``: one cosine
+    matrix per block, per-row top-3 by (cos desc, id asc) — the window
+    rank collapses into a per-block argsort, eliminating both the pair
+    explosion and the rank shuffle."""
+    import numpy as np
+    import pandas as pd
 
     t = Tables(spark, sf_dir)
-    emb = _emb(t)
-    a = emb.select("label", F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"))
-    b = emb.select("label", F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"))
-    w = W.partitionBy("id_a").orderBy(F.col("cs").desc(), "id_b")
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cos_sim": []}
+            ).astype({"id_a": "int64", "id_b": "int64", "cos_sim": "float64"})
+        m = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )
+        norms = np.sqrt((m * m).sum(axis=1))
+        c = (m @ m.T) / np.outer(norms, norms)
+        np.fill_diagonal(c, -np.inf)
+        out_a, out_b, out_c = [], [], []
+        k = min(3, n - 1)
+        for r in range(n):
+            # top-k by (cos desc, id asc): lexsort on (-cos, id)
+            order = np.lexsort((ids, -c[r]))[:k]
+            out_a.extend([ids[r]] * k)
+            out_b.extend(ids[order])
+            out_c.extend(np.round(c[r, order], 6))
+        return pd.DataFrame(
+            {"id_a": out_a, "id_b": out_b, "cos_sim": out_c}
+        )
+
     return (
-        a.join(b, "label")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .withColumn("cs", cosine(F.col("ea"), F.col("eb")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("id_a", "id_b", F.round("cs", 6).alias("cos_sim"))
+        t.embeddings.groupBy("label")
+        .applyInPandas(
+            per_block, schema="id_a bigint, id_b bigint, cos_sim double"
+        )
     )
 
 

@@ -225,34 +225,82 @@ def _paired_series(t: Tables, query_user: int) -> DataFrame:
 
 
 def _hausdorff_lb(t: Tables, query_user: int) -> DataFrame:
-    """Per-user Hausdorff distance to the query user (pure SQL) — a LOWER
-    BOUND on Fréchet for every pair [P §5.1]."""
+    """Per-user Hausdorff distance to the query user, by SORT-MERGE
+    rather than pair join.
+
+    In 1-D, nearest-neighbor distance is a sorted-order problem: union
+    the (broadcast) query values as markers into every user's point
+    stream, sort each user's stream once, and each row's nearest
+    other-side point is its closest flanking marker — one window pass
+    yields BOTH directed Hausdorff maxima. O((E + U*Q) log) work instead
+    of the O(E*Q) blow-up of the join formulation; this is the engine's
+    replacement for the reference's per-partition R-tree lookups
+    [P §4.2] — same locality, zero index structures, one shuffle on
+    user_id. (Also a valid Fréchet lower bound: Fréchet >= Hausdorff
+    [P §5.1].)"""
     ev = t.events
-    q = (
+    inf = F.lit(float("inf"))
+    qv = (
         ev.filter(F.col("user_id") == query_user)
-        .select(F.col("value").alias("qv"))
+        .select("value")
         .distinct()
     )
-    pairs = (
+    points = (
         ev.filter(F.col("user_id") != query_user)
-        .select("user_id", F.col("value").alias("ev_val"))
-        .join(F.broadcast(q))
-        .withColumn("d", F.abs(F.col("qv") - F.col("ev_val")))
+        .select("user_id", "value")
+        .withColumn("is_q", F.lit(0))
     )
-    h1 = (
-        pairs.groupBy("user_id", "qv")
-        .agg(F.min("d").alias("md"))
-        .groupBy("user_id")
-        .agg(F.max("md").alias("h1"))
+    users = points.select("user_id").distinct()
+    markers = (
+        users.join(F.broadcast(qv))
+        .select("user_id", "value")
+        .withColumn("is_q", F.lit(1))
     )
-    h2 = (
-        pairs.groupBy("user_id", "ev_val")
-        .agg(F.min("d").alias("md"))
-        .groupBy("user_id")
-        .agg(F.max("md").alias("h2"))
+    # events sort before q-markers at equal value, so the "previous"
+    # frame always sees an exact tie (distance 0) on either side
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("value", "is_q")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    return h1.join(h2, "user_id").select(
-        "user_id", F.greatest("h1", "h2").alias("lb")
+    w_next = (
+        W.partitionBy("user_id")
+        .orderBy("value", "is_q")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    ev_val = F.when(F.col("is_q") == 0, F.col("value"))
+    q_val = F.when(F.col("is_q") == 1, F.col("value"))
+    stream = (
+        points.unionByName(markers)
+        .withColumn(
+            "d",
+            F.when(
+                F.col("is_q") == 1,
+                F.least(
+                    F.coalesce(
+                        F.col("value") - F.last(ev_val, True).over(w_prev), inf
+                    ),
+                    F.coalesce(
+                        F.first(ev_val, True).over(w_next) - F.col("value"), inf
+                    ),
+                ),
+            ).otherwise(
+                F.least(
+                    F.coalesce(
+                        F.col("value") - F.last(q_val, True).over(w_prev), inf
+                    ),
+                    F.coalesce(
+                        F.first(q_val, True).over(w_next) - F.col("value"), inf
+                    ),
+                )
+            ),
+        )
+    )
+    return stream.groupBy("user_id").agg(
+        F.greatest(
+            F.max(F.when(F.col("is_q") == 1, F.col("d"))),
+            F.max(F.when(F.col("is_q") == 0, F.col("d"))),
+        ).alias("lb")
     )
 
 
@@ -282,21 +330,28 @@ def traj_frechet_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # .persist()ed segment index, O8)
     paired = _paired_series(t, _QUERY_USER).join(lb, "user_id").persist()
 
-    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, row in pdf.iterrows():
-            a = np.asarray(row["vals"], dtype=np.float64)
-            b = np.asarray(row["q_vals"], dtype=np.float64)
-            out.append((row["user_id"], round(kernels.frechet(a, b), 6)))
-        return pd.DataFrame(out, columns=["user_id", "frechet"])
+    def refine(batches):  # mapInPandas: no shuffle — rows are already
+        for pdf in batches:  # one-per-user, batched per partition
+            out = [
+                (
+                    row.user_id,
+                    round(
+                        kernels.frechet(
+                            np.asarray(row.vals, dtype=np.float64),
+                            np.asarray(row.q_vals, dtype=np.float64),
+                        ),
+                        6,
+                    ),
+                )
+                for row in pdf.itertuples()
+            ]
+            yield pd.DataFrame(out, columns=["user_id", "frechet"])
 
     schema = "user_id bigint, frechet double"
     cand_ids = lb.orderBy("lb", "user_id").limit(_KNN_C * _KNN_K)
-    first = (
-        paired.join(F.broadcast(cand_ids.select("user_id")), "user_id", "left_semi")
-        .groupBy("user_id")
-        .applyInPandas(per_user, schema=schema)
-    )
+    first = paired.join(
+        F.broadcast(cand_ids.select("user_id")), "user_id", "left_semi"
+    ).mapInPandas(refine, schema=schema)
     kth = first.orderBy("frechet").limit(_KNN_K).agg(
         F.max("frechet").alias("tau")
     )
@@ -306,8 +361,7 @@ def traj_frechet_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(cand_ids.select("user_id")), "user_id", "left_anti"
         )
         .filter(F.col("lb") <= tau_k)
-        .groupBy("user_id")
-        .applyInPandas(per_user, schema=schema)
+        .mapInPandas(refine, schema=schema)
     )
     lb.unpersist()
     return (

@@ -34,6 +34,7 @@ _MODULES = (
     "traj_sim_spark_spark.operators.text",
     "traj_sim_spark_spark.operators.udfs",
     "traj_sim_spark_spark.operators.multimodal",
+    "traj_sim_spark_spark.operators.extras",
     "traj_sim_spark_spark.streaming.streams",
 )
 
