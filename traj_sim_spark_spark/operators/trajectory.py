@@ -457,3 +457,106 @@ def traj_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_us").alias("end_us"),
         F.round(F.sum("value"), 6).alias("sum_value"),
     )
+
+
+@query(
+    "traj_hausdorff_threshold",
+    oracle="""
+    WITH q AS (SELECT DISTINCT value AS qv FROM events WHERE user_id = 1),
+    pairs AS (
+        SELECT e.user_id, q.qv, e.value AS ev_val, ABS(q.qv - e.value) AS d
+        FROM events e CROSS JOIN q
+        WHERE e.user_id <> 1
+    ),
+    dqu AS (SELECT user_id, MAX(md) AS h1 FROM (
+                SELECT user_id, qv, MIN(d) AS md FROM pairs
+                GROUP BY user_id, qv) GROUP BY user_id),
+    duq AS (SELECT user_id, MAX(md) AS h2 FROM (
+                SELECT user_id, ev_val, MIN(d) AS md FROM pairs
+                GROUP BY user_id, ev_val) GROUP BY user_id)
+    SELECT dqu.user_id, ROUND(GREATEST(h1, h2), 6) AS hausdorff
+    FROM dqu JOIN duq ON dqu.user_id = duq.user_id
+    WHERE GREATEST(h1, h2) <= 30.0
+    """,
+)
+def traj_hausdorff_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8 proper: THRESHOLD similarity search — all users within
+    Hausdorff distance tau=30.0 of the query user [P §4].
+
+    Same sort-merge distance engine as the kNN; the reference's
+    global-prune -> circleRange -> refine pipeline is one declarative
+    query with a final filter. (The oracle states the naive pair-join
+    definition; the engine computes it by sort-merge — the equivalence
+    IS the correctness claim.)"""
+    t = Tables(spark, sf_dir)
+    return (
+        _hausdorff_lb(t, _QUERY_USER)
+        .filter(F.col("lb") <= 30.0)
+        .select("user_id", F.round("lb", 6).alias("hausdorff"))
+    )
+
+
+@query(
+    "traj_hausdorff_pair_2d",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id,
+               (epoch_us(CAST(ts AS TIMESTAMP))
+                - (SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) FROM events))
+               / 86400000000.0 AS x,
+               value AS y
+        FROM events WHERE user_id IN (1, 2)
+    ),
+    a AS (SELECT DISTINCT x, y FROM pts WHERE user_id = 1),
+    b AS (SELECT DISTINCT x, y FROM pts WHERE user_id = 2),
+    dab AS (SELECT a.x, a.y,
+                   MIN(SQRT((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y))) AS md
+            FROM a CROSS JOIN b GROUP BY a.x, a.y),
+    dba AS (SELECT b.x, b.y,
+                   MIN(SQRT((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y))) AS md
+            FROM a CROSS JOIN b GROUP BY b.x, b.y)
+    SELECT ROUND(GREATEST((SELECT MAX(md) FROM dab),
+                          (SELECT MAX(md) FROM dba)), 6) AS hausdorff_2d
+    """,
+)
+def traj_hausdorff_pair_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12 in TWO dimensions — the reference's actual GPS setting.
+
+    Points are (time-in-days, value): Euclidean point-set Hausdorff via
+    join + two grouped minima, exactly the 1-D flagship trick with the
+    distance expression swapped (FIXTURES.md 2-D derivation). At corpus
+    scale the pair join gains a grid-cell equi-join prefilter
+    (sim_band_join's pattern in 2 keys)."""
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    t0 = ev.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    pts = (
+        ev.filter(F.col("user_id").isin(1, 2))
+        .join(F.broadcast(t0))
+        .select(
+            "user_id",
+            ((F.unix_micros("ts") - F.col("t0")) / 86400000000.0).alias("x"),
+            F.col("value").alias("y"),
+        )
+        .distinct()
+    )
+    a = pts.filter(F.col("user_id") == 1).select("x", "y")
+    b = pts.filter(F.col("user_id") == 2).select(
+        F.col("x").alias("bx"), F.col("y").alias("by")
+    )
+    d = a.crossJoin(F.broadcast(b)).withColumn(
+        "d",
+        F.sqrt(
+            (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx"))
+            + (F.col("y") - F.col("by")) * (F.col("y") - F.col("by"))
+        ),
+    )
+    h_ab = d.groupBy("x", "y").agg(F.min("d").alias("md")).agg(
+        F.max("md").alias("h_ab")
+    )
+    h_ba = d.groupBy("bx", "by").agg(F.min("d").alias("md")).agg(
+        F.max("md").alias("h_ba")
+    )
+    return h_ab.crossJoin(h_ba).select(
+        F.round(F.greatest("h_ab", "h_ba"), 6).alias("hausdorff_2d")
+    )
