@@ -82,6 +82,11 @@ def main() -> int:
             continue
         scols, srows = _normalize(sdf)
         dcols, drows = _normalize(ddf)
+        sdt = {c: sdf[c].dtype.kind + str(sdf[c].dtype.itemsize) for c in sdf.columns}
+        ddt = {c: ddf[c].dtype.kind + str(ddf[c].dtype.itemsize) for c in ddf.columns}
+        if scols == dcols and sdt != ddt:
+            diff_t = {c: (sdt[c], ddt[c]) for c in scols if sdt[c] != ddt[c]}
+            print(f"note {key}: dtype mismatch (values may still hash-match): {diff_t}")
         if scols != dcols:
             print(f"FAIL {key}: columns spark={scols} duckdb={dcols}")
             n_fail += 1

@@ -23,7 +23,7 @@ from .vector import norm2, to_double
     SELECT doc_id,
            LOWER(SUBSTR(text, 1, 20)) AS head20,
            CONCAT(lang, ':', source) AS lang_src,
-           LEN(string_split(text, ' ')) AS n_tokens,
+           CAST(LEN(string_split(text, ' ')) AS INTEGER) AS n_tokens,
            COALESCE(regexp_extract(text, '([a-z]+ing)\\b', 1), '') AS first_ing
     FROM documents
     """,
@@ -110,7 +110,7 @@ def rel_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_scalar_array",
     oracle="""
     SELECT vec_id,
-           len(embedding) AS dim,
+           CAST(len(embedding) AS INTEGER) AS dim,
            ROUND(SQRT(list_sum(list_transform(embedding,
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
            ROUND(list_sum(list_transform(embedding,
@@ -140,7 +140,7 @@ def rel_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
-           LEN(json_keys(props)) AS n_keys,
+           CAST(LEN(json_keys(props)) AS INTEGER) AS n_keys,
            json_keys(props)[1] AS first_key
     FROM events
     """,

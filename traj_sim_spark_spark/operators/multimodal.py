@@ -42,7 +42,7 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     "mm_binary_meta",
     oracle="""
     SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
            md5(text) AS content_hash,
            lang
     FROM documents

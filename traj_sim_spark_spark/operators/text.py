@@ -289,7 +289,7 @@ def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH feat AS (
         SELECT doc_id,
-               LEN(string_split(text, ' ')) AS n_tokens,
+               CAST(LEN(string_split(text, ' ')) AS INTEGER) AS n_tokens,
                n_chars,
                LEN(list_filter(string_split(text, ' '),
                    t -> t IN ('the','a','of','and','to','in','is','on')))
@@ -338,8 +338,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_token_count",
     oracle="""
     SELECT doc_id,
-           LEN(string_split(text, ' ')) AS ws_tokens,
-           LEN(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS bpe_tokens
+           CAST(LEN(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+           CAST(LEN(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS INTEGER) AS bpe_tokens
     FROM documents
     """,
 )

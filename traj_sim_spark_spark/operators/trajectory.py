@@ -80,7 +80,7 @@ def traj_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY ts, event_id) AS seq
         FROM events
     )
-    SELECT user_id, seq, value AS v0,
+    SELECT user_id, CAST(seq AS INTEGER) AS seq, value AS v0,
            LEAD(value) OVER w AS v1,
            LEAD(ts_us) OVER w - ts_us AS dt_us
     FROM pts

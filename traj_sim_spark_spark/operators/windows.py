@@ -21,10 +21,10 @@ from ..tables import Tables
     oracle="""
     WITH ranked AS (
         SELECT o_custkey, o_orderkey, o_totalprice,
-               ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn,
-               RANK() OVER (PARTITION BY o_custkey
-                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn,
+               CAST(RANK() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
         FROM orders
     )
     SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk
