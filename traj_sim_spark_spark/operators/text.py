@@ -150,8 +150,9 @@ def text_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set) bit-identical, so even this sketch op is FULLY
     oracle-checked."""
     t = Tables(spark, sf_dir)
-    tok = t.doc_tokens().distinct()
-    sig = tok.groupBy("doc_id").agg(*_minhash_cols())
+    # no distinct before the signature aggregate: MIN is multiplicity-
+    # insensitive, so deduping tokens first would only add a shuffle
+    sig = t.doc_tokens().groupBy("doc_id").agg(*_minhash_cols())
     bands = sig.select(
         "doc_id",
         F.explode(
