@@ -35,7 +35,9 @@ def hausdorff(a: np.ndarray, b: np.ndarray) -> float:
     return float(max(d.min(axis=1).max(), d.min(axis=0).max()))
 
 
-def _antidiagonal_dp(d: np.ndarray, is_frechet: bool) -> float:
+def _antidiagonal_dp(
+    d: np.ndarray, is_frechet: bool, tau: float | None = None
+) -> float:
     """Shared DP engine, vectorized along antidiagonals.
 
     Cell (i,j) depends only on antidiagonals k-1 ((i-1,j), (i,j-1)) and
@@ -43,6 +45,12 @@ def _antidiagonal_dp(d: np.ndarray, is_frechet: bool) -> float:
     O(n+m) array ops instead of O(n*m) Python-loop iterations (~50x on
     100-point series). Arrays are length n+1 with position p = i+1 and an
     inf sentinel at p=0, so the i-1 accesses never need bounds checks.
+
+    ``tau`` enables early abandon (reference O10, [P §4.4]): every
+    monotone coupling path crosses every antidiagonal, and DP values
+    are lower bounds on any completion through them, so once the MINIMUM
+    over an antidiagonal exceeds tau the final value must too — return
+    that minimum (a valid lower bound > tau, NOT the exact distance).
     """
     n, m = d.shape
     inf = np.inf
@@ -50,6 +58,8 @@ def _antidiagonal_dp(d: np.ndarray, is_frechet: bool) -> float:
     prev1 = np.full(n + 1, inf)  # antidiagonal k-1
     prev1[1] = d[0, 0]
     if n == 1 and m == 1:
+        return float(d[0, 0])
+    if tau is not None and d[0, 0] > tau:
         return float(d[0, 0])
     for k in range(1, n + m - 1):
         lo = max(0, k - m + 1)
@@ -59,17 +69,26 @@ def _antidiagonal_dp(d: np.ndarray, is_frechet: bool) -> float:
         best = np.minimum(
             np.minimum(prev1[idx], prev1[idx + 1]), prev2[idx]
         )  # (i-1,j), (i,j-1), (i-1,j-1)
+        vals = np.maximum(dk, best) if is_frechet else dk + best
+        if tau is not None:
+            mn = vals.min()
+            if mn > tau:
+                return float(mn)
         cur = np.full(n + 1, inf)
-        cur[idx + 1] = np.maximum(dk, best) if is_frechet else dk + best
+        cur[idx + 1] = vals
         prev2, prev1 = prev1, cur
     return float(prev1[n])
 
 
-def frechet(a: np.ndarray, b: np.ndarray) -> float:
+def frechet(
+    a: np.ndarray, b: np.ndarray, tau: float | None = None
+) -> float:
     """Discrete Fréchet distance via the classic DP:
     dF(i,j) = max(d(a_i,b_j), min(dF(i-1,j), dF(i,j-1), dF(i-1,j-1)))
-    [P §2], evaluated antidiagonal-vectorized."""
-    return _antidiagonal_dp(pairwise_dist(a, b), is_frechet=True)
+    [P §2], evaluated antidiagonal-vectorized. With ``tau`` set, returns
+    early with a lower bound whenever the true distance provably exceeds
+    tau (exact otherwise)."""
+    return _antidiagonal_dp(pairwise_dist(a, b), is_frechet=True, tau=tau)
 
 
 def dtw(a: np.ndarray, b: np.ndarray) -> float:

@@ -323,35 +323,67 @@ def traj_frechet_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     The reference runs this as a driver-orchestrated loop; here phases 2/3
     are one filtered ``applyInPandas`` each, and only the scalar tau_k
     crosses to the driver (the same footprint as an AQE stats exchange).
+
+    The bound is max(Hausdorff, endpoint distances): every Fréchet
+    coupling matches first-with-first and last-with-last points [P §2],
+    so |a_1-q_1| and |a_n-q_m| are free lower bounds — and for
+    drifting 1-D series they prune far harder than Hausdorff (which is
+    near-zero whenever value RANGES overlap, order ignored). Phase 3
+    additionally early-abandons each DP once it provably exceeds tau_k
+    (reference O10).
     """
     t = Tables(spark, sf_dir)
-    lb = _hausdorff_lb(t, _QUERY_USER).persist()
+    ends = t.user_points().groupBy("user_id").agg(
+        F.expr("min_by(value, seq)").alias("v_first"),
+        F.expr("max_by(value, seq)").alias("v_last"),
+    )
+    q_ends = ends.filter(F.col("user_id") == _QUERY_USER).select(
+        F.col("v_first").alias("q_first"), F.col("v_last").alias("q_last")
+    )
+    lb = (
+        _hausdorff_lb(t, _QUERY_USER)
+        .join(ends, "user_id")
+        .crossJoin(F.broadcast(q_ends))
+        .select(
+            "user_id",
+            F.greatest(
+                "lb",
+                F.abs(F.col("v_first") - F.col("q_first")),
+                F.abs(F.col("v_last") - F.col("q_last")),
+            ).alias("lb"),
+        )
+        .persist()
+    )
     # persisted: both refine phases read it (reference analog: the
     # .persist()ed segment index, O8)
     paired = _paired_series(t, _QUERY_USER).join(lb, "user_id").persist()
 
-    def refine(batches):  # mapInPandas: no shuffle — rows are already
-        for pdf in batches:  # one-per-user, batched per partition
-            out = [
-                (
-                    row.user_id,
-                    round(
-                        kernels.frechet(
-                            np.asarray(row.vals, dtype=np.float64),
-                            np.asarray(row.q_vals, dtype=np.float64),
+    def make_refine(tau=None):
+        def refine(batches):  # mapInPandas: no shuffle — rows are already
+            for pdf in batches:  # one-per-user, batched per partition
+                out = [
+                    (
+                        row.user_id,
+                        round(
+                            kernels.frechet(
+                                np.asarray(row.vals, dtype=np.float64),
+                                np.asarray(row.q_vals, dtype=np.float64),
+                                tau=tau,
+                            ),
+                            6,
                         ),
-                        6,
-                    ),
-                )
-                for row in pdf.itertuples()
-            ]
-            yield pd.DataFrame(out, columns=["user_id", "frechet"])
+                    )
+                    for row in pdf.itertuples()
+                ]
+                yield pd.DataFrame(out, columns=["user_id", "frechet"])
+
+        return refine
 
     schema = "user_id bigint, frechet double"
     cand_ids = lb.orderBy("lb", "user_id").limit(_KNN_C * _KNN_K)
     first = paired.join(
         F.broadcast(cand_ids.select("user_id")), "user_id", "left_semi"
-    ).mapInPandas(refine, schema=schema)
+    ).mapInPandas(make_refine(), schema=schema)
     kth = first.orderBy("frechet").limit(_KNN_K).agg(
         F.max("frechet").alias("tau")
     )
@@ -361,7 +393,9 @@ def traj_frechet_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(cand_ids.select("user_id")), "user_id", "left_anti"
         )
         .filter(F.col("lb") <= tau_k)
-        .mapInPandas(refine, schema=schema)
+        # tau pad: an early-abandoned DP returns a bound > tau; pad by
+        # 1e-6 so 6-decimal rounding can never pull one back to tau_k
+        .mapInPandas(make_refine(tau=tau_k + 1e-6), schema=schema)
     )
     lb.unpersist()
     return (
