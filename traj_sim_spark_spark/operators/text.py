@@ -152,38 +152,40 @@ def text_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     # no distinct before the signature aggregate: MIN is multiplicity-
     # insensitive, so deduping tokens first would only add a shuffle
-    sig = t.doc_tokens().groupBy("doc_id").agg(*_minhash_cols())
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.concat(
-                            *[
-                                F.col(f"mh{_BAND_W * j + r}")
-                                for r in range(_BAND_W)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for j in range(_N_MINHASH // _BAND_W)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
-    a = bands.select(
-        F.col("doc_id").alias("id_a"), "band", "bucket"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("id_b"), "band", "bucket"
-    )
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    sig = t.doc_tokens().groupBy("doc_id").agg(*_minhash_cols()).persist()
+    n_bands = _N_MINHASH // _BAND_W
+
+    def bucket(j: int) -> F.Column:
+        return F.concat(
+            *[F.col(f"mh{_BAND_W * j + r}") for r in range(_BAND_W)]
+        )
+
+    # Pair dedup WITHOUT a distinct(): a pair colliding in several bands
+    # is emitted only by its FIRST colliding band (band j requires all
+    # earlier buckets to differ). The union is then duplicate-free by
+    # construction, the post-join shuffle disappears, and — the signature
+    # table being tiny relative to the corpus — the band joins broadcast,
+    # so at scale candidate pairs stream map-side straight to the sink.
+    parts = []
+    for j in range(n_bands):
+        a = sig.select(
+            F.col("doc_id").alias("id_a"),
+            *[bucket(i).alias(f"ba{i}") for i in range(j + 1)],
+        )
+        b = sig.select(
+            F.col("doc_id").alias("id_b"),
+            *[bucket(i).alias(f"bb{i}") for i in range(j + 1)],
+        )
+        pairs = a.join(
+            F.broadcast(b), F.col(f"ba{j}") == F.col(f"bb{j}")
+        ).filter(F.col("id_a") < F.col("id_b"))
+        for i in range(j):
+            pairs = pairs.filter(F.col(f"ba{i}") != F.col(f"bb{i}"))
+        parts.append(pairs.select("id_a", "id_b"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @query(
