@@ -70,18 +70,36 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_to_completion(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Drive a streaming DataFrame to completion via a memory sink and
-    return the materialized table."""
+    return the materialized table.
+
+    Streaming shuffle partitions are pinned (default 8, env
+    ``SPARK_GRAFT_STREAM_PARTITIONS``) independently of the batch
+    setting: each partition owns a state-store instance whose open/
+    commit/checkpoint cost is paid EVERY micro-batch, so the right count
+    tracks state size, not scan parallelism (32 stores on a local
+    aggregation was ~6x slower than 8). The value is captured into the
+    query's checkpoint at start, so restoring the session conf after is
+    safe."""
+    spark = stream_df.sparkSession
     name = f"stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"),
     )
     try:
-        q.processAllAvailable()
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", before)
     return stream_df.sparkSession.table(name)
 
 
