@@ -302,3 +302,33 @@ def rel_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+@query(
+    "rel_subquery_scalar",
+    oracle="""
+    SELECT p_partkey, p_brand, ROUND(p_retailprice, 6) AS price
+    FROM part
+    WHERE p_retailprice > 1.05 * (
+        SELECT AVG(p2.p_retailprice) FROM part p2
+        WHERE p2.p_brand = part.p_brand
+    )
+    """,
+)
+def rel_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: parts priced >5% above their brand's
+    average. Catalyst decorrelates this into an aggregate + join — the
+    rewrite class the reference has no analog for (SURVEY.md §4,
+    'subquery decorrelation'); one table scan feeds both sides."""
+    t = Tables(spark, sf_dir)
+    t.part.createOrReplaceTempView("__part_sq")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, ROUND(p_retailprice, 6) AS price
+        FROM __part_sq part
+        WHERE p_retailprice > 1.05 * (
+            SELECT AVG(p2.p_retailprice) FROM __part_sq p2
+            WHERE p2.p_brand = part.p_brand
+        )
+        """
+    )

@@ -446,3 +446,86 @@ def mm_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("emb"), F.col("q_emb")), 6).alias("cos_sim"),
         )
     )
+
+
+# language-ID marker profiles: disjoint unigram sets per candidate
+# language (the fixtures' vocabulary is shared across langs, so the
+# classifier is a deterministic scoring harness — the operator SHAPE is
+# the point: broadcast dictionary join + per-doc argmax, the same plan a
+# real n-gram/stopword profile table produces at 100 TB).
+_LANG_MARKERS = {
+    "en": ["the", "a", "fast", "slow"],
+    "es": ["scan", "sort", "merge"],
+    "de": ["join", "group", "agg"],
+    "fr": ["window", "order", "key"],
+    "zh": ["hash", "stream", "batch"],
+}
+
+_LANGID_ORACLE_MARKERS = " UNION ALL ".join(
+    f"SELECT '{lang}' AS cand, '{tok}' AS token"
+    for lang, toks in sorted(_LANG_MARKERS.items())
+    for tok in toks
+)
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH markers AS ({_LANGID_ORACLE_MARKERS}),
+    tok AS (
+        SELECT d.doc_id, t.token
+        FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(token)
+    ),
+    hits AS (
+        SELECT tok.doc_id, m.cand, COUNT(*) AS n
+        FROM tok JOIN markers m ON tok.token = m.token
+        GROUP BY tok.doc_id, m.cand
+    ),
+    ranked AS (
+        SELECT doc_id, cand, n,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY n DESC, cand) AS rk
+        FROM hits
+    )
+    SELECT d.doc_id, d.lang,
+           COALESCE(r.cand, 'und') AS pred_lang,
+           COALESCE(r.n, 0) AS score
+    FROM documents d
+    LEFT JOIN ranked r ON r.doc_id = d.doc_id AND r.rk = 1
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification by unigram-profile scoring: count marker-
+    token hits per candidate language (multiplicity-weighted), predict
+    the argmax with (count DESC, lang ASC) tie-break; docs with no hits
+    classify as 'und'. One broadcast dictionary join + two aggregates —
+    linear in the corpus, no per-row Python."""
+    t = Tables(spark, sf_dir)
+    markers = spark.createDataFrame(
+        [
+            (lang, tok)
+            for lang, toks in sorted(_LANG_MARKERS.items())
+            for tok in toks
+        ],
+        "cand string, token string",
+    )
+    tok = t.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    hits = (
+        tok.join(F.broadcast(markers), "token")
+        .groupBy("doc_id", "cand")
+        .agg(F.count("*").alias("n"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.col("n").desc(), "cand")
+    )
+    best = hits.withColumn("rk", rk).filter(F.col("rk") == 1)
+    return t.documents.select("doc_id", "lang").join(
+        best.select("doc_id", "cand", "n"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "lang",
+        F.coalesce("cand", F.lit("und")).alias("pred_lang"),
+        F.coalesce("n", F.lit(0)).alias("score"),
+    )
