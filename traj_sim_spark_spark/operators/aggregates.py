@@ -186,3 +186,28 @@ def traj_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.min("ts")).alias("start_us"),
         F.unix_micros(F.max("ts")).alias("end_us"),
     )
+
+
+@query(
+    "rel_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(MEDIAN(l_extendedprice), 6) AS p50,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.90), 6) AS p90,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 6) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def rel_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90/p99) per group. Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share linear-
+    interpolation semantics, so even quantiles hash-match FULLY.
+    (The sketch-based scale path is ``rel_agg_approx``'s HLL analog:
+    ``approx_percentile`` — exact here because the oracle demands it.)"""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.90)"), 6).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
+    )
