@@ -238,13 +238,17 @@ def text_tokens_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf: top-scoring term per document.
 
-    tf and df are two grouped aggregates over the exploded token table;
-    the corpus size joins in as a broadcast scalar; per-doc argmax is a
-    window. All relational — no UDFs."""
+    tf is one grouped aggregate over the exploded token table; df
+    derives FROM tf (tf has exactly one row per (doc, token), so doc
+    frequency = tf's per-token row count) — Catalyst reuses tf's
+    exchange for both branches, so the corpus is exploded and shuffled
+    once and the countDistinct disappears. The corpus size joins in as
+    a broadcast scalar; per-doc argmax is a window. All relational — no
+    UDFs."""
     t = Tables(spark, sf_dir)
     tok = t.doc_tokens()
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = t.documents.agg(F.count("*").alias("n_docs"))
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf_raw").desc(), "token")
     return (

@@ -33,10 +33,12 @@ def get_session(app_name: str = "traj_sim_spark_spark", cpus: int | None = None)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        # fixtures are single parquet files: without this the scan and
-        # every narrow op before the first shuffle run on ONE task. 8 MB
-        # splits restore scan parallelism locally; a real cluster reading
-        # multi-file tables keeps the 128 MB default.
+        # smaller input splits so multi-row-group files scan in
+        # parallel locally. NOTE: the fixtures are single-row-group
+        # files, so this alone cannot parallelize their scans (a row
+        # group is one reader task); CPU-heavy narrow chains over them
+        # instead repartition explicitly (see Tables.doc_tokens). A real
+        # cluster reading multi-file tables keeps the 128 MB default.
         .config(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_SPLIT_BYTES", "8m"),

@@ -193,7 +193,19 @@ class Tables:
         )
 
     def doc_tokens(self) -> DataFrame:
-        """documents -> (doc_id, token) exploded token table."""
-        return self.documents.select(
+        """documents -> (doc_id, token) exploded token table.
+
+        Repartitioned by doc_id BEFORE the explode: the corpus file is
+        compact enough to land in one input split, so without this the
+        tokenize-explode (the most CPU-heavy narrow op in the text
+        family) runs on a single task. The pre-explode shuffle moves
+        only the compact doc rows, and hash partitioning on doc_id
+        already satisfies every downstream per-doc aggregate/window
+        clustering (groupBy(doc_id, ...), Window.partitionBy(doc_id)),
+        so those stages skip their own exchange — one tiny shuffle buys
+        full-width tokenization and removes a wide one later."""
+        spark = self.documents.sparkSession
+        n = spark.sparkContext.defaultParallelism
+        return self.documents.repartition(n, "doc_id").select(
             "doc_id", F.explode(F.split("text", " ")).alias("token")
         )
