@@ -594,3 +594,93 @@ def traj_hausdorff_pair_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h_ab.crossJoin(h_ba).select(
         F.round(F.greatest("h_ab", "h_ba"), 6).alias("hausdorff_2d")
     )
+
+
+@query(
+    "traj_hausdorff_knn_2d",
+    oracle="""
+    WITH t0 AS (
+        SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0 FROM events
+    ),
+    pts AS (
+        SELECT user_id,
+               (epoch_us(CAST(ts AS TIMESTAMP)) - (SELECT t0 FROM t0))
+               / 86400000000.0 AS x,
+               value AS y
+        FROM events
+    ),
+    q AS (SELECT x AS qx, y AS qy FROM pts WHERE user_id = 1),
+    d AS (
+        SELECT p.user_id, p.x, p.y, q.qx, q.qy,
+               SQRT((p.x-q.qx)*(p.x-q.qx) + (p.y-q.qy)*(p.y-q.qy)) AS d
+        FROM pts p CROSS JOIN q
+        WHERE p.user_id <> 1
+    ),
+    h1 AS (SELECT user_id, MAX(md) AS h FROM (
+               SELECT user_id, qx, qy, MIN(d) AS md FROM d
+               GROUP BY user_id, qx, qy)
+           GROUP BY user_id),
+    h2 AS (SELECT user_id, MAX(md) AS h FROM (
+               SELECT user_id, x, y, MIN(d) AS md FROM d
+               GROUP BY user_id, x, y)
+           GROUP BY user_id)
+    SELECT h1.user_id,
+           ROUND(GREATEST(h1.h, h2.h), 6) AS hausdorff_2d
+    FROM h1 JOIN h2 ON h1.user_id = h2.user_id
+    ORDER BY GREATEST(h1.h, h2.h), h1.user_id
+    LIMIT 10
+    """,
+)
+def traj_hausdorff_knn_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9 in TWO dimensions — kNN under Euclidean point-set Hausdorff in
+    the (time-in-days, value) plane, the reference's actual GPS query
+    shape [P §5], exact, as one declarative query.
+
+    The broadcast query trajectory joins every other user's points (the
+    segment-index probe of [P §4.2] becomes a broadcast nested-loop the
+    optimizer bounds by the tiny query side); both directed maxima are
+    grouped minima over the same join; TakeOrderedAndProject finishes.
+    At corpus scale the join gains a 2-key grid-cell band prefilter
+    (sim_band_join's pattern) exactly as the STR-partitioned R-tree
+    restricted probes spatially."""
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    t0 = ev.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    pts = ev.join(F.broadcast(t0)).select(
+        "user_id",
+        ((F.unix_micros("ts") - F.col("t0")) / 86400000000.0).alias("x"),
+        F.col("value").alias("y"),
+    )
+    q = pts.filter(F.col("user_id") == 1).select(
+        F.col("x").alias("qx"), F.col("y").alias("qy")
+    )
+    d = (
+        pts.filter(F.col("user_id") != 1)
+        .join(F.broadcast(q))
+        .withColumn(
+            "d",
+            F.sqrt(
+                (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))
+                + (F.col("y") - F.col("qy")) * (F.col("y") - F.col("qy"))
+            ),
+        )
+    )
+    h1 = (
+        d.groupBy("user_id", "qx", "qy")
+        .agg(F.min("d").alias("md"))
+        .groupBy("user_id")
+        .agg(F.max("md").alias("h1"))
+    )
+    h2 = (
+        d.groupBy("user_id", "x", "y")
+        .agg(F.min("d").alias("md"))
+        .groupBy("user_id")
+        .agg(F.max("md").alias("h2"))
+    )
+    h = F.greatest("h1", "h2")
+    return (
+        h1.join(h2, "user_id")
+        .orderBy(h, "user_id")
+        .limit(10)
+        .select("user_id", F.round(h, 6).alias("hausdorff_2d"))
+    )
