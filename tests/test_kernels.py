@@ -109,3 +109,19 @@ def test_dtw_not_a_metric_witness():
     c = np.array([0.0])
     # dtw(a,c)=3 (every point pays) > dtw(a,b)=0 + dtw(b,c)=1
     assert kernels.dtw(a, c) > kernels.dtw(a, b) + kernels.dtw(b, c)
+
+
+@settings(max_examples=200, deadline=None)
+@given(series, series, st.floats(min_value=0.1, max_value=200.0))
+def test_frechet_tau_early_abandon_contract(a, b, tau):
+    # The tau-abandon contract: abandonment may only fire when the true
+    # distance provably exceeds tau, so (1) exact <= tau => tau-run is
+    # exact; (2) any tau-run result <= tau is the exact distance; (3) a
+    # tau-run result > tau is a LOWER bound of the exact distance.
+    exact = kernels.frechet(a, b)
+    with_tau = kernels.frechet(a, b, tau=tau)
+    if exact <= tau:
+        assert with_tau == exact
+    if with_tau <= tau:
+        assert with_tau == exact
+    assert with_tau <= exact + 1e-12

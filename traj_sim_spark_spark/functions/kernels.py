@@ -46,11 +46,15 @@ def _antidiagonal_dp(
     100-point series). Arrays are length n+1 with position p = i+1 and an
     inf sentinel at p=0, so the i-1 accesses never need bounds checks.
 
-    ``tau`` enables early abandon (reference O10, [P §4.4]): every
-    monotone coupling path crosses every antidiagonal, and DP values
-    are lower bounds on any completion through them, so once the MINIMUM
-    over an antidiagonal exceeds tau the final value must too — return
-    that minimum (a valid lower bound > tau, NOT the exact distance).
+    ``tau`` enables early abandon (reference O10, [P §4.4]): a monotone
+    coupling path can SKIP a single antidiagonal (the diagonal step
+    jumps from k-1 to k+1) but never two in a row, so every path
+    touches at least one of any two CONSECUTIVE antidiagonals; DP
+    values are lower bounds on any completion through them. Once the
+    minima of two consecutive antidiagonals both exceed tau, the final
+    value must too — return the smaller minimum (a valid lower bound
+    > tau, NOT the exact distance). The start cell (0,0) lies on every
+    path, so d[0,0] > tau abandons immediately.
     """
     n, m = d.shape
     inf = np.inf
@@ -61,6 +65,7 @@ def _antidiagonal_dp(
         return float(d[0, 0])
     if tau is not None and d[0, 0] > tau:
         return float(d[0, 0])
+    prev_min = float(d[0, 0])  # min DP value on antidiagonal k-1
     for k in range(1, n + m - 1):
         lo = max(0, k - m + 1)
         hi = min(k, n - 1)
@@ -71,9 +76,10 @@ def _antidiagonal_dp(
         )  # (i-1,j), (i,j-1), (i-1,j-1)
         vals = np.maximum(dk, best) if is_frechet else dk + best
         if tau is not None:
-            mn = vals.min()
-            if mn > tau:
-                return float(mn)
+            mn = float(vals.min())
+            if mn > tau and prev_min > tau:
+                return min(mn, prev_min)
+            prev_min = mn
         cur = np.full(n + 1, inf)
         cur[idx + 1] = vals
         prev2, prev1 = prev1, cur

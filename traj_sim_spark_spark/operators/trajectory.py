@@ -308,6 +308,64 @@ _KNN_K = 10
 _KNN_C = 3  # candidate over-fetch factor (c*k), as in [P §5]
 
 
+def _frechet_lb(t: Tables, query_user: int) -> DataFrame:
+    """Per-user Fréchet LOWER BOUND: max(Hausdorff, endpoint distances).
+
+    Every Fréchet coupling matches first-with-first and last-with-last
+    points [P §2], so |a_1-q_1| and |a_n-q_m| are free lower bounds —
+    and for drifting 1-D series they prune far harder than Hausdorff
+    (which is near-zero whenever value RANGES overlap, order ignored)."""
+    ends = t.user_points().groupBy("user_id").agg(
+        F.expr("min_by(value, seq)").alias("v_first"),
+        F.expr("max_by(value, seq)").alias("v_last"),
+    )
+    q_ends = ends.filter(F.col("user_id") == query_user).select(
+        F.col("v_first").alias("q_first"), F.col("v_last").alias("q_last")
+    )
+    return (
+        _hausdorff_lb(t, query_user)
+        .join(ends, "user_id")
+        .crossJoin(F.broadcast(q_ends))
+        .select(
+            "user_id",
+            F.greatest(
+                "lb",
+                F.abs(F.col("v_first") - F.col("q_first")),
+                F.abs(F.col("v_last") - F.col("q_last")),
+            ).alias("lb"),
+        )
+    )
+
+
+def _frechet_refine(tau=None):
+    """mapInPandas kernel stage: exact discrete Fréchet per (user, query)
+    series pair; with ``tau``, each DP early-abandons once it provably
+    exceeds tau (reference O10), returning a lower bound > tau."""
+
+    def refine(batches):  # no shuffle — rows are already one-per-user
+        for pdf in batches:
+            out = [
+                (
+                    row.user_id,
+                    round(
+                        kernels.frechet(
+                            np.asarray(row.vals, dtype=np.float64),
+                            np.asarray(row.q_vals, dtype=np.float64),
+                            tau=tau,
+                        ),
+                        6,
+                    ),
+                )
+                for row in pdf.itertuples()
+            ]
+            yield pd.DataFrame(out, columns=["user_id", "frechet"])
+
+    return refine
+
+
+_REFINE_SCHEMA = "user_id bigint, frechet double"
+
+
 @query("traj_frechet_knn")  # WEAK: order-sensitive DP, not SQL-expressible
 def traj_frechet_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R9/R13: k users nearest the query user under discrete Fréchet —
@@ -323,67 +381,18 @@ def traj_frechet_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     The reference runs this as a driver-orchestrated loop; here phases 2/3
     are one filtered ``applyInPandas`` each, and only the scalar tau_k
     crosses to the driver (the same footprint as an AQE stats exchange).
-
-    The bound is max(Hausdorff, endpoint distances): every Fréchet
-    coupling matches first-with-first and last-with-last points [P §2],
-    so |a_1-q_1| and |a_n-q_m| are free lower bounds — and for
-    drifting 1-D series they prune far harder than Hausdorff (which is
-    near-zero whenever value RANGES overlap, order ignored). Phase 3
-    additionally early-abandons each DP once it provably exceeds tau_k
-    (reference O10).
+    Bound: ``_frechet_lb`` (Hausdorff + endpoints); phase 3 additionally
+    early-abandons each DP once it provably exceeds tau_k (O10).
     """
     t = Tables(spark, sf_dir)
-    ends = t.user_points().groupBy("user_id").agg(
-        F.expr("min_by(value, seq)").alias("v_first"),
-        F.expr("max_by(value, seq)").alias("v_last"),
-    )
-    q_ends = ends.filter(F.col("user_id") == _QUERY_USER).select(
-        F.col("v_first").alias("q_first"), F.col("v_last").alias("q_last")
-    )
-    lb = (
-        _hausdorff_lb(t, _QUERY_USER)
-        .join(ends, "user_id")
-        .crossJoin(F.broadcast(q_ends))
-        .select(
-            "user_id",
-            F.greatest(
-                "lb",
-                F.abs(F.col("v_first") - F.col("q_first")),
-                F.abs(F.col("v_last") - F.col("q_last")),
-            ).alias("lb"),
-        )
-        .persist()
-    )
+    lb = _frechet_lb(t, _QUERY_USER).persist()
     # persisted: both refine phases read it (reference analog: the
     # .persist()ed segment index, O8)
     paired = _paired_series(t, _QUERY_USER).join(lb, "user_id").persist()
-
-    def make_refine(tau=None):
-        def refine(batches):  # mapInPandas: no shuffle — rows are already
-            for pdf in batches:  # one-per-user, batched per partition
-                out = [
-                    (
-                        row.user_id,
-                        round(
-                            kernels.frechet(
-                                np.asarray(row.vals, dtype=np.float64),
-                                np.asarray(row.q_vals, dtype=np.float64),
-                                tau=tau,
-                            ),
-                            6,
-                        ),
-                    )
-                    for row in pdf.itertuples()
-                ]
-                yield pd.DataFrame(out, columns=["user_id", "frechet"])
-
-        return refine
-
-    schema = "user_id bigint, frechet double"
     cand_ids = lb.orderBy("lb", "user_id").limit(_KNN_C * _KNN_K)
     first = paired.join(
         F.broadcast(cand_ids.select("user_id")), "user_id", "left_semi"
-    ).mapInPandas(make_refine(), schema=schema)
+    ).mapInPandas(_frechet_refine(), schema=_REFINE_SCHEMA)
     kth = first.orderBy("frechet").limit(_KNN_K).agg(
         F.max("frechet").alias("tau")
     )
@@ -395,11 +404,36 @@ def traj_frechet_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lb") <= tau_k)
         # tau pad: an early-abandoned DP returns a bound > tau; pad by
         # 1e-6 so 6-decimal rounding can never pull one back to tau_k
-        .mapInPandas(make_refine(tau=tau_k + 1e-6), schema=schema)
+        .mapInPandas(_frechet_refine(tau=tau_k + 1e-6), schema=_REFINE_SCHEMA)
     )
     lb.unpersist()
     return (
         first.unionByName(rest).orderBy("frechet", "user_id").limit(_KNN_K)
+    )
+
+
+_FRECHET_TAU = 85.0
+
+
+@query("traj_frechet_threshold")  # WEAK: order-sensitive DP kernel
+def traj_frechet_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8 under discrete Fréchet: all users within tau=85.0 of the query
+    user — EXACT, fully declarative (no driver round-trip at all, unlike
+    the kNN's tau_k exchange): SQL lower bound gates the DP kernel
+    (Fréchet >= bound, so lb > tau cannot qualify [P §5.1]); each
+    surviving DP early-abandons at tau; a final filter keeps true
+    qualifiers. This completes the reference's query matrix —
+    {threshold, kNN} x {Hausdorff, Fréchet} [P §4-§5]."""
+    t = Tables(spark, sf_dir)
+    lb = _frechet_lb(t, _QUERY_USER)
+    cand = _paired_series(t, _QUERY_USER).join(lb, "user_id").filter(
+        F.col("lb") <= _FRECHET_TAU
+    )
+    return (
+        cand.mapInPandas(
+            _frechet_refine(tau=_FRECHET_TAU + 1e-6), schema=_REFINE_SCHEMA
+        )
+        .filter(F.col("frechet") <= _FRECHET_TAU)
     )
 
 
