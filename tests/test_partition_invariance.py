@@ -1,0 +1,49 @@
+"""Results must be independent of the physical partitioning.
+
+At 100 TB the same query runs with thousands of shuffle partitions; on
+a laptop, with a handful. Any operator whose OUTPUT depends on
+``spark.sql.shuffle.partitions`` (hash-order leakage through a window,
+a non-deterministic tie-break, a first()/collect_list without an
+explicit sort) is broken at scale even if its sf0.01 oracle passes.
+This suite re-runs representative hash-order-sensitive queries under
+different partition counts and requires bit-identical sorted results.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from traj_sim_spark_spark import registry
+
+registry.load_all()
+
+# one per order-sensitivity class: window tie-break, top-k ties,
+# union-of-joins, collect_list assembly, DP-kernel two-phase
+KEYS = [
+    "rel_topk_pergroup",
+    "rel_topk_global",
+    "text_minhash_neardup",
+    "traj_assemble",
+    "traj_hausdorff_knn",
+    "traj_frechet_knn",
+]
+
+
+def _run_sorted(spark, key, sf_dir):
+    df = registry.QUERIES[key](spark, sf_dir)
+    return sorted(
+        tuple(row) for row in df.collect()
+    )
+
+
+@pytest.mark.parametrize("key", KEYS)
+def test_partition_count_invariance(spark, sf_dir, key):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        a = _run_sorted(spark, key, sf_dir)
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        b = _run_sorted(spark, key, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert a == b

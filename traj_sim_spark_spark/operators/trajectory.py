@@ -630,6 +630,46 @@ def traj_hausdorff_pair_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hausdorff_2d_per_user(t: Tables, query_user: int) -> DataFrame:
+    """Per-user directed 2-D Hausdorff maxima (h1, h2) to the query user
+    in the (time-in-days, value) plane — shared engine of the 2-D kNN
+    and threshold searches."""
+    ev = t.events
+    t0 = ev.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    pts = ev.join(F.broadcast(t0)).select(
+        "user_id",
+        ((F.unix_micros("ts") - F.col("t0")) / 86400000000.0).alias("x"),
+        F.col("value").alias("y"),
+    )
+    q = pts.filter(F.col("user_id") == query_user).select(
+        F.col("x").alias("qx"), F.col("y").alias("qy")
+    )
+    d = (
+        pts.filter(F.col("user_id") != query_user)
+        .join(F.broadcast(q))
+        .withColumn(
+            "d",
+            F.sqrt(
+                (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))
+                + (F.col("y") - F.col("qy")) * (F.col("y") - F.col("qy"))
+            ),
+        )
+    )
+    h1 = (
+        d.groupBy("user_id", "qx", "qy")
+        .agg(F.min("d").alias("md"))
+        .groupBy("user_id")
+        .agg(F.max("md").alias("h1"))
+    )
+    h2 = (
+        d.groupBy("user_id", "x", "y")
+        .agg(F.min("d").alias("md"))
+        .groupBy("user_id")
+        .agg(F.max("md").alias("h2"))
+    )
+    return h1.join(h2, "user_id")
+
+
 @query(
     "traj_hausdorff_knn_2d",
     oracle="""
@@ -678,43 +718,59 @@ def traj_hausdorff_knn_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sim_band_join's pattern) exactly as the STR-partitioned R-tree
     restricted probes spatially."""
     t = Tables(spark, sf_dir)
-    ev = t.events
-    t0 = ev.agg(F.min(F.unix_micros("ts")).alias("t0"))
-    pts = ev.join(F.broadcast(t0)).select(
-        "user_id",
-        ((F.unix_micros("ts") - F.col("t0")) / 86400000000.0).alias("x"),
-        F.col("value").alias("y"),
-    )
-    q = pts.filter(F.col("user_id") == 1).select(
-        F.col("x").alias("qx"), F.col("y").alias("qy")
-    )
-    d = (
-        pts.filter(F.col("user_id") != 1)
-        .join(F.broadcast(q))
-        .withColumn(
-            "d",
-            F.sqrt(
-                (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))
-                + (F.col("y") - F.col("qy")) * (F.col("y") - F.col("qy"))
-            ),
-        )
-    )
-    h1 = (
-        d.groupBy("user_id", "qx", "qy")
-        .agg(F.min("d").alias("md"))
-        .groupBy("user_id")
-        .agg(F.max("md").alias("h1"))
-    )
-    h2 = (
-        d.groupBy("user_id", "x", "y")
-        .agg(F.min("d").alias("md"))
-        .groupBy("user_id")
-        .agg(F.max("md").alias("h2"))
-    )
     h = F.greatest("h1", "h2")
     return (
-        h1.join(h2, "user_id")
+        _hausdorff_2d_per_user(t, 1)
         .orderBy(h, "user_id")
         .limit(10)
+        .select("user_id", F.round(h, 6).alias("hausdorff_2d"))
+    )
+
+
+@query(
+    "traj_hausdorff_threshold_2d",
+    oracle="""
+    WITH t0 AS (
+        SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0 FROM events
+    ),
+    pts AS (
+        SELECT user_id,
+               (epoch_us(CAST(ts AS TIMESTAMP)) - (SELECT t0 FROM t0))
+               / 86400000000.0 AS x,
+               value AS y
+        FROM events
+    ),
+    q AS (SELECT x AS qx, y AS qy FROM pts WHERE user_id = 1),
+    d AS (
+        SELECT p.user_id, p.x, p.y, q.qx, q.qy,
+               SQRT((p.x-q.qx)*(p.x-q.qx) + (p.y-q.qy)*(p.y-q.qy)) AS d
+        FROM pts p CROSS JOIN q
+        WHERE p.user_id <> 1
+    ),
+    h1 AS (SELECT user_id, MAX(md) AS h FROM (
+               SELECT user_id, qx, qy, MIN(d) AS md FROM d
+               GROUP BY user_id, qx, qy)
+           GROUP BY user_id),
+    h2 AS (SELECT user_id, MAX(md) AS h FROM (
+               SELECT user_id, x, y, MIN(d) AS md FROM d
+               GROUP BY user_id, x, y)
+           GROUP BY user_id)
+    SELECT h1.user_id,
+           ROUND(GREATEST(h1.h, h2.h), 6) AS hausdorff_2d
+    FROM h1 JOIN h2 ON h1.user_id = h2.user_id
+    WHERE GREATEST(h1.h, h2.h) <= 32.0
+    """,
+)
+def traj_hausdorff_threshold_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8 in TWO dimensions: all users within Euclidean point-set
+    Hausdorff tau=32.0 of the query user in the GPS plane — the
+    reference's threshold search in its native setting [P §4], sharing
+    the 2-D kNN's grouped-minima engine with a final filter instead of
+    top-k."""
+    t = Tables(spark, sf_dir)
+    h = F.greatest("h1", "h2")
+    return (
+        _hausdorff_2d_per_user(t, 1)
+        .filter(h <= 32.0)
         .select("user_id", F.round(h, 6).alias("hausdorff_2d"))
     )
