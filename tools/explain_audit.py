@@ -46,7 +46,11 @@ AUDIT = [
     "sim_band_join",
     "sim_knn_ivf",
     "traj_hausdorff_knn",
+    "traj_hausdorff_knn_2d",
+    "traj_hausdorff_threshold_2d",
+    "traj_frechet_threshold",
     "traj_segments",
+    "rel_win_distribution",
     "text_exact_dedup",
     "text_minhash_neardup",
     "text_jaccard_neardup",
