@@ -125,3 +125,15 @@ def test_frechet_tau_early_abandon_contract(a, b, tau):
     if with_tau <= tau:
         assert with_tau == exact
     assert with_tau <= exact + 1e-12
+
+
+@settings(max_examples=200, deadline=None)
+@given(series, series, st.floats(min_value=0.1, max_value=5000.0))
+def test_dtw_tau_early_abandon_contract(a, b, tau):
+    exact = kernels.dtw(a, b)
+    with_tau = kernels.dtw(a, b, tau=tau)
+    if exact <= tau:
+        assert with_tau == exact
+    if with_tau <= tau:
+        assert with_tau == exact
+    assert with_tau <= exact + 1e-9

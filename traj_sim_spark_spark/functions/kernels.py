@@ -97,8 +97,11 @@ def frechet(
     return _antidiagonal_dp(pairwise_dist(a, b), is_frechet=True, tau=tau)
 
 
-def dtw(a: np.ndarray, b: np.ndarray) -> float:
+def dtw(a: np.ndarray, b: np.ndarray, tau: float | None = None) -> float:
     """Dynamic time warping cost (sum-of-distances variant):
     dtw(i,j) = d(a_i,b_j) + min(dtw(i-1,j), dtw(i,j-1), dtw(i-1,j-1)).
-    Not a metric (no triangle inequality) — R14."""
-    return _antidiagonal_dp(pairwise_dist(a, b), is_frechet=False)
+    Not a metric (no triangle inequality) — R14. The tau early-abandon
+    argument is as valid here as for Fréchet: partial sums are
+    non-decreasing along any path (distances are non-negative), so DP
+    values lower-bound every completion."""
+    return _antidiagonal_dp(pairwise_dist(a, b), is_frechet=False, tau=tau)

@@ -774,3 +774,61 @@ def traj_hausdorff_threshold_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(h <= 32.0)
         .select("user_id", F.round(h, 6).alias("hausdorff_2d"))
     )
+
+
+@query("traj_dtw_knn")  # WEAK: order-sensitive DP, not SQL-expressible
+def traj_dtw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9 under DTW: k users with the cheapest warping alignment to the
+    query user — EXACT, same two-phase harness as the Fréchet kNN.
+
+    The Fréchet lower bound is ALSO a DTW lower bound: DTW and discrete
+    Fréchet range over the same monotone couplings, and a sum of
+    non-negative distances dominates its maximum, so
+    DTW >= Fréchet >= max(Hausdorff, endpoint distances) on every pair.
+    Phase 3's DP early-abandons at tau_k (valid for the sum recurrence:
+    partial path sums only grow)."""
+    t = Tables(spark, sf_dir)
+    lb = _frechet_lb(t, _QUERY_USER).persist()
+    paired = _paired_series(t, _QUERY_USER).join(lb, "user_id").persist()
+
+    def make_refine(tau=None):
+        def refine(batches):
+            for pdf in batches:
+                out = [
+                    (
+                        row.user_id,
+                        round(
+                            kernels.dtw(
+                                np.asarray(row.vals, dtype=np.float64),
+                                np.asarray(row.q_vals, dtype=np.float64),
+                                tau=tau,
+                            ),
+                            6,
+                        ),
+                    )
+                    for row in pdf.itertuples()
+                ]
+                yield pd.DataFrame(out, columns=["user_id", "dtw"])
+
+        return refine
+
+    schema = "user_id bigint, dtw double"
+    cand_ids = lb.orderBy("lb", "user_id").limit(_KNN_C * _KNN_K)
+    first = paired.join(
+        F.broadcast(cand_ids.select("user_id")), "user_id", "left_semi"
+    ).mapInPandas(make_refine(), schema=schema)
+    tau_k = (
+        first.orderBy("dtw")
+        .limit(_KNN_K)
+        .agg(F.max("dtw").alias("tau"))
+        .head()[0]
+    )
+    rest = (
+        paired.join(
+            F.broadcast(cand_ids.select("user_id")), "user_id", "left_anti"
+        )
+        .filter(F.col("lb") <= tau_k)
+        .mapInPandas(make_refine(tau=tau_k + 1e-6), schema=schema)
+    )
+    lb.unpersist()
+    return first.unionByName(rest).orderBy("dtw", "user_id").limit(_KNN_K)
