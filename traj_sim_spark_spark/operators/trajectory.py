@@ -832,3 +832,84 @@ def traj_dtw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lb.unpersist()
     return first.unionByName(rest).orderBy("dtw", "user_id").limit(_KNN_K)
+
+
+_RANGE_EPS = 2.0
+
+
+@query(
+    "traj_range_query_2d",
+    oracle="""
+    WITH t0 AS (
+        SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0 FROM events
+    ),
+    pts AS (
+        SELECT user_id,
+               (epoch_us(CAST(ts AS TIMESTAMP)) - (SELECT t0 FROM t0))
+               / 86400000000.0 AS x,
+               value AS y
+        FROM events
+    ),
+    q AS (SELECT x AS qx, y AS qy FROM pts WHERE user_id = 1)
+    SELECT p.user_id, p.x, p.y, ROUND(MIN(
+               SQRT((p.x-q.qx)*(p.x-q.qx) + (p.y-q.qy)*(p.y-q.qy))
+           ), 6) AS min_dist
+    FROM pts p CROSS JOIN q
+    WHERE p.user_id <> 1
+    GROUP BY p.user_id, p.x, p.y
+    HAVING MIN(SQRT((p.x-q.qx)*(p.x-q.qx) + (p.y-q.qy)*(p.y-q.qy))) <= 2.0
+    """,
+)
+def traj_range_query_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6's ``circleRange`` probe as a declarative query: every point of
+    every other trajectory within Euclidean eps=2.0 of ANY query-
+    trajectory point, in the (time-in-days, value) plane.
+
+    The reference answers this with per-partition R-trees [P §4.2]; here
+    an eps-sized grid assigns each point a cell key, the (broadcast)
+    query points expand to their 3x3 cell neighborhood, and a cell-key
+    equi-join yields exactly the candidates an R-tree range probe would
+    visit — any point within eps of a query point lies in an adjacent
+    cell, so the prefilter is lossless. The exact distance filter
+    refines. The reported min_dist equals the global minimum whenever it
+    passes the filter (a q point within eps IS in the neighborhood), so
+    the naive-predicate oracle hash-matches."""
+    eps = _RANGE_EPS
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    t0 = ev.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    pts = ev.join(F.broadcast(t0)).select(
+        "user_id",
+        ((F.unix_micros("ts") - F.col("t0")) / 86400000000.0).alias("x"),
+        F.col("value").alias("y"),
+    )
+    cell = lambda c: F.floor(F.col(c) / eps)  # noqa: E731
+    p = pts.filter(F.col("user_id") != 1).withColumn(
+        "cx", cell("x")
+    ).withColumn("cy", cell("y"))
+    q = (
+        pts.filter(F.col("user_id") == 1)
+        .select(F.col("x").alias("qx"), F.col("y").alias("qy"))
+        .withColumn("dxy", F.explode(F.expr(
+            "flatten(transform(sequence(-1, 1), dx ->"
+            " transform(sequence(-1, 1), dy -> struct(dx, dy))))"
+        )))
+        .select(
+            "qx",
+            "qy",
+            (F.floor(F.col("qx") / eps) + F.col("dxy.dx")).alias("cx"),
+            (F.floor(F.col("qy") / eps) + F.col("dxy.dy")).alias("cy"),
+        )
+    )
+    d = F.sqrt(
+        (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))
+        + (F.col("y") - F.col("qy")) * (F.col("y") - F.col("qy"))
+    )
+    return (
+        p.join(F.broadcast(q), ["cx", "cy"])
+        .withColumn("d", d)
+        .groupBy("user_id", "x", "y")
+        .agg(F.min("d").alias("md"))
+        .filter(F.col("md") <= eps)
+        .select("user_id", "x", "y", F.round("md", 6).alias("min_dist"))
+    )
