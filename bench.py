@@ -40,11 +40,14 @@ HEADLINE = [
     "sim_topk_join",
     "sim_band_join",
     "traj_hausdorff_knn",
+    "traj_hausdorff_knn_2d",
+    "traj_range_query_2d",
     "traj_frechet_knn",
     "traj_session_batch",
     "text_exact_dedup",
     "text_minhash_neardup",
     "text_tfidf",
+    "text_langid",
     "stream_tumbling",
 ]
 
