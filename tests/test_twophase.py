@@ -56,3 +56,40 @@ def test_hausdorff_knn_matches_kernel(spark, sf_dir):
         for r in registry.QUERIES["traj_hausdorff_knn"](spark, sf_dir).collect()
     ]
     assert got == brute
+
+
+def test_dtw_knn_two_phase_is_exact(spark, sf_dir):
+    """Same exactness claim for the DTW kNN (Fréchet lb is a DTW lb)."""
+    series = _series_by_user(spark, sf_dir)
+    q = series[1]
+    brute = sorted(
+        (round(kernels.dtw(s, q), 6), u)
+        for u, s in series.items()
+        if u != 1
+    )[:10]
+    got = [
+        (r["dtw"], r["user_id"])
+        for r in registry.QUERIES["traj_dtw_knn"](spark, sf_dir).collect()
+    ]
+    assert got == brute, f"two-phase != brute force:\n{got}\n{brute}"
+
+
+def test_frechet_threshold_two_phase_is_exact(spark, sf_dir):
+    """The lb-gated, tau-abandoning threshold search must return exactly
+    the users whose true Fréchet distance is <= tau."""
+    from traj_sim_spark_spark.operators.trajectory import _FRECHET_TAU
+
+    series = _series_by_user(spark, sf_dir)
+    q = series[1]
+    brute = sorted(
+        (u, round(kernels.frechet(s, q), 6))
+        for u, s in series.items()
+        if u != 1 and kernels.frechet(s, q) <= _FRECHET_TAU
+    )
+    got = sorted(
+        (r["user_id"], r["frechet"])
+        for r in registry.QUERIES["traj_frechet_threshold"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert got == brute, f"threshold != brute force:\n{got}\n{brute}"
