@@ -93,3 +93,12 @@ def test_frechet_threshold_two_phase_is_exact(spark, sf_dir):
         ).collect()
     )
     assert got == brute, f"threshold != brute force:\n{got}\n{brute}"
+
+
+def test_frechet_pair_2d_consistent_with_sql_hausdorff(spark, sf_dir):
+    """2-D kernel path vs 2-D SQL path must agree on Hausdorff (same
+    point sets, two independent engines), and Fréchet >= Hausdorff."""
+    k = registry.QUERIES["traj_frechet_pair_2d"](spark, sf_dir).head()
+    s = registry.QUERIES["traj_hausdorff_pair_2d"](spark, sf_dir).head()
+    assert abs(k["hausdorff_2d"] - s["hausdorff_2d"]) < 1e-6
+    assert k["frechet_2d"] >= k["hausdorff_2d"] - 1e-9

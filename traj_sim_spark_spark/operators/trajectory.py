@@ -913,3 +913,65 @@ def traj_range_query_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("md") <= eps)
         .select("user_id", "x", "y", F.round("md", 6).alias("min_dist"))
     )
+
+
+@query("traj_frechet_pair_2d")  # WEAK: order-sensitive DP kernel
+def traj_frechet_pair_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R13 in TWO dimensions: discrete Fréchet between users 1 and 2 in
+    the (time-in-days, value) plane — the paper's native GPS setting
+    [P §2]. The DP recurrence is dimension-blind; only the local metric
+    changes (row-wise Euclidean on (n,2) arrays, kernels.pairwise_dist),
+    so the same antidiagonal-vectorized kernel serves both."""
+    t = Tables(spark, sf_dir)
+    ev = t.user_points()
+    t0 = t.events.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    pts = ev.join(F.broadcast(t0)).select(
+        "user_id",
+        "seq",
+        ((F.unix_micros("ts") - F.col("t0")) / 86400000000.0).alias("x"),
+        F.col("value").alias("y"),
+    )
+    traj = (
+        pts.filter(F.col("user_id").isin(1, 2))
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("seq", "x", "y"))
+            ).alias("p")
+        )
+        .select(
+            "user_id",
+            F.col("p.x").alias("xs"),
+            F.col("p.y").alias("ys"),
+        )
+    )
+    a = traj.filter(F.col("user_id") == 2)
+    q = traj.filter(F.col("user_id") == 1).select(
+        F.col("xs").alias("qxs"), F.col("ys").alias("qys")
+    )
+    paired = a.join(F.broadcast(q))
+
+    def per_pair(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                p = np.column_stack(
+                    (np.asarray(row.xs), np.asarray(row.ys))
+                ).astype(np.float64)
+                qq = np.column_stack(
+                    (np.asarray(row.qxs), np.asarray(row.qys))
+                ).astype(np.float64)
+                out.append(
+                    (
+                        row.user_id,
+                        round(kernels.frechet(p, qq), 6),
+                        round(kernels.hausdorff(p, qq), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["user_id", "frechet_2d", "hausdorff_2d"]
+            )
+
+    return paired.mapInPandas(
+        per_pair, schema="user_id bigint, frechet_2d double, hausdorff_2d double"
+    )
