@@ -975,3 +975,38 @@ def traj_frechet_pair_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paired.mapInPandas(
         per_pair, schema="user_id bigint, frechet_2d double, hausdorff_2d double"
     )
+
+
+@query(
+    "traj_sample_workload",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_points,
+           ROUND(MIN(value), 6) AS min_value,
+           ROUND(MAX(value), 6) AS max_value
+    FROM events
+    WHERE CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+               AS INTEGER) % 10 = 0
+    GROUP BY user_id
+    """,
+)
+def traj_sample_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R17: query-workload sampling — ~10% of trajectories, selected by
+    content hash rather than RNG: md5(user_id) is identical on every
+    engine and every rerun, so the sample is reproducible (the property
+    ``takeSample(seed)`` only gives within one engine) and pushes down
+    as an ordinary predicate — no sampling operator state, no driver
+    collect [P-analog: TrajSampling main, R17]."""
+    t = Tables(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    return (
+        t.events.filter(bucket % 10 == 0)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+    )
