@@ -49,6 +49,8 @@ AUDIT = [
     "traj_hausdorff_knn_2d",
     "traj_hausdorff_threshold_2d",
     "traj_frechet_threshold",
+    "traj_range_query_2d",
+    "traj_sample_workload",
     "traj_segments",
     "rel_win_distribution",
     "text_exact_dedup",
