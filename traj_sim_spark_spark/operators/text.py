@@ -533,3 +533,104 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("cand", F.lit("und")).alias("pred_lang"),
         F.coalesce("n", F.lit(0)).alias("score"),
     )
+
+
+@query(
+    "text_dedup_cluster",
+    oracle="""
+    WITH RECURSIVE tok AS (
+        SELECT DISTINCT d.doc_id, d.lang, d.source, t.token
+        FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(token)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS both_n
+        FROM tok a JOIN tok b
+          ON a.token = b.token AND a.lang = b.lang AND a.source = b.source
+         AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE both_n * 1.0 / (sa.n + sb.n - both_n) >= 0.2
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.u, r.label
+        FROM reach r JOIN edges e ON e.v = r.node
+        WHERE r.label < e.u
+    ),
+    lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+            FROM reach GROUP BY node)
+    SELECT lab.doc_id, lab.cluster_id, c.cluster_size
+    FROM lab JOIN (
+        SELECT cluster_id, COUNT(*) AS cluster_size FROM lab
+        GROUP BY cluster_id
+    ) c USING (cluster_id)
+    """,
+)
+def text_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CLUSTERING: connected components over the Jaccard near-dup
+    pair graph — the step a real pipeline runs after pair generation
+    (keep one doc per component). Iterative min-label propagation:
+    every doc starts labeled with its own id; each round every node
+    takes the minimum label in its closed neighborhood; fixpoint in
+    O(diameter) rounds. Spark-first shape: per round one join + one
+    aggregate, convergence checked with a single scalar (the same
+    driver footprint as AQE); edges re-used from cache. The DuckDB
+    oracle computes the same labels with a recursive CTE — an iterative
+    distributed algorithm, still FULLY oracle-checked."""
+    pairs = text_jaccard_neardup(spark, sf_dir).select("id_a", "id_b")
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+        )
+        .persist()
+    )
+    t = Tables(spark, sf_dir)
+    labels = t.documents.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    ).persist()
+    while True:
+        neigh = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.u, "left")
+            .select(
+                "node",
+                F.least(
+                    "label", F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )  # one scalar per round — the convergence check
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )
