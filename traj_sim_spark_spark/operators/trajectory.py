@@ -207,10 +207,23 @@ def traj_hausdorff_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _paired_series(t: Tables, query_user: int) -> DataFrame:
+def _paired_series(
+    t: Tables, query_user: int, ids: DataFrame | None = None
+) -> DataFrame:
     """Candidate (user, query) series pairs: assembled value arrays joined
-    against the broadcast query array (reference: dual-store fetch, R11)."""
-    traj = t.user_points().groupBy("user_id").agg(
+    against the broadcast query array (reference: dual-store fetch, R11).
+
+    ``ids`` (a user_id DataFrame) pushes the candidate filter BELOW the
+    assembly: the semi-join runs on raw point rows, so the collect_list
+    shuffle moves only candidate trajectories — the reference's
+    PartitionPruningRDD fetch [P §4.3] as predicate pushdown. The query
+    user's own series is always assembled."""
+    pts = t.user_points()
+    if ids is not None:
+        pts = pts.join(
+            F.broadcast(ids.select("user_id")), "user_id", "left_semi"
+        ).unionByName(pts.filter(F.col("user_id") == query_user))
+    traj = pts.groupBy("user_id").agg(
         F.array_sort(
             F.collect_list(F.struct("seq", "value"))
         ).alias("pts")
@@ -388,23 +401,22 @@ def traj_frechet_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     lb = _frechet_lb(t, _QUERY_USER).persist()
     # persisted: both refine phases read it (reference analog: the
     # .persist()ed segment index, O8)
-    paired = _paired_series(t, _QUERY_USER).join(lb, "user_id").persist()
     cand_ids = lb.orderBy("lb", "user_id").limit(_KNN_C * _KNN_K)
-    first = paired.join(
-        F.broadcast(cand_ids.select("user_id")), "user_id", "left_semi"
-    ).mapInPandas(_frechet_refine(), schema=_REFINE_SCHEMA)
+    first = _paired_series(t, _QUERY_USER, ids=cand_ids).mapInPandas(
+        _frechet_refine(), schema=_REFINE_SCHEMA
+    ).persist()
     kth = first.orderBy("frechet").limit(_KNN_K).agg(
         F.max("frechet").alias("tau")
     )
     tau_k = kth.head()[0]  # one scalar to the driver — the tau_k bound
-    rest = (
-        paired.join(
-            F.broadcast(cand_ids.select("user_id")), "user_id", "left_anti"
-        )
-        .filter(F.col("lb") <= tau_k)
+    rest_ids = lb.filter(F.col("lb") <= tau_k).join(
+        F.broadcast(cand_ids.select("user_id")), "user_id", "left_anti"
+    )
+    rest = _paired_series(t, _QUERY_USER, ids=rest_ids).mapInPandas(
         # tau pad: an early-abandoned DP returns a bound > tau; pad by
         # 1e-6 so 6-decimal rounding can never pull one back to tau_k
-        .mapInPandas(_frechet_refine(tau=tau_k + 1e-6), schema=_REFINE_SCHEMA)
+        _frechet_refine(tau=tau_k + 1e-6),
+        schema=_REFINE_SCHEMA,
     )
     lb.unpersist()
     return (
@@ -425,12 +437,12 @@ def traj_frechet_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifiers. This completes the reference's query matrix —
     {threshold, kNN} x {Hausdorff, Fréchet} [P §4-§5]."""
     t = Tables(spark, sf_dir)
-    lb = _frechet_lb(t, _QUERY_USER)
-    cand = _paired_series(t, _QUERY_USER).join(lb, "user_id").filter(
+    cand_ids = _frechet_lb(t, _QUERY_USER).filter(
         F.col("lb") <= _FRECHET_TAU
     )
     return (
-        cand.mapInPandas(
+        _paired_series(t, _QUERY_USER, ids=cand_ids)
+        .mapInPandas(
             _frechet_refine(tau=_FRECHET_TAU + 1e-6), schema=_REFINE_SCHEMA
         )
         .filter(F.col("frechet") <= _FRECHET_TAU)
@@ -789,7 +801,6 @@ def traj_dtw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial path sums only grow)."""
     t = Tables(spark, sf_dir)
     lb = _frechet_lb(t, _QUERY_USER).persist()
-    paired = _paired_series(t, _QUERY_USER).join(lb, "user_id").persist()
 
     def make_refine(tau=None):
         def refine(batches):
@@ -814,21 +825,20 @@ def traj_dtw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "user_id bigint, dtw double"
     cand_ids = lb.orderBy("lb", "user_id").limit(_KNN_C * _KNN_K)
-    first = paired.join(
-        F.broadcast(cand_ids.select("user_id")), "user_id", "left_semi"
-    ).mapInPandas(make_refine(), schema=schema)
+    first = _paired_series(t, _QUERY_USER, ids=cand_ids).mapInPandas(
+        make_refine(), schema=schema
+    ).persist()
     tau_k = (
         first.orderBy("dtw")
         .limit(_KNN_K)
         .agg(F.max("dtw").alias("tau"))
         .head()[0]
     )
-    rest = (
-        paired.join(
-            F.broadcast(cand_ids.select("user_id")), "user_id", "left_anti"
-        )
-        .filter(F.col("lb") <= tau_k)
-        .mapInPandas(make_refine(tau=tau_k + 1e-6), schema=schema)
+    rest_ids = lb.filter(F.col("lb") <= tau_k).join(
+        F.broadcast(cand_ids.select("user_id")), "user_id", "left_anti"
+    )
+    rest = _paired_series(t, _QUERY_USER, ids=rest_ids).mapInPandas(
+        make_refine(tau=tau_k + 1e-6), schema=schema
     )
     lb.unpersist()
     return first.unionByName(rest).orderBy("dtw", "user_id").limit(_KNN_K)
