@@ -62,11 +62,18 @@ def main() -> None:
     registry.QUERIES["rel_scan_project"](spark, sf_dir).write.format(
         "noop"
     ).mode("overwrite").save()
+    # min of N runs per query: the box hosting the bench has external
+    # load spikes (±20-100% wall-time noise, uniform across queries);
+    # the minimum is the standard estimator for the engine's own cost.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for key in HEADLINE:
         fn = registry.QUERIES[key]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[key] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[key] = round(best, 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
