@@ -211,3 +211,35 @@ def rel_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ntile(4).over(w).alias("quartile"),
         )
     )
+
+
+@query(
+    "rel_win_nav",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(FIRST_VALUE(value) OVER w, 6) AS first_v,
+           ROUND(LAST_VALUE(value) OVER w, 6) AS last_v,
+           ROUND(NTH_VALUE(value, 3) OVER w, 6) AS third_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def rel_win_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions: first/last/nth point of each user's
+    trajectory attached to every event (explicit full-partition frame —
+    LAST_VALUE over the default frame is the classic footgun both
+    engines share)."""
+    t = Tables(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return t.events.select(
+        "event_id",
+        "user_id",
+        F.round(F.first("value").over(w), 6).alias("first_v"),
+        F.round(F.last("value").over(w), 6).alias("last_v"),
+        F.round(F.nth_value("value", 3).over(w), 6).alias("third_v"),
+    )
