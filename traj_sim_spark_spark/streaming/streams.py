@@ -378,3 +378,33 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
     )
     return run_to_completion(joined, "append")
+
+
+@query(
+    "stream_topk_complete",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY n DESC, event_type
+    LIMIT 3
+    """,
+)
+def stream_topk_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE output mode: top-3 event types by running count. Sorting
+    and limiting a streaming aggregate is only legal in complete mode
+    (the whole result table is re-emitted per trigger), so this query
+    exercises the output-mode axis the append-mode rows cannot; after
+    the final micro-batch the memory sink holds exactly the batch
+    answer — no watermark cutoff involved."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy(F.col("n").desc(), "event_type")
+        .limit(3)
+    )
+    return run_to_completion(agg, "complete")
