@@ -102,3 +102,47 @@ def test_frechet_pair_2d_consistent_with_sql_hausdorff(spark, sf_dir):
     s = registry.QUERIES["traj_hausdorff_pair_2d"](spark, sf_dir).head()
     assert abs(k["hausdorff_2d"] - s["hausdorff_2d"]) < 1e-6
     assert k["frechet_2d"] >= k["hausdorff_2d"] - 1e-9
+
+
+def test_frechet_knn_2d_two_phase_is_exact(spark, sf_dir):
+    """The 2-D Fréchet kNN (the paper's flagship query) must equal the
+    brute-force top-k over (time-in-days, value) point sequences."""
+    import pyspark.sql.functions as F
+
+    from traj_sim_spark_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    t0 = t.events.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    pts = (
+        t.user_points()
+        .join(F.broadcast(t0))
+        .select(
+            "user_id",
+            "seq",
+            ((F.unix_micros("ts") - F.col("t0")) / 86400000000.0).alias("x"),
+            F.col("value").alias("y"),
+        )
+        .collect()
+    )
+    series: dict[int, list] = {}
+    for r in pts:
+        series.setdefault(r["user_id"], []).append((r["seq"], r["x"], r["y"]))
+    arrs = {
+        u: np.asarray(
+            [(x, y) for _, x, y in sorted(s)], dtype=np.float64
+        )
+        for u, s in series.items()
+    }
+    q = arrs[1]
+    brute = sorted(
+        (round(kernels.frechet(a, q), 6), u)
+        for u, a in arrs.items()
+        if u != 1
+    )[:10]
+    got = [
+        (r["frechet_2d"], r["user_id"])
+        for r in registry.QUERIES["traj_frechet_knn_2d"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert got == brute, f"2-D two-phase != brute force:\n{got}\n{brute}"

@@ -1020,3 +1020,125 @@ def traj_sample_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 6).alias("max_value"),
         )
     )
+
+
+def _paired_series_2d(
+    t: Tables, query_user: int, ids: DataFrame | None = None
+) -> DataFrame:
+    """2-D analog of ``_paired_series``: per-user (xs, ys) coordinate
+    arrays in the (time-in-days, value) plane, joined to the broadcast
+    query arrays; ``ids`` pushes the candidate filter below assembly."""
+    ev = t.user_points()
+    t0 = t.events.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    pts = ev.join(F.broadcast(t0)).select(
+        "user_id",
+        "seq",
+        ((F.unix_micros("ts") - F.col("t0")) / 86400000000.0).alias("x"),
+        F.col("value").alias("y"),
+    )
+    if ids is not None:
+        pts = pts.join(
+            F.broadcast(ids.select("user_id")), "user_id", "left_semi"
+        ).unionByName(pts.filter(F.col("user_id") == query_user))
+    traj = (
+        pts.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("seq", "x", "y"))).alias("p"))
+        .select(
+            "user_id", F.col("p.x").alias("xs"), F.col("p.y").alias("ys")
+        )
+    )
+    q = traj.filter(F.col("user_id") == query_user).select(
+        F.col("xs").alias("qxs"), F.col("ys").alias("qys")
+    )
+    return traj.filter(F.col("user_id") != query_user).join(F.broadcast(q))
+
+
+def _frechet_lb_2d(t: Tables, query_user: int) -> DataFrame:
+    """Per-user 2-D Fréchet lower bound: max(2-D Hausdorff, Euclidean
+    endpoint distances) — the same dominance chain as 1-D
+    (Fréchet >= Hausdorff; the coupling pins both endpoint pairs)."""
+    ev = t.user_points()
+    t0 = t.events.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    pts = ev.join(F.broadcast(t0)).select(
+        "user_id",
+        "seq",
+        ((F.unix_micros("ts") - F.col("t0")) / 86400000000.0).alias("x"),
+        F.col("value").alias("y"),
+    )
+    ends = pts.groupBy("user_id").agg(
+        F.expr("min_by(struct(x, y), seq)").alias("p0"),
+        F.expr("max_by(struct(x, y), seq)").alias("p1"),
+    )
+    q_ends = ends.filter(F.col("user_id") == query_user).select(
+        F.col("p0").alias("q0"), F.col("p1").alias("q1")
+    )
+    dist = lambda a, b: F.sqrt(  # noqa: E731
+        (F.col(f"{a}.x") - F.col(f"{b}.x"))
+        * (F.col(f"{a}.x") - F.col(f"{b}.x"))
+        + (F.col(f"{a}.y") - F.col(f"{b}.y"))
+        * (F.col(f"{a}.y") - F.col(f"{b}.y"))
+    )
+    return (
+        _hausdorff_2d_per_user(t, query_user)
+        .join(ends, "user_id")
+        .crossJoin(F.broadcast(q_ends))
+        .select(
+            "user_id",
+            F.greatest(
+                F.greatest("h1", "h2"), dist("p0", "q0"), dist("p1", "q1")
+            ).alias("lb"),
+        )
+    )
+
+
+@query("traj_frechet_knn_2d")  # WEAK: order-sensitive DP, not SQL
+def traj_frechet_knn_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9/R13 in TWO dimensions — the DFT paper's flagship query: k
+    trajectories nearest the query under discrete Fréchet in the
+    (time-in-days, value) plane, EXACT [P §5]. Identical two-phase
+    harness to the 1-D kNN (SQL 2-D lower bound -> c*k refine -> tau_k
+    sweep with DP early-abandon); only the local metric and the lb SQL
+    change — the engine's claim that the 1-D design IS the GPS design,
+    made executable."""
+    t = Tables(spark, sf_dir)
+    lb = _frechet_lb_2d(t, _QUERY_USER).persist()
+    cand_ids = lb.orderBy("lb", "user_id").limit(_KNN_C * _KNN_K)
+
+    def make_refine(tau=None):
+        def refine(batches):
+            for pdf in batches:
+                out = []
+                for row in pdf.itertuples():
+                    p = np.column_stack(
+                        (np.asarray(row.xs), np.asarray(row.ys))
+                    ).astype(np.float64)
+                    qq = np.column_stack(
+                        (np.asarray(row.qxs), np.asarray(row.qys))
+                    ).astype(np.float64)
+                    out.append(
+                        (row.user_id, round(kernels.frechet(p, qq, tau=tau), 6))
+                    )
+                yield pd.DataFrame(out, columns=["user_id", "frechet_2d"])
+
+        return refine
+
+    schema = "user_id bigint, frechet_2d double"
+    first = _paired_series_2d(t, _QUERY_USER, ids=cand_ids).mapInPandas(
+        make_refine(), schema=schema
+    ).persist()
+    tau_k = (
+        first.orderBy("frechet_2d")
+        .limit(_KNN_K)
+        .agg(F.max("frechet_2d").alias("tau"))
+        .head()[0]
+    )
+    rest_ids = lb.filter(F.col("lb") <= tau_k).join(
+        F.broadcast(cand_ids.select("user_id")), "user_id", "left_anti"
+    )
+    rest = _paired_series_2d(t, _QUERY_USER, ids=rest_ids).mapInPandas(
+        make_refine(tau=tau_k + 1e-6), schema=schema
+    )
+    lb.unpersist()
+    return (
+        first.unionByName(rest).orderBy("frechet_2d", "user_id").limit(_KNN_K)
+    )
