@@ -211,3 +211,30 @@ def rel_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_extendedprice, 0.90)"), 6).alias("p90"),
         F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
     )
+
+
+@query(
+    "rel_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_extendedprice), 6) AS sd_price,
+           ROUND(VAR_SAMP(l_quantity), 6) AS var_qty,
+           ROUND(CORR(l_extendedprice, l_quantity), 6) AS corr_pq,
+           ROUND(COVAR_SAMP(l_extendedprice, l_discount), 6) AS cov_pd
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def rel_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per group: sample stddev/variance,
+    Pearson correlation, sample covariance — single-pass numeric
+    moments (partial+final), identical definitions on both engines."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 6).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+        F.round(F.covar_samp("l_extendedprice", "l_discount"), 6).alias(
+            "cov_pd"
+        ),
+    )

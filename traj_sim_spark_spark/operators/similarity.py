@@ -315,3 +315,45 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", F.round("cos_raw", 6).alias("cos_sim"))
     )
+
+
+@query(
+    "sim_centroid",
+    oracle="""
+    WITH e AS (
+        SELECT label,
+               unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    m AS (
+        SELECT label, i, AVG(CAST(v AS DOUBLE)) AS mv
+        FROM e GROUP BY label, i
+    )
+    SELECT label,
+           COUNT(*) AS dim,
+           ROUND(SUM(mv * mv), 6) AS centroid_sq_norm,
+           ROUND(SUM(ABS(mv)), 6) AS centroid_l1
+    FROM m
+    GROUP BY label
+    """,
+)
+def sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding CENTROID — the vector aggregate that trains
+    an IVF coarse quantizer (cluster means) at scale: posexplode each
+    vector to (label, dim, value), one hash aggregate per (label, dim),
+    then fold the mean vector's norms per label. Element-wise mean
+    never materializes per-executor state beyond the (labels x dims)
+    aggregate — linear in the corpus, fully JVM-side."""
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "label", F.posexplode(to_double("embedding")).alias("i", "v")
+    )
+    m = e.groupBy("label", "i").agg(F.avg("v").alias("mv"))
+    return m.groupBy("label").agg(
+        F.count("*").alias("dim"),
+        F.round(F.sum(F.col("mv") * F.col("mv")), 6).alias(
+            "centroid_sq_norm"
+        ),
+        F.round(F.sum(F.abs("mv")), 6).alias("centroid_l1"),
+    )
