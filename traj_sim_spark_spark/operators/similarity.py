@@ -357,3 +357,131 @@ def sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sum(F.abs("mv")), 6).alias("centroid_l1"),
     )
+
+
+@query(
+    "sim_knn_ivf_centroid",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label,
+               CAST(unnest(embedding) AS DOUBLE) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label AS clabel, i, AVG(v) AS mv
+        FROM e GROUP BY label, i
+    ),
+    adist AS (
+        SELECT e.vec_id, c.clabel,
+               SUM((e.v - c.mv) * (e.v - c.mv)) AS d2
+        FROM e JOIN cent c ON e.i = c.i
+        GROUP BY e.vec_id, c.clabel
+    ),
+    assign AS (
+        SELECT vec_id, clabel FROM (
+            SELECT vec_id, clabel,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, clabel) AS rk
+            FROM adist
+        ) WHERE rk = 1
+    ),
+    probe AS (
+        SELECT clabel FROM (
+            SELECT clabel,
+                   ROW_NUMBER() OVER (ORDER BY d2, clabel) AS rk
+            FROM adist WHERE vec_id = 0
+        ) WHERE rk <= 2
+    ),
+    cand AS (
+        SELECT a.vec_id FROM assign a JOIN probe p USING (clabel)
+        WHERE a.vec_id <> 0
+    ),
+    q AS (SELECT i, v FROM e WHERE vec_id = 0),
+    scored AS (
+        SELECT e.vec_id,
+               SUM(e.v * q.v)
+               / (SQRT(SUM(e.v * e.v)) * SQRT(SUM(q.v * q.v))) AS cs
+        FROM e JOIN q ON e.i = q.i
+        WHERE e.vec_id IN (SELECT vec_id FROM cand)
+        GROUP BY e.vec_id
+    )
+    SELECT vec_id, ROUND(cs, 6) AS cos_sim
+    FROM scored
+    ORDER BY cs DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_knn_ivf_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE IVF approximate kNN: per-label centroids form the coarse
+    codebook (sim_centroid's aggregate); every vector is ASSIGNED to
+    its nearest centroid (argmin squared-L2, one broadcast join against
+    the 10-row codebook); the query probes its nprobe=2 nearest cells;
+    exact cosine ranks only the vectors in probed cells. At 100 TB the
+    assignment is a write-time layout (partition by cell) and a query
+    touches nprobe partitions — the IVF index IS partition pruning.
+    Deterministic end-to-end, so even the ANN path is FULLY
+    oracle-checked."""
+    t = Tables(spark, sf_dir)
+    emb = _emb(t)
+    comp = emb.select(
+        "vec_id", F.posexplode("emb").alias("i", "v")
+    )
+    cent = (
+        emb.select("label", F.posexplode("emb").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.avg("v").alias("mv"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("i", "mv"))
+            ).alias("cvec")
+        )
+        .select(
+            F.col("label").alias("clabel"),
+            F.col("cvec.mv").alias("cemb"),
+        )
+    )
+    # assignment: argmin_{centroid} ||v - c||^2 via broadcast of the
+    # 10-row codebook; squared-L2 as a zip_with/aggregate fold (JVM)
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("emb"),
+            F.col("cemb"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    adist = emb.join(F.broadcast(cent)).withColumn("d2", d2)
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("vec_id").orderBy("d2", "clabel")
+    )
+    assign = (
+        adist.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "clabel")
+    )
+    probe = (
+        assign.sparkSession.createDataFrame([(0,)], "vec_id bigint")
+        .join(adist, "vec_id")
+        .withColumn(
+            "rk", F.row_number().over(W.orderBy("d2", "clabel"))
+        )
+        .filter(F.col("rk") <= 2)
+        .select("clabel")
+    )
+    cand = assign.join(F.broadcast(probe), "clabel").filter(
+        F.col("vec_id") != 0
+    )
+    q = _query_vec(emb, 0)
+    return (
+        emb.join(F.broadcast(cand.select("vec_id")), "vec_id", "left_semi")
+        .join(F.broadcast(q))
+        .withColumn("cos_raw", cosine(F.col("emb"), F.col("q_emb")))
+        .orderBy(F.col("cos_raw").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("cos_raw", 6).alias("cos_sim"))
+    )
