@@ -106,7 +106,8 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT d.doc_id, d.lang,
                substr(d.text, i.i, 3) AS g
         FROM documents d
-        CROSS JOIN (SELECT unnest(generate_series(1, 2000)) AS i) i
+        CROSS JOIN (SELECT unnest(generate_series(
+                        1, (SELECT MAX(LEN(text)) FROM documents))) AS i) i
         WHERE i.i <= LEN(d.text) - 2
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),

@@ -266,8 +266,18 @@ def sim_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (SELECT i, v FROM ev WHERE vec_id = 0),
     qb AS (SELECT bucket FROM sig WHERE vec_id = 0),
-    cand AS (SELECT vec_id FROM sig
-             WHERE bucket = (SELECT bucket FROM qb) AND vec_id <> 0),
+    cand AS (
+        SELECT s.vec_id FROM sig s, qb
+        WHERE s.vec_id <> 0
+          AND (CASE WHEN substr(s.bucket,1,1) <> substr(qb.bucket,1,1)
+                    THEN 1 ELSE 0 END
+             + CASE WHEN substr(s.bucket,2,1) <> substr(qb.bucket,2,1)
+                    THEN 1 ELSE 0 END
+             + CASE WHEN substr(s.bucket,3,1) <> substr(qb.bucket,3,1)
+                    THEN 1 ELSE 0 END
+             + CASE WHEN substr(s.bucket,4,1) <> substr(qb.bucket,4,1)
+                    THEN 1 ELSE 0 END) <= 1
+    ),
     dots AS (
         SELECT ev.vec_id,
                SUM(ev.v * q.v) AS dp,
@@ -284,13 +294,15 @@ def sim_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate kNN, bucketed (IVF/LSH-style) — the 100 TB scale path.
+    """Approximate kNN, bucketed (hyperplane-LSH) with MULTI-PROBE.
 
-    Sign-quantize the first 8 dimensions into a hyperplane-LSH bucket key;
-    the query probes only its own bucket (an equi-join on the bucket key),
-    so candidate generation is a hash join on a low-cardinality key rather
-    than a full scan — the reference's global-index partition pruning
-    [P §4.2] re-expressed as join pruning.
+    Sign-quantize the first 4 dimensions into a hyperplane-LSH bucket key.
+    The query probes its own bucket PLUS every bucket at Hamming distance 1
+    (nprobe=5 of 16 cells) — the standard multi-probe LSH recall fix: a
+    vector that lands just across one hyperplane is still found. Candidate
+    generation stays an equi-join against a broadcast 5-row probe list, so
+    at 100 TB this is partition pruning (read nprobe cells), never a scan.
+    Deterministic, so the widened probe is FULLY oracle-checked.
     """
     t = Tables(spark, sf_dir)
     emb = _emb(t)
@@ -304,8 +316,27 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
-    q = bucketed.filter(F.col("vec_id") == 0).select(
-        F.col("bucket"), F.col("emb").alias("q_emb")
+    q = (
+        bucketed.filter(F.col("vec_id") == 0)
+        .select(F.col("bucket").alias("qb"), F.col("emb").alias("q_emb"))
+        .select(
+            "q_emb",
+            F.explode(
+                F.array(
+                    F.col("qb"),
+                    *[
+                        F.concat(
+                            F.substring("qb", 1, i),
+                            F.when(
+                                F.substring("qb", i + 1, 1) == "1", F.lit("0")
+                            ).otherwise(F.lit("1")),
+                            F.expr(f"substring(qb, {i + 2})"),
+                        )
+                        for i in range(4)
+                    ],
+                )
+            ).alias("bucket"),
+        )
     )
     return (
         bucketed.filter(F.col("vec_id") != 0)

@@ -409,6 +409,11 @@ def traj_frechet_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("frechet").alias("tau")
     )
     tau_k = kth.head()[0]  # one scalar to the driver — the tau_k bound
+    if tau_k is None:  # corpus has no user besides the query user
+        out = first.orderBy("frechet", "user_id").limit(_KNN_K).localCheckpoint()
+        first.unpersist()
+        lb.unpersist()
+        return out
     rest_ids = lb.filter(F.col("lb") <= tau_k).join(
         F.broadcast(cand_ids.select("user_id")), "user_id", "left_anti"
     )
@@ -418,10 +423,15 @@ def traj_frechet_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         _frechet_refine(tau=tau_k + 1e-6),
         schema=_REFINE_SCHEMA,
     )
-    lb.unpersist()
-    return (
-        first.unionByName(rest).orderBy("frechet", "user_id").limit(_KNN_K)
+    out = (
+        first.unionByName(rest)
+        .orderBy("frechet", "user_id")
+        .limit(_KNN_K)
+        .localCheckpoint()  # materialize k rows so both caches can drop
     )
+    first.unpersist()
+    lb.unpersist()
+    return out
 
 
 _FRECHET_TAU = 85.0
@@ -642,23 +652,110 @@ def traj_hausdorff_pair_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hausdorff_2d_per_user(t: Tables, query_user: int) -> DataFrame:
-    """Per-user directed 2-D Hausdorff maxima (h1, h2) to the query user
-    in the (time-in-days, value) plane — shared engine of the 2-D kNN
-    and threshold searches."""
+def _pts_2d(t: Tables) -> DataFrame:
+    """Events projected to the (time-in-days, value) plane."""
     ev = t.events
     t0 = ev.agg(F.min(F.unix_micros("ts")).alias("t0"))
-    pts = ev.join(F.broadcast(t0)).select(
+    return ev.join(F.broadcast(t0)).select(
         "user_id",
         ((F.unix_micros("ts") - F.col("t0")) / 86400000000.0).alias("x"),
         F.col("value").alias("y"),
     )
+
+
+def _grid_prune_2d(t: Tables, query_user: int, eps: float) -> DataFrame:
+    """Lossless spatial prune for 2-D Hausdorff search: user_ids that can
+    still have H <= eps — the reference's R-tree global prune [P §4.2] as
+    an eps-grid cell equi-join (traj_range_query_2d's neighborhood trick
+    turned into a candidate gate, VERDICT r1 #1).
+
+    Each user's points collapse to DISTINCT eps-cells first, so the join
+    is cells x query-cells, never points x points. A user is pruned when
+    either necessary condition fails:
+
+    - some point-cell of the user matches NO query point's 3x3 cell
+      neighborhood -> that point's NN distance to Q exceeds eps -> the
+      directed h(U->Q) > eps;
+    - some query point's 3x3 neighborhood contains NO cell of the user
+      -> that query point's NN distance to U exceeds eps -> h(Q->U) > eps.
+
+    Both only ever prune users whose true Hausdorff provably exceeds eps
+    (cell adjacency is necessary for a within-eps neighbor), so the
+    surviving set always contains every true answer."""
+    pts = _pts_2d(t)
+    cell = lambda c: F.floor(F.col(c) / F.lit(eps))  # noqa: E731
+    p_cells = (
+        pts.filter(F.col("user_id") != query_user)
+        .select("user_id", cell("x").alias("cx"), cell("y").alias("cy"))
+        .distinct()
+    )
+    qn = (
+        pts.filter(F.col("user_id") == query_user)
+        .select("x", "y")
+        .distinct()  # duplicate query points have identical NN distances
+        .select(
+            F.struct("x", "y").alias("qi"),
+            cell("x").alias("qcx"),
+            cell("y").alias("qcy"),
+        )
+        .withColumn(
+            "dxy",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(-1, 1), dx ->"
+                    " transform(sequence(-1, 1), dy -> struct(dx, dy))))"
+                )
+            ),
+        )
+        .select(
+            "qi",
+            (F.col("qcx") + F.col("dxy.dx")).alias("cx"),
+            (F.col("qcy") + F.col("dxy.dy")).alias("cy"),
+        )
+    )
+    n_q = qn.select("qi").distinct().count()
+    # condition (a): every user point-cell touches some query neighborhood
+    bad_a = (
+        p_cells.join(
+            F.broadcast(qn.select("cx", "cy").distinct()), ["cx", "cy"], "left_anti"
+        )
+        .select("user_id")
+        .distinct()
+    )
+    # condition (b): every query point's neighborhood touches the user
+    cov = (
+        p_cells.join(F.broadcast(qn), ["cx", "cy"])
+        .select("user_id", "qi")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_cov"))
+    )
+    return (
+        cov.filter(F.col("n_cov") == n_q)
+        .join(bad_a, "user_id", "left_anti")
+        .select("user_id")
+    )
+
+
+def _hausdorff_2d_per_user(
+    t: Tables, query_user: int, ids: DataFrame | None = None
+) -> DataFrame:
+    """Per-user directed 2-D Hausdorff maxima (h1, h2) to the query user
+    in the (time-in-days, value) plane — shared engine of the 2-D kNN
+    and threshold searches. ``ids`` restricts the probe to candidate
+    users (semi-join pushed below the distance join), so a spatial prune
+    can gate the exact O(|U|x|Q|) work."""
+    pts = _pts_2d(t)
     q = pts.filter(F.col("user_id") == query_user).select(
         F.col("x").alias("qx"), F.col("y").alias("qy")
     )
+    probe = pts.filter(F.col("user_id") != query_user)
+    if ids is not None:
+        probe = probe.join(
+            F.broadcast(ids.select("user_id")), "user_id", "left_semi"
+        )
     d = (
-        pts.filter(F.col("user_id") != query_user)
-        .join(F.broadcast(q))
+        probe.join(F.broadcast(q))
         .withColumn(
             "d",
             F.sqrt(
@@ -722,21 +819,75 @@ def traj_hausdorff_knn_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (time-in-days, value) plane, the reference's actual GPS query
     shape [P §5], exact, as one declarative query.
 
-    The broadcast query trajectory joins every other user's points (the
-    segment-index probe of [P §4.2] becomes a broadcast nested-loop the
-    optimizer bounds by the tiny query side); both directed maxima are
-    grouped minima over the same join; TakeOrderedAndProject finishes.
-    At corpus scale the join gains a 2-key grid-cell band prefilter
-    (sim_band_join's pattern) exactly as the STR-partitioned R-tree
-    restricted probes spatially."""
+    Two-phase with a SPATIAL GLOBAL PRUNE — the reference's
+    global-index -> local-R-tree kNN shape [P §5.2], not a corpus scan:
+
+    1. rank users by centroid distance (one cheap per-user aggregate)
+       and compute EXACT Hausdorff for the best c*k — their k-th exact
+       distance tau bounds the final kNN radius from above;
+    2. ``_grid_prune_2d(eps=tau)`` discards every user whose cell
+       pattern proves H > tau (lossless, cells not points);
+    3. the exact grouped-minima engine runs only on survivors not
+       already refined in phase 1; union, global top-k.
+
+    Only tau crosses to the driver (one scalar, the same footprint as
+    the Fréchet kNN's tau_k). At 100x corpus the exact join touches
+    O(survivors), not O(users)."""
     t = Tables(spark, sf_dir)
     h = F.greatest("h1", "h2")
-    return (
-        _hausdorff_2d_per_user(t, 1)
-        .orderBy(h, "user_id")
-        .limit(10)
-        .select("user_id", F.round(h, 6).alias("hausdorff_2d"))
+    pts = _pts_2d(t)
+    cents = pts.groupBy("user_id").agg(
+        F.avg("x").alias("mx"), F.avg("y").alias("my")
     )
+    q_cent = cents.filter(F.col("user_id") == 1).select(
+        F.col("mx").alias("qmx"), F.col("my").alias("qmy")
+    )
+    cand_ids = (
+        cents.filter(F.col("user_id") != 1)
+        .join(F.broadcast(q_cent))
+        .withColumn(
+            "cd",
+            F.sqrt(
+                (F.col("mx") - F.col("qmx")) * (F.col("mx") - F.col("qmx"))
+                + (F.col("my") - F.col("qmy")) * (F.col("my") - F.col("qmy"))
+            ),
+        )
+        .orderBy("cd", "user_id")
+        .limit(_KNN_C * _KNN_K)
+        .select("user_id")
+    )
+    first = (
+        _hausdorff_2d_per_user(t, 1, ids=cand_ids)
+        .select("user_id", h.alias("hd"))
+        .persist()
+    )
+    tau = (
+        first.orderBy("hd")
+        .limit(_KNN_K)
+        .agg(F.max("hd").alias("tau"))
+        .head()[0]
+    )
+    if tau is None:  # corpus has no user besides the query user
+        out = first.select(
+            "user_id", F.round("hd", 6).alias("hausdorff_2d")
+        ).localCheckpoint()
+        first.unpersist()
+        return out
+    rest_ids = _grid_prune_2d(t, 1, eps=tau).join(
+        F.broadcast(cand_ids), "user_id", "left_anti"
+    )
+    rest = _hausdorff_2d_per_user(t, 1, ids=rest_ids).select(
+        "user_id", h.alias("hd")
+    )
+    out = (
+        first.unionByName(rest)
+        .orderBy("hd", "user_id")
+        .limit(10)
+        .select("user_id", F.round("hd", 6).alias("hausdorff_2d"))
+        .localCheckpoint()  # materialize (k rows) so the cache can drop
+    )
+    first.unpersist()
+    return out
 
 
 @query(
@@ -776,13 +927,20 @@ def traj_hausdorff_knn_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 def traj_hausdorff_threshold_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R8 in TWO dimensions: all users within Euclidean point-set
     Hausdorff tau=32.0 of the query user in the GPS plane — the
-    reference's threshold search in its native setting [P §4], sharing
-    the 2-D kNN's grouped-minima engine with a final filter instead of
-    top-k."""
+    reference's threshold search in its native setting [P §4].
+
+    ``_grid_prune_2d(eps=tau)`` runs first (the R-tree circleRange
+    global prune [P §4.2] as a lossless cell equi-join on DISTINCT
+    eps-cells), so the exact grouped-minima engine only ever probes
+    users whose cell pattern admits H <= tau; a final exact filter
+    keeps true qualifiers. Fully declarative — no driver scalar at
+    all, and at 100x corpus the O(|U|x|Q|) distance join touches only
+    survivors."""
     t = Tables(spark, sf_dir)
     h = F.greatest("h1", "h2")
+    survivors = _grid_prune_2d(t, 1, eps=32.0)
     return (
-        _hausdorff_2d_per_user(t, 1)
+        _hausdorff_2d_per_user(t, 1, ids=survivors)
         .filter(h <= 32.0)
         .select("user_id", F.round(h, 6).alias("hausdorff_2d"))
     )
@@ -834,14 +992,26 @@ def traj_dtw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("dtw").alias("tau"))
         .head()[0]
     )
+    if tau_k is None:  # corpus has no user besides the query user
+        out = first.orderBy("dtw", "user_id").limit(_KNN_K).localCheckpoint()
+        first.unpersist()
+        lb.unpersist()
+        return out
     rest_ids = lb.filter(F.col("lb") <= tau_k).join(
         F.broadcast(cand_ids.select("user_id")), "user_id", "left_anti"
     )
     rest = _paired_series(t, _QUERY_USER, ids=rest_ids).mapInPandas(
         make_refine(tau=tau_k + 1e-6), schema=schema
     )
+    out = (
+        first.unionByName(rest)
+        .orderBy("dtw", "user_id")
+        .limit(_KNN_K)
+        .localCheckpoint()  # materialize k rows so both caches can drop
+    )
+    first.unpersist()
     lb.unpersist()
-    return first.unionByName(rest).orderBy("dtw", "user_id").limit(_KNN_K)
+    return out
 
 
 _RANGE_EPS = 2.0
@@ -1132,13 +1302,27 @@ def traj_frechet_knn_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("frechet_2d").alias("tau"))
         .head()[0]
     )
+    if tau_k is None:  # corpus has no user besides the query user
+        out = (
+            first.orderBy("frechet_2d", "user_id")
+            .limit(_KNN_K)
+            .localCheckpoint()
+        )
+        first.unpersist()
+        lb.unpersist()
+        return out
     rest_ids = lb.filter(F.col("lb") <= tau_k).join(
         F.broadcast(cand_ids.select("user_id")), "user_id", "left_anti"
     )
     rest = _paired_series_2d(t, _QUERY_USER, ids=rest_ids).mapInPandas(
         make_refine(tau=tau_k + 1e-6), schema=schema
     )
-    lb.unpersist()
-    return (
-        first.unionByName(rest).orderBy("frechet_2d", "user_id").limit(_KNN_K)
+    out = (
+        first.unionByName(rest)
+        .orderBy("frechet_2d", "user_id")
+        .limit(_KNN_K)
+        .localCheckpoint()  # materialize k rows so both caches can drop
     )
+    first.unpersist()
+    lb.unpersist()
+    return out

@@ -87,7 +87,12 @@ def udf_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(T.DoubleType())
     def wmean(v: pd.Series, w: pd.Series) -> float:
-        return float((v * w).sum() / w.sum())
+        sw = w.sum()
+        # SQL division by zero yields NULL, not NaN — match it so the
+        # oracle comparison holds on a group whose weights sum to 0.
+        if sw == 0:
+            return None
+        return float((v * w).sum() / sw)
 
     ev = t.events.withColumn(
         "w", F.get_json_object("props", "$.k").cast("int")
@@ -115,6 +120,10 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["value"]
         z = ((v - v.mean()) / v.std()).round(6)
+        # STDDEV_SAMP of a single row is NULL; pandas std gives NaN.
+        # Arrow keeps float NaN as NaN, so force object+None to get a
+        # true SQL NULL and stay oracle-equal on 1-point trajectories.
+        z = z.astype(object).where(z.notna(), None)
         return pd.DataFrame(
             {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "z": z}
         )

@@ -21,7 +21,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Registration order matters: the correctness driver samples the first 50
+# registered queries, so the families without a driver row last round
+# (trajectory / text / streaming / udfs / multimodal / extras) register
+# first this round; the relational core — fully driver-verified in round 1 —
+# cedes its slots.
 _MODULES = (
+    "traj_sim_spark_spark.operators.trajectory",
+    "traj_sim_spark_spark.operators.text",
+    "traj_sim_spark_spark.streaming.streams",
+    "traj_sim_spark_spark.operators.udfs",
+    "traj_sim_spark_spark.operators.multimodal",
+    "traj_sim_spark_spark.operators.extras",
     "traj_sim_spark_spark.operators.scans",
     "traj_sim_spark_spark.operators.filters",
     "traj_sim_spark_spark.operators.joins",
@@ -30,12 +41,6 @@ _MODULES = (
     "traj_sim_spark_spark.operators.setops",
     "traj_sim_spark_spark.functions.scalars",
     "traj_sim_spark_spark.operators.similarity",
-    "traj_sim_spark_spark.operators.trajectory",
-    "traj_sim_spark_spark.operators.text",
-    "traj_sim_spark_spark.operators.udfs",
-    "traj_sim_spark_spark.operators.multimodal",
-    "traj_sim_spark_spark.operators.extras",
-    "traj_sim_spark_spark.streaming.streams",
 )
 
 _loaded = False
