@@ -1,0 +1,75 @@
+"""Dedup-clustering hardening tests (VERDICT r1 #5/#7).
+
+- connected_components must survive a LONG-diameter graph: min-label
+  propagation needs O(diameter) rounds, and without periodic
+  localCheckpoint the logical plan would deepen every round until
+  analysis itself blows up. A chain graph is the worst case.
+- text_jaccard_neardup's document-frequency cap must actually bound the
+  hot-token pair explosion: a token shared by every document may not
+  produce quadratic candidate pairs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from traj_sim_spark_spark.operators import text as text_ops
+from traj_sim_spark_spark.tables import Tables
+
+
+def test_connected_components_chain_graph(spark):
+    # chain 0-1-2-...-15: diameter 15 forces several checkpoint rounds;
+    # without lineage truncation this graph OOMs the driver (plan size
+    # grows ~3x per round)
+    n = 16
+    assert n - 1 > text_ops._CC_CHECKPOINT_EVERY
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    fwd = spark.range(n - 1).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = text_ops.connected_components(nodes, edges)
+    rows = {r["node"]: r["label"] for r in labels.collect()}
+    assert rows == {i: 0 for i in range(n)}
+
+
+def test_connected_components_two_components(spark):
+    nodes = spark.range(6).select(F.col("id").alias("node"))
+    pairs = [(0, 1), (1, 2), (3, 4)]  # {0,1,2}, {3,4}, {5}
+    fwd = spark.createDataFrame(pairs, "u long, v long")
+    edges = fwd.unionByName(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = text_ops.connected_components(nodes, edges)
+    rows = {r["node"]: r["label"] for r in labels.collect()}
+    assert rows == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+
+
+@pytest.fixture(scope="module")
+def hot_token_docs(spark, tmp_path_factory):
+    """300 docs all sharing one 'hot' token (df=300 > _DF_CAP=100), each
+    with one unique token. Uncapped, every pair has Jaccard 1/3 >= 0.2 ->
+    ~45k pairs; capped, the hot token is dropped and no pair survives."""
+    path = str(tmp_path_factory.mktemp("docs") / "sf")
+    n = 300
+    assert n > text_ops._DF_CAP
+    rows = [(i, f"hot w{i}", "en", "web", len(f"hot w{i}")) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    return path
+
+
+def test_df_cap_bounds_hot_token_pairs(spark, hot_token_docs):
+    out = text_ops.text_jaccard_neardup(spark, hot_token_docs)
+    assert out.count() == 0  # uncapped this would be n*(n-1)/2 = 44850
+
+    t = Tables(spark, hot_token_docs)
+    capped = text_ops._jaccard_capped_tokens(t)
+    toks = {r["token"] for r in capped.select("token").distinct().collect()}
+    assert "hot" not in toks
+    assert len(toks) == 300  # every unique token kept

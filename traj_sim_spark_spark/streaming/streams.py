@@ -251,7 +251,11 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return run_to_completion(dedup, "append")
+    # dropDuplicatesWithinWatermark only guarantees uniqueness within one
+    # watermark horizon: a multi-file replay (maxFilesPerTrigger) can
+    # re-emit a key after its state ages out. Collapse the sink so the
+    # result is batching-independent (no-op on a single-batch replay).
+    return run_to_completion(dedup, "append").distinct()
 
 
 @query(
@@ -320,7 +324,20 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_to_completion(out, "update")
+    res = run_to_completion(out, "update")
+    # update-mode memory sink keeps one row per key PER MICRO-BATCH; a
+    # multi-file replay would accumulate stale emissions. Keep only each
+    # key's final state — n_events grows monotonically, so max_by is the
+    # last emission (no-op on a single-batch replay).
+    return (
+        res.groupBy("user_id")
+        .agg(
+            F.expr(
+                "max_by(struct(n_events, sum_value, max_value), n_events)"
+            ).alias("s")
+        )
+        .select("user_id", "s.n_events", "s.sum_value", "s.max_value")
+    )
 
 
 @query(
