@@ -63,6 +63,26 @@ def test_global_topk_avoids_full_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in explain.physical_plan(df)
 
 
+def test_pruned_range_query_has_partition_filters(spark, sf_dir):
+    """The layout-backed range query must prune cell partitions at the
+    scan — the reference's global-index pruning [P §4.2], persistent."""
+    df = registry.QUERIES["traj_range_query_2d_pruned"](spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    assert "PartitionFilters: []" not in plan, plan
+
+
+def test_hausdorff_threshold_2d_has_grid_prefilter(spark, sf_dir):
+    """The 2-D threshold search must gate the exact distance join behind
+    the eps-grid cell equi-join (the R-tree global prune): the plan
+    carries a join on the (cx, cy) cell keys and a left-anti user prune."""
+    df = registry.QUERIES["traj_hausdorff_threshold_2d"](spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "cx" in plan and "cy" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "LeftSemi" in plan, plan  # survivors gate the probe side
+
+
 @pytest.mark.parametrize(
     "key", sorted(k for k in registry.QUERIES if k not in _SKIP)
 )

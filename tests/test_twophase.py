@@ -95,6 +95,62 @@ def test_frechet_threshold_two_phase_is_exact(spark, sf_dir):
     assert got == brute, f"threshold != brute force:\n{got}\n{brute}"
 
 
+def test_dtw_threshold_two_phase_is_exact(spark, sf_dir):
+    """The lb-gated, tau-abandoning DTW threshold search must return
+    exactly the users whose true DTW cost is <= tau."""
+    from traj_sim_spark_spark.operators.trajectory import _DTW_TAU
+
+    series = _series_by_user(spark, sf_dir)
+    q = series[1]
+    brute = sorted(
+        (u, round(kernels.dtw(s, q), 6))
+        for u, s in series.items()
+        if u != 1 and kernels.dtw(s, q) <= _DTW_TAU
+    )
+    got = sorted(
+        (r["user_id"], r["dtw"])
+        for r in registry.QUERIES["traj_dtw_threshold"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert got == brute, f"threshold != brute force:\n{got}\n{brute}"
+
+
+def test_hausdorff_knn_2d_grid_prune_is_exact(spark, sf_dir):
+    """The grid-pruned two-phase 2-D Hausdorff kNN must equal the
+    brute-force top-k (prune is necessary-condition only, ergo lossless)."""
+    import pyspark.sql.functions as F
+
+    t = Tables(spark, sf_dir)
+    t0 = t.events.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    rows = (
+        t.events.join(F.broadcast(t0))
+        .select(
+            "user_id",
+            ((F.unix_micros("ts") - F.col("t0")) / 86400000000.0).alias("x"),
+            F.col("value").alias("y"),
+        )
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["x"], r["y"]))
+    arrs = {u: np.asarray(p, dtype=np.float64) for u, p in by_user.items()}
+    q = arrs[1]
+    brute = sorted(
+        (round(kernels.hausdorff(a, q), 6), u)
+        for u, a in arrs.items()
+        if u != 1
+    )[:10]
+    got = [
+        (r["hausdorff_2d"], r["user_id"])
+        for r in registry.QUERIES["traj_hausdorff_knn_2d"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert got == brute, f"grid-pruned != brute force:\n{got}\n{brute}"
+
+
 def test_frechet_pair_2d_consistent_with_sql_hausdorff(spark, sf_dir):
     """2-D kernel path vs 2-D SQL path must agree on Hausdorff (same
     point sets, two independent engines), and Fréchet >= Hausdorff."""

@@ -21,6 +21,9 @@ coordinate=value (1-D) — FIXTURES.md.
 
 from __future__ import annotations
 
+import math
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -29,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..functions import kernels
 from ..registry import query
+from ..sources.readers import staging_dir, write_partitioned
 from ..tables import Tables
 
 _QUERY_USER = 1  # the fixtures' query trajectory (exists at every sf)
@@ -1014,12 +1018,171 @@ def traj_dtw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_DTW_TAU = 1500.0
+
+
+@query("traj_dtw_threshold")  # WEAK: order-sensitive DP kernel
+def traj_dtw_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8 under DTW: all users whose warping alignment cost to the query
+    user is <= tau=1500.0 — the last empty cell of the
+    {threshold, kNN} x {Hausdorff, Fréchet, DTW} query matrix.
+
+    Same fully-declarative harness as ``traj_frechet_threshold``: the
+    SQL lower bound gates the kernel (DTW >= Fréchet >= max(Hausdorff,
+    endpoints), since DTW sums what Fréchet maxes over the same monotone
+    couplings), each surviving DP early-abandons at tau (valid for the
+    sum recurrence: partial path sums only grow), and a final filter
+    keeps true qualifiers. No driver round-trip."""
+    t = Tables(spark, sf_dir)
+    cand_ids = _frechet_lb(t, _QUERY_USER).filter(F.col("lb") <= _DTW_TAU)
+
+    def refine(batches):
+        for pdf in batches:
+            out = [
+                (
+                    row.user_id,
+                    round(
+                        kernels.dtw(
+                            np.asarray(row.vals, dtype=np.float64),
+                            np.asarray(row.q_vals, dtype=np.float64),
+                            tau=_DTW_TAU + 1e-6,
+                        ),
+                        6,
+                    ),
+                )
+                for row in pdf.itertuples()
+            ]
+            yield pd.DataFrame(out, columns=["user_id", "dtw"])
+
+    return (
+        _paired_series(t, _QUERY_USER, ids=cand_ids)
+        .mapInPandas(refine, schema="user_id bigint, dtw double")
+        .filter(F.col("dtw") <= _DTW_TAU)
+    )
+
+
+_SEGMENT_HAUSDORFF_ORACLE = """
+    WITH t0 AS (
+        SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0 FROM events
+    ),
+    pts AS (
+        SELECT user_id,
+               (epoch_us(CAST(ts AS TIMESTAMP)) - (SELECT t0 FROM t0))
+               / 86400000000.0 AS x,
+               value AS y,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS seq
+        FROM events WHERE user_id IN (1, 2)
+    ),
+    segs AS (
+        SELECT user_id, x AS ax, y AS ay,
+               LEAD(x) OVER w AS bx, LEAD(y) OVER w AS by
+        FROM pts
+        WINDOW w AS (PARTITION BY user_id ORDER BY seq)
+        QUALIFY LEAD(x) OVER w IS NOT NULL
+    ),
+    cand AS (
+        SELECT p.user_id AS pu, p.x, p.y, s.ax, s.ay, s.bx, s.by,
+               (s.bx-s.ax)*(s.bx-s.ax)+(s.by-s.ay)*(s.by-s.ay) AS len2,
+               (p.x-s.ax)*(s.bx-s.ax)+(p.y-s.ay)*(s.by-s.ay) AS dot
+        FROM pts p JOIN segs s ON p.user_id <> s.user_id
+    ),
+    proj AS (
+        SELECT pu, x, y, ax, ay, bx, by,
+               CASE WHEN len2 = 0 THEN 0
+                    ELSE GREATEST(0, LEAST(1, dot / len2)) END AS t
+        FROM cand
+    ),
+    pd AS (
+        SELECT pu, x, y,
+               MIN(SQRT(POW(x-(ax+t*(bx-ax)), 2)
+                      + POW(y-(ay+t*(by-ay)), 2))) AS md
+        FROM proj
+        GROUP BY pu, x, y
+    )
+    SELECT ROUND(MAX(CASE WHEN pu = 1 THEN md END), 6) AS h_q_to_segs,
+           ROUND(MAX(CASE WHEN pu = 2 THEN md END), 6) AS h_u_to_segs,
+           ROUND(GREATEST(MAX(CASE WHEN pu = 1 THEN md END),
+                          MAX(CASE WHEN pu = 2 THEN md END)), 6)
+               AS seg_hausdorff
+    FROM pd
+"""
+
+
+@query("traj_hausdorff_segments", oracle=_SEGMENT_HAUSDORFF_ORACLE)
+def traj_hausdorff_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6/R15 fidelity: SEGMENT-Hausdorff between users 1 and 2 in the
+    (time-in-days, value) plane — each point measures its distance to the
+    other trajectory's nearest LINE SEGMENT (clamped Euclidean
+    projection), not its nearest sample point.
+
+    The reference indexes LineSegments and prunes with point-to-segment
+    minDist [P §4.1]; for sparsely-sampled trajectories the segment
+    distance is the faithful geometry (a point midway between two
+    distant samples is ON the trajectory, distance ~0, where point-set
+    Hausdorff reports half the gap). Segments come from one lead()
+    window over the ordered points (traj_segments' engine in 2-D); the
+    directed maxima are the familiar grouped min/max over the
+    point x segment join; all closed-form — FULL oracle."""
+    t = Tables(spark, sf_dir)
+    pts = (
+        t.user_points()
+        .join(F.broadcast(t.events.agg(F.min(F.unix_micros("ts")).alias("t0"))))
+        .filter(F.col("user_id").isin(1, 2))
+        .select(
+            "user_id",
+            "seq",
+            ((F.unix_micros("ts") - F.col("t0")) / 86400000000.0).alias("x"),
+            F.col("value").alias("y"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("seq")
+    segs = (
+        pts.select(
+            F.col("user_id").alias("su"),
+            F.col("x").alias("ax"),
+            F.col("y").alias("ay"),
+            F.lead("x").over(w).alias("bx"),
+            F.lead("y").over(w).alias("by"),
+        )
+        .filter(F.col("bx").isNotNull())
+    )
+    cand = pts.join(
+        F.broadcast(segs), F.col("user_id") != F.col("su")
+    )
+    len2 = (F.col("bx") - F.col("ax")) * (F.col("bx") - F.col("ax")) + (
+        F.col("by") - F.col("ay")
+    ) * (F.col("by") - F.col("ay"))
+    dot = (F.col("x") - F.col("ax")) * (F.col("bx") - F.col("ax")) + (
+        F.col("y") - F.col("ay")
+    ) * (F.col("by") - F.col("ay"))
+    tt = F.when(len2 == 0, F.lit(0.0)).otherwise(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), dot / len2))
+    )
+    proj = cand.withColumn("t", tt)
+    d = F.sqrt(
+        F.pow(F.col("x") - (F.col("ax") + F.col("t") * (F.col("bx") - F.col("ax"))), 2)
+        + F.pow(F.col("y") - (F.col("ay") + F.col("t") * (F.col("by") - F.col("ay"))), 2)
+    )
+    pd_min = (
+        proj.withColumn("d", d)
+        .groupBy("user_id", "x", "y")
+        .agg(F.min("d").alias("md"))
+    )
+    agg = pd_min.agg(
+        F.max(F.when(F.col("user_id") == 1, F.col("md"))).alias("h1"),
+        F.max(F.when(F.col("user_id") == 2, F.col("md"))).alias("h2"),
+    )
+    return agg.select(
+        F.round("h1", 6).alias("h_q_to_segs"),
+        F.round("h2", 6).alias("h_u_to_segs"),
+        F.round(F.greatest("h1", "h2"), 6).alias("seg_hausdorff"),
+    )
+
+
 _RANGE_EPS = 2.0
 
-
-@query(
-    "traj_range_query_2d",
-    oracle="""
+_RANGE_ORACLE = """
     WITH t0 AS (
         SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0 FROM events
     ),
@@ -1038,31 +1201,13 @@ _RANGE_EPS = 2.0
     WHERE p.user_id <> 1
     GROUP BY p.user_id, p.x, p.y
     HAVING MIN(SQRT((p.x-q.qx)*(p.x-q.qx) + (p.y-q.qy)*(p.y-q.qy))) <= 2.0
-    """,
-)
-def traj_range_query_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R6's ``circleRange`` probe as a declarative query: every point of
-    every other trajectory within Euclidean eps=2.0 of ANY query-
-    trajectory point, in the (time-in-days, value) plane.
+"""
 
-    The reference answers this with per-partition R-trees [P §4.2]; here
-    an eps-sized grid assigns each point a cell key, the (broadcast)
-    query points expand to their 3x3 cell neighborhood, and a cell-key
-    equi-join yields exactly the candidates an R-tree range probe would
-    visit — any point within eps of a query point lies in an adjacent
-    cell, so the prefilter is lossless. The exact distance filter
-    refines. The reported min_dist equals the global minimum whenever it
-    passes the filter (a q point within eps IS in the neighborhood), so
-    the naive-predicate oracle hash-matches."""
-    eps = _RANGE_EPS
-    t = Tables(spark, sf_dir)
-    ev = t.events
-    t0 = ev.agg(F.min(F.unix_micros("ts")).alias("t0"))
-    pts = ev.join(F.broadcast(t0)).select(
-        "user_id",
-        ((F.unix_micros("ts") - F.col("t0")) / 86400000000.0).alias("x"),
-        F.col("value").alias("y"),
-    )
+
+def _range_core(pts: DataFrame, eps: float) -> DataFrame:
+    """circleRange engine over a (user_id, x, y) point table: eps-grid
+    cell keys, broadcast query points expanded to their 3x3 cell
+    neighborhood, cell-key equi-join, exact distance refine."""
     cell = lambda c: F.floor(F.col(c) / eps)  # noqa: E731
     p = pts.filter(F.col("user_id") != 1).withColumn(
         "cx", cell("x")
@@ -1093,6 +1238,113 @@ def traj_range_query_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("md") <= eps)
         .select("user_id", "x", "y", F.round("md", 6).alias("min_dist"))
     )
+
+
+@query("traj_range_query_2d", oracle=_RANGE_ORACLE)
+def traj_range_query_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6's ``circleRange`` probe as a declarative query: every point of
+    every other trajectory within Euclidean eps=2.0 of ANY query-
+    trajectory point, in the (time-in-days, value) plane.
+
+    The reference answers this with per-partition R-trees [P §4.2]; here
+    an eps-sized grid assigns each point a cell key, the (broadcast)
+    query points expand to their 3x3 cell neighborhood, and a cell-key
+    equi-join yields exactly the candidates an R-tree range probe would
+    visit — any point within eps of a query point lies in an adjacent
+    cell, so the prefilter is lossless. The exact distance filter
+    refines. The reported min_dist equals the global minimum whenever it
+    passes the filter (a q point within eps IS in the neighborhood), so
+    the naive-predicate oracle hash-matches."""
+    t = Tables(spark, sf_dir)
+    return _range_core(_pts_2d(t), _RANGE_EPS)
+
+
+_LAYOUT_CELL = 50.0  # value-axis partition grid step for the cell layout
+
+
+def _layout_path(sf_dir: str) -> str:
+    return os.path.join(staging_dir(sf_dir, "layout"), "events_by_cell")
+
+
+def _write_cell_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize events as cell-partitioned, value-sorted Parquet —
+    the engine's persistent STR-layout analog (SURVEY.md §4 O1/O3):
+    partition dirs give Catalyst static partition pruning (the driver-
+    side global index over partition MBRs [P §4.2]), the within-
+    partition sort tightens row-group min/max so residual range
+    predicates skip row groups (the local R-tree)."""
+    t = Tables(spark, sf_dir)
+    path = _layout_path(sf_dir)
+    write_partitioned(
+        t.events.withColumn(
+            "cell", F.floor(F.col("value") / F.lit(_LAYOUT_CELL))
+        ),
+        path,
+        ["cell"],
+        sort_cols=["value"],
+    )
+    return path
+
+
+@query(
+    "traj_layout_cells",
+    oracle=f"""
+    SELECT CAST(FLOOR(value / {_LAYOUT_CELL}) AS BIGINT) AS cell,
+           COUNT(*) AS n_points,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def traj_layout_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spatial WRITE path as a registered query: rewrite events into
+    the cell-partitioned layout, then read the layout BACK and summarize
+    per cell. The oracle aggregates the source table, so a green hash
+    proves the layout holds exactly the corpus, keyed by the right
+    cells — the sink itself is under oracle check, not just the read."""
+    path = _write_cell_layout(spark, sf_dir)
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("cell").cast("bigint").alias("cell"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@query("traj_range_query_2d_pruned", oracle=_RANGE_ORACLE)
+def traj_range_query_2d_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """traj_range_query_2d answered FROM the cell-partitioned layout:
+    the value-band of the query trajectory (±eps) selects the cell
+    directories that can possibly hold an answer, the scan shows
+    PartitionFilters (tests/test_plans.py pins this), and only those
+    partitions are read — the reference's global-index partition pruning
+    [P §4.2] made persistent. Identical result (same oracle hash): a
+    point within eps of a query point lies within the value band, so
+    the partition cut is lossless. The band bounds are one tiny driver
+    aggregate over the query trajectory (same footprint as the kNNs'
+    tau_k scalar)."""
+    t = Tables(spark, sf_dir)
+    path = _layout_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _write_cell_layout(spark, sf_dir)
+    band = (
+        t.events.filter(F.col("user_id") == 1)
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .head()
+    )
+    lo_cell = math.floor((band["lo"] - _RANGE_EPS) / _LAYOUT_CELL)
+    hi_cell = math.floor((band["hi"] + _RANGE_EPS) / _LAYOUT_CELL)
+    ev = spark.read.parquet(path).filter(
+        (F.col("cell") >= lo_cell) & (F.col("cell") <= hi_cell)
+    )
+    t0 = t.events.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    pts = ev.join(F.broadcast(t0)).select(
+        "user_id",
+        ((F.unix_micros("ts") - F.col("t0")) / 86400000000.0).alias("x"),
+        F.col("value").alias("y"),
+    )
+    return _range_core(pts, _RANGE_EPS)
 
 
 @query("traj_frechet_pair_2d")  # WEAK: order-sensitive DP kernel

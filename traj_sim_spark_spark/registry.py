@@ -30,6 +30,7 @@ _MODULES = (
     "traj_sim_spark_spark.operators.trajectory",
     "traj_sim_spark_spark.operators.text",
     "traj_sim_spark_spark.streaming.streams",
+    "traj_sim_spark_spark.sources.readers",
     "traj_sim_spark_spark.operators.udfs",
     "traj_sim_spark_spark.operators.multimodal",
     "traj_sim_spark_spark.operators.extras",

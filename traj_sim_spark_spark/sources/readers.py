@@ -10,8 +10,15 @@ analog, SURVEY.md §4 O1/O3).
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+from ..registry import query
+from ..tables import SCHEMAS, Tables
 
 
 def read_csv(
@@ -46,6 +53,50 @@ def write_partitioned(
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
     out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def staging_dir(sf_dir: str, kind: str) -> str:
+    """Deterministic per-(sf_dir, kind) scratch dir under the system temp
+    root — the same idempotent staging pattern as the stream source."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), "spark_graft", kind, tag)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+@query(
+    "src_csv_ingest",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def src_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1's csv reader as a round-trip query: write the nation dimension
+    to CSV with the distributed sink, read it back through ``read_csv``
+    with the explicit registry schema (no inference), return the rows.
+    The oracle is the source table itself, so the hash check proves the
+    csv path is byte-faithful for every column type it carries."""
+    t = Tables(spark, sf_dir)
+    path = os.path.join(staging_dir(sf_dir, "ingest"), "nation_csv")
+    t.nation.write.mode("overwrite").option("header", True).csv(path)
+    return read_csv(spark, path, SCHEMAS["nation"]).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@query(
+    "src_jsonl_ingest",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def src_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1's json reader as a round-trip query: documents out through the
+    JSON-lines sink, back through ``read_json`` with the explicit schema;
+    oracle = the source table (round-trip fidelity incl. the free-text
+    column with quoting/escaping)."""
+    t = Tables(spark, sf_dir)
+    path = os.path.join(staging_dir(sf_dir, "ingest"), "documents_jsonl")
+    t.documents.write.mode("overwrite").json(path)
+    return read_json(spark, path, SCHEMAS["documents"]).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
 
 
 def try_format(spark: SparkSession, fmt: str):
