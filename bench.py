@@ -64,16 +64,20 @@ def main() -> None:
     ).mode("overwrite").save()
     # min of N runs per query: the box hosting the bench has external
     # load spikes (±20-100% wall-time noise, uniform across queries);
-    # the minimum is the standard estimator for the engine's own cost.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # the minimum estimates the engine's own cost, and the median gives
+    # round-over-round regression checks a noise floor.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    medians: dict[str, float] = {}
     for key in HEADLINE:
         fn = registry.QUERIES[key]
-        best = float("inf")
+        samples = []
         for _ in range(runs):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[key] = round(best, 3)
+            samples.append(time.time() - t0)
+        samples.sort()
+        timings[key] = round(samples[0], 3)
+        medians[key] = round(samples[len(samples) // 2], 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -82,6 +86,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "runs": runs,
                 "sf": sf,
             }
         )
