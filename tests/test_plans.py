@@ -72,6 +72,30 @@ def test_pruned_range_query_has_partition_filters(spark, sf_dir):
     assert "PartitionFilters: []" not in plan, plan
 
 
+def test_hausdorff_knn_2d_pruned_branch_has_lb_and_grid_gates(
+    spark, sf_dir, monkeypatch
+):
+    """With the cost-based dispatcher forced to the pruned branch, the
+    2-D Hausdorff kNN's phase-2 probe must be gated by the lb filter and
+    the grid-cell equi-join (LeftSemi on survivors under the probe)."""
+    monkeypatch.setenv("SPARK_GRAFT_KNN2D_PRUNE_MIN_EVENTS", "0")
+    from traj_sim_spark_spark.operators.trajectory import (
+        _grid_prune_2d,
+        _hausdorff_2d_per_user,
+    )
+    from traj_sim_spark_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    surv = _grid_prune_2d(t, 1, eps=20.0)
+    df = _hausdorff_2d_per_user(t, 1, ids=surv)
+    plan = explain.physical_plan(df)
+    assert "cx" in plan and "cy" in plan, plan
+    assert "LeftSemi" in plan, plan
+    # and the registered query's pruned branch runs end-to-end
+    out = registry.QUERIES["traj_hausdorff_knn_2d"](spark, sf_dir)
+    assert out.count() == 10
+
+
 def test_hausdorff_threshold_2d_has_grid_prefilter(spark, sf_dir):
     """The 2-D threshold search must gate the exact distance join behind
     the eps-grid cell equi-join (the R-tree global prune): the plan

@@ -116,9 +116,12 @@ def test_dtw_threshold_two_phase_is_exact(spark, sf_dir):
     assert got == brute, f"threshold != brute force:\n{got}\n{brute}"
 
 
-def test_hausdorff_knn_2d_grid_prune_is_exact(spark, sf_dir):
+def test_hausdorff_knn_2d_grid_prune_is_exact(spark, sf_dir, monkeypatch):
     """The grid-pruned two-phase 2-D Hausdorff kNN must equal the
-    brute-force top-k (prune is necessary-condition only, ergo lossless)."""
+    brute-force top-k (prune is necessary-condition only, ergo lossless).
+    The env knob forces the pruned branch of the cost-based dispatcher,
+    which the fixture corpus is otherwise too small to engage."""
+    monkeypatch.setenv("SPARK_GRAFT_KNN2D_PRUNE_MIN_EVENTS", "0")
     import pyspark.sql.functions as F
 
     t = Tables(spark, sf_dir)
