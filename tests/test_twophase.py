@@ -205,3 +205,98 @@ def test_frechet_knn_2d_two_phase_is_exact(spark, sf_dir):
         ).collect()
     ]
     assert got == brute, f"2-D two-phase != brute force:\n{got}\n{brute}"
+
+
+def _series_2d_by_user(spark, sf_dir):
+    """Per-user (n,2) arrays in the (time-in-days, value) plane."""
+    import pyspark.sql.functions as F
+
+    t = Tables(spark, sf_dir)
+    t0 = t.events.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    pts = (
+        t.user_points()
+        .join(F.broadcast(t0))
+        .select(
+            "user_id",
+            "seq",
+            ((F.unix_micros("ts") - F.col("t0")) / 86400000000.0).alias("x"),
+            F.col("value").alias("y"),
+        )
+        .collect()
+    )
+    series: dict[int, list] = {}
+    for r in pts:
+        series.setdefault(r["user_id"], []).append((r["seq"], r["x"], r["y"]))
+    return {
+        u: np.asarray([(x, y) for _, x, y in sorted(s)], dtype=np.float64)
+        for u, s in series.items()
+    }
+
+
+def test_dtw_knn_2d_two_phase_is_exact(spark, sf_dir):
+    """The 2-D DTW kNN must equal the brute-force top-k (the Fréchet
+    2-D lower bound is also a DTW lower bound)."""
+    arrs = _series_2d_by_user(spark, sf_dir)
+    q = arrs[1]
+    brute = sorted(
+        (round(kernels.dtw(a, q), 6), u) for u, a in arrs.items() if u != 1
+    )[:10]
+    got = [
+        (r["dtw_2d"], r["user_id"])
+        for r in registry.QUERIES["traj_dtw_knn_2d"](spark, sf_dir).collect()
+    ]
+    assert got == brute, f"2-D DTW two-phase != brute force:\n{got}\n{brute}"
+
+
+def test_frechet_threshold_2d_two_phase_is_exact(spark, sf_dir):
+    """The lb-gated 2-D Fréchet threshold search must return exactly the
+    users whose true 2-D Fréchet distance is <= tau."""
+    from traj_sim_spark_spark.operators.trajectory_ext import _FRECHET_TAU_2D
+
+    arrs = _series_2d_by_user(spark, sf_dir)
+    q = arrs[1]
+    brute = sorted(
+        (u, round(kernels.frechet(a, q), 6))
+        for u, a in arrs.items()
+        if u != 1 and kernels.frechet(a, q) <= _FRECHET_TAU_2D
+    )
+    got = sorted(
+        (r["user_id"], r["frechet_2d"])
+        for r in registry.QUERIES["traj_frechet_threshold_2d"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert got == brute, f"threshold != brute force:\n{got}\n{brute}"
+
+
+def test_dtw_threshold_2d_two_phase_is_exact(spark, sf_dir):
+    """The lb-gated 2-D DTW threshold search must return exactly the
+    users whose true 2-D DTW cost is <= tau."""
+    from traj_sim_spark_spark.operators.trajectory_ext import _DTW_TAU_2D
+
+    arrs = _series_2d_by_user(spark, sf_dir)
+    q = arrs[1]
+    brute = sorted(
+        (u, round(kernels.dtw(a, q), 6))
+        for u, a in arrs.items()
+        if u != 1 and kernels.dtw(a, q) <= _DTW_TAU_2D
+    )
+    got = sorted(
+        (r["user_id"], r["dtw_2d"])
+        for r in registry.QUERIES["traj_dtw_threshold_2d"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert got == brute, f"threshold != brute force:\n{got}\n{brute}"
+
+
+def test_dtw_pair_2d_matches_kernel(spark, sf_dir):
+    """The registered 2-D DTW pair query must equal the kernel run
+    locally on the same arrays, and dominate the 2-D Fréchet pair
+    (a sum of non-negative distances >= its maximum)."""
+    arrs = _series_2d_by_user(spark, sf_dir)
+    row = registry.QUERIES["traj_dtw_pair_2d"](spark, sf_dir).head()
+    assert row["user_id"] == 2
+    assert row["dtw_2d"] == round(kernels.dtw(arrs[2], arrs[1]), 6)
+    fr = registry.QUERIES["traj_frechet_pair_2d"](spark, sf_dir).head()
+    assert row["dtw_2d"] >= fr["frechet_2d"] - 1e-9

@@ -354,33 +354,117 @@ def _frechet_lb(t: Tables, query_user: int) -> DataFrame:
     )
 
 
-def _frechet_refine(tau=None):
-    """mapInPandas kernel stage: exact discrete Fréchet per (user, query)
+def _series_1d(row) -> tuple[np.ndarray, np.ndarray]:
+    """Extract (candidate, query) 1-D value series from a paired row."""
+    return (
+        np.asarray(row.vals, dtype=np.float64),
+        np.asarray(row.q_vals, dtype=np.float64),
+    )
+
+
+def _series_2d(row) -> tuple[np.ndarray, np.ndarray]:
+    """Extract (candidate, query) (n,2) coordinate arrays from a paired
+    row (``_paired_series_2d`` columns xs/ys/qxs/qys)."""
+    return (
+        np.column_stack(
+            (np.asarray(row.xs), np.asarray(row.ys))
+        ).astype(np.float64),
+        np.column_stack(
+            (np.asarray(row.qxs), np.asarray(row.qys))
+        ).astype(np.float64),
+    )
+
+
+def _dp_refine(kernel, extract, out_col: str, tau=None):
+    """mapInPandas kernel stage: exact DP distance per (user, query)
     series pair; with ``tau``, each DP early-abandons once it provably
-    exceeds tau (reference O10), returning a lower bound > tau."""
+    exceeds tau (reference O10), returning a lower bound > tau.
+
+    ``kernel`` is ``kernels.frechet`` / ``kernels.dtw``; ``extract`` maps
+    a paired row to its (candidate, query) arrays (1-D or 2-D)."""
 
     def refine(batches):  # no shuffle — rows are already one-per-user
         for pdf in batches:
             out = [
-                (
-                    row.user_id,
-                    round(
-                        kernels.frechet(
-                            np.asarray(row.vals, dtype=np.float64),
-                            np.asarray(row.q_vals, dtype=np.float64),
-                            tau=tau,
-                        ),
-                        6,
-                    ),
-                )
+                (row.user_id, round(kernel(*extract(row), tau=tau), 6))
                 for row in pdf.itertuples()
             ]
-            yield pd.DataFrame(out, columns=["user_id", "frechet"])
+            yield pd.DataFrame(out, columns=["user_id", out_col])
 
     return refine
 
 
-_REFINE_SCHEMA = "user_id bigint, frechet double"
+def _dp_knn(lb: DataFrame, paired, kernel, extract, out_col: str) -> DataFrame:
+    """Generic EXACT two-phase kNN over an order-sensitive DP kernel —
+    the reference's prune-then-refine loop [P §5] as one harness shared
+    by every {Fréchet, DTW} x {1-D, 2-D} search:
+
+    1. ``lb`` is a per-user SQL LOWER bound of the kernel distance;
+    2. the c*k best-bounded candidates get the exact kernel; their k-th
+       exact distance tau_k bounds the kNN radius from above;
+    3. every remaining user with lb <= tau_k is refined with
+       tau-early-abandon (lb > tau_k cannot enter the top k);
+    4. union, global top-k.
+
+    ``paired`` maps a candidate-id DataFrame to (candidate, query) series
+    pairs with the semi-join pushed below assembly. Only the scalar tau_k
+    crosses to the driver (same footprint as an AQE stats exchange)."""
+    schema = f"user_id bigint, {out_col} double"
+    lb = lb.persist()  # both refine phases read it (reference O8 analog)
+    cand_ids = lb.orderBy("lb", "user_id").limit(_KNN_C * _KNN_K)
+    first = (
+        paired(cand_ids)
+        .mapInPandas(_dp_refine(kernel, extract, out_col), schema=schema)
+        .persist()
+    )
+    tau_k = (
+        first.orderBy(out_col)
+        .limit(_KNN_K)
+        .agg(F.max(out_col).alias("tau"))
+        .head()[0]  # one scalar to the driver — the tau_k bound
+    )
+    if tau_k is None:  # corpus has no user besides the query user
+        out = first.orderBy(out_col, "user_id").limit(_KNN_K).localCheckpoint()
+        first.unpersist()
+        lb.unpersist()
+        return out
+    rest_ids = lb.filter(F.col("lb") <= tau_k).join(
+        F.broadcast(cand_ids.select("user_id")), "user_id", "left_anti"
+    )
+    rest = paired(rest_ids).mapInPandas(
+        # tau pad: an early-abandoned DP returns a bound > tau; pad by
+        # 1e-6 so 6-decimal rounding can never pull one back to tau_k
+        _dp_refine(kernel, extract, out_col, tau=tau_k + 1e-6),
+        schema=schema,
+    )
+    out = (
+        first.unionByName(rest)
+        .orderBy(out_col, "user_id")
+        .limit(_KNN_K)
+        .localCheckpoint()  # materialize k rows so both caches can drop
+    )
+    first.unpersist()
+    lb.unpersist()
+    return out
+
+
+def _dp_threshold(
+    lb: DataFrame, paired, kernel, extract, out_col: str, tau: float
+) -> DataFrame:
+    """Generic EXACT threshold search over a DP kernel — fully
+    declarative (no driver round-trip, unlike the kNN's tau_k exchange):
+    the SQL lower bound gates the kernel (lb > tau cannot qualify
+    [P §5.1]), each surviving DP early-abandons at tau, and a final
+    filter keeps true qualifiers."""
+    cand_ids = lb.filter(F.col("lb") <= tau)
+    return (
+        paired(cand_ids)
+        .mapInPandas(
+            _dp_refine(kernel, extract, out_col, tau=tau + 1e-6),
+            schema=f"user_id bigint, {out_col} double",
+        )
+        .filter(F.col(out_col) <= tau)
+    )
 
 
 @query("traj_frechet_knn")  # WEAK: order-sensitive DP, not SQL-expressible
@@ -402,40 +486,13 @@ def traj_frechet_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     early-abandons each DP once it provably exceeds tau_k (O10).
     """
     t = Tables(spark, sf_dir)
-    lb = _frechet_lb(t, _QUERY_USER).persist()
-    # persisted: both refine phases read it (reference analog: the
-    # .persist()ed segment index, O8)
-    cand_ids = lb.orderBy("lb", "user_id").limit(_KNN_C * _KNN_K)
-    first = _paired_series(t, _QUERY_USER, ids=cand_ids).mapInPandas(
-        _frechet_refine(), schema=_REFINE_SCHEMA
-    ).persist()
-    kth = first.orderBy("frechet").limit(_KNN_K).agg(
-        F.max("frechet").alias("tau")
+    return _dp_knn(
+        _frechet_lb(t, _QUERY_USER),
+        lambda ids: _paired_series(t, _QUERY_USER, ids=ids),
+        kernels.frechet,
+        _series_1d,
+        "frechet",
     )
-    tau_k = kth.head()[0]  # one scalar to the driver — the tau_k bound
-    if tau_k is None:  # corpus has no user besides the query user
-        out = first.orderBy("frechet", "user_id").limit(_KNN_K).localCheckpoint()
-        first.unpersist()
-        lb.unpersist()
-        return out
-    rest_ids = lb.filter(F.col("lb") <= tau_k).join(
-        F.broadcast(cand_ids.select("user_id")), "user_id", "left_anti"
-    )
-    rest = _paired_series(t, _QUERY_USER, ids=rest_ids).mapInPandas(
-        # tau pad: an early-abandoned DP returns a bound > tau; pad by
-        # 1e-6 so 6-decimal rounding can never pull one back to tau_k
-        _frechet_refine(tau=tau_k + 1e-6),
-        schema=_REFINE_SCHEMA,
-    )
-    out = (
-        first.unionByName(rest)
-        .orderBy("frechet", "user_id")
-        .limit(_KNN_K)
-        .localCheckpoint()  # materialize k rows so both caches can drop
-    )
-    first.unpersist()
-    lb.unpersist()
-    return out
 
 
 _FRECHET_TAU = 85.0
@@ -451,15 +508,13 @@ def traj_frechet_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifiers. This completes the reference's query matrix —
     {threshold, kNN} x {Hausdorff, Fréchet} [P §4-§5]."""
     t = Tables(spark, sf_dir)
-    cand_ids = _frechet_lb(t, _QUERY_USER).filter(
-        F.col("lb") <= _FRECHET_TAU
-    )
-    return (
-        _paired_series(t, _QUERY_USER, ids=cand_ids)
-        .mapInPandas(
-            _frechet_refine(tau=_FRECHET_TAU + 1e-6), schema=_REFINE_SCHEMA
-        )
-        .filter(F.col("frechet") <= _FRECHET_TAU)
+    return _dp_threshold(
+        _frechet_lb(t, _QUERY_USER),
+        lambda ids: _paired_series(t, _QUERY_USER, ids=ids),
+        kernels.frechet,
+        _series_1d,
+        "frechet",
+        _FRECHET_TAU,
     )
 
 
@@ -987,60 +1042,13 @@ def traj_dtw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Phase 3's DP early-abandons at tau_k (valid for the sum recurrence:
     partial path sums only grow)."""
     t = Tables(spark, sf_dir)
-    lb = _frechet_lb(t, _QUERY_USER).persist()
-
-    def make_refine(tau=None):
-        def refine(batches):
-            for pdf in batches:
-                out = [
-                    (
-                        row.user_id,
-                        round(
-                            kernels.dtw(
-                                np.asarray(row.vals, dtype=np.float64),
-                                np.asarray(row.q_vals, dtype=np.float64),
-                                tau=tau,
-                            ),
-                            6,
-                        ),
-                    )
-                    for row in pdf.itertuples()
-                ]
-                yield pd.DataFrame(out, columns=["user_id", "dtw"])
-
-        return refine
-
-    schema = "user_id bigint, dtw double"
-    cand_ids = lb.orderBy("lb", "user_id").limit(_KNN_C * _KNN_K)
-    first = _paired_series(t, _QUERY_USER, ids=cand_ids).mapInPandas(
-        make_refine(), schema=schema
-    ).persist()
-    tau_k = (
-        first.orderBy("dtw")
-        .limit(_KNN_K)
-        .agg(F.max("dtw").alias("tau"))
-        .head()[0]
+    return _dp_knn(
+        _frechet_lb(t, _QUERY_USER),
+        lambda ids: _paired_series(t, _QUERY_USER, ids=ids),
+        kernels.dtw,
+        _series_1d,
+        "dtw",
     )
-    if tau_k is None:  # corpus has no user besides the query user
-        out = first.orderBy("dtw", "user_id").limit(_KNN_K).localCheckpoint()
-        first.unpersist()
-        lb.unpersist()
-        return out
-    rest_ids = lb.filter(F.col("lb") <= tau_k).join(
-        F.broadcast(cand_ids.select("user_id")), "user_id", "left_anti"
-    )
-    rest = _paired_series(t, _QUERY_USER, ids=rest_ids).mapInPandas(
-        make_refine(tau=tau_k + 1e-6), schema=schema
-    )
-    out = (
-        first.unionByName(rest)
-        .orderBy("dtw", "user_id")
-        .limit(_KNN_K)
-        .localCheckpoint()  # materialize k rows so both caches can drop
-    )
-    first.unpersist()
-    lb.unpersist()
-    return out
 
 
 _DTW_TAU = 1500.0
@@ -1059,30 +1067,13 @@ def traj_dtw_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum recurrence: partial path sums only grow), and a final filter
     keeps true qualifiers. No driver round-trip."""
     t = Tables(spark, sf_dir)
-    cand_ids = _frechet_lb(t, _QUERY_USER).filter(F.col("lb") <= _DTW_TAU)
-
-    def refine(batches):
-        for pdf in batches:
-            out = [
-                (
-                    row.user_id,
-                    round(
-                        kernels.dtw(
-                            np.asarray(row.vals, dtype=np.float64),
-                            np.asarray(row.q_vals, dtype=np.float64),
-                            tau=_DTW_TAU + 1e-6,
-                        ),
-                        6,
-                    ),
-                )
-                for row in pdf.itertuples()
-            ]
-            yield pd.DataFrame(out, columns=["user_id", "dtw"])
-
-    return (
-        _paired_series(t, _QUERY_USER, ids=cand_ids)
-        .mapInPandas(refine, schema="user_id bigint, dtw double")
-        .filter(F.col("dtw") <= _DTW_TAU)
+    return _dp_threshold(
+        _frechet_lb(t, _QUERY_USER),
+        lambda ids: _paired_series(t, _QUERY_USER, ids=ids),
+        kernels.dtw,
+        _series_1d,
+        "dtw",
+        _DTW_TAU,
     )
 
 
@@ -1548,58 +1539,10 @@ def traj_frechet_knn_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     change — the engine's claim that the 1-D design IS the GPS design,
     made executable."""
     t = Tables(spark, sf_dir)
-    lb = _frechet_lb_2d(t, _QUERY_USER).persist()
-    cand_ids = lb.orderBy("lb", "user_id").limit(_KNN_C * _KNN_K)
-
-    def make_refine(tau=None):
-        def refine(batches):
-            for pdf in batches:
-                out = []
-                for row in pdf.itertuples():
-                    p = np.column_stack(
-                        (np.asarray(row.xs), np.asarray(row.ys))
-                    ).astype(np.float64)
-                    qq = np.column_stack(
-                        (np.asarray(row.qxs), np.asarray(row.qys))
-                    ).astype(np.float64)
-                    out.append(
-                        (row.user_id, round(kernels.frechet(p, qq, tau=tau), 6))
-                    )
-                yield pd.DataFrame(out, columns=["user_id", "frechet_2d"])
-
-        return refine
-
-    schema = "user_id bigint, frechet_2d double"
-    first = _paired_series_2d(t, _QUERY_USER, ids=cand_ids).mapInPandas(
-        make_refine(), schema=schema
-    ).persist()
-    tau_k = (
-        first.orderBy("frechet_2d")
-        .limit(_KNN_K)
-        .agg(F.max("frechet_2d").alias("tau"))
-        .head()[0]
+    return _dp_knn(
+        _frechet_lb_2d(t, _QUERY_USER),
+        lambda ids: _paired_series_2d(t, _QUERY_USER, ids=ids),
+        kernels.frechet,
+        _series_2d,
+        "frechet_2d",
     )
-    if tau_k is None:  # corpus has no user besides the query user
-        out = (
-            first.orderBy("frechet_2d", "user_id")
-            .limit(_KNN_K)
-            .localCheckpoint()
-        )
-        first.unpersist()
-        lb.unpersist()
-        return out
-    rest_ids = lb.filter(F.col("lb") <= tau_k).join(
-        F.broadcast(cand_ids.select("user_id")), "user_id", "left_anti"
-    )
-    rest = _paired_series_2d(t, _QUERY_USER, ids=rest_ids).mapInPandas(
-        make_refine(tau=tau_k + 1e-6), schema=schema
-    )
-    out = (
-        first.unionByName(rest)
-        .orderBy("frechet_2d", "user_id")
-        .limit(_KNN_K)
-        .localCheckpoint()  # materialize k rows so both caches can drop
-    )
-    first.unpersist()
-    lb.unpersist()
-    return out

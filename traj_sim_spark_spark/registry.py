@@ -42,6 +42,7 @@ _MODULES = (
     "traj_sim_spark_spark.operators.setops",
     "traj_sim_spark_spark.functions.scalars",
     "traj_sim_spark_spark.operators.similarity",
+    "traj_sim_spark_spark.operators.trajectory_ext",
 )
 
 _loaded = False
