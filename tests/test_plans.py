@@ -116,3 +116,26 @@ def test_no_unbounded_cartesian(key, spark, sf_dir):
     if key in _BOUNDED_CROSS_OK:
         return  # cross joins here are against 1-row/broadcast sides
     assert n == 0, f"{key}: CartesianProduct in plan\n{explain.physical_plan(df)}"
+
+
+def test_bucketed_join_has_single_exchange(spark, sf_dir):
+    """rel_bucketed_join: both sides bucketed by the join key, so the
+    sort-merge join itself must be shuffle-free — the ONLY Exchange in
+    the plan is the final 4-row aggregate's."""
+    df = registry.QUERIES["rel_bucketed_join"](spark, sf_dir)
+    plan = explain.physical_plan(df)
+    n_exchange = plan.count("Exchange")
+    assert n_exchange <= 2, f"join side shuffled:\n{plan}"
+    assert "SortMergeJoin" in plan, plan
+    assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan
+
+
+def test_clean_pipeline_single_plan(spark, sf_dir):
+    """pipe_clean_corpus composes quality gate -> dedup -> accounting in
+    one declarative plan: the quality filter must sit below the dedup
+    window shuffle (Catalyst pipelines the stages), and nothing in the
+    plan is a Python row-at-a-time eval."""
+    df = registry.QUERIES["pipe_clean_corpus"](spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "BatchEvalPython" not in plan, plan
+    assert "Window" in plan, plan

@@ -516,3 +516,43 @@ def sim_knn_ivf_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", F.round("cos_raw", 6).alias("cos_sim"))
     )
+
+
+@query(
+    "sim_range_search",
+    oracle=f"""
+    WITH {_ORACLE_EXPLODED},
+    q AS (SELECT i, v FROM ev WHERE vec_id = 0),
+    qn AS (SELECT SQRT(SUM(v * v)) AS n FROM q),
+    dots AS (
+        SELECT ev.vec_id,
+               SUM(ev.v * q.v) AS dp,
+               SQRT(SUM(ev.v * ev.v)) AS n2
+        FROM ev JOIN q USING (i)
+        WHERE ev.vec_id <> 0
+        GROUP BY ev.vec_id
+    )
+    SELECT vec_id, ROUND(dp / (n2 * (SELECT n FROM qn)), 6) AS cos_sim
+    FROM dots
+    WHERE dp / (n2 * (SELECT n FROM qn)) >= 0.25
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8 for embeddings: every vector with cosine >= tau=0.25 to the
+    query vector — the range (threshold) twin of ``sim_knn``.
+
+    Same shape as the kNN: broadcast 1-row query side, one scan pass,
+    JVM-side higher-order-function cosine, and the threshold is an
+    ordinary filter the optimizer can place directly after the
+    projection. No top-k sort at all — at 100 TB this is a single
+    embarrassingly parallel pass."""
+    t = Tables(spark, sf_dir)
+    emb = _emb(t)
+    q = _query_vec(emb, 0)
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .withColumn("cos_raw", cosine(F.col("emb"), F.col("q_emb")))
+        .filter(F.col("cos_raw") >= 0.25)
+        .select("vec_id", F.round("cos_raw", 6).alias("cos_sim"))
+    )

@@ -43,6 +43,7 @@ _MODULES = (
     "traj_sim_spark_spark.functions.scalars",
     "traj_sim_spark_spark.operators.similarity",
     "traj_sim_spark_spark.operators.trajectory_ext",
+    "traj_sim_spark_spark.operators.pipelines",
 )
 
 _loaded = False
