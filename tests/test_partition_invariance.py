@@ -26,6 +26,10 @@ KEYS = [
     "traj_assemble",
     "traj_hausdorff_knn",
     "traj_frechet_knn",
+    "traj_dtw_knn_2d",
+    "traj_hausdorff_segments_knn",
+    "pipe_clean_corpus",
+    "emb_layout_ivf",
 ]
 
 

@@ -139,3 +139,13 @@ def test_clean_pipeline_single_plan(spark, sf_dir):
     plan = explain.physical_plan(df)
     assert "BatchEvalPython" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_ivf_layout_scan_is_partition_pruned(spark, sf_dir):
+    """emb_layout_ivf answers the nprobe=2 kNN from the cell-partitioned
+    layout: the layout scan must carry non-empty PartitionFilters (the
+    IVF-index-as-partition-pruning claim, made physical)."""
+    df = registry.QUERIES["emb_layout_ivf"](spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "PartitionFilters" in plan, plan
+    assert "PartitionFilters: []" not in plan, plan

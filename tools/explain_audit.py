@@ -59,6 +59,11 @@ AUDIT = [
     "text_langid",
     "text_tfidf",
     "mm_multimodal_join",
+    "pipe_clean_corpus",
+    "pipe_stratified_sample",
+    "rel_bucketed_join",
+    "sim_range_search",
+    "traj_range_query_2d_pruned",
 ]
 
 

@@ -390,9 +390,40 @@ def sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sim_knn_ivf_centroid",
-    oracle="""
+def _ivf_adist(emb: DataFrame) -> DataFrame:
+    """IVF coarse quantizer: per-label centroids form the 10-row
+    codebook; every vector gets its squared-L2 distance to EVERY
+    centroid (broadcast codebook join, zip_with/aggregate fold — JVM).
+    argmin over clabel = assignment; the query row's two smallest = the
+    probe set."""
+    cent = (
+        emb.select("label", F.posexplode("emb").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.avg("v").alias("mv"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("i", "mv"))
+            ).alias("cvec")
+        )
+        .select(
+            F.col("label").alias("clabel"),
+            F.col("cvec.mv").alias("cemb"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("emb"),
+            F.col("cemb"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.join(F.broadcast(cent)).withColumn("d2", d2)
+
+
+_IVF_NPROBE_ORACLE = """
     WITH e AS (
         SELECT vec_id, label,
                CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -441,8 +472,10 @@ def sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored
     ORDER BY cs DESC, vec_id
     LIMIT 10
-    """,
-)
+    """
+
+
+@query("sim_knn_ivf_centroid", oracle=_IVF_NPROBE_ORACLE)
 def sim_knn_ivf_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE IVF approximate kNN: per-label centroids form the coarse
     codebook (sim_centroid's aggregate); every vector is ASSIGNED to
@@ -455,36 +488,7 @@ def sim_knn_ivf_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked."""
     t = Tables(spark, sf_dir)
     emb = _emb(t)
-    comp = emb.select(
-        "vec_id", F.posexplode("emb").alias("i", "v")
-    )
-    cent = (
-        emb.select("label", F.posexplode("emb").alias("i", "v"))
-        .groupBy("label", "i")
-        .agg(F.avg("v").alias("mv"))
-        .groupBy("label")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("i", "mv"))
-            ).alias("cvec")
-        )
-        .select(
-            F.col("label").alias("clabel"),
-            F.col("cvec.mv").alias("cemb"),
-        )
-    )
-    # assignment: argmin_{centroid} ||v - c||^2 via broadcast of the
-    # 10-row codebook; squared-L2 as a zip_with/aggregate fold (JVM)
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("emb"),
-            F.col("cemb"),
-            lambda a, b: (a - b) * (a - b),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    adist = emb.join(F.broadcast(cent)).withColumn("d2", d2)
+    adist = _ivf_adist(emb)
     from pyspark.sql import Window as W
 
     rk = F.row_number().over(
@@ -554,5 +558,67 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(q))
         .withColumn("cos_raw", cosine(F.col("emb"), F.col("q_emb")))
         .filter(F.col("cos_raw") >= 0.25)
+        .select("vec_id", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
+@query("emb_layout_ivf", oracle=_IVF_NPROBE_ORACLE)
+def emb_layout_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sim_knn_ivf_centroid``'s closing claim — "at 100 TB the IVF
+    index IS partition pruning" — made literal: the WRITE path lays the
+    corpus out as Parquet partitioned by assigned centroid cell, and the
+    query answers the same nprobe=2 kNN by SCANNING ONLY THE TWO PROBED
+    PARTITIONS (PartitionFilters, pinned by plan test), exactly like
+    ``traj_layout_cells`` -> ``traj_range_query_2d_pruned`` does for the
+    spatial grid.
+
+    The two probe labels cross to the driver as scalars (the same
+    footprint as the kNN's tau_k exchange) so the partition filter is
+    LITERAL — static pruning at planning time, no join needed. Same
+    result, same oracle, same hash as the in-memory IVF twin."""
+    import os
+
+    from ..sources.readers import staging_dir
+
+    t = Tables(spark, sf_dir)
+    emb = _emb(t)
+    adist = _ivf_adist(emb)
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("vec_id").orderBy("d2", "clabel")
+    )
+    assign = (
+        adist.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "clabel")
+    )
+    path = os.path.join(staging_dir(sf_dir, "ivf_layout"), "emb_by_cell")
+    (
+        t.embeddings.join(assign, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("clabel")
+        .parquet(path)
+    )
+    probe_labels = [
+        r["clabel"]
+        for r in (
+            adist.filter(F.col("vec_id") == 0)
+            .withColumn("rk", F.row_number().over(W.orderBy("d2", "clabel")))
+            .filter(F.col("rk") <= 2)
+            .select("clabel")
+            .collect()
+        )
+    ]
+    lay = spark.read.parquet(path)
+    q = _query_vec(emb, 0)
+    return (
+        lay.filter(F.col("clabel").isin(probe_labels))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", to_double("embedding").alias("emb"))
+        .join(F.broadcast(q))
+        .withColumn("cos_raw", cosine(F.col("emb"), F.col("q_emb")))
+        .orderBy(F.col("cos_raw").desc(), "vec_id")
+        .limit(10)
         .select("vec_id", F.round("cos_raw", 6).alias("cos_sim"))
     )

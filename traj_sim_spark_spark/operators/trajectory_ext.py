@@ -105,3 +105,160 @@ def traj_dtw_pair_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dp_refine(kernels.dtw, _series_2d, "dtw_2d"),
         schema="user_id bigint, dtw_2d double",
     )
+
+
+_SEG_KNN_ORACLE = """
+    WITH t0 AS (
+        SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0 FROM events
+    ),
+    pts AS (
+        SELECT user_id,
+               (epoch_us(CAST(ts AS TIMESTAMP)) - (SELECT t0 FROM t0))
+               / 86400000000.0 AS x,
+               value AS y,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS seq
+        FROM events
+    ),
+    segs AS (
+        SELECT user_id, x AS ax, y AS ay,
+               COALESCE(LEAD(x) OVER w, x) AS bx,
+               COALESCE(LEAD(y) OVER w, y) AS by
+        FROM pts
+        WINDOW w AS (PARTITION BY user_id ORDER BY seq)
+    ),
+    qp AS (SELECT x, y FROM pts WHERE user_id = 1),
+    qs AS (SELECT ax, ay, bx, by FROM segs WHERE user_id = 1),
+    du AS (  -- directed: each user's points -> query's segments
+        SELECT p.user_id, p.x, p.y,
+               MIN(CASE
+                 WHEN (s.bx-s.ax)*(s.bx-s.ax)+(s.by-s.ay)*(s.by-s.ay) = 0
+                 THEN SQRT((p.x-s.ax)*(p.x-s.ax)+(p.y-s.ay)*(p.y-s.ay))
+                 ELSE SQRT(
+                   POW(p.x-(s.ax+GREATEST(0, LEAST(1,
+                     ((p.x-s.ax)*(s.bx-s.ax)+(p.y-s.ay)*(s.by-s.ay))
+                     / ((s.bx-s.ax)*(s.bx-s.ax)+(s.by-s.ay)*(s.by-s.ay))
+                   ))*(s.bx-s.ax)), 2)
+                 + POW(p.y-(s.ay+GREATEST(0, LEAST(1,
+                     ((p.x-s.ax)*(s.bx-s.ax)+(p.y-s.ay)*(s.by-s.ay))
+                     / ((s.bx-s.ax)*(s.bx-s.ax)+(s.by-s.ay)*(s.by-s.ay))
+                   ))*(s.by-s.ay)), 2)) END) AS md
+        FROM pts p CROSS JOIN qs s
+        WHERE p.user_id <> 1
+        GROUP BY p.user_id, p.x, p.y
+    ),
+    hu AS (SELECT user_id, MAX(md) AS h FROM du GROUP BY user_id),
+    dq AS (  -- directed: query's points -> each user's segments
+        SELECT s.user_id, q.x, q.y,
+               MIN(CASE
+                 WHEN (s.bx-s.ax)*(s.bx-s.ax)+(s.by-s.ay)*(s.by-s.ay) = 0
+                 THEN SQRT((q.x-s.ax)*(q.x-s.ax)+(q.y-s.ay)*(q.y-s.ay))
+                 ELSE SQRT(
+                   POW(q.x-(s.ax+GREATEST(0, LEAST(1,
+                     ((q.x-s.ax)*(s.bx-s.ax)+(q.y-s.ay)*(s.by-s.ay))
+                     / ((s.bx-s.ax)*(s.bx-s.ax)+(s.by-s.ay)*(s.by-s.ay))
+                   ))*(s.bx-s.ax)), 2)
+                 + POW(q.y-(s.ay+GREATEST(0, LEAST(1,
+                     ((q.x-s.ax)*(s.bx-s.ax)+(q.y-s.ay)*(s.by-s.ay))
+                     / ((s.bx-s.ax)*(s.bx-s.ax)+(s.by-s.ay)*(s.by-s.ay))
+                   ))*(s.by-s.ay)), 2)) END) AS md
+        FROM segs s CROSS JOIN qp q
+        WHERE s.user_id <> 1
+        GROUP BY s.user_id, q.x, q.y
+    ),
+    hq AS (SELECT user_id, MAX(md) AS h FROM dq GROUP BY user_id)
+    SELECT hu.user_id,
+           ROUND(GREATEST(hu.h, hq.h), 6) AS seg_hausdorff
+    FROM hu JOIN hq ON hu.user_id = hq.user_id
+    ORDER BY GREATEST(hu.h, hq.h), hu.user_id
+    LIMIT 10
+"""
+
+
+def _point_to_seg_dist():
+    """Clamped-projection point-to-segment Euclidean distance as a
+    Column expression over (x, y) point and (ax, ay, bx, by) segment
+    columns — the reference's LineSegment.minDist [P §4.1] closed-form,
+    entirely inside whole-stage codegen."""
+    len2 = (F.col("bx") - F.col("ax")) * (F.col("bx") - F.col("ax")) + (
+        F.col("by") - F.col("ay")
+    ) * (F.col("by") - F.col("ay"))
+    dot = (F.col("x") - F.col("ax")) * (F.col("bx") - F.col("ax")) + (
+        F.col("y") - F.col("ay")
+    ) * (F.col("by") - F.col("ay"))
+    tt = F.when(len2 == 0, F.lit(0.0)).otherwise(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), dot / len2))
+    )
+    return F.sqrt(
+        F.pow(F.col("x") - (F.col("ax") + tt * (F.col("bx") - F.col("ax"))), 2)
+        + F.pow(F.col("y") - (F.col("ay") + tt * (F.col("by") - F.col("ay"))), 2)
+    )
+
+
+@query("traj_hausdorff_segments_knn", oracle=_SEG_KNN_ORACLE)
+def traj_hausdorff_segments_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9 over SEGMENT geometry: the 10 users nearest the query user
+    under symmetric segment-Hausdorff — each point measures its distance
+    to the other trajectory's nearest LINE SEGMENT (the reference's
+    R-tree-over-LineSegments search geometry [P §4.1], where
+    ``traj_hausdorff_knn_2d`` uses point-set distance).
+
+    Each trajectory's last point doubles as a degenerate (point)
+    segment: a no-op for n>=2 users (the real last segment contains that
+    endpoint) and exactly right for single-point trajectories, keeping
+    both directed distances total. Both directed maxima are grouped
+    min/max over a broadcast join against the QUERY side only (points or
+    segments of user 1 — tiny), so nothing is quadratic in the corpus;
+    at 100 TB the scan side streams once per direction. All closed-form
+    SQL — FULL oracle."""
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    pts = _pts_2d_seq(t)
+    w = W.partitionBy("user_id").orderBy("seq")
+    segs = pts.select(
+        "user_id",
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.coalesce(F.lead("x").over(w), F.col("x")).alias("bx"),
+        F.coalesce(F.lead("y").over(w), F.col("y")).alias("by"),
+    )
+    qp = pts.filter(F.col("user_id") == 1).select("x", "y")
+    qs = segs.filter(F.col("user_id") == 1).select("ax", "ay", "bx", "by")
+    d = _point_to_seg_dist()
+    hu = (
+        pts.filter(F.col("user_id") != 1)
+        .join(F.broadcast(qs))
+        .groupBy("user_id", "x", "y")
+        .agg(F.min(d).alias("md"))
+        .groupBy("user_id")
+        .agg(F.max("md").alias("hu"))
+    )
+    hq = (
+        segs.filter(F.col("user_id") != 1)
+        .join(F.broadcast(qp))
+        .groupBy("user_id", "x", "y")
+        .agg(F.min(d).alias("md"))
+        .groupBy("user_id")
+        .agg(F.max("md").alias("hq"))
+    )
+    h = F.greatest("hu", "hq")
+    return (
+        hu.join(hq, "user_id")
+        .orderBy(h, "user_id")
+        .limit(10)
+        .select("user_id", F.round(h, 6).alias("seg_hausdorff"))
+    )
+
+
+def _pts_2d_seq(t: Tables):
+    """(user_id, seq, x, y) in the (time-in-days, value) plane — the
+    ordered variant of ``trajectory._pts_2d`` (segments need ``seq``)."""
+    ev = t.user_points()
+    t0 = t.events.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    return ev.join(F.broadcast(t0)).select(
+        "user_id",
+        "seq",
+        ((F.unix_micros("ts") - F.col("t0")) / 86400000000.0).alias("x"),
+        F.col("value").alias("y"),
+    )
