@@ -198,3 +198,89 @@ def rel_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+def _neardup_oracle() -> str:
+    from .text import _MINHASH_ORACLE_BANDS, _MINHASH_ORACLE_SIG
+
+    return f"""
+    WITH tok AS (
+        SELECT DISTINCT d.doc_id, t.token
+        FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(token)
+    ),
+    sig AS (SELECT doc_id, {_MINHASH_ORACLE_SIG} FROM tok GROUP BY doc_id),
+    bands AS ({_MINHASH_ORACLE_BANDS}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS both_n
+        FROM cand c
+        JOIN tok ta ON ta.doc_id = c.id_a
+        JOIN tok tb ON tb.doc_id = c.id_b AND tb.token = ta.token
+        GROUP BY c.id_a, c.id_b
+    ),
+    ver AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE both_n * 1.0 / (sa.n + sb.n - both_n) >= 0.5
+    )
+    SELECT d.doc_id,
+           CASE WHEN v.id_b IS NULL THEN 1 ELSE 0 END AS keep
+    FROM documents d
+    LEFT JOIN (SELECT DISTINCT id_b FROM ver) v ON d.doc_id = v.id_b
+    """
+
+
+@query("pipe_neardup_dedup", oracle=_neardup_oracle())
+def pipe_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB near-dup dedup pipeline END-TO-END, one declarative
+    plan: MinHash-LSH candidate generation (``text_minhash_neardup``'s
+    first-colliding-band equi-join — linear in corpus + pairs, never
+    all-pairs) -> EXACT token-Jaccard verification of only the
+    candidates (sketch recall, exact precision) -> greedy keep-first
+    decision: a doc is dropped iff a verified near-dup (J >= 0.5) with a
+    smaller doc_id exists. Returns every doc with its keep flag.
+
+    The verification join touches candidate pairs x their tokens — at
+    scale this is the "verify the shortlist" pattern, the corpus-wide
+    token table is never self-joined. md5-based signatures make even the
+    sketch stage bit-identical across engines, so the WHOLE pipeline is
+    FULLY oracle-checked (the md5 trick, SURVEY.md §2.2 determinism
+    rules)."""
+    from .text import text_minhash_neardup
+
+    t = Tables(spark, sf_dir)
+    cand = text_minhash_neardup(spark, sf_dir)
+    tok = t.doc_tokens().distinct()
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ta = tok.select(F.col("doc_id").alias("id_a"), "token")
+    tb = tok.select(F.col("doc_id").alias("id_b"), "token")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("both_n"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("both_n") / (F.col("na") + F.col("nb") - F.col("both_n"))
+    dropped = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return t.documents.select("doc_id").join(
+        dropped.withColumn("dropped", F.lit(1)), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.when(F.col("dropped").isNull(), 1).otherwise(0).alias("keep"),
+    )

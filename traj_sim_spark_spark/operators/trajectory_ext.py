@@ -107,7 +107,7 @@ def traj_dtw_pair_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SEG_KNN_ORACLE = """
+_SEG_ORACLE_CTE = """
     WITH t0 AS (
         SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0 FROM events
     ),
@@ -167,11 +167,23 @@ _SEG_KNN_ORACLE = """
         GROUP BY s.user_id, q.x, q.y
     ),
     hq AS (SELECT user_id, MAX(md) AS h FROM dq GROUP BY user_id)
+"""
+
+_SEG_KNN_ORACLE = _SEG_ORACLE_CTE + """
     SELECT hu.user_id,
            ROUND(GREATEST(hu.h, hq.h), 6) AS seg_hausdorff
     FROM hu JOIN hq ON hu.user_id = hq.user_id
     ORDER BY GREATEST(hu.h, hq.h), hu.user_id
     LIMIT 10
+"""
+
+_SEG_TAU = 25.0
+
+_SEG_THRESHOLD_ORACLE = _SEG_ORACLE_CTE + """
+    SELECT hu.user_id,
+           ROUND(GREATEST(hu.h, hq.h), 6) AS seg_hausdorff
+    FROM hu JOIN hq ON hu.user_id = hq.user_id
+    WHERE GREATEST(hu.h, hq.h) <= 25.0
 """
 
 
@@ -211,9 +223,40 @@ def traj_hausdorff_segments_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     segments of user 1 — tiny), so nothing is quadratic in the corpus;
     at 100 TB the scan side streams once per direction. All closed-form
     SQL — FULL oracle."""
+    t = Tables(spark, sf_dir)
+    h = F.greatest("hu", "hq")
+    return (
+        _seg_hausdorff_per_user(t)
+        .orderBy(h, "user_id")
+        .limit(10)
+        .select("user_id", F.round(h, 6).alias("seg_hausdorff"))
+    )
+
+
+@query("traj_hausdorff_segments_threshold", oracle=_SEG_THRESHOLD_ORACLE)
+def traj_hausdorff_segments_threshold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R8 over SEGMENT geometry: all users within symmetric
+    segment-Hausdorff tau=25.0 of the query user — the threshold twin of
+    ``traj_hausdorff_segments_knn``, completing the segment family
+    {pair, kNN, threshold}. Same broadcast-query-side engine, final
+    filter instead of top-k."""
+    t = Tables(spark, sf_dir)
+    h = F.greatest("hu", "hq")
+    return (
+        _seg_hausdorff_per_user(t)
+        .filter(h <= _SEG_TAU)
+        .select("user_id", F.round(h, 6).alias("seg_hausdorff"))
+    )
+
+
+def _seg_hausdorff_per_user(t: Tables) -> DataFrame:
+    """Both directed segment-Hausdorff maxima per user vs the query user
+    (columns hu, hq): points->query-segments and query-points->segments,
+    each a broadcast join + two grouped extrema."""
     from pyspark.sql import Window as W
 
-    t = Tables(spark, sf_dir)
     pts = _pts_2d_seq(t)
     w = W.partitionBy("user_id").orderBy("seq")
     segs = pts.select(
@@ -242,13 +285,7 @@ def traj_hausdorff_segments_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max("md").alias("hq"))
     )
-    h = F.greatest("hu", "hq")
-    return (
-        hu.join(hq, "user_id")
-        .orderBy(h, "user_id")
-        .limit(10)
-        .select("user_id", F.round(h, 6).alias("seg_hausdorff"))
-    )
+    return hu.join(hq, "user_id")
 
 
 def _pts_2d_seq(t: Tables):

@@ -44,6 +44,7 @@ _MODULES = (
     "traj_sim_spark_spark.operators.similarity",
     "traj_sim_spark_spark.operators.trajectory_ext",
     "traj_sim_spark_spark.operators.pipelines",
+    "traj_sim_spark_spark.streaming.streams_ext",
 )
 
 _loaded = False

@@ -1,0 +1,115 @@
+"""L (cont.): streaming similarity — the reference's query surface on a
+live stream.
+
+The reference computes trajectory distances over a static corpus
+(SURVEY.md §2.1 R8/R9); a monitoring deployment of the same engine wants
+them CONTINUOUSLY: "how far is each device drifting from the reference
+route, right now". The directed Hausdorff h(U -> Q) = max over U's
+points of (min distance to Q) is incrementally maintainable — each
+arriving point contributes one min-distance scalar, and the per-user
+running max is a streaming aggregate. (The reverse direction h(Q -> U)
+needs U complete, so it is batch-only; the directed form is the
+streaming-native half.)
+
+Registered in its own late module so the correctness driver's first-50
+window (rotated this round to the round-1-unchecked families) is
+undisturbed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+from .streams import events_stream, run_to_completion
+
+
+@query(
+    "stream_traj_distance",
+    oracle="""
+    WITH t0 AS (
+        SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0 FROM events
+    ),
+    pts AS (
+        SELECT user_id,
+               (epoch_us(CAST(ts AS TIMESTAMP)) - (SELECT t0 FROM t0))
+               / 86400000000.0 AS x,
+               value AS y
+        FROM events
+    ),
+    q AS (SELECT x AS qx, y AS qy FROM pts WHERE user_id = 1),
+    md AS (
+        SELECT p.user_id, p.x, p.y,
+               MIN(SQRT((p.x-q.qx)*(p.x-q.qx) + (p.y-q.qy)*(p.y-q.qy)))
+                   AS md
+        FROM pts p CROSS JOIN q
+        WHERE p.user_id <> 1
+        GROUP BY p.user_id, p.x, p.y
+    )
+    SELECT user_id, ROUND(MAX(md), 6) AS h_to_query
+    FROM md
+    GROUP BY user_id
+    """,
+)
+def stream_traj_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed 2-D Hausdorff h(U -> Q) maintained CONTINUOUSLY per
+    user: every arriving event computes its min distance to the (static,
+    broadcast) query trajectory STATELESSLY — the query's points ride
+    along as an array column and ``array_min(transform(...))`` folds the
+    min JVM-side, no join, no shuffle — and a single update-mode
+    streaming max per user does the rest. State per user = one double:
+    the cheapest possible continuous-similarity operator, and exactly
+    the alerting shape ("device left the corridor") a deployment of the
+    reference would run.
+
+    The query trajectory and t0 cross to the driver once at plan time
+    (a bounded ~100-element array — the broadcast-variable pattern, same
+    footprint as the kNN searches' tau_k scalar). The streaming max is
+    monotone, so the update-mode memory sink's per-batch emissions are
+    deduped by their own maximum — batching-independent, like
+    ``stream_stateful``."""
+    t = Tables(spark, sf_dir)
+    t0 = t.events.agg(F.min(F.unix_micros("ts"))).head()[0]
+    q_rows = (
+        t.events.filter(F.col("user_id") == 1)
+        .select(
+            ((F.unix_micros("ts") - F.lit(t0)) / 86400000000.0).alias("qx"),
+            F.col("value").alias("qy"),
+        )
+        .collect()
+    )
+    q_arr = F.array(
+        *[
+            F.struct(
+                F.lit(r["qx"]).alias("qx"), F.lit(r["qy"]).alias("qy")
+            )
+            for r in q_rows
+        ]
+    )
+    ev = events_stream(spark, sf_dir).filter(F.col("user_id") != 1)
+    pt = ev.select(
+        "user_id",
+        ((F.unix_micros("ts") - F.lit(t0)) / 86400000000.0).alias("x"),
+        F.col("value").alias("y"),
+    )
+    md = pt.select(
+        "user_id",
+        F.array_min(
+            F.transform(
+                q_arr,
+                lambda p: F.sqrt(
+                    (F.col("x") - p["qx"]) * (F.col("x") - p["qx"])
+                    + (F.col("y") - p["qy"]) * (F.col("y") - p["qy"])
+                ),
+            )
+        ).alias("md"),
+    )
+    out = md.groupBy("user_id").agg(F.max("md").alias("h"))
+    res = run_to_completion(out, "update")
+    # update-mode memory sink: one row per user per micro-batch; the
+    # running max is monotone, so the final value is just the max again
+    return res.groupBy("user_id").agg(
+        F.round(F.max("h"), 6).alias("h_to_query")
+    )
