@@ -99,16 +99,26 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GRAM_DF_CAP = 200
+
+
 @query(
     "text_ngram_jaccard",
     oracle="""
-    WITH grams AS (
+    WITH grams0 AS (
         SELECT DISTINCT d.doc_id, d.lang,
                substr(d.text, i.i, 3) AS g
         FROM documents d
         CROSS JOIN (SELECT unnest(generate_series(
                         1, (SELECT MAX(LEN(text)) FROM documents))) AS i) i
         WHERE i.i <= LEN(d.text) - 2
+    ),
+    grams AS (
+        SELECT * FROM grams0
+        WHERE (g, lang) NOT IN (
+            SELECT (g, lang) FROM grams0
+            GROUP BY g, lang HAVING COUNT(*) > 200
+        )
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
     inter AS (
@@ -144,6 +154,20 @@ def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # hot-gram guard (same discipline as text_jaccard_neardup's token
+    # cap): the 3-gram key space is tiny (~36^3), so corpus-frequent
+    # grams are GUARANTEED at scale and would each explode into a
+    # quadratic pair key. Grams above the per-lang document-frequency
+    # cap are dropped via broadcast anti-join (the hot list is tiny by
+    # construction); mirrored in the oracle, so capped-gram Jaccard is
+    # the defined semantics at every scale.
+    hot = (
+        grams.groupBy("g", "lang")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > _GRAM_DF_CAP)
+        .select("g", "lang")
+    )
+    grams = grams.join(F.broadcast(hot), ["g", "lang"], "left_anti")
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = grams.select(F.col("doc_id").alias("id_a"), "lang", "g")
     b = grams.select(F.col("doc_id").alias("id_b"), "lang", "g")

@@ -60,14 +60,37 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_decode_features")  # WEAK: decode is stubbed (no image libs)
+@query(
+    "mm_decode_features",
+    oracle="""
+    WITH b AS (
+        SELECT d.doc_id, ascii(substr(d.text, i.i, 1)) AS v
+        FROM documents d
+        CROSS JOIN (SELECT unnest(generate_series(
+                        1, (SELECT MAX(LEN(text)) FROM documents))) AS i) i
+        WHERE i.i <= LEN(d.text)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS DOUBLE) AS n_samples,
+           ROUND(AVG(v), 6) AS mean_v,
+           CAST(MIN(v) AS DOUBLE) AS min_v,
+           CAST(MAX(v) AS DOUBLE) AS max_v
+    FROM b GROUP BY doc_id
+    """,
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over binary payloads via ``mapInPandas``.
 
-    Per payload: 'decode' (stub), then compute a 4-dim feature vector
+    Per payload: 'decode' (stub), then a fixed-width feature row
     (length, mean, min, max of the sample stream) — the shape of a real
-    image-embedding or audio-feature stage: binary in, fixed-width float
-    vector out, streamed per Arrow batch with no driver involvement."""
+    image-embedding or audio-feature stage: binary in, fixed-width
+    features out, streamed per Arrow batch with no driver involvement.
+
+    FULL oracle despite the Python stage: the stub decode is
+    byte-deterministic and the fixtures are ASCII, so DuckDB reproduces
+    the whole pipeline from ``ascii(substr(...))`` — the Arrow batch
+    path itself (schema, batching, padding-free round trip) is what the
+    hash check proves. A real decoder swap returns this row to WEAK."""
     t = Tables(spark, sf_dir)
     src = t.documents.select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
@@ -75,27 +98,48 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for payload in pdf["payload"]:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 s = _fake_decode(bytes(payload))
-                feats.append(
-                    [
+                rows.append(
+                    (
+                        doc_id,
                         float(len(s)),
-                        float(s.mean()),
+                        round(float(s.mean()), 6),
                         float(s.min()),
                         float(s.max()),
-                    ]
+                    )
                 )
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "features": feats}
+                rows,
+                columns=["doc_id", "n_samples", "mean_v", "min_v", "max_v"],
             )
 
     return src.mapInPandas(
-        extract, schema="doc_id bigint, features array<double>"
+        extract,
+        schema="doc_id bigint, n_samples double, mean_v double, "
+        "min_v double, max_v double",
     )
 
 
-@query("mm_frame_sample")  # WEAK: frame decode is stubbed
+@query(
+    "mm_frame_sample",
+    oracle="""
+    WITH b AS (
+        SELECT d.doc_id,
+               CAST((i.i - 1) // 32 AS INTEGER) AS frame_idx,
+               ascii(substr(d.text, i.i, 1)) AS v
+        FROM documents d
+        CROSS JOIN (SELECT unnest(generate_series(
+                        1, (SELECT MAX(LEN(text)) FROM documents))) AS i) i
+        WHERE i.i <= (LEN(d.text) // 32) * 32
+    )
+    SELECT doc_id, frame_idx, ROUND(AVG(v), 6) AS mean_intensity
+    FROM b
+    WHERE frame_idx % 4 = 0
+    GROUP BY doc_id, frame_idx
+    """,
+)  # FULL via the deterministic stub decode (see mm_decode_features)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads: split each payload into
     fixed-size 'frames' (stub for video frame extraction), emit every
