@@ -30,6 +30,7 @@ KEYS = [
     "traj_hausdorff_segments_knn",
     "pipe_clean_corpus",
     "emb_layout_ivf",
+    "text_simhash_neardup",
 ]
 
 

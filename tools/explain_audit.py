@@ -61,9 +61,13 @@ AUDIT = [
     "mm_multimodal_join",
     "pipe_clean_corpus",
     "pipe_stratified_sample",
+    "pipe_neardup_dedup",
     "rel_bucketed_join",
     "sim_range_search",
     "traj_range_query_2d_pruned",
+    "traj_hausdorff_segments_knn",
+    "text_simhash_neardup",
+    "emb_layout_ivf",
 ]
 
 

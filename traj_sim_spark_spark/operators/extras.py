@@ -99,6 +99,101 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_SIG_CTE = f"""
+    tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    th AS (
+        SELECT doc_id,
+               CAST(CAST(CONCAT('0x', substr(md5(token), 1, 8)) AS UBIGINT)
+                    AS BIGINT) AS h
+        FROM tok
+    ),
+    bits AS (
+        SELECT doc_id, j.j AS j,
+               SUM(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS bal
+        FROM th CROSS JOIN (
+            SELECT unnest(generate_series(0, {_SIMHASH_BITS - 1})) AS j) j
+        GROUP BY doc_id, j.j
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN bal > 0 THEN (CAST(1 AS BIGINT) << j)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits
+        GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "text_simhash_neardup",
+    oracle=f"""
+    WITH {_SIMHASH_SIG_CTE.strip()},
+    bands AS (
+        SELECT doc_id, simhash, j.j AS band,
+               (simhash >> (8 * j.j)) & 255 AS bucket
+        FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def text_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS — the use-side of ``text_simhash``'s
+    signatures: all doc pairs within Hamming distance 3, found by banded
+    blocking. The 32-bit signature splits into 4 bands of 8 bits; by
+    pigeonhole, Hamming <= 3 over 4 bands forces AT LEAST ONE identical
+    band, so an equi-join on (band, bucket) is a LOSSLESS candidate
+    generator and the exact Hamming filter (bit_count of xor, JVM
+    codegen) keeps true qualifiers. Same first-colliding-band
+    emission as ``text_minhash_neardup`` (earlier bands must differ), so
+    the union is duplicate-free with no distinct shuffle. At 100 TB:
+    widen the signature to 64 bits and the bands to 16 bits — the shape
+    is unchanged, buckets stay selective.
+
+    md5-derived signatures are bit-identical cross-engine -> FULL
+    oracle."""
+    t = Tables(spark, sf_dir)
+    sig = text_simhash(spark, sf_dir).localCheckpoint()
+    n_bands = 4
+
+    def bucket(j: int) -> F.Column:
+        return F.shiftright("simhash", 8 * j).bitwiseAND(F.lit(255))
+
+    hamming = F.expr("bit_count(sa ^ sb)")
+    parts = []
+    for j in range(n_bands):
+        a = sig.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("simhash").alias("sa"),
+            *[bucket(i).alias(f"ba{i}") for i in range(j + 1)],
+        )
+        b = sig.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("simhash").alias("sb"),
+            *[bucket(i).alias(f"bb{i}") for i in range(j + 1)],
+        )
+        pairs = a.join(
+            F.broadcast(b), F.col(f"ba{j}") == F.col(f"bb{j}")
+        ).filter(F.col("id_a") < F.col("id_b"))
+        for i in range(j):
+            pairs = pairs.filter(F.col(f"ba{i}") != F.col(f"bb{i}"))
+        parts.append(
+            pairs.filter(hamming <= 3).select(
+                "id_a", "id_b", hamming.cast("int").alias("hamming")
+            )
+        )
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return out
+
+
 _GRAM_DF_CAP = 200
 
 

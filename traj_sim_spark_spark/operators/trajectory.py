@@ -331,10 +331,15 @@ def _frechet_lb(t: Tables, query_user: int) -> DataFrame:
     Every Fréchet coupling matches first-with-first and last-with-last
     points [P §2], so |a_1-q_1| and |a_n-q_m| are free lower bounds —
     and for drifting 1-D series they prune far harder than Hausdorff
-    (which is near-zero whenever value RANGES overlap, order ignored)."""
-    ends = t.user_points().groupBy("user_id").agg(
-        F.expr("min_by(value, seq)").alias("v_first"),
-        F.expr("max_by(value, seq)").alias("v_last"),
+    (which is near-zero whenever value RANGES overlap, order ignored).
+
+    Endpoints come straight off the raw events as min_by/max_by over the
+    (ts, event_id) ordering key — a HASH aggregate, not the
+    ``user_points()`` row_number window (which would cost a full
+    per-user sort just to read two rows of it)."""
+    ends = t.events.groupBy("user_id").agg(
+        F.expr("min_by(value, struct(ts, event_id))").alias("v_first"),
+        F.expr("max_by(value, struct(ts, event_id))").alias("v_last"),
     )
     q_ends = ends.filter(F.col("user_id") == query_user).select(
         F.col("v_first").alias("q_first"), F.col("v_last").alias("q_last")
@@ -1506,18 +1511,22 @@ def _paired_series_2d(
 def _frechet_lb_2d(t: Tables, query_user: int) -> DataFrame:
     """Per-user 2-D Fréchet lower bound: max(2-D Hausdorff, Euclidean
     endpoint distances) — the same dominance chain as 1-D
-    (Fréchet >= Hausdorff; the coupling pins both endpoint pairs)."""
-    ev = t.user_points()
+    (Fréchet >= Hausdorff; the coupling pins both endpoint pairs).
+
+    Endpoints by min_by/max_by over the raw (ts, event_id) ordering key —
+    a hash aggregate over events, no row_number sort (as in
+    ``_frechet_lb``)."""
     t0 = t.events.agg(F.min(F.unix_micros("ts")).alias("t0"))
-    pts = ev.join(F.broadcast(t0)).select(
+    pts = t.events.join(F.broadcast(t0)).select(
         "user_id",
-        "seq",
+        "ts",
+        "event_id",
         ((F.unix_micros("ts") - F.col("t0")) / 86400000000.0).alias("x"),
         F.col("value").alias("y"),
     )
     ends = pts.groupBy("user_id").agg(
-        F.expr("min_by(struct(x, y), seq)").alias("p0"),
-        F.expr("max_by(struct(x, y), seq)").alias("p1"),
+        F.expr("min_by(struct(x, y), struct(ts, event_id))").alias("p0"),
+        F.expr("max_by(struct(x, y), struct(ts, event_id))").alias("p1"),
     )
     q_ends = ends.filter(F.col("user_id") == query_user).select(
         F.col("p0").alias("q0"), F.col("p1").alias("q1")
