@@ -300,3 +300,22 @@ def test_dtw_pair_2d_matches_kernel(spark, sf_dir):
     assert row["dtw_2d"] == round(kernels.dtw(arrs[2], arrs[1]), 6)
     fr = registry.QUERIES["traj_frechet_pair_2d"](spark, sf_dir).head()
     assert row["dtw_2d"] >= fr["frechet_2d"] - 1e-9
+
+
+def test_knn_batch_slice_equals_single_query(spark, sf_dir):
+    """traj_hausdorff_knn_batch's qid=1 slice must equal the
+    single-query traj_hausdorff_knn (same metric, same top-10) — the
+    workload batching changes the pass structure, not the answer."""
+    single = [
+        (r["user_id"], r["hausdorff"])
+        for r in registry.QUERIES["traj_hausdorff_knn"](
+            spark, sf_dir
+        ).collect()
+    ]
+    batch = sorted(
+        (r["user_id"], r["hausdorff"])
+        for r in registry.QUERIES["traj_hausdorff_knn_batch"](spark, sf_dir)
+        .filter("qid = 1")
+        .collect()
+    )
+    assert batch == sorted(single)

@@ -299,3 +299,128 @@ def _pts_2d_seq(t: Tables):
         ((F.unix_micros("ts") - F.col("t0")) / 86400000000.0).alias("x"),
         F.col("value").alias("y"),
     )
+
+
+_KNN_BATCH_ORACLE = """
+    WITH pts AS (SELECT user_id, value FROM events),
+    q AS (
+        SELECT user_id AS qid, value AS qv FROM events
+        WHERE user_id IN (1, 2, 3)
+    ),
+    d AS (
+        SELECT q.qid, p.user_id, p.value, q.qv, ABS(p.value - q.qv) AS d
+        FROM pts p JOIN q ON p.user_id <> q.qid
+    ),
+    dqu AS (SELECT qid, user_id, MAX(md) AS h1 FROM (
+                SELECT qid, user_id, value, MIN(d) AS md FROM d
+                GROUP BY qid, user_id, value)
+            GROUP BY qid, user_id),
+    duq AS (SELECT qid, user_id, MAX(md) AS h2 FROM (
+                SELECT qid, user_id, qv, MIN(d) AS md FROM d
+                GROUP BY qid, user_id, qv)
+            GROUP BY qid, user_id),
+    h AS (
+        SELECT dqu.qid, dqu.user_id,
+               GREATEST(dqu.h1, duq.h2) AS hd
+        FROM dqu JOIN duq
+          ON dqu.qid = duq.qid AND dqu.user_id = duq.user_id
+    ),
+    rk AS (
+        SELECT qid, user_id, hd,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY hd, user_id) AS rn
+        FROM h
+    )
+    SELECT qid, user_id, ROUND(hd, 6) AS hausdorff
+    FROM rk WHERE rn <= 10
+"""
+
+
+@query("traj_hausdorff_knn_batch", oracle=_KNN_BATCH_ORACLE)
+def traj_hausdorff_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's BENCHMARK WORKLOAD shape (R17 -> R9): a batch of
+    query trajectories (users 1, 2, 3) answered in ONE shared pass —
+    top-10 Hausdorff neighbors per query — instead of one corpus scan
+    per query.
+
+    Generalizes ``_hausdorff_lb``'s sort-merge trick with a query-id
+    dimension: every (corpus user, query) stream gets the query's values
+    as sorted markers, the window partitions on (qid, user_id), and one
+    pass yields both directed maxima for EVERY query simultaneously.
+    Work is O(nq*E + U*sum|Q|) rows through one sort — at 100 TB a
+    100-query workload costs ~100x less scan than 100 separate runs,
+    which is exactly why the reference samples workloads [P §6].
+    Per-query top-k is a rank window, not a global sort."""
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    inf = F.lit(float("inf"))
+    ev = t.events
+    qids = ev.sparkSession.createDataFrame(
+        [(1,), (2,), (3,)], "qid bigint"
+    )
+    qv = (
+        ev.join(F.broadcast(qids), F.col("user_id") == F.col("qid"))
+        .select("qid", "value")
+        .distinct()
+    )
+    points = (
+        ev.select("user_id", "value")
+        .join(F.broadcast(qids), F.col("user_id") != F.col("qid"))
+        .withColumn("is_q", F.lit(0))
+    )
+    users = points.select("qid", "user_id").distinct()
+    markers = (
+        users.join(F.broadcast(qv), "qid")
+        .select("qid", "user_id", "value")
+        .withColumn("is_q", F.lit(1))
+    )
+    w_prev = (
+        W.partitionBy("qid", "user_id")
+        .orderBy("value", "is_q")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_next = (
+        W.partitionBy("qid", "user_id")
+        .orderBy("value", "is_q")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    ev_val = F.when(F.col("is_q") == 0, F.col("value"))
+    q_val = F.when(F.col("is_q") == 1, F.col("value"))
+    stream = points.unionByName(markers).withColumn(
+        "d",
+        F.when(
+            F.col("is_q") == 1,
+            F.least(
+                F.coalesce(
+                    F.col("value") - F.last(ev_val, True).over(w_prev), inf
+                ),
+                F.coalesce(
+                    F.first(ev_val, True).over(w_next) - F.col("value"), inf
+                ),
+            ),
+        ).otherwise(
+            F.least(
+                F.coalesce(
+                    F.col("value") - F.last(q_val, True).over(w_prev), inf
+                ),
+                F.coalesce(
+                    F.first(q_val, True).over(w_next) - F.col("value"), inf
+                ),
+            )
+        ),
+    )
+    h = stream.groupBy("qid", "user_id").agg(
+        F.greatest(
+            F.max(F.when(F.col("is_q") == 1, F.col("d"))),
+            F.max(F.when(F.col("is_q") == 0, F.col("d"))),
+        ).alias("hd")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("qid").orderBy("hd", "user_id")
+    )
+    return (
+        h.withColumn("rn", rk)
+        .filter(F.col("rn") <= 10)
+        .select("qid", "user_id", F.round("hd", 6).alias("hausdorff"))
+    )
