@@ -72,7 +72,7 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(COUNT(*) AS DOUBLE) AS n_samples,
-           ROUND(AVG(v), 6) AS mean_v,
+           CAST(SUM(v) AS DOUBLE) AS sum_v,
            CAST(MIN(v) AS DOUBLE) AS min_v,
            CAST(MAX(v) AS DOUBLE) AS max_v
     FROM b GROUP BY doc_id
@@ -82,7 +82,8 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over binary payloads via ``mapInPandas``.
 
     Per payload: 'decode' (stub), then a fixed-width feature row
-    (length, mean, min, max of the sample stream) — the shape of a real
+    (length, sum, min, max of the sample stream; the SUM is integer-exact
+    where a mean would hit cross-engine round-half ties) — the shape of a real
     image-embedding or audio-feature stage: binary in, fixed-width
     features out, streamed per Arrow batch with no driver involvement.
 
@@ -105,19 +106,19 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (
                         doc_id,
                         float(len(s)),
-                        round(float(s.mean()), 6),
+                        float(s.sum(dtype=np.int64)),
                         float(s.min()),
                         float(s.max()),
                     )
                 )
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "n_samples", "mean_v", "min_v", "max_v"],
+                columns=["doc_id", "n_samples", "sum_v", "min_v", "max_v"],
             )
 
     return src.mapInPandas(
         extract,
-        schema="doc_id bigint, n_samples double, mean_v double, "
+        schema="doc_id bigint, n_samples double, sum_v double, "
         "min_v double, max_v double",
     )
 
