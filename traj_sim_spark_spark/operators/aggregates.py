@@ -22,10 +22,13 @@ from ..tables import Tables
     oracle="""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 6) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
-               AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 2)))
+                 AS DOUBLE), 6) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18, 4))) AS DOUBLE), 6) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               * (1 + l_tax) AS DECIMAL(20, 6)))
+                 AS DOUBLE), 6) AS sum_charge,
            ROUND(AVG(l_quantity), 6) AS avg_qty,
            ROUND(AVG(l_extendedprice), 6) AS avg_price,
            ROUND(AVG(l_discount), 6) AS avg_disc,
@@ -36,7 +39,17 @@ from ..tables import Tables
     """,
 )
 def rel_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 pricing summary: the canonical wide hash aggregate."""
+    """TPC-H Q1 pricing summary: the canonical wide hash aggregate.
+
+    The price sums accumulate in DECIMAL (per-row quantization of the
+    double product, then exact decimal addition): a double SUM over
+    millions of rows is ACCUMULATION-ORDER-DEPENDENT in its last ulps,
+    and cross-engine (and cross-partitioning!) runs disagree at the 6th
+    decimal of a ~1e9 total from sf0.1 upward. The true products have
+    <= 6 decimal digits (2-dec price x 2-dec rates), so the per-row
+    decimal cast is EXACT, and decimal addition is order-independent —
+    the scale-proof formulation of TPC-H Q1. Integral l_quantity and the
+    AVGs (ratios — relative error ~1e-13) stay plain doubles."""
     t = Tables(spark, sf_dir)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -46,11 +59,21 @@ def rel_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias(
-                "sum_charge"
-            ),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("sum_base_price"),
+            F.round(
+                F.sum(disc_price.cast("decimal(18,4)")).cast("double"), 6
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    (disc_price * (1 + F.col("l_tax"))).cast("decimal(20,6)")
+                ).cast("double"),
+                6,
+            ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -115,17 +138,26 @@ def rel_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_agg_cube",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_extendedprice), 6) AS sum_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 2)))
+                 AS DOUBLE), 6) AS sum_price,
            COUNT(*) AS n_rows
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
 def rel_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full grouping-set lattice (cube) over two dimensions."""
+    """Full grouping-set lattice (cube) over two dimensions. The price
+    sum accumulates in DECIMAL — the () grouping set totals the whole
+    table, exactly where double addition order shows (see
+    rel_agg_basic)."""
     t = Tables(spark, sf_dir)
     return t.lineitem.cube("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                "double"
+            ),
+            6,
+        ).alias("sum_price"),
         F.count("*").alias("n_rows"),
     )
 

@@ -45,6 +45,7 @@ _MODULES = (
     "traj_sim_spark_spark.operators.trajectory_ext",
     "traj_sim_spark_spark.operators.pipelines",
     "traj_sim_spark_spark.streaming.streams_ext",
+    "traj_sim_spark_spark.sources.readers_ext",
 )
 
 _loaded = False

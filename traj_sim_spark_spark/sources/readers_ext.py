@@ -1,0 +1,95 @@
+"""A (cont.): remaining source formats — R1 at full fidelity.
+
+The reference ingests PLAIN-TEXT GPS dumps, one point per line, parsed
+by hand in each solution main (SURVEY.md §2.1 R1). ``src_text_ingest``
+reproduces exactly that shape — ``spark.read.text`` + a split/cast
+projection — as an oracle-checked round trip. ``src_orc_ingest`` covers
+the remaining built-in columnar format (Parquet/CSV/JSON live in
+``readers.py``).
+
+Registered late (own module at the end of ``registry._MODULES``) so the
+driver's first-50 correctness window is undisturbed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+from .readers import staging_dir
+
+
+@query(
+    "src_text_ingest",
+    oracle="""
+    SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+           ROUND(value, 6) AS value
+    FROM events
+    """,
+)
+def src_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 VERBATIM: the reference's input is a plain-text dump, one
+    trajectory point per line, parsed by hand. Round trip: events
+    written as `user_id,ts_us,value` text lines by the distributed text
+    sink, read back with ``spark.read.text``, parsed with a split/cast
+    projection (the engine's "hand parse" — three JVM expressions, not a
+    Python loop). The oracle is the source table, so the hash proves the
+    text path loses nothing.
+
+    value is fixed-format (%.2f) in the dump — the corpus is 2-decimal
+    by construction (FIXTURES.md), so the round trip is exact."""
+    t = Tables(spark, sf_dir)
+    path = os.path.join(staging_dir(sf_dir, "ingest"), "events_text")
+    (
+        t.events.select(
+            F.concat_ws(
+                ",",
+                F.col("user_id").cast("string"),
+                F.unix_micros("ts").cast("string"),
+                F.format_string("%.2f", "value"),
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(path)
+    )
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), ",")
+    return lines.select(
+        parts.getItem(0).cast("bigint").alias("user_id"),
+        parts.getItem(1).cast("bigint").alias("ts_us"),
+        F.round(parts.getItem(2).cast("double"), 6).alias("value"),
+    )
+
+
+@query(
+    "src_orc_ingest",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderpriority,
+           ROUND(o_totalprice, 6) AS o_totalprice
+    FROM orders
+    """,
+)
+def src_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round trip — the remaining built-in columnar format: orders
+    written as ORC by the distributed sink, read back, projected. The
+    oracle is the source table; the hash proves ORC preserves every
+    column type it carries (int64, string, double)."""
+    t = Tables(spark, sf_dir)
+    path = os.path.join(staging_dir(sf_dir, "ingest"), "orders_orc")
+    (
+        t.orders.select(
+            "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+        )
+        .write.mode("overwrite")
+        .orc(path)
+    )
+    return spark.read.orc(path).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 6).alias("o_totalprice"),
+    )
