@@ -137,3 +137,20 @@ def test_dtw_tau_early_abandon_contract(a, b, tau):
     if with_tau <= tau:
         assert with_tau == exact
     assert with_tau <= exact + 1e-9
+
+
+@given(
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_simhash_banding_pigeonhole_is_lossless(a, b):
+    """text_simhash_neardup's blocking contract: any two 32-bit
+    signatures within Hamming distance 3 MUST share at least one of the
+    4 8-bit bands (pigeonhole: 4 differing bands need >= 4 differing
+    bits), so the band equi-join can never lose a qualifying pair."""
+    hamming = bin(a ^ b).count("1")
+    shares_band = any(
+        ((a >> (8 * j)) & 255) == ((b >> (8 * j)) & 255) for j in range(4)
+    )
+    if hamming <= 3:
+        assert shares_band
