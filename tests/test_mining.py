@@ -1,0 +1,103 @@
+"""Property tests for the Douglas-Peucker kernel behind
+``traj_simplify_dp`` (the one WEAK row in operators/mining.py) plus a
+naive-reference equality check: the production iterative-stack kernel
+must match a straightforward recursive implementation point-for-point.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from traj_sim_spark_spark.functions.kernels import douglas_peucker
+
+polyline = st.lists(
+    st.tuples(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=40,
+).map(lambda ps: (np.array([p[0] for p in ps]), np.array([p[1] for p in ps])))
+
+tols = st.floats(min_value=0.0, max_value=50.0, allow_nan=False)
+
+
+def _ref_dp(x, y, tol, i, j, keep):
+    if j - i < 2:
+        return
+    px, py = x[i + 1 : j], y[i + 1 : j]
+    dx, dy = x[j] - x[i], y[j] - y[i]
+    norm = np.hypot(dx, dy)
+    if norm == 0.0:
+        d = np.hypot(px - x[i], py - y[i])
+    else:
+        d = np.abs(dy * (px - x[i]) - dx * (py - y[i])) / norm
+    k = int(np.argmax(d))
+    if d[k] > tol:
+        split = i + 1 + k
+        keep[split] = True
+        _ref_dp(x, y, tol, i, split, keep)
+        _ref_dp(x, y, tol, split, j, keep)
+
+
+def _point_to_chord(x, y, x1, y1, x2, y2):
+    """Distance from (x, y) to the chord (x1,y1)-(x2,y2) as used by the
+    kernel (infinite-line distance; point distance when degenerate)."""
+    dx, dy = x2 - x1, y2 - y1
+    norm = np.hypot(dx, dy)
+    if norm == 0.0:
+        return np.hypot(x - x1, y - y1)
+    return abs(dy * (x - x1) - dx * (y - y1)) / norm
+
+
+@settings(max_examples=200, deadline=None)
+@given(polyline, tols)
+def test_dp_matches_naive_recursive(poly, tol):
+    x, y = poly
+    keep = np.zeros(len(x), dtype=bool)
+    if len(x) >= 1:
+        keep[0] = keep[-1] = True
+    _ref_dp(x, y, tol, 0, len(x) - 1, keep)
+    expected = np.flatnonzero(keep)
+    got = douglas_peucker(x, y, tol)
+    assert np.array_equal(got, expected)
+
+
+@settings(max_examples=200, deadline=None)
+@given(polyline, tols)
+def test_dp_endpoints_kept_and_sorted(poly, tol):
+    x, y = poly
+    got = douglas_peucker(x, y, tol)
+    assert got[0] == 0 and got[-1] == len(x) - 1
+    assert np.all(np.diff(got) > 0)
+
+
+@settings(max_examples=150, deadline=None)
+@given(polyline, tols)
+def test_dp_error_bound(poly, tol):
+    """Every dropped point lies within tol of the kept chord that spans
+    it — the defining guarantee of Douglas-Peucker."""
+    x, y = poly
+    kept = douglas_peucker(x, y, tol)
+    for a, b in zip(kept[:-1], kept[1:]):
+        for m in range(a + 1, b):
+            d = _point_to_chord(x[m], y[m], x[a], y[a], x[b], y[b])
+            assert d <= tol + 1e-9
+
+
+def test_dp_zero_tol_examples():
+    x = np.arange(5.0)
+    # point 2 lands exactly ON the (1,3) chord after the splits, so even
+    # tol=0 drops it; everything off-chord survives.
+    y = np.array([0.0, 1.0, 0.0, -1.0, 0.0])
+    assert douglas_peucker(x, y, 0.0).tolist() == [0, 1, 3, 4]
+    assert douglas_peucker(x, np.zeros(5), 0.0).tolist() == [0, 4]
+    assert douglas_peucker(x, np.array([0.0, 1.0, 0.5, -1.0, 0.0]), 0.0).tolist() == [
+        0,
+        1,
+        2,
+        3,
+        4,
+    ]

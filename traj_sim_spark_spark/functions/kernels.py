@@ -105,3 +105,43 @@ def dtw(a: np.ndarray, b: np.ndarray, tau: float | None = None) -> float:
     non-decreasing along any path (distances are non-negative), so DP
     values lower-bound every completion."""
     return _antidiagonal_dp(pairwise_dist(a, b), is_frechet=False, tau=tau)
+
+
+def _seg_dist(x: np.ndarray, y: np.ndarray, i: int, j: int) -> np.ndarray:
+    """Perpendicular distance of points i+1..j-1 from chord (i, j);
+    falls back to distance-to-point when the chord is degenerate."""
+    px, py = x[i + 1 : j], y[i + 1 : j]
+    dx, dy = x[j] - x[i], y[j] - y[i]
+    norm = np.hypot(dx, dy)
+    if norm == 0.0:
+        return np.hypot(px - x[i], py - y[i])
+    return np.abs(dy * (px - x[i]) - dx * (py - y[i])) / norm
+
+
+def douglas_peucker(x: np.ndarray, y: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker simplification: indices (sorted, ascending) of
+    the kept points of polyline (x, y) such that every dropped point is
+    within ``tol`` of the kept chord spanning it. Endpoints always kept.
+    Iterative explicit stack (no recursion limit), deterministic: the
+    split point is the FIRST farthest point (argmax ties -> lowest
+    index)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = x.shape[0]
+    if n <= 2:
+        return np.arange(n)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        d = _seg_dist(x, y, i, j)
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            split = i + 1 + k
+            keep[split] = True
+            stack.append((i, split))
+            stack.append((split, j))
+    return np.flatnonzero(keep)

@@ -46,6 +46,7 @@ _MODULES = (
     "traj_sim_spark_spark.operators.pipelines",
     "traj_sim_spark_spark.streaming.streams_ext",
     "traj_sim_spark_spark.sources.readers_ext",
+    "traj_sim_spark_spark.operators.mining",
 )
 
 _loaded = False
