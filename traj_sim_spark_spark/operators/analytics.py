@@ -1,0 +1,235 @@
+"""Warehouse-analytics composites: funnel analysis, SCD2 dimension
+versioning, and Lloyd's k-means over the embedding corpus.
+
+The reference engine's users run it embedded in a warehouse stack
+(SURVEY.md §1 — the similarity engine feeds ordinary OLAP downstream);
+these are the three downstream shapes its outputs land in:
+
+- ``rel_funnel``     — ordered-event funnel (view -> click -> purchase)
+  as three conditional-min aggregates, no self-join explosion;
+- ``rel_scd2_merge`` — MERGE-as-a-join: slowly-changing-dimension
+  type-2 versioning of ``customer`` against an order-derived change
+  stream, declaratively (the sink-side upsert pattern without a
+  transactional table format);
+- ``emb_kmeans``     — Lloyd's iterations as repeated broadcast-join +
+  re-aggregation (the iterative-algorithm pattern #2 after
+  connected-components; WEAK row, pinned against a NumPy reference in
+  ``tests/test_analytics.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 4
+_SCD2_PRICE = 200_000.0
+
+
+@query(
+    "rel_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS v_us
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id,
+               MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS c_us
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click'
+          AND epoch_us(CAST(e.ts AS TIMESTAMP)) > v.v_us
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id,
+               MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS p_us
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(CAST(e.ts AS TIMESTAMP)) > c.c_us
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.v_us, c.c_us, p.p_us,
+           1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS stage
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON c.user_id = p.user_id
+    """,
+)
+def rel_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: per user, the earliest 'view', the earliest
+    'click' AFTER that view, and the earliest 'purchase' after that
+    click — stage = how deep the user got.
+
+    Three stage aggregates, each a conditional MIN keyed by user_id,
+    chained by left joins on the SAME key — so every shuffle in the
+    plan is the user_id hash exchange and AQE coalesces them; no
+    per-event self-join, no window over the full event log. The stage
+    predicate pushes the event_type filter into each scan."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    stage = (
+        F.lit(1)
+        + F.when(F.col("c_us").isNull(), 0).otherwise(1)
+        + F.when(F.col("p_us").isNull(), 0).otherwise(1)
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "v_us", "c_us", "p_us", stage.alias("stage"))
+    )
+
+
+@query(
+    "rel_scd2_merge",
+    oracle="""
+    WITH chg AS (
+        SELECT o_custkey AS c_custkey,
+               MIN(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS eff_us,
+               CAST(COUNT(*) AS BIGINT) AS n_big
+        FROM orders WHERE o_totalprice > 200000.0
+        GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, 1 AS version, c.c_mktsegment,
+           CAST(0 AS BIGINT) AS n_big_orders,
+           CAST(NULL AS BIGINT) AS valid_from_us,
+           chg.eff_us AS valid_to_us
+    FROM customer c LEFT JOIN chg USING (c_custkey)
+    UNION ALL
+    SELECT c.c_custkey, 2 AS version, c.c_mktsegment,
+           chg.n_big AS n_big_orders,
+           chg.eff_us AS valid_from_us,
+           CAST(NULL AS BIGINT) AS valid_to_us
+    FROM customer c JOIN chg USING (c_custkey)
+    """,
+)
+def rel_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge, declaratively: the
+    change stream is each customer's first order over 200k (effective
+    timestamp + big-order count); affected customers get their v1 row
+    CLOSED (valid_to = effective time) and a v2 row OPENED; untouched
+    customers keep one open v1 row.
+
+    This is the sink-side MERGE/upsert re-expressed as one aggregate on
+    the change source + one left join + one inner join + UNION ALL —
+    exactly what a transactional table format does under the hood,
+    minus the log. Both joins key on c_custkey; the change aggregate is
+    small and broadcast-able at any scale (customers with 200k+ orders
+    that batch)."""
+    t = Tables(spark, sf_dir)
+    chg = (
+        t.orders.filter(F.col("o_totalprice") > _SCD2_PRICE)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.min(
+                F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            ).alias("eff_us"),
+            F.count("*").alias("n_big"),
+        )
+    )
+    cust = t.customer.select("c_custkey", "c_mktsegment")
+    v1 = cust.join(F.broadcast(chg), "c_custkey", "left").select(
+        "c_custkey",
+        F.lit(1).alias("version"),
+        "c_mktsegment",
+        F.lit(0).cast("long").alias("n_big_orders"),
+        F.lit(None).cast("long").alias("valid_from_us"),
+        F.col("eff_us").alias("valid_to_us"),
+    )
+    v2 = cust.join(F.broadcast(chg), "c_custkey").select(
+        "c_custkey",
+        F.lit(2).alias("version"),
+        "c_mktsegment",
+        F.col("n_big").alias("n_big_orders"),
+        F.col("eff_us").alias("valid_from_us"),
+        F.lit(None).cast("long").alias("valid_to_us"),
+    )
+    return v1.unionAll(v2)
+
+
+@query("emb_kmeans")  # WEAK: iterative float argmin, not ANSI-SQL
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, 4 iterations, deterministic init = the
+    k lowest vec_ids) over the 64-d embedding corpus — the iterative
+    scale pattern behind IVF codebook training (``sim_centroid`` is one
+    half-step of this loop).
+
+    Each iteration is: broadcast the k-row centroid table, assign via
+    argmin-L2 (min_by over the cross join — k rows per vector, k tiny),
+    re-aggregate centroids elementwise via posexplode + (cluster, dim)
+    hash agg. Everything stays a DataFrame; no vector ever reaches the
+    driver (the centroid table itself is k x d = small by construction,
+    the legitimate broadcast dimension). Output: per-cluster size +
+    within-cluster sum of squares. WEAK row (float argmin has no stable
+    ANSI-SQL twin); pinned against a NumPy Lloyd reference in
+    ``tests/test_analytics.py``."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = (
+        emb.filter(F.col("vec_id") < _KMEANS_K)
+        .select(F.col("vec_id").cast("int").alias("cl"), F.col("v").alias("c"))
+    )
+    dist2 = F.aggregate(
+        F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    for _ in range(_KMEANS_ITERS):
+        assigned = (
+            emb.join(F.broadcast(cent))
+            .withColumn("d2", dist2)
+            .groupBy("vec_id")
+            .agg(
+                F.min_by("cl", F.struct("d2", "cl")).alias("cl"),
+                F.first("v").alias("v"),
+            )
+        )
+        cent = (
+            assigned.select("cl", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cl", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cl")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("pos", "m"))
+            ).alias("pm"))
+            .select("cl", F.transform("pm", lambda s: s["m"]).alias("c"))
+        )
+    final = (
+        emb.join(F.broadcast(cent))
+        .withColumn("d2", dist2)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cl")).alias("best"))
+        .select("vec_id", F.col("best.cl").alias("cl"), F.col("best.d2").alias("d2"))
+    )
+    return final.groupBy("cl").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.sum("d2"), 4).alias("wcss"),
+    )

@@ -47,6 +47,8 @@ _MODULES = (
     "traj_sim_spark_spark.streaming.streams_ext",
     "traj_sim_spark_spark.sources.readers_ext",
     "traj_sim_spark_spark.operators.mining",
+    "traj_sim_spark_spark.operators.text_ext",
+    "traj_sim_spark_spark.operators.analytics",
 )
 
 _loaded = False
