@@ -1,0 +1,203 @@
+"""Time-series physical patterns: the hypertable continuous-aggregate
+rollup and a mergeable frequency sketch.
+
+- ``rel_rollup_hypertable`` — the TimescaleDB/Druid continuous-
+  aggregate chain re-expressed in one declarative plan: raw events
+  roll to HOURLY cells, DAILY rolls up from hourly, MONTHLY from
+  daily — each level aggregates the level below (never the raw scan
+  again), which is exactly the hypertable maintenance contract: at
+  100 TB the hourly pass is the only raw-data-sized job, and the
+  coarser grains are ~1/3600th of it. Sums accumulate in DECIMAL
+  (per-row quantization is exact for 2-dec values; decimal addition is
+  order-independent — the cross-engine/cross-partitioning-safe
+  formulation, see ``rel_agg_basic``).
+- ``sketch_cms_topk`` — a Count-Min sketch (d=4 x w=256, md5-derived
+  row hashes) built as a 1024-cell hash aggregate, then heavy hitters
+  estimated by the classic min-over-rows rule. Unlike HLL, this sketch
+  is DETERMINISTIC and engine-independent (md5 is md5 everywhere), so
+  the row carries a FULL oracle: DuckDB builds the identical sketch
+  and must agree bit-for-bit — sketches don't have to mean WEAK.
+  Cells are additive, so partial aggregates merge map-side; the
+  estimate join probes a broadcast-sized 1024-row table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+
+_CMS_D = 4  # sketch rows (independent hashes)
+_CMS_W = 256  # sketch width (buckets per row)
+_CMS_TOPK = 10
+
+_HOUR_US = 3_600_000_000
+_DAY_US = 86_400_000_000
+
+
+@query(
+    "rel_rollup_hypertable",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 3600e6)
+                    AS BIGINT) * 3600000000 AS bucket_us,
+               COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(18, 2))) AS sv
+        FROM events GROUP BY 1
+    ),
+    daily AS (
+        SELECT CAST(FLOOR(bucket_us / 86400e6) AS BIGINT) * 86400000000
+                   AS bucket_us,
+               CAST(SUM(n) AS BIGINT) AS n, SUM(sv) AS sv
+        FROM hourly GROUP BY 1
+    ),
+    monthly AS (
+        SELECT CAST(0 AS BIGINT) AS bucket_us,
+               CAST(SUM(n) AS BIGINT) AS n, SUM(sv) AS sv
+        FROM daily
+    )
+    SELECT 'hour' AS grain, bucket_us, n,
+           ROUND(CAST(sv AS DOUBLE), 6) AS sum_value FROM hourly
+    UNION ALL
+    SELECT 'day', bucket_us, n, ROUND(CAST(sv AS DOUBLE), 6) FROM daily
+    UNION ALL
+    SELECT 'all', bucket_us, n, ROUND(CAST(sv AS DOUBLE), 6) FROM monthly
+    """,
+)
+def rel_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup chain: events -> hourly cells ->
+    daily cells -> grand total, every grain computed FROM THE GRAIN
+    BELOW and emitted in one union with a `grain` discriminator.
+
+    The raw scan feeds only the hourly aggregate; daily reuses hourly's
+    (already tiny) output; the total reuses daily's. Catalyst keeps the
+    chain as one job with three aggregate stages whose inputs shrink
+    ~3600x per step — the hypertable rollup economics. DECIMAL
+    accumulation makes every level's sum order-independent, so the
+    rollup is also REPARTITION-INVARIANT (a correctness property the
+    continuous-aggregate pattern silently depends on)."""
+    t = Tables(spark, sf_dir)
+    hourly = (
+        t.events.groupBy(
+            (
+                F.floor(F.unix_micros("ts") / F.lit(3600e6)) * _HOUR_US
+            ).alias("bucket_us")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        )
+    )
+    daily = (
+        hourly.groupBy(
+            (
+                F.floor(F.col("bucket_us") / F.lit(86400e6)) * _DAY_US
+            ).alias("bucket_us")
+        )
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    )
+    total = daily.agg(
+        F.lit(0).cast("long").alias("bucket_us"),
+        F.sum("n").alias("n"),
+        F.sum("sv").alias("sv"),
+    )
+
+    def level(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket_us",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("sv").cast("double"), 6).alias("sum_value"),
+        )
+
+    return (
+        level(hourly, "hour")
+        .unionAll(level(daily, "day"))
+        .unionAll(level(total, "all"))
+    )
+
+
+def _cms_bucket(j, token):
+    """Row-j CMS bucket of a token: first 16 bits of md5('<j>:<token>'),
+    mod the sketch width — bit-identical in any engine with md5."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", j, token)), 1, 4), 16, 10
+        ).cast("int")
+        % _CMS_W
+    )
+
+
+@query(
+    "sketch_cms_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+    ),
+    rows_ AS (SELECT UNNEST(generate_series(0, {_CMS_D - 1})) AS j),
+    cms AS (
+        SELECT j,
+               CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token),
+                                    1, 4)) AS INTEGER) % {_CMS_W} AS bucket,
+               COUNT(*) AS cnt
+        FROM tok CROSS JOIN rows_
+        GROUP BY 1, 2
+    ),
+    probe AS (
+        SELECT t.token, r.j,
+               CAST(('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' ||
+                                        t.token), 1, 4))
+                    AS INTEGER) % {_CMS_W} AS bucket
+        FROM (SELECT DISTINCT token FROM tok) t CROSS JOIN rows_ r
+    ),
+    est AS (
+        SELECT probe.token, CAST(MIN(cms.cnt) AS BIGINT) AS est
+        FROM probe JOIN cms USING (j, bucket)
+        GROUP BY probe.token
+    )
+    SELECT token, est FROM est
+    ORDER BY est DESC, token LIMIT {_CMS_TOPK}
+    """,
+)
+def sketch_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a Count-Min sketch: build a d=4 x w=256 counter
+    grid over the token stream (one hash aggregate — cells are additive,
+    so Spark's partial aggregation merges sketch fragments map-side
+    exactly like a real distributed CMS), then estimate every candidate
+    token as min over its d cells and keep the top-10.
+
+    The md5-derived row hashes make the sketch deterministic across
+    engines, partitionings, and reruns — which is why this sketch row
+    has a FULL DuckDB oracle (the HLL row, engine-internal, stays
+    WEAK). The estimate probe joins a 1024-row broadcast; the candidate
+    set is the distinct vocabulary (itself a hash aggregate). At 100 TB
+    the sketch build is one linear pass; CMS's overestimate-only error
+    is part of the contract and identical on both sides."""
+    t = Tables(spark, sf_dir)
+    tok = t.documents.select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    rows = spark.range(_CMS_D).select(F.col("id").cast("int").alias("j"))
+    with_j = tok.join(F.broadcast(rows))
+    cms = (
+        with_j.select("j", _cms_bucket(F.col("j"), F.col("token")).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    probe = (
+        tok.distinct()
+        .join(F.broadcast(rows))
+        .select(
+            "token",
+            "j",
+            _cms_bucket(F.col("j"), F.col("token")).alias("bucket"),
+        )
+    )
+    est = (
+        probe.join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy("token")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return est.orderBy(F.desc("est"), "token").limit(_CMS_TOPK)

@@ -49,6 +49,7 @@ _MODULES = (
     "traj_sim_spark_spark.operators.mining",
     "traj_sim_spark_spark.operators.text_ext",
     "traj_sim_spark_spark.operators.analytics",
+    "traj_sim_spark_spark.operators.timeseries",
 )
 
 _loaded = False
