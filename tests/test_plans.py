@@ -149,3 +149,52 @@ def test_ivf_layout_scan_is_partition_pruned(spark, sf_dir):
     plan = explain.physical_plan(df)
     assert "PartitionFilters" in plan, plan
     assert "PartitionFilters: []" not in plan, plan
+
+
+def test_comovement_joins_on_day_and_cell(spark, sf_dir):
+    """traj_comovement's pair join must key on BOTH the day bucket and
+    the eps-value cell (the banded equi-join that bounds per-key
+    fan-out); the eps band itself stays a post-join filter."""
+    df = registry.QUERIES["traj_comovement"](spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "dy" in plan and "cell" in plan, plan
+
+
+def test_mix_sources_broadcasts_count_dims(spark, sf_dir):
+    """pipe_mix_sources joins the corpus to two tiny count dimensions —
+    both must broadcast (no data-sized shuffle before the keep filter)."""
+    df = registry.QUERIES["pipe_mix_sources"](spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert plan.count("Broadcast") >= 2, plan
+
+
+def test_rollup_hypertable_scans_raw_once(spark, sf_dir):
+    """The continuous-aggregate chain computes day from hour and total
+    from day: exactly ONE parquet scan of events may appear in the
+    plan (three scans would mean each grain re-read the raw data)."""
+    df = registry.QUERIES["rel_rollup_hypertable"](spark, sf_dir)
+    plan = explain.physical_plan(df)
+    # formatted explain lists every node twice (tree + detail section)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert "Expand" in plan, plan
+
+
+def test_cms_probe_is_broadcast_and_topk(spark, sf_dir):
+    """sketch_cms_topk: the 1024-cell sketch probes via broadcast joins
+    and the final top-10 is TakeOrderedAndProject, not a global sort."""
+    df = registry.QUERIES["sketch_cms_topk"](spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "Broadcast" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_funnel_shuffles_only_on_user(spark, sf_dir):
+    """rel_funnel: every Exchange in the plan hashes on user_id — the
+    three stage aggregates and the two left joins reuse one key."""
+    import re as _re
+
+    df = registry.QUERIES["rel_funnel"](spark, sf_dir)
+    plan = explain.physical_plan(df)
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^,]+),", plan):
+        assert "user_id" in m.group(1), plan

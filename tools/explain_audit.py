@@ -68,6 +68,21 @@ AUDIT = [
     "traj_hausdorff_segments_knn",
     "text_simhash_neardup",
     "emb_layout_ivf",
+    "traj_staypoints",
+    "traj_od_flows",
+    "traj_comovement",
+    "traj_resample",
+    "traj_simplify_dp",
+    "text_contamination",
+    "text_repetition",
+    "pipe_mix_sources",
+    "text_pii_scrub",
+    "rel_funnel",
+    "rel_scd2_merge",
+    "emb_kmeans",
+    "rel_rollup_hypertable",
+    "sketch_cms_topk",
+    "traj_hausdorff_knn_2d_batch",
 ]
 
 

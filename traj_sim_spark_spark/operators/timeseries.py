@@ -67,55 +67,49 @@ _DAY_US = 86_400_000_000
     """,
 )
 def rel_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Continuous-aggregate rollup chain: events -> hourly cells ->
-    daily cells -> grand total, every grain computed FROM THE GRAIN
-    BELOW and emitted in one union with a `grain` discriminator.
+    """Continuous-aggregate rollup: hourly cells, daily cells, and the
+    grand total in ONE aggregate pass over ONE raw scan, via
+    ``ROLLUP(day, hour)`` — Spark's Expand emits the three grouping
+    sets per input row and map-side partial aggregation collapses them
+    to cells BEFORE the shuffle, so the exchanged volume is the sum of
+    the three grains' cell counts, not 3x the data. (The naive
+    formulation — three chained aggregates UNION'd — re-scans raw
+    events per grain: Catalyst inlines DataFrame reuse, it does not
+    materialize it. ROLLUP is the hypertable economics without a
+    materialization layer; the plan test pins `Scan parquet == 1`.)
 
-    The raw scan feeds only the hourly aggregate; daily reuses hourly's
-    (already tiny) output; the total reuses daily's. Catalyst keeps the
-    chain as one job with three aggregate stages whose inputs shrink
-    ~3600x per step — the hypertable rollup economics. DECIMAL
-    accumulation makes every level's sum order-independent, so the
-    rollup is also REPARTITION-INVARIANT (a correctness property the
-    continuous-aggregate pattern silently depends on)."""
+    DECIMAL accumulation makes every grain's sum order-independent, so
+    the rollup is also REPARTITION-INVARIANT — a correctness property
+    the continuous-aggregate pattern silently depends on."""
     t = Tables(spark, sf_dir)
-    hourly = (
-        t.events.groupBy(
-            (
-                F.floor(F.unix_micros("ts") / F.lit(3600e6)) * _HOUR_US
-            ).alias("bucket_us")
-        )
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
-        )
+    us = F.unix_micros("ts")
+    base = t.events.select(
+        F.floor(us / F.lit(86400e6)).alias("dy"),
+        F.floor(us / F.lit(3600e6)).alias("hr"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
     )
-    daily = (
-        hourly.groupBy(
-            (
-                F.floor(F.col("bucket_us") / F.lit(86400e6)) * _DAY_US
-            ).alias("bucket_us")
-        )
-        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    agg = base.rollup("dy", "hr").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sv"),
+        F.grouping("dy").alias("g_dy"),
+        F.grouping("hr").alias("g_hr"),
     )
-    total = daily.agg(
-        F.lit(0).cast("long").alias("bucket_us"),
-        F.sum("n").alias("n"),
-        F.sum("sv").alias("sv"),
+    grain = (
+        F.when(F.col("g_hr") == 0, F.lit("hour"))
+        .when(F.col("g_dy") == 0, F.lit("day"))
+        .otherwise(F.lit("all"))
     )
-
-    def level(df: DataFrame, grain: str) -> DataFrame:
-        return df.select(
-            F.lit(grain).alias("grain"),
-            "bucket_us",
-            F.col("n").cast("long").alias("n"),
-            F.round(F.col("sv").cast("double"), 6).alias("sum_value"),
-        )
-
-    return (
-        level(hourly, "hour")
-        .unionAll(level(daily, "day"))
-        .unionAll(level(total, "all"))
+    bucket = (
+        F.when(F.col("g_hr") == 0, F.col("hr") * _HOUR_US)
+        .when(F.col("g_dy") == 0, F.col("dy") * _DAY_US)
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return agg.select(
+        grain.alias("grain"),
+        bucket.alias("bucket_us"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("sv").cast("double"), 6).alias("sum_value"),
     )
 
 
