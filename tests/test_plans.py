@@ -198,3 +198,14 @@ def test_funnel_shuffles_only_on_user(spark, sf_dir):
     plan = explain.physical_plan(df)
     for m in _re.finditer(r"Exchange hashpartitioning\(([^,]+),", plan):
         assert "user_id" in m.group(1), plan
+
+
+def test_interval_overlap_is_day_bucketed(spark, sf_dir):
+    """rel_join_interval_overlap must pair sessions through the day
+    equi-key (SortMergeJoin/ShuffledHashJoin on dy), never a raw
+    interval theta join."""
+    df = registry.QUERIES["rel_join_interval_overlap"](spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "dy" in plan, plan

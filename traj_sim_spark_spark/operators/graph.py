@@ -1,0 +1,243 @@
+"""Graph + interval operators over the engine's derived entities.
+
+- ``rel_join_interval_overlap`` — the missing member of the range-join
+  family (as-of and theta-band live in ``joins.py``): which users'
+  activity SESSIONS overlapped in time. Interval joins are the classic
+  quadratic trap; here each session is matched through the DAY of the
+  overlap's start instant — a session pair overlaps on exactly one
+  such day, so the equi-join on (day) is both lossless and dup-free,
+  and per-key fan-out is sessions-active-that-day (the same
+  bucket-bounds-the-blowup argument as the eps-grid joins).
+- ``graph_pagerank`` — PageRank over the customer⋈supplier trade graph
+  in FIXED-POINT integer arithmetic: every rank is an integer count of
+  1e-12 units, contributions use exact integer division (``DIV``), and
+  integer sums are order-independent — which turns the canonically
+  float-and-iteration-order-sensitive algorithm into one with a FULL
+  bit-exact DuckDB oracle (same trick as the DECIMAL aggregates,
+  pushed all the way into an iterative algorithm). Three Jacobi
+  iterations, undirected edges, damping 0.85.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+
+_FP_ONE = 10**12  # fixed-point unit: 1.0 rank == 1e12
+_PR_ITERS = 3
+_PR_TOPK = 20
+
+
+@query(
+    "rel_join_interval_overlap",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               CASE WHEN LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                         IS NULL
+                    OR epoch_us(CAST(ts AS TIMESTAMP))
+                       - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                       >= 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id,
+               CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us)
+                    AS BIGINT) AS sess, us
+        FROM p
+    ),
+    iv AS (
+        SELECT user_id, sess, MIN(us) AS s_us, MAX(us) AS e_us
+        FROM s GROUP BY 1, 2
+    )
+    SELECT a.user_id AS user_a, a.sess AS sess_a,
+           b.user_id AS user_b, b.sess AS sess_b,
+           LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us)
+               AS overlap_us
+    FROM iv a JOIN iv b
+      ON a.user_id < b.user_id
+     AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+    """,
+)
+def rel_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: pairs of DIFFERENT users whose 30-min-gap
+    activity sessions overlapped in wall-clock time, with the overlap
+    length.
+
+    The engine side does NOT run the naive O(S^2) theta join: each
+    session interval is exploded to the days it covers, the pair join
+    is an EQUI-join on the day, and the predicate `day ==
+    floor(max(s_a, s_b) / day)` keeps exactly the day the overlap
+    starts — so a pair spanning shared days emits once, no DISTINCT
+    needed. The oracle states the declarative O(S^2) truth; the engine
+    plan is the bucketed one (plan test pins the equi-key)."""
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = W.partitionBy("user_id").orderBy("us")
+    p = (
+        t.events.select("user_id", "event_id", "ts")
+        .withColumn("us", F.unix_micros("ts"))
+        .withColumn("prev", F.lag("us").over(w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("us") - F.col("prev") >= 1_800_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sess", F.sum("brk").over(wc))
+    )
+    iv = p.groupBy("user_id", "sess").agg(
+        F.min("us").alias("s_us"), F.max("us").alias("e_us")
+    )
+    day = lambda c: F.floor(c / F.lit(86400e6))  # noqa: E731
+    blocked = iv.withColumn(
+        "dy", F.explode(F.sequence(day(F.col("s_us")), day(F.col("e_us"))))
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    overlap_start = F.greatest(F.col("a.s_us"), F.col("b.s_us"))
+    return (
+        a.join(
+            b,
+            (F.col("a.dy") == F.col("b.dy"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.s_us") <= F.col("b.e_us"))
+            & (F.col("b.s_us") <= F.col("a.e_us")),
+        )
+        .filter(F.col("a.dy") == day(overlap_start))
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.sess").alias("sess_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.sess").alias("sess_b"),
+            (
+                F.least(F.col("a.e_us"), F.col("b.e_us")) - overlap_start
+            ).alias("overlap_us"),
+        )
+    )
+
+
+_PAGERANK_ORACLE = f"""
+    WITH e0 AS (
+        SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+        SELECT src, dst FROM e0
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM e0
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT node, d, {_FP_ONE} // (SELECT n FROM n) AS r FROM deg),
+    r1 AS (
+        SELECT deg.node, deg.d,
+               (15 * {_FP_ONE}) // (100 * (SELECT n FROM n))
+               + (85 * COALESCE(SUM(r0.r // r0.d), 0)) // 100 AS r
+        FROM deg
+        LEFT JOIN edges ON edges.dst = deg.node
+        LEFT JOIN r0 ON r0.node = edges.src
+        GROUP BY deg.node, deg.d
+    ),
+    r2 AS (
+        SELECT deg.node, deg.d,
+               (15 * {_FP_ONE}) // (100 * (SELECT n FROM n))
+               + (85 * COALESCE(SUM(r1.r // r1.d), 0)) // 100 AS r
+        FROM deg
+        LEFT JOIN edges ON edges.dst = deg.node
+        LEFT JOIN r1 ON r1.node = edges.src
+        GROUP BY deg.node, deg.d
+    ),
+    r3 AS (
+        SELECT deg.node, deg.d,
+               (15 * {_FP_ONE}) // (100 * (SELECT n FROM n))
+               + (85 * COALESCE(SUM(r2.r // r2.d), 0)) // 100 AS r
+        FROM deg
+        LEFT JOIN edges ON edges.dst = deg.node
+        LEFT JOIN r2 ON r2.node = edges.src
+        GROUP BY deg.node, deg.d
+    )
+    SELECT node, CAST(r AS BIGINT) AS rank_fp
+    FROM r3 ORDER BY r DESC, node LIMIT {_PR_TOPK}
+"""
+
+
+@query("graph_pagerank", oracle=_PAGERANK_ORACLE)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 Jacobi iterations) over the undirected
+    customer-supplier trade graph (an edge per distinct trading pair
+    from lineitem⋈orders), in fixed-point integer arithmetic: ranks are
+    integers counting 1e-12 units, per-edge contributions use exact
+    integer division, so every engine — and every PARTITIONING — gets
+    the identical bits. The float formulation would be
+    accumulation-order-sensitive and only approximately checkable;
+    fixed-point makes an iterative graph algorithm FULL-oracle-able.
+
+    Scale shape per iteration: one equi-join of the rank table to the
+    edge list on src (edges pre-partitioned by the join key would make
+    this co-located; here AQE handles it) + one hash aggregate on dst.
+    Dangling nodes don't exist (the undirected edge set gives every
+    node degree >= 1). Top-20 via TakeOrderedAndProject."""
+    t = Tables(spark, sf_dir)
+    li, orders = t.lineitem, t.orders
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    n = deg.agg(F.count("*").alias("n"))
+    base = F.expr(f"(15 * CAST({_FP_ONE} AS BIGINT)) DIV (100 * n)")
+    r = (
+        deg.join(F.broadcast(n))
+        .select("node", "d", "n", F.expr(f"CAST({_FP_ONE} AS BIGINT) DIV n").alias("r"))
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(
+                r.select(
+                    F.col("node").alias("src"),
+                    F.expr("r DIV d").alias("c"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("inflow"))
+        )
+        r = (
+            deg.join(F.broadcast(n))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                "d",
+                "n",
+                (
+                    base
+                    + F.expr("(85 * COALESCE(inflow, 0)) DIV 100")
+                ).alias("r"),
+            )
+        )
+    return (
+        r.orderBy(F.desc("r"), "node")
+        .limit(_PR_TOPK)
+        .select("node", F.col("r").alias("rank_fp"))
+    )

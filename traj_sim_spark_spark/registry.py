@@ -50,6 +50,7 @@ _MODULES = (
     "traj_sim_spark_spark.operators.text_ext",
     "traj_sim_spark_spark.operators.analytics",
     "traj_sim_spark_spark.operators.timeseries",
+    "traj_sim_spark_spark.operators.graph",
 )
 
 _loaded = False
