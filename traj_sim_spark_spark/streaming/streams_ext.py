@@ -113,3 +113,74 @@ def stream_traj_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.groupBy("user_id").agg(
         F.round(F.max("h"), 6).alias("h_to_query")
     )
+
+
+@query(
+    "stream_cms",
+    oracle="""
+    WITH rows_ AS (SELECT UNNEST(generate_series(0, 3)) AS j),
+    cms AS (
+        SELECT j,
+               CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+                                        event_type), 1, 4))
+                    AS INTEGER) % 256 AS bucket,
+               COUNT(*) AS cnt
+        FROM events CROSS JOIN rows_
+        GROUP BY 1, 2
+    ),
+    probe AS (
+        SELECT t.event_type AS token, r.j,
+               CAST(('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' ||
+                                        t.event_type), 1, 4))
+                    AS INTEGER) % 256 AS bucket
+        FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN rows_ r
+    )
+    SELECT probe.token, CAST(MIN(cms.cnt) AS BIGINT) AS est
+    FROM probe JOIN cms USING (j, bucket)
+    GROUP BY probe.token
+    ORDER BY est DESC, token
+    """,
+)
+def stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A Count-Min sketch maintained CONTINUOUSLY over the event stream
+    (same d=4 x w=256 md5 grid as the batch ``sketch_cms_topk``): the
+    sketch IS a streaming aggregate — its cells are additive counters,
+    so incremental maintenance is exactly Spark's partial-aggregation
+    contract and the final cells are batching-independent by
+    construction (complete mode re-emits the whole 1024-row grid).
+
+    The heavy-hitter estimate then probes the materialized grid with
+    the (static) candidate set via min-over-rows. Deterministic md5
+    hashing means the streamed sketch hash-matches the DuckDB-built
+    one bit-for-bit — the FULL-oracle-able sketch story, now on the
+    streaming axis. State: <= 1024 counters regardless of stream
+    volume."""
+    from ..operators.timeseries import _cms_bucket
+
+    ev = events_stream(spark, sf_dir)
+    js = F.array(*[F.lit(j) for j in range(4)])
+    cells = (
+        ev.select(
+            F.col("event_type").alias("token"), F.explode(js).alias("j")
+        )
+        .groupBy("j", _cms_bucket(F.col("j"), F.col("token")).alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    cms = run_to_completion(cells, "complete")
+    t = Tables(spark, sf_dir)
+    probe = (
+        t.events.select(F.col("event_type").alias("token"))
+        .distinct()
+        .select("token", F.explode(js).alias("j"))
+        .select(
+            "token",
+            "j",
+            _cms_bucket(F.col("j"), F.col("token")).alias("bucket"),
+        )
+    )
+    return (
+        probe.join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy("token")
+        .agg(F.min("cnt").alias("est"))
+        .orderBy(F.desc("est"), "token")
+    )
