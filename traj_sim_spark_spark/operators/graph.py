@@ -187,21 +187,30 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     node degree >= 1). Top-20 via TakeOrderedAndProject."""
     t = Tables(spark, sf_dir)
     li, orders = t.lineitem, t.orders
+    # Numeric node ids end-to-end (suppliers offset into their own id
+    # space); the display ids ('c<k>' / 's<k>') are built only for the
+    # final 20 rows. Dedup happens on the compact numeric pair BEFORE
+    # any string exists, and the orders side is a 2-column broadcast.
+    _SUPP = 1_000_000_000
     e0 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.select("l_orderkey", "l_suppkey")
+        .join(
+            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP).alias("dst"),
         )
         .distinct()
     )
+    # Materialize the (small) edge list once: the Jacobi loop references
+    # it every iteration, and a lazy plan would re-derive the
+    # lineitem⋈orders distinct per reference — the same
+    # lineage-truncation move as text_dedup_cluster's CC loop.
     edges = e0.unionAll(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint()
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("d")
     )
@@ -212,11 +221,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", "d", "n", F.expr(f"CAST({_FP_ONE} AS BIGINT) DIV n").alias("r"))
     )
     for _ in range(_PR_ITERS):
+        # rank table is |nodes| rows (tiny vs edges): broadcast it, so
+        # each Jacobi step streams the edge list ONCE map-side with no
+        # edge shuffle — the scatter-gather step's join side asymmetry
+        # is the whole point of rank-table broadcast at scale too
+        # (|V| << |E|); partial aggregation combines inflow per dst
+        # before the single |V|-sized exchange.
         contrib = (
             edges.join(
-                r.select(
-                    F.col("node").alias("src"),
-                    F.expr("r DIV d").alias("c"),
+                F.broadcast(
+                    r.select(
+                        F.col("node").alias("src"),
+                        F.expr("r DIV d").alias("c"),
+                    )
                 ),
                 "src",
             )
@@ -235,9 +252,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr("(85 * COALESCE(inflow, 0)) DIV 100")
                 ).alias("r"),
             )
+            # truncate lineage per iteration: keeps each Jacobi step ONE
+            # join + one agg instead of an exponentially re-expanded tree
+            .localCheckpoint()
         )
+    label = F.when(
+        F.col("node") < _SUPP,
+        F.concat(F.lit("c"), F.col("node").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("s"), (F.col("node") - _SUPP).cast("string"))
+    )
     return (
-        r.orderBy(F.desc("r"), "node")
+        r.select(label.alias("node"), F.col("r").alias("rank_fp"))
+        .orderBy(F.desc("rank_fp"), "node")
         .limit(_PR_TOPK)
-        .select("node", F.col("r").alias("rank_fp"))
     )
