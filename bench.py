@@ -49,6 +49,14 @@ HEADLINE = [
     "text_tfidf",
     "text_langid",
     "stream_tumbling",
+    # round-2 additions: one representative per new family
+    "traj_resample",
+    "traj_comovement",
+    "text_contamination",
+    "rel_rollup_hypertable",
+    "sketch_cms_topk",
+    "rel_join_interval_overlap",
+    "graph_pagerank",
 ]
 
 

@@ -70,12 +70,16 @@ def rel_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     length.
 
     The engine side does NOT run the naive O(S^2) theta join: each
-    session interval is exploded to the days it covers, the pair join
-    is an EQUI-join on the day, and the predicate `day ==
-    floor(max(s_a, s_b) / day)` keeps exactly the day the overlap
-    starts — so a pair spanning shared days emits once, no DISTINCT
-    needed. The oracle states the declarative O(S^2) truth; the engine
-    plan is the bucketed one (plan test pins the equi-key)."""
+    session interval is exploded to the HOURS it covers, the pair join
+    is an EQUI-join on the hour, and the predicate `hour ==
+    floor(max(s_a, s_b) / hour)` keeps exactly the hour the overlap
+    starts — so a pair spanning shared hours emits once, no DISTINCT
+    needed. Bucket granularity trades explosion factor (intervals per
+    bucket-length) against per-key fan-out^2; sessions here are
+    minutes long, so hourly buckets cost ~1 replica per session while
+    cutting the quadratic term ~24^2 vs daily. The oracle states the
+    declarative O(S^2) truth; the engine plan is the bucketed one
+    (plan test pins the equi-key)."""
     t = Tables(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     wc = W.partitionBy("user_id").orderBy("us")
@@ -96,9 +100,9 @@ def rel_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = p.groupBy("user_id", "sess").agg(
         F.min("us").alias("s_us"), F.max("us").alias("e_us")
     )
-    day = lambda c: F.floor(c / F.lit(86400e6))  # noqa: E731
+    hour = lambda c: F.floor(c / F.lit(3600e6))  # noqa: E731
     blocked = iv.withColumn(
-        "dy", F.explode(F.sequence(day(F.col("s_us")), day(F.col("e_us"))))
+        "dy", F.explode(F.sequence(hour(F.col("s_us")), hour(F.col("e_us"))))
     )
     a, b = blocked.alias("a"), blocked.alias("b")
     overlap_start = F.greatest(F.col("a.s_us"), F.col("b.s_us"))
@@ -110,7 +114,7 @@ def rel_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.s_us") <= F.col("b.e_us"))
             & (F.col("b.s_us") <= F.col("a.e_us")),
         )
-        .filter(F.col("a.dy") == day(overlap_start))
+        .filter(F.col("a.dy") == hour(overlap_start))
         .select(
             F.col("a.user_id").alias("user_a"),
             F.col("a.sess").alias("sess_a"),
