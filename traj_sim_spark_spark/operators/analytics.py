@@ -233,3 +233,56 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vectors"),
         F.round(F.sum("d2"), 4).alias("wcss"),
     )
+
+
+@query(
+    "rel_win_pattern",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               LEAD(event_type, 1) OVER w AS t1,
+               LEAD(event_type, 2) OVER w AS t2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, COUNT(*) AS n_matches,
+           MIN(us) AS first_match_us
+    FROM seq
+    WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def rel_win_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequential pattern matching: strictly
+    consecutive view -> click -> purchase triples per user (no
+    intervening events — the strict-contiguity pattern the funnel's
+    eventually-follows semantics cannot express).
+
+    One window sort materializes both lookaheads; the pattern predicate
+    is a scalar filter over (type, lead1, lead2) — linear, one shuffle,
+    and the general template for any fixed-length regex-over-events:
+    k-step patterns are k-1 leads, still one window."""
+    t = Tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "view")
+            & (F.col("t1") == "click")
+            & (F.col("t2") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.min("us").alias("first_match_us"),
+        )
+    )

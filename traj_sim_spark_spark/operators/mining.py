@@ -350,3 +350,89 @@ def traj_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.groupBy("user_id").applyInPandas(
         per_user, "user_id long, idx int, y double"
     )
+
+
+@query(
+    "traj_convoy",
+    oracle="""
+    WITH b AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400e6)
+                    AS BIGINT) AS dy,
+               MIN(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    pd AS (
+        SELECT a.user_id AS user_a, c.user_id AS user_b, a.dy
+        FROM b a JOIN b c
+          ON a.dy = c.dy AND a.user_id < c.user_id
+         AND ABS(a.v - c.v) <= 1.0
+    ),
+    runs AS (
+        SELECT user_a, user_b,
+               dy - ROW_NUMBER() OVER (PARTITION BY user_a, user_b
+                                       ORDER BY dy) AS island
+        FROM pd
+    )
+    SELECT user_a, user_b,
+           CAST(MAX(run_len) AS BIGINT) AS max_run,
+           CAST(SUM(run_len) AS BIGINT) AS n_days
+    FROM (SELECT user_a, user_b, island, COUNT(*) AS run_len
+          FROM runs GROUP BY 1, 2, 3)
+    GROUP BY user_a, user_b
+    HAVING MAX(run_len) >= 3
+    """,
+)
+def traj_convoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convoy detection proper: pairs co-located (daily MIN fix within
+    eps=1.0) on >= 3 CONSECUTIVE days — ``traj_comovement`` counts
+    shared days, a convoy requires an unbroken run, the defining
+    distinction in the flock/convoy literature.
+
+    Composes the banded (day, eps-cell) pair join with a second
+    gaps-and-islands pass: `dy - row_number()` is constant exactly on
+    consecutive-day runs, so run lengths fall out of one more window +
+    aggregate over the (already small) pair-day stream. No new scale
+    surface beyond the co-movement join itself."""
+    t = Tables(spark, sf_dir)
+    b = (
+        t.events.groupBy(
+            "user_id",
+            F.floor(F.unix_micros("ts") / 86400e6).alias("dy"),
+        )
+        .agg(F.min("value").alias("v"))
+        .withColumn("cell", F.floor(F.col("v") / _CO_EPS))
+    )
+    probe = b.withColumn(
+        "cell",
+        F.explode(
+            F.array(F.col("cell") - 1, F.col("cell"), F.col("cell") + 1)
+        ),
+    )
+    a, c = probe.alias("a"), b.alias("c")
+    pd_ = a.join(
+        c,
+        (F.col("a.dy") == F.col("c.dy"))
+        & (F.col("a.cell") == F.col("c.cell"))
+        & (F.col("a.user_id") < F.col("c.user_id"))
+        & (F.abs(F.col("a.v") - F.col("c.v")) <= _CO_EPS),
+    ).select(
+        F.col("a.user_id").alias("user_a"),
+        F.col("c.user_id").alias("user_b"),
+        F.col("a.dy").alias("dy"),
+    )
+    w = W.partitionBy("user_a", "user_b").orderBy("dy")
+    runs = pd_.withColumn(
+        "island", F.col("dy") - F.row_number().over(w)
+    )
+    run_len = runs.groupBy("user_a", "user_b", "island").agg(
+        F.count("*").alias("run_len")
+    )
+    return (
+        run_len.groupBy("user_a", "user_b")
+        .agg(
+            F.max("run_len").alias("max_run"),
+            F.sum("run_len").alias("n_days"),
+        )
+        .filter(F.col("max_run") >= 3)
+    )

@@ -1,0 +1,145 @@
+"""I (cont.): scalar-quantized ANN — the memory-reduction half of the
+100 TB vector-search story.
+
+IVF (``sim_knn_ivf_centroid`` / ``emb_layout_ivf``) prunes WHICH vectors
+a query touches; scalar quantization shrinks WHAT each touched vector
+costs: int8 codes are 8x smaller than float64 working sets, so the scan
+side of ANN fits in memory at corpus sizes where floats spill. The
+standard deployment (FAISS SQ8, Milvus, pgvector halfvec) is
+quantized-prefilter -> exact-rerank; ``sim_knn_sq8`` is that pipeline
+declaratively, with the quantizer trained in-plan (per-dimension
+min/max) and every arithmetic step chosen to be bit-identical across
+engines (floor(x + 0.5) instead of round — no half-even/half-up
+divergence; integer distance sums — no float accumulation order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+
+_SQ_CAND = 50  # quantized-prefilter shortlist size
+_SQ_K = 10  # final exact top-k
+_SQ_QUERY = 0  # query vector id
+
+
+@query(
+    "sim_knn_sq8",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               CAST(unnest(embedding) AS DOUBLE) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM e GROUP BY i
+    ),
+    q AS (
+        SELECT e.vec_id, e.i,
+               CASE WHEN s.mx - s.mn = 0 THEN 0
+                    ELSE CAST(FLOOR((e.v - s.mn) * 255.0
+                                    / (s.mx - s.mn) + 0.5)
+                              AS BIGINT) END AS code,
+               e.v
+        FROM e JOIN stats s USING (i)
+    ),
+    qq AS (SELECT i, code, v FROM q WHERE vec_id = {_SQ_QUERY}),
+    qdist AS (
+        SELECT q.vec_id,
+               SUM((q.code - qq.code) * (q.code - qq.code)) AS d8,
+               SUM((q.v - qq.v) * (q.v - qq.v)) AS d2
+        FROM q JOIN qq USING (i)
+        WHERE q.vec_id <> {_SQ_QUERY}
+        GROUP BY q.vec_id
+    ),
+    cand AS (
+        SELECT vec_id, d8, d2,
+               ROW_NUMBER() OVER (ORDER BY d8, vec_id) AS rn
+        FROM qdist
+    )
+    SELECT vec_id, CAST(d8 AS BIGINT) AS qdist,
+           ROUND(SQRT(d2), 6) AS l2
+    FROM cand WHERE rn <= {_SQ_CAND}
+    ORDER BY l2, vec_id LIMIT {_SQ_K}
+    """,
+)
+def sim_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 ANN: train a per-dimension min/max scalar quantizer in-plan,
+    shortlist the top-50 neighbors of vector 0 by INT8-code distance
+    (exact integer arithmetic — order-independent), then re-rank the
+    shortlist by exact float L2 and keep the top-10.
+
+    The quantizer 'training' is a 64-row aggregate assembled into two
+    broadcast arrays; encoding is ``zip_with`` JVM-side — the corpus is
+    never exploded. The int code distance folds with
+    ``aggregate(zip_with(...))`` into a long. floor(x + 0.5) quantizes
+    identically in every engine (ROUND would hit half-even vs half-up);
+    ties in both top-k stages break on vec_id. At 100 TB the code table
+    is the 8x-smaller scan replica of the embedding column — the
+    quantized prefilter touches only it, and the exact rerank fetches
+    `candidates` full vectors, not the corpus."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    stats = (
+        emb.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("i", "mn", "mx"))
+            ).alias("s")
+        )
+        .select(
+            F.transform("s", lambda r: r["mn"]).alias("mn"),
+            F.transform("s", lambda r: (r["mx"] - r["mn"])).alias("rng"),
+        )
+    )
+    coded = (
+        emb.join(F.broadcast(stats))
+        .select(
+            "vec_id",
+            "v",
+            F.zip_with(
+                F.zip_with(
+                    "v", "mn", lambda x, m: x - m
+                ),
+                "rng",
+                lambda d, r: F.when(r == 0.0, F.lit(0).cast("long")).otherwise(
+                    F.floor(d * 255.0 / r + 0.5)
+                ),
+            ).alias("code"),
+        )
+    )
+    q = coded.filter(F.col("vec_id") == _SQ_QUERY).select(
+        F.col("v").alias("qv"), F.col("code").alias("qcode")
+    )
+    int_d = F.aggregate(
+        F.zip_with("code", "qcode", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    exact_d = F.sqrt(
+        F.aggregate(
+            F.zip_with("v", "qv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cand = (
+        coded.filter(F.col("vec_id") != _SQ_QUERY)
+        .join(F.broadcast(q))
+        .select("vec_id", int_d.alias("qdist"), exact_d.alias("l2"))
+        .orderBy("qdist", "vec_id")
+        .limit(_SQ_CAND)
+    )
+    return (
+        cand.select("vec_id", "qdist", F.round("l2", 6).alias("l2"))
+        .orderBy("l2", "vec_id")
+        .limit(_SQ_K)
+    )

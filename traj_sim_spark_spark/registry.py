@@ -51,6 +51,7 @@ _MODULES = (
     "traj_sim_spark_spark.operators.analytics",
     "traj_sim_spark_spark.operators.timeseries",
     "traj_sim_spark_spark.operators.graph",
+    "traj_sim_spark_spark.operators.similarity_ext",
 )
 
 _loaded = False
