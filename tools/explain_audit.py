@@ -83,6 +83,9 @@ AUDIT = [
     "rel_rollup_hypertable",
     "sketch_cms_topk",
     "traj_hausdorff_knn_2d_batch",
+    "traj_convoy",
+    "rel_win_pattern",
+    "sim_knn_sq8",
 ]
 
 

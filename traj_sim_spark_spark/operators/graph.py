@@ -271,3 +271,154 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_fp"), "node")
         .limit(_PR_TOPK)
     )
+
+
+@query(
+    "rel_join_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    s AS (SELECT * FROM events WHERE event_type = 'signup'),
+    back AS (
+        SELECT p.event_id, p.user_id,
+               epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_us,
+               epoch_us(CAST(s.ts AS TIMESTAMP)) AS prev_us
+        FROM p ASOF LEFT JOIN s
+          ON p.user_id = s.user_id AND p.ts >= s.ts
+    ),
+    fwd AS (
+        SELECT p.event_id,
+               epoch_us(CAST(s.ts AS TIMESTAMP)) AS next_us
+        FROM p ASOF LEFT JOIN s
+          ON p.user_id = s.user_id AND p.ts <= s.ts
+    )
+    SELECT back.event_id, back.user_id, back.purchase_us,
+           CASE
+             WHEN prev_us IS NULL THEN next_us
+             WHEN next_us IS NULL THEN prev_us
+             WHEN purchase_us - prev_us <= next_us - purchase_us
+               THEN prev_us
+             ELSE next_us
+           END AS signup_us
+    FROM back JOIN fwd USING (event_id)
+    """,
+)
+def rel_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: each purchase matched to the signup closest
+    in time in EITHER direction (ties -> the earlier/backward signup) —
+    the kdb `aj`-nearest variant that backward-only as-of cannot
+    express.
+
+    Same single-shuffle analytic rewrite as ``rel_join_asof``, run in
+    both directions over one ordered union: `last(signup ts)
+    ignoreNulls` up to the row and `first(signup ts) ignoreNulls` from
+    the row on, then a scalar CASE picks the nearer. The oracle is TWO
+    native DuckDB ASOF joins (backward and forward) + the same CASE —
+    proving the one-pass rewrite equals the textbook two-join
+    formulation."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.filter(F.col("event_type").isin("purchase", "signup"))
+    base = W.partitionBy("user_id")
+    wb = base.orderBy("ts", F.col("event_type").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wf = base.orderBy("ts", F.col("event_type").asc()).rowsBetween(
+        0, W.unboundedFollowing
+    )
+    sig = F.when(F.col("event_type") == "signup", F.unix_micros("ts"))
+    out = (
+        ev.withColumn("prev_us", F.last(sig, ignorenulls=True).over(wb))
+        .withColumn("next_us", F.first(sig, ignorenulls=True).over(wf))
+        .filter(F.col("event_type") == "purchase")
+        .withColumn("purchase_us", F.unix_micros("ts"))
+    )
+    nearest = (
+        F.when(F.col("prev_us").isNull(), F.col("next_us"))
+        .when(F.col("next_us").isNull(), F.col("prev_us"))
+        .when(
+            F.col("purchase_us") - F.col("prev_us")
+            <= F.col("next_us") - F.col("purchase_us"),
+            F.col("prev_us"),
+        )
+        .otherwise(F.col("next_us"))
+    )
+    return out.select(
+        "event_id", "user_id", "purchase_us", nearest.alias("signup_us")
+    )
+
+
+@query(
+    "traj_heatmap_density",
+    oracle="""
+    WITH t0 AS (
+        SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0 FROM events
+    ),
+    cells AS (
+        SELECT CAST(FLOOR((epoch_us(CAST(ts AS TIMESTAMP))
+                           - (SELECT t0 FROM t0)) / 86400e6)
+                    AS BIGINT) AS cx,
+               CAST(FLOOR(value / 10.0) AS BIGINT) AS cy,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    sm AS (
+        SELECT c.cx + dx.d AS cx, c.cy + dy.d AS cy, c.n
+        FROM cells c,
+             (SELECT UNNEST([-1, 0, 1]) AS d) dx,
+             (SELECT UNNEST([-1, 0, 1]) AS d) dy
+    )
+    SELECT sm.cx, sm.cy,
+           CAST(SUM(sm.n) AS BIGINT) AS smoothed,
+           CAST(COALESCE(MAX(cells.n), 0) AS BIGINT) AS n
+    FROM sm LEFT JOIN cells ON sm.cx = cells.cx AND sm.cy = cells.cy
+    GROUP BY sm.cx, sm.cy
+    """,
+)
+def traj_heatmap_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density heatmap with 3x3 box smoothing over the (day, value/10)
+    grid — the raster aggregation every trajectory dashboard draws, and
+    the additive-kernel pattern for density-based spatial analysis.
+
+    Scatter-gather without a neighbor join: each occupied cell SCATTERS
+    its count to its 9 neighbors via a tiny explode (a 9-element
+    literal array), and one hash aggregate gathers the smoothed sum —
+    cells-x-9 intermediate rows, where cells is already the aggregated
+    (small) grid, never the raw events. The raw cell count rides along
+    via a left join back to the occupied-cell table (broadcast-sized).
+    Identical integer arithmetic everywhere; no float smoothing
+    weights."""
+    t = Tables(spark, sf_dir)
+    t0 = t.events.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    cells = (
+        t.events.join(F.broadcast(t0))
+        .groupBy(
+            F.floor((F.unix_micros("ts") - F.col("t0")) / 86400e6).alias(
+                "cx"
+            ),
+            F.floor(F.col("value") / 10.0).alias("cy"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    offsets = F.expr(
+        "explode(array(-1,0,1))"
+    )
+    sm = (
+        cells.select("cx", "cy", "n", offsets.alias("dx"))
+        .select("cx", "cy", "n", "dx", F.expr("explode(array(-1,0,1))").alias("dy"))
+        .select(
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+            "n",
+        )
+    )
+    smoothed = sm.groupBy("cx", "cy").agg(F.sum("n").alias("smoothed"))
+    return (
+        smoothed.join(
+            cells.select("cx", "cy", F.col("n")), ["cx", "cy"], "left"
+        )
+        .select(
+            "cx",
+            "cy",
+            "smoothed",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
