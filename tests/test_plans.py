@@ -209,3 +209,13 @@ def test_interval_overlap_is_day_bucketed(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "dy" in plan, plan
+
+
+def test_partitioned_sink_scan_prunes_partitions(spark, sf_dir):
+    """sink_partitioned_roundtrip's re-read must resolve the event_type
+    predicate as a PartitionFilter on the directory keys, not a data
+    filter over row groups."""
+    df = registry.QUERIES["sink_partitioned_roundtrip"](spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "PartitionFilters" in plan, plan
+    assert "PartitionFilters: []" not in plan, plan

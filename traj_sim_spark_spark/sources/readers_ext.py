@@ -93,3 +93,47 @@ def src_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.round("o_totalprice", 6).alias("o_totalprice"),
     )
+
+
+@query(
+    "sink_partitioned_roundtrip",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+    FROM events
+    WHERE event_type IN ('view', 'click')
+    GROUP BY event_type
+    """,
+)
+def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partitioned sink as an oracle-checked row: events written
+    ``partitionBy(event_type)`` + sorted within partitions by ts (the
+    STR-layout analog ``write_partitioned`` implements), read back with
+    a partition-key predicate, and aggregated. The re-read scan must
+    touch only the view/click directories — the predicate is a
+    PartitionFilter, not a data filter — which is the entire point of a
+    partitioned sink at 100 TB (asserted in tests/test_plans.py).
+
+    The oracle aggregates the ORIGINAL table: the hash match proves the
+    sink→scan round trip is lossless under partition pruning, value
+    column included (sum over only the pruned partitions)."""
+    from .readers import write_partitioned
+
+    t = Tables(spark, sf_dir)
+    path = os.path.join(staging_dir(sf_dir, "sink"), "events_by_type")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):  # idempotent per (sf_dir) staging
+        write_partitioned(
+            t.events.select("event_type", "value", "ts"),
+            path,
+            ["event_type"],
+            sort_cols=["ts"],
+        )
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
