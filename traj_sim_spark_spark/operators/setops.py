@@ -81,3 +81,65 @@ def rel_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "day")
         .subtract(ev.filter(F.col("event_type") == "error").select("user_id", "day"))
     )
+
+
+@query(
+    "rel_intersect_all",
+    oracle="""
+    SELECT user_id, CAST(FLOOR(value / 10.0) AS BIGINT) AS vbucket
+    FROM events WHERE event_type = 'click'
+    INTERSECT ALL
+    SELECT user_id, CAST(FLOOR(value / 10.0) AS BIGINT) AS vbucket
+    FROM events WHERE event_type = 'view'
+    """,
+)
+def rel_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset: each (user, bucket) kept min(m, n)
+    times) — the bag-semantics half of the set-op surface;
+    ``intersectAll`` plans as a count-matching aggregate join, not a
+    dedup."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        "event_type",
+        "user_id",
+        F.floor(F.col("value") / 10.0).alias("vbucket"),
+    )
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "vbucket")
+        .intersectAll(
+            ev.filter(F.col("event_type") == "view").select(
+                "user_id", "vbucket"
+            )
+        )
+    )
+
+
+@query(
+    "rel_except_all",
+    oracle="""
+    SELECT user_id, CAST(FLOOR(value / 10.0) AS BIGINT) AS vbucket
+    FROM events WHERE event_type = 'view'
+    EXCEPT ALL
+    SELECT user_id, CAST(FLOOR(value / 10.0) AS BIGINT) AS vbucket
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def rel_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset: occurrences subtract, max(m - n, 0) copies
+    survive) — completes {UNION, INTERSECT, EXCEPT} x {DISTINCT, ALL}."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        "event_type",
+        "user_id",
+        F.floor(F.col("value") / 10.0).alias("vbucket"),
+    )
+    return (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", "vbucket")
+        .exceptAll(
+            ev.filter(F.col("event_type") == "error").select(
+                "user_id", "vbucket"
+            )
+        )
+    )
