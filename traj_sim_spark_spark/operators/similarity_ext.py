@@ -143,3 +143,50 @@ def sim_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l2", "vec_id")
         .limit(_SQ_K)
     )
+
+
+def _recall_oracle() -> str:
+    from ..registry import ORACLES
+
+    exact = ORACLES["sim_knn"]
+    ann = ORACLES["sim_knn_ivf_centroid"]
+    return f"""
+    SELECT COUNT(e.vec_id) AS n_exact,
+           (SELECT COUNT(*) FROM ({ann}) x) AS n_ann,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+           ROUND(COUNT(a.vec_id) / CAST(COUNT(e.vec_id) AS DOUBLE), 6)
+               AS recall
+    FROM ({exact}) e LEFT JOIN ({ann}) a ON e.vec_id = a.vec_id
+    """
+
+
+@query("sim_ann_recall", oracle=_recall_oracle())
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation as a first-class query: recall@10 of the
+    IVF-centroid path (``sim_knn_ivf_centroid``, nprobe=2) against the
+    exact scan (``sim_knn``) for the query vector — the measurement a
+    vector-search deployment runs before trusting an approximate index,
+    here composed from the SAME registered builders it evaluates (and
+    the oracle from their oracle SQL), so the evaluated plans are the
+    shipped plans, not copies.
+
+    One left join of two 10-row results; the entire cost is the two
+    underlying kNN queries. Output: exact count, ANN count, overlap,
+    recall."""
+    from ..registry import QUERIES
+
+    exact = QUERIES["sim_knn"](spark, sf_dir).select("vec_id")
+    ann = QUERIES["sim_knn_ivf_centroid"](spark, sf_dir).select(
+        F.col("vec_id").alias("a_vec_id")
+    )
+    joined = exact.join(
+        F.broadcast(ann), exact.vec_id == ann.a_vec_id, "left"
+    )
+    return joined.agg(
+        F.count("vec_id").alias("n_exact"),
+        F.lit(10).cast("long").alias("n_ann"),
+        F.count("a_vec_id").alias("n_hit"),
+        F.round(
+            F.count("a_vec_id") / F.count("vec_id").cast("double"), 6
+        ).alias("recall"),
+    )
