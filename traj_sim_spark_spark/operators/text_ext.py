@@ -247,3 +247,210 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("props", r"[0-9]+", "#")
         ).alias("n_shapes"),
     )
+
+
+def _lsh_candidates(sig: "DataFrame") -> "DataFrame":
+    """Distinct LSH candidate pairs from a minhash signature table —
+    the same banding as ``text_minhash_neardup``."""
+    from .text import _BAND_W, _N_MINHASH
+
+    bands = None
+    for j in range(_N_MINHASH // _BAND_W):
+        b = sig.select(
+            "doc_id",
+            F.lit(j).alias("band"),
+            F.concat(
+                *[F.col(f"mh{_BAND_W * j + r}") for r in range(_BAND_W)]
+            ).alias("bucket"),
+        )
+        bands = b if bands is None else bands.unionAll(b)
+    a = bands.select(F.col("doc_id").alias("id_a"), "band", "bucket")
+    b = bands.select(F.col("doc_id").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _minhash_estimate_oracle() -> str:
+    from .text import _BAND_W, _MINHASH_ORACLE_SIG, _N_MINHASH
+
+    bands = " UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, {concat} AS bucket FROM sig".format(
+            j=j,
+            concat=" || ".join(
+                f"mh{_BAND_W * j + r}" for r in range(_BAND_W)
+            ),
+        )
+        for j in range(_N_MINHASH // _BAND_W)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+        for i in range(_N_MINHASH)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT DISTINCT d.doc_id, t.token
+        FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(token)
+    ),
+    sig AS (SELECT doc_id, {_MINHASH_ORACLE_SIG} FROM tok
+            GROUP BY doc_id),
+    bands AS ({bands}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT c.id_a, c.id_b,
+               ({agree}) AS n_agree
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b
+    ),
+    sample AS (
+        SELECT * FROM est
+        WHERE CAST(('0x' || substr(md5(CAST(id_a AS VARCHAR) || '_' ||
+                                       CAST(id_b AS VARCHAR)), 1, 4))
+                   AS INTEGER) < 1311
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS both_n
+        FROM sample c
+        JOIN tok ta ON ta.doc_id = c.id_a
+        JOIN tok tb ON tb.doc_id = c.id_b AND tb.token = ta.token
+        GROUP BY c.id_a, c.id_b
+    ),
+    scored AS (
+        SELECT s.n_agree,
+               COALESCE(i.both_n, 0)
+               / CAST(sa.n + sb.n - COALESCE(i.both_n, 0) AS DOUBLE)
+                   AS exact_j
+        FROM sample s
+        LEFT JOIN inter i ON i.id_a = s.id_a AND i.id_b = s.id_b
+        JOIN sizes sa ON sa.doc_id = s.id_a
+        JOIN sizes sb ON sb.doc_id = s.id_b
+    ),
+    tot AS (SELECT n_agree, COUNT(*) AS n_candidates FROM est GROUP BY 1)
+    SELECT tot.n_agree,
+           ROUND(tot.n_agree / CAST({_N_MINHASH} AS DOUBLE), 6)
+               AS est_jaccard,
+           CAST(tot.n_candidates AS BIGINT) AS n_candidates,
+           CAST(COUNT(scored.exact_j) AS BIGINT) AS n_sampled,
+           ROUND(AVG(scored.exact_j), 6) AS avg_exact,
+           ROUND(MIN(scored.exact_j), 6) AS min_exact,
+           ROUND(MAX(scored.exact_j), 6) AS max_exact
+    FROM tot LEFT JOIN scored ON scored.n_agree = tot.n_agree
+    GROUP BY tot.n_agree, tot.n_candidates
+    """
+
+
+@query("text_minhash_estimate", oracle=_minhash_estimate_oracle())
+def text_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch CALIBRATION for the MinHash path: for every possible
+    signature-agreement level (0..8 of 8 components), how many LSH
+    candidate pairs sit there, and — over a deterministic ~2%%
+    md5-sample of pairs — the exact token Jaccard's avg/min/max at that
+    level. This is the table a pipeline reads to pick its near-dup
+    threshold: estimator level on one axis, ground truth beside it,
+    measured with the SAME md5 signatures ``text_minhash_neardup``
+    ships.
+
+    Scale shape: the (cheap) signature compare runs over all candidate
+    pairs, but the (expensive) exact token join runs ONLY over the
+    hash-sampled pairs — sampling by content hash keeps the eval
+    reproducible across engines, reruns, and partitionings, and the
+    output is <= 9 rows regardless of corpus size."""
+    from .text import _N_MINHASH, _minhash_cols
+
+    t = Tables(spark, sf_dir)
+    tok = (
+        t.documents.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .distinct()
+    )
+    sig = tok.groupBy("doc_id").agg(*_minhash_cols())
+    cand = _lsh_candidates(sig)
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_N_MINHASH)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_N_MINHASH)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(_N_MINHASH)
+    )
+    est = (
+        cand.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select("id_a", "id_b", agree.alias("n_agree"))
+    )
+    pair_bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    F.col("id_a").cast("string"),
+                    F.col("id_b").cast("string"),
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("int")
+    sample = est.filter(pair_bucket < 1311)  # deterministic ~2% of pairs
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ta = tok.select(F.col("doc_id").alias("id_a"), "token")
+    tb = tok.select(F.col("doc_id").alias("id_b"), "token")
+    inter = (
+        sample.select("id_a", "id_b")
+        .join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("both_n"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    both = F.coalesce(F.col("both_n"), F.lit(0))
+    scored = (
+        sample.join(inter, ["id_a", "id_b"], "left")
+        .join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "n_agree",
+            (
+                both / (F.col("na") + F.col("nb") - both).cast("double")
+            ).alias("exact_j"),
+        )
+    )
+    tot = est.groupBy("n_agree").agg(F.count("*").alias("n_candidates"))
+    stats = scored.groupBy("n_agree").agg(
+        F.count("exact_j").alias("n_sampled"),
+        F.round(F.avg("exact_j"), 6).alias("avg_exact"),
+        F.round(F.min("exact_j"), 6).alias("min_exact"),
+        F.round(F.max("exact_j"), 6).alias("max_exact"),
+    )
+    return (
+        tot.join(stats, "n_agree", "left")
+        .select(
+            "n_agree",
+            F.round(
+                F.col("n_agree") / F.lit(float(_N_MINHASH)), 6
+            ).alias("est_jaccard"),
+            "n_candidates",
+            F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+            "avg_exact",
+            "min_exact",
+            "max_exact",
+        )
+    )
