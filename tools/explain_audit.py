@@ -86,6 +86,14 @@ AUDIT = [
     "traj_convoy",
     "rel_win_pattern",
     "sim_knn_sq8",
+    "rel_join_asof_nearest",
+    "traj_heatmap_density",
+    "rel_join_interval_overlap",
+    "rel_intersect_all",
+    "rel_except_all",
+    "sink_partitioned_roundtrip",
+    "sim_ann_recall",
+    "text_minhash_estimate",
 ]
 
 
