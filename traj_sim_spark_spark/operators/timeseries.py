@@ -23,7 +23,7 @@ rollup and a mergeable frequency sketch.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -195,3 +195,109 @@ def sketch_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cnt").alias("est"))
     )
     return est.orderBy(F.desc("est"), "token").limit(_CMS_TOPK)
+
+
+_QH_BINS = 256
+_QH_QS = (0.5, 0.95, 0.99)
+
+
+@query(
+    "sketch_quantile_hist",
+    oracle=f"""
+    WITH stats AS (
+        SELECT MIN(value) AS mn, MAX(value) AS mx, COUNT(*) AS n
+        FROM events
+    ),
+    binned AS (
+        SELECT LEAST(CAST(FLOOR((value - (SELECT mn FROM stats))
+                                / ((SELECT mx FROM stats)
+                                   - (SELECT mn FROM stats))
+                                * {_QH_BINS}) AS BIGINT),
+                     {_QH_BINS - 1}) AS bin
+        FROM events
+    ),
+    hist AS (SELECT bin, COUNT(*) AS c FROM binned GROUP BY bin),
+    cum AS (
+        SELECT bin, c,
+               SUM(c) OVER (ORDER BY bin) AS cum,
+               SUM(c) OVER (ORDER BY bin) - c AS cum_prev
+        FROM hist
+    ),
+    qs AS (SELECT UNNEST([{", ".join(str(q) for q in _QH_QS)}]) AS q),
+    hit AS (
+        SELECT qs.q, cum.bin, cum.c, cum.cum_prev,
+               ROW_NUMBER() OVER (PARTITION BY qs.q ORDER BY cum.bin)
+                   AS rn
+        FROM qs JOIN cum
+          ON cum.cum >= qs.q * (SELECT n FROM stats)
+    )
+    SELECT q,
+           ROUND((SELECT mn FROM stats)
+                 + (bin + (q * (SELECT n FROM stats) - cum_prev) / c)
+                   * (((SELECT mx FROM stats) - (SELECT mn FROM stats))
+                      / {_QH_BINS}), 6) AS est
+    FROM hit WHERE rn = 1
+    """,
+)
+def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a fixed 256-bin equi-width histogram —
+    the third deterministic sketch (after Count-Min and MinHash): bins
+    are ADDITIVE counters, so the histogram merges map-side like any
+    hash aggregate, and the P50/P95/P99 estimates (linear interpolation
+    within the hit bin) are pure arithmetic over the 256-row grid —
+    bit-reproducible in any engine, hence a FULL oracle where the
+    engine-internal t-digest/GK sketches (``rel_agg_approx``'s HLL
+    cousin) can only be WEAK.
+
+    Plan: one scan -> (min, max, n) broadcast -> one 256-cell hash
+    aggregate -> a 256-row window cumsum + 3-row probe. At 100 TB the
+    only data-sized work is the scan and the map-side-combined
+    histogram; everything after is constant-size."""
+    t = Tables(spark, sf_dir)
+    stats = t.events.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count("*").alias("n"),
+    )
+    binned = (
+        t.events.join(F.broadcast(stats))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * _QH_BINS
+                ),
+                F.lit(_QH_BINS - 1),
+            ).alias("bin"),
+        )
+    )
+    hist = binned.groupBy("bin").agg(F.count("*").alias("c"))
+    wcum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        (F.sum("c").over(wcum) - F.col("c")).alias("cum_prev"),
+    )
+    qs = spark.createDataFrame(
+        [(q,) for q in _QH_QS], "q double"
+    )
+    hit = (
+        qs.join(
+            F.broadcast(cum.join(F.broadcast(stats))),
+            F.col("cum") >= F.col("q") * F.col("n"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("q").orderBy("bin")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    est = F.col("mn") + (
+        F.col("bin")
+        + (F.col("q") * F.col("n") - F.col("cum_prev")) / F.col("c")
+    ) * ((F.col("mx") - F.col("mn")) / _QH_BINS)
+    return hit.select("q", F.round(est, 6).alias("est"))
