@@ -454,3 +454,52 @@ def text_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_exact",
         )
     )
+
+
+def _dedup_semantic_oracle() -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    WITH pairs AS ({ORACLES["emb_neardup_lsh"]})
+    SELECT d.doc_id, d.lang, d.source,
+           CASE WHEN p.id_b IS NULL THEN TRUE ELSE FALSE END AS kept
+    FROM documents d
+    LEFT JOIN (SELECT DISTINCT id_b FROM pairs) p
+      ON p.id_b = d.doc_id
+    """
+
+
+@query("pipe_dedup_semantic", oracle=_dedup_semantic_oracle())
+def pipe_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end at the document level: near-duplicate
+    pairs from the hyperplane-LSH-bucketed embedding cosine
+    (``emb_neardup_lsh``, cos >= 0.4), greedy keep-lowest-id flags
+    joined back onto the document corpus — the embedding twin of the
+    MinHash pipeline ``pipe_neardup_dedup``, and the standard SemDeDup
+    shape: cluster/bucket in embedding space, drop all but one per
+    near-dup relation.
+
+    Composed from the registered pair builder (and its oracle SQL), so
+    the dedup decision evaluated here is exactly the shipped near-dup
+    operator. One distinct over the (bucketed, sub-quadratic) pair
+    list + one left-anti-shaped join against the corpus — linear beyond
+    the pair generation itself."""
+    from ..operators.extras import emb_neardup_lsh
+
+    t = Tables(spark, sf_dir)
+    dropped = (
+        emb_neardup_lsh(spark, sf_dir)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        t.documents.select("doc_id", "lang", "source")
+        .join(F.broadcast(dropped), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("hit").isNull().alias("kept"),
+        )
+    )
