@@ -184,3 +184,52 @@ def stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cnt").alias("est"))
         .orderBy(F.desc("est"), "token")
     )
+
+
+@query(
+    "stream_quantile_hist",
+    oracle="""
+    WITH stats AS (
+        SELECT MIN(value) AS mn, MAX(value) AS mx, COUNT(*) AS n
+        FROM events
+    ),
+    binned AS (
+        SELECT LEAST(CAST(FLOOR((value - (SELECT mn FROM stats))
+                                / ((SELECT mx FROM stats)
+                                   - (SELECT mn FROM stats))
+                                * 256) AS BIGINT), 255) AS bin
+        FROM events
+    )
+    SELECT bin, COUNT(*) AS c FROM binned GROUP BY bin
+    """,
+)
+def stream_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile histogram maintained CONTINUOUSLY: the same 256
+    equi-width bins as ``sketch_quantile_hist``, incremented as events
+    arrive — bins are additive counters, so the sketch IS a streaming
+    aggregate with <= 256 rows of state, and the quantile read-out is a
+    constant-time probe of the materialized grid whenever needed.
+
+    The bin edges (global min/max) come from the STATIC table at plan
+    time — the production pattern: edges are fixed by a calibration
+    pass (or domain knowledge) BEFORE the stream starts, because a
+    streaming min/max would re-bin history. Complete mode re-emits the
+    whole grid per trigger; the final grid hash-matches the
+    DuckDB-built histogram bit-for-bit."""
+    t = Tables(spark, sf_dir)
+    row = t.events.agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    ).head()
+    mn, mx = float(row["mn"]), float(row["mx"])
+    ev = events_stream(spark, sf_dir)
+    cells = (
+        ev.select(
+            F.least(
+                F.floor((F.col("value") - mn) / (mx - mn) * 256),
+                F.lit(255),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("c"))
+    )
+    return run_to_completion(cells, "complete")
