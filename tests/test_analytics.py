@@ -53,3 +53,55 @@ def test_emb_kmeans_matches_numpy_lloyd(spark):
         n, w = got.get(c, (0, 0.0))
         assert n == exp_counts[c], f"cluster {c}: {n} != {exp_counts[c]}"
         assert abs(w - exp_wcss[c]) <= max(1e-6 * exp_wcss[c], 1e-4)
+
+
+def test_sim_knn_pq_matches_numpy_reference(spark):
+    """sim_knn_pq must reproduce a straightforward NumPy PQ: same
+    subspace split, same deterministic codebook init (16 lowest
+    vec_ids), same 2 Lloyd iterations (argmin ties -> lowest cid), same
+    ADC scoring, same (adc_d2, vec_id) top-10."""
+    from traj_sim_spark_spark.operators.similarity_ext import (
+        _PQ_ITERS,
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUB,
+        _PQ_TOPK,
+        sim_knn_pq,
+    )
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    vecs, ids = vecs[order], ids[order]
+
+    exp = {}
+    adc = np.zeros(len(vecs))
+    for m in range(_PQ_M):
+        sub = vecs[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+        cent = sub[ids < _PQ_K][np.argsort(ids[ids < _PQ_K])].copy()
+        for _ in range(_PQ_ITERS):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(_PQ_K):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        codes = d2.argmin(axis=1)
+        qsub = sub[ids == 0][0]
+        table = ((cent - qsub) ** 2).sum(axis=1)
+        adc += table[codes]
+    mask = ids != 0
+    cand = sorted(
+        zip(np.round(adc[mask], 6), ids[mask]), key=lambda t: (t[0], t[1])
+    )[:_PQ_TOPK]
+    exp = {int(v): float(d) for d, v in cand}
+
+    got = {
+        r["vec_id"]: r["adc_d2"]
+        for r in sim_knn_pq(spark, SF).collect()
+    }
+    assert set(got) == set(exp), (sorted(got), sorted(exp))
+    for v, d in exp.items():
+        assert abs(got[v] - d) <= 1e-6, (v, got[v], d)

@@ -146,7 +146,10 @@ def sim_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _recall_oracle() -> str:
+    # ensure the composed-from module is registered even when this
+    # module is imported directly (outside registry.load_all order)
     from ..registry import ORACLES
+    from . import similarity  # noqa: F401
 
     exact = ORACLES["sim_knn"]
     ann = ORACLES["sim_knn_ivf_centroid"]
@@ -189,4 +192,115 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.count("a_vec_id") / F.count("vec_id").cast("double"), 6
         ).alias("recall"),
+    )
+
+
+_PQ_M = 8  # subspaces (64 dims -> 8 x 8)
+_PQ_SUB = 8  # dims per subspace
+_PQ_K = 16  # centroids per subspace codebook
+_PQ_ITERS = 2
+_PQ_TOPK = 10
+
+
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, sub) — each vector split into _PQ_M contiguous
+    subvectors, JVM-side (slice, no explode of scalars)."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice("v", m * _PQ_SUB + 1, _PQ_SUB).alias("sub"),
+            )
+            for m in range(_PQ_M)
+        ]
+    )
+    return emb.select(
+        "vec_id", F.explode(subs).alias("s")
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+
+
+def _pq_d2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@query("sim_knn_pq")  # WEAK: float argmin codebooks, not ANSI-SQL
+def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 64-d vectors split into 8 subspaces of
+    8 dims; per subspace a 16-centroid codebook (2 Lloyd iterations,
+    deterministic init = the 16 lowest vec_ids' subvectors); every
+    vector encoded as 8 one-byte codes (64 bytes -> 8 bytes, the 64x
+    compression PQ exists for); the query answered by ASYMMETRIC
+    DISTANCE COMPUTATION — one 128-row (m, code) -> d2 lookup table
+    from the query's subvectors, each corpus vector scored as the SUM
+    of 8 table lookups, top-10 by (adc_d2, vec_id).
+
+    The scale economics: the codebook train + encode is an offline
+    write-path job (like `emb_layout_ivf`'s layout); the query path
+    touches only the 8-byte codes and a broadcast 128-row table — no
+    float vector is read at query time. All joins are broadcasts
+    (codebooks, tables); per-iteration assignment reuses the k-means
+    min_by pattern. WEAK row (float argmin); pinned against a NumPy PQ
+    reference in tests/test_analytics.py."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    subv = _pq_subvectors(emb)
+    cent = (
+        subv.filter(F.col("vec_id") < _PQ_K)
+        .select(
+            "m",
+            F.col("vec_id").cast("int").alias("cid"),
+            F.col("sub").alias("c"),
+        )
+    )
+    d2 = _pq_d2("sub", "c")
+    for _ in range(_PQ_ITERS):
+        assigned = (
+            subv.join(F.broadcast(cent), "m")
+            .withColumn("d2", d2)
+            .groupBy("vec_id", "m")
+            .agg(
+                F.min_by("cid", F.struct("d2", "cid")).alias("cid"),
+                F.first("sub").alias("sub"),
+            )
+        )
+        cent = (
+            assigned.select("m", "cid", F.posexplode("sub").alias("pos", "x"))
+            .groupBy("m", "cid", "pos")
+            .agg(F.avg("x").alias("mv"))
+            .groupBy("m", "cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "mv"))
+                ).alias("pm")
+            )
+            .select(
+                "m",
+                "cid",
+                F.transform("pm", lambda s: s["mv"]).alias("c"),
+            )
+        )
+    codes = (
+        subv.join(F.broadcast(cent), "m")
+        .withColumn("d2", d2)
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
+    )
+    qtab = (
+        subv.filter(F.col("vec_id") == 0)
+        .join(F.broadcast(cent), "m")
+        .select("m", "cid", d2.alias("qd2"))
+    )
+    return (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qtab), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("qd2"), 6).alias("adc_d2"))
+        .orderBy("adc_d2", "vec_id")
+        .limit(_PQ_TOPK)
     )

@@ -458,6 +458,7 @@ def text_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dedup_semantic_oracle() -> str:
     from ..registry import ORACLES
+    from . import extras  # noqa: F401  (register emb_neardup_lsh)
 
     return f"""
     WITH pairs AS ({ORACLES["emb_neardup_lsh"]})
