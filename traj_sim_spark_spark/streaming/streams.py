@@ -32,16 +32,20 @@ from ..registry import query
 _DELAY = "10 minutes"
 _DELAY_US = 10 * 60 * 1_000_000
 
-_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see tables.load)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _raw_schema(ts_type: T.DataType) -> T.StructType:
+    """File-source schema; ``ts_type`` matches the fixture's encoding
+    (LongType for nanos-as-long fixtures, a timestamp type for us
+    fixtures — see tables.load)."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def _stream_dir(sf_dir: str) -> str:
@@ -58,14 +62,18 @@ def _stream_dir(sf_dir: str) -> str:
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a file-source stream (ns->us ts conversion as in
-    the batch loader)."""
+    """events.parquet as a file-source stream (ts normalized to
+    TimestampType exactly as in the batch loader)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(_RAW_SCHEMA)
-        .parquet(_stream_dir(sf_dir))
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # one driver-side footer read to match the fixture's ts encoding
+    ts_type = (
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+        .schema["ts"].dataType
     )
+    raw = spark.readStream.schema(_raw_schema(ts_type)).parquet(_stream_dir(sf_dir))
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
 
 
 def run_to_completion(stream_df: DataFrame, output_mode: str) -> DataFrame:

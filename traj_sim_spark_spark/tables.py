@@ -18,9 +18,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # ---------------------------------------------------------------------------
-# Explicit schemas (FIXTURES.md).  events.ts is nanosecond parquet; Spark
-# reads it as microsecond TimestampType — lossless for this corpus (verified:
-# no sub-microsecond components).
+# Explicit schemas (FIXTURES.md).  events.ts normalizes to microsecond
+# TimestampType whichever parquet encoding the fixture ships (see load()).
 # ---------------------------------------------------------------------------
 
 SCHEMAS: dict[str, T.StructType] = {
@@ -123,20 +122,27 @@ TABLE_NAMES = tuple(SCHEMAS)
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy columnar scan of one table; schema validated against registry.
 
-    ``events.ts`` is stored as Parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects by default; we read it as a long
-    (``nanosAsLong``) and convert to microsecond TimestampType with integer
-    division — lossless for this corpus (no sub-microsecond components,
-    verified) and schema-level, so it scales to any corpus size.
+    ``events.ts`` has shipped in two fixture encodings: Parquet
+    TIMESTAMP(NANOS) (read as long via ``nanosAsLong`` and converted with
+    integer division — lossless, no sub-microsecond components) and
+    TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ; cast to TimestampType — the
+    session timezone is UTC, so the instants are identical). The branch is
+    schema-level (one footer read), so it scales to any corpus size.
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; registered: {TABLE_NAMES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return (
-            spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        )
+        df = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # nanosecond-encoded fixture: nanos-as-long -> us TimestampType
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        else:
+            # us-encoded fixture reads as TIMESTAMP_NTZ; cast to the session
+            # TimestampType (UTC session tz => identical instants)
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return df
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     expected = {f.name for f in SCHEMAS[name].fields}
     got = set(df.columns)
