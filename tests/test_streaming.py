@@ -127,3 +127,68 @@ def test_session_stream_equals_batch(spark, sf_dir):
     assert len(s) == len(b)
     assert (s["user_id"] == b["user_id"]).all()
     assert (s["n_events"].to_numpy() == b["n_events"].to_numpy()).all()
+
+
+def test_funnel_state_machine_across_batches(spark, stream_dir, tmp_path):
+    """The funnel state machine must advance — and only advance — across
+    micro-batches: a click BEFORE the first view never counts, a click in
+    a later batch does, and the purchase must follow the click."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from traj_sim_spark_spark.streaming.streams_ext import _funnel_advance
+
+    def _write(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["user_id", "event_type", "ts"]
+        )
+        pdf["us"] = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+        spark.createDataFrame(
+            pdf[["user_id", "event_type", "us"]]
+        ).coalesce(1).write.mode("append").parquet(stream_dir)
+        time.sleep(0.05)
+
+    # b1: click precedes the first view (must not count), then the view
+    _write("b1", [(7, "click", "2024-01-01 09:59:00"),
+                  (7, "view", "2024-01-01 10:00:00"),
+                  (7, "purchase", "2024-01-01 10:00:30")])  # pre-click: no
+    src = (
+        spark.readStream.schema("user_id long, event_type string, us long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    out = src.groupBy("user_id").applyInPandasWithState(
+        _funnel_advance,
+        outputStructType="user_id bigint, v_us bigint, c_us bigint, "
+        "p_us bigint, stage int",
+        stateStructType="v bigint, c bigint, p bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("funnel_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        mid = {
+            r["user_id"]: r for r in spark.table("funnel_test").collect()
+        }
+        assert mid[7]["stage"] == 1, f"pre-view click/purchase counted: {mid}"
+        # b2: the real click, then the purchase
+        _write("b2", [(7, "click", "2024-01-01 10:01:00"),
+                      (7, "purchase", "2024-01-01 10:02:00")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [
+        r for r in spark.table("funnel_test").collect() if r["stage"] == 3
+    ]
+    assert rows, "funnel never reached stage 3 after batch 2"
+    r = rows[-1]
+    us = lambda s: int(pd.Timestamp(s).value // 1000)  # noqa: E731
+    assert r["v_us"] == us("2024-01-01 10:00:00")
+    assert r["c_us"] == us("2024-01-01 10:01:00")
+    assert r["p_us"] == us("2024-01-01 10:02:00")

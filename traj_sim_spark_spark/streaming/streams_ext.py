@@ -233,3 +233,119 @@ def stream_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
     )
     return run_to_completion(cells, "complete")
+
+
+def _funnel_advance(key, pdfs, state):  # noqa: ANN001
+    """Per-user funnel state machine (view -> click -> purchase), one
+    ``applyInPandasWithState`` step. State = three nullable earliest-us
+    marks; rows are applied in event-time order and fields only ever
+    transition NULL -> fixed value, so replays/batch splits cannot
+    revise an earlier decision. Module-level so the cross-batch test
+    drives the exact production function."""
+    import pandas as pd
+
+    v, c, p = state.get if state.exists else (None, None, None)
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    # event-time order within the batch; strict > guards below make
+    # same-instant cross-stage ties processing-order-independent
+    batch = batch.sort_values("us", kind="mergesort")
+    for et, us in zip(batch["event_type"], batch["us"]):
+        us = int(us)
+        if v is None:
+            if et == "view":
+                v = us
+        elif c is None:
+            if et == "click" and us > v:
+                c = us
+        elif p is None:
+            if et == "purchase" and us > c:
+                p = us
+    state.update((v, c, p))
+    stage = 1 + (c is not None) + (p is not None) if v is not None else 0
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "v_us": [v],
+            "c_us": [c],
+            "p_us": [p],
+            "stage": [stage],
+        }
+    )
+
+
+@query(
+    "stream_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS v_us
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id,
+               MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS c_us
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click'
+          AND epoch_us(CAST(e.ts AS TIMESTAMP)) > v.v_us
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id,
+               MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS p_us
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(CAST(e.ts AS TIMESTAMP)) > c.c_us
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.v_us, c.c_us, p.p_us,
+           1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS stage
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON c.user_id = p.user_id
+    """,
+)
+def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered view -> click -> purchase funnel maintained
+    CONTINUOUSLY as a per-user state machine via
+    ``applyInPandasWithState`` — the multi-stage stateful-streaming
+    shape (``rel_funnel``'s batch semantics, SURVEY.md §2.2-N, on the
+    streaming axis). State per user = three nullable micro-timestamps
+    (the earliest view, the earliest click after it, the earliest
+    purchase after that); each micro-batch's rows are applied in event-
+    time order, and a stage can only ever ADVANCE, never revise —
+    exactly why the funnel is incrementally maintainable while the
+    batch query needs three chained aggregates.
+
+    Update-mode emissions are one row per user per batch; since the
+    state triple is monotone (fields only transition NULL -> fixed
+    value), the final state is the max-stage emission — the same
+    batching-independence dedup as ``stream_stateful``. Users who never
+    viewed are filtered (the batch oracle's FROM v base). State-store
+    economics: 3 longs/user, hash-partitioned by user_id."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _funnel_advance,
+        outputStructType="user_id bigint, v_us bigint, c_us bigint, "
+        "p_us bigint, stage int",
+        stateStructType="v bigint, c bigint, p bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = run_to_completion(out, "update")
+    # keep each user's final (max-stage) emission; drop never-viewed
+    return (
+        res.filter(F.col("stage") >= 1)
+        .groupBy("user_id")
+        .agg(
+            F.expr("max_by(struct(v_us, c_us, p_us, stage), stage)").alias(
+                "s"
+            )
+        )
+        .select("user_id", "s.v_us", "s.c_us", "s.p_us", "s.stage")
+    )
