@@ -436,3 +436,194 @@ def traj_convoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("max_run") >= 3)
     )
+
+
+_CLUSTER_TAU = 6.0  # Hausdorff threshold for the similarity graph
+_SIG_M = 16  # rank-sampled signature size per user
+
+
+@query(
+    "traj_cluster_threshold",
+    oracle=f"""
+    WITH RECURSIVE
+    p AS (SELECT DISTINCT user_id, value AS v FROM events),
+    rk AS (SELECT user_id, v,
+                  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY v) AS r,
+                  COUNT(*) OVER (PARTITION BY user_id) AS nv
+           FROM p),
+    picks AS (SELECT DISTINCT user_id,
+                     1 + CAST(FLOOR((i.i - 1) * (nv - 1)
+                                    / {_SIG_M - 1}.0) AS BIGINT) AS r
+              FROM (SELECT DISTINCT user_id, nv FROM rk) u
+              CROSS JOIN (SELECT UNNEST(generate_series(1, {_SIG_M}))
+                          AS i) i),
+    sig AS (SELECT rk.user_id, rk.v FROM rk JOIN picks USING (user_id, r)),
+    s AS (SELECT user_id, MIN(v) mn, MAX(v) mx FROM sig GROUP BY user_id),
+    cand AS (SELECT a.user_id u, b.user_id v
+             FROM s a JOIN s b ON a.user_id < b.user_id
+             WHERE ABS(a.mn - b.mn) <= {_CLUSTER_TAU}
+               AND ABS(a.mx - b.mx) <= {_CLUSTER_TAU}),
+    d AS (SELECT c.u, c.v, sa.v av, sb.v bv, ABS(sa.v - sb.v) dd
+          FROM cand c JOIN sig sa ON sa.user_id = c.u
+                      JOIN sig sb ON sb.user_id = c.v),
+    h1 AS (SELECT u, v, MAX(md) h FROM (
+               SELECT u, v, av, MIN(dd) md FROM d GROUP BY u, v, av)
+           GROUP BY u, v),
+    h2 AS (SELECT u, v, MAX(md) h FROM (
+               SELECT u, v, bv, MIN(dd) md FROM d GROUP BY u, v, bv)
+           GROUP BY u, v),
+    e AS MATERIALIZED (
+        SELECT h1.u, h1.v FROM h1 JOIN h2 USING (u, v)
+        WHERE GREATEST(h1.h, h2.h) <= {_CLUSTER_TAU}),
+    edges AS MATERIALIZED (
+        SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    reach(node, label) AS (
+        SELECT DISTINCT user_id, user_id FROM events
+        UNION
+        SELECT e.u, r.label FROM reach r JOIN edges e ON e.v = r.node
+        WHERE r.label < e.u
+    ),
+    lab AS (SELECT node AS user_id, MIN(label) AS cluster_id
+            FROM reach GROUP BY node)
+    SELECT lab.user_id, lab.cluster_id, c.cluster_size
+    FROM lab JOIN (
+        SELECT cluster_id, COUNT(*) AS cluster_size FROM lab
+        GROUP BY cluster_id
+    ) c USING (cluster_id)
+    """,
+)
+def traj_cluster_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory CLUSTERING: connected components over the Hausdorff-
+    threshold similarity graph — R8 run as a SELF-join feeding the same
+    min-label-propagation engine as ``text_dedup_cluster`` (the
+    reference's similarity search composed into corpus-level structure
+    discovery, e.g. route grouping over a fleet).
+
+    Scale shape, stage by stage — nothing is all-pairs:
+
+    1. each user's point set is compacted to a deterministic
+       16-point RANK-SAMPLED signature (evenly spaced ranks over
+       the distinct sorted values, endpoints always included) — the
+       simplify-before-index step [P §2], like ``traj_simplify_dp``,
+       but rank-based so it is SQL-expressible and oracle-checkable;
+    2. candidate pairs come from a BANDED summary self-join: the
+       endpoint lower bound H(A,B) >= max(|dmin|, |dmax|) is lossless
+       (the nearest neighbor of A's extreme point is at least the
+       extreme-point gap away), and |dmin| <= tau is an equi-join on
+       floor(mn/tau) cells with a 3-cell probe — ``sim_band_join``'s
+       trick, so the pair fan-out is per-band, not U^2;
+    3. surviving pairs are refined EXACTLY (on signatures): two grouped
+       minima over the 16x16 value grid per pair — bounded work per
+       candidate;
+    4. edges (H <= tau) feed ``connected_components`` (one join + one
+       agg per round, localCheckpoint every 4 rounds).
+
+    The DuckDB oracle replays all four stages (bound included — its
+    losslessness is therefore verified, the unbanded oracle would
+    diverge otherwise) and labels via a recursive CTE; the edge CTEs
+    are MATERIALIZED or DuckDB re-evaluates the whole refine pipeline
+    on every recursion round (measured 203 s -> 1.2 s at sf0.1)."""
+    from .text import connected_components
+
+    t = Tables(spark, sf_dir)
+    tau = _CLUSTER_TAU
+    # signature in ONE aggregation: sorted distinct values per user, then
+    # the evenly-ranked picks by array index (rank r = 1 + floor(j*(nv-1)
+    # / (m-1)), j = 0..m-1 — endpoints always included, same formula the
+    # oracle's picks CTE evaluates row-wise)
+    sig = (
+        t.events.select("user_id", F.col("value").alias("v"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("v")).alias("vs"))
+        .select(
+            "user_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(_SIG_M - 1)),
+                        lambda j: F.element_at(
+                            "vs",
+                            (
+                                1
+                                + F.floor(
+                                    j
+                                    * (F.size("vs") - 1)
+                                    / (_SIG_M - 1.0)
+                                )
+                            ).cast("int"),
+                        ),
+                    )
+                )
+            ).alias("v"),
+        )
+        .persist()
+    )
+    s = sig.groupBy("user_id").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    # banded candidate join: |dmin|<=tau => cells adjacent (3-cell probe)
+    a = s.select(
+        F.col("user_id").alias("u"),
+        F.col("mn").alias("amn"),
+        F.col("mx").alias("amx"),
+        F.explode(
+            F.array(
+                F.floor(F.col("mn") / tau) - 1,
+                F.floor(F.col("mn") / tau),
+                F.floor(F.col("mn") / tau) + 1,
+            )
+        ).alias("cell"),
+    )
+    b = s.select(
+        F.col("user_id").alias("v"),
+        F.col("mn").alias("bmn"),
+        F.col("mx").alias("bmx"),
+        F.floor(F.col("mn") / tau).alias("cell"),
+    )
+    cand = (
+        a.join(b, "cell")
+        .filter(
+            (F.col("u") < F.col("v"))
+            & (F.abs(F.col("amn") - F.col("bmn")) <= tau)
+            & (F.abs(F.col("amx") - F.col("bmx")) <= tau)
+        )
+        .select("u", "v")
+    )
+    sa = sig.select(F.col("user_id").alias("u"), F.col("v").alias("av"))
+    sb = sig.select(F.col("user_id").alias("v"), F.col("v").alias("bv"))
+    d = (
+        cand.join(sa, "u")
+        .join(sb, "v")
+        .select(
+            "u", "v", "av", "bv",
+            F.abs(F.col("av") - F.col("bv")).alias("dd"),
+        )
+    )
+    h1 = (
+        d.groupBy("u", "v", "av").agg(F.min("dd").alias("md"))
+        .groupBy("u", "v").agg(F.max("md").alias("h1"))
+    )
+    h2 = (
+        d.groupBy("u", "v", "bv").agg(F.min("dd").alias("md"))
+        .groupBy("u", "v").agg(F.max("md").alias("h2"))
+    )
+    e = (
+        h1.join(h2, ["u", "v"])
+        .filter(F.greatest("h1", "h2") <= tau)
+        .select("u", "v")
+        .persist()
+    )
+    edges = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    nodes = t.events.select(F.col("user_id").alias("node")).distinct()
+    labels = connected_components(nodes, edges)
+    sig.unpersist()
+    e.unpersist()
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("user_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )

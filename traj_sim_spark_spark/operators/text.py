@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.vector import cosine, to_double
 from ..registry import query
@@ -660,43 +661,62 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     of near-dups) blows up plan analysis long before the data does
     (VERDICT r1 #7). ``nodes``: one column ``node``; ``edges``: columns
     ``(u, v)``, directed (pass both directions for undirected graphs).
-    Returns (node, label)."""
+    Returns (node, label).
+
+    Iteration economics (the streaming state-store argument, applied to
+    a loop): every round pays per-shuffle-partition scheduling overhead
+    REGARDLESS of data volume, so the partition count must track the
+    label-table size, not the session's scan width — a 32-wide tiny CC
+    was ~10x slower than the same loop at width 1. Convergence is
+    checked with one aggregate, not a join: labels only ever DECREASE,
+    so the label-sum (exact DECIMAL — a bigint sum overflows at
+    ~10^9 nodes x 10^12 ids) is strictly monotone and stalls exactly at
+    the fixpoint."""
+    spark = nodes.sparkSession
     edges = edges.persist()
-    labels = nodes.select(
-        F.col("node"), F.col("node").alias("label")
-    ).persist()
-    rounds = 0
-    while True:
-        neigh = (
-            edges.join(labels, edges.v == labels.node)
-            .groupBy("u")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = labels.join(
-            neigh, labels.node == neigh.u, "left"
-        ).select(
-            "node",
-            F.least("label", F.coalesce("nlabel", F.col("label"))).alias(
-                "label"
-            ),
-        )
-        rounds += 1
-        if rounds % _CC_CHECKPOINT_EVERY == 0:
-            # materializes AND truncates lineage; replaces the persist
-            new_labels = new_labels.localCheckpoint()
-        else:
-            new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )  # one scalar per round — the convergence check
+    n_edges = edges.count()  # also materializes the (possibly 2x) input
+    # one partition per ~2M edges, capped by the session's shuffle width
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = max(1, min(width, n_edges // 2_000_000 + 1))
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        labels = nodes.select(
+            F.col("node"), F.col("node").alias("label")
+        ).persist()
+        prev_sum = None
+        rounds = 0
+        while True:
+            neigh = (
+                edges.join(labels, edges.v == labels.node)
+                .groupBy("u")
+                .agg(F.min("label").alias("nlabel"))
+            )
+            new_labels = labels.join(
+                neigh, labels.node == neigh.u, "left"
+            ).select(
+                "node",
+                F.least(
+                    "label", F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            rounds += 1
+            if rounds % _CC_CHECKPOINT_EVERY == 0:
+                # materializes AND truncates lineage; replaces the persist
+                new_labels = new_labels.localCheckpoint()
+            else:
+                new_labels = new_labels.persist()
+            label_sum = new_labels.agg(
+                F.sum(F.col("label").cast(T.DecimalType(38, 0)))
+            ).head()[0]  # one scalar per round — the convergence check
+            labels.unpersist()
+            labels = new_labels
+            if label_sum == prev_sum:
+                break
+            prev_sum = label_sum
+        edges.unpersist()
+        out = labels.localCheckpoint()  # final materialization, no leak
         labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
-    out = labels.localCheckpoint()  # final materialization, no cache leak
-    labels.unpersist()
-    return out
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
