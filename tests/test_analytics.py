@@ -105,3 +105,72 @@ def test_sim_knn_pq_matches_numpy_reference(spark):
     assert set(got) == set(exp), (sorted(got), sorted(exp))
     for v, d in exp.items():
         assert abs(got[v] - d) <= 1e-6, (v, got[v], d)
+
+
+def test_sim_knn_ivfpq_matches_numpy_reference(spark):
+    """sim_knn_ivfpq must reproduce a NumPy IVFPQ: per-label coarse
+    centroids (argmin ties -> lowest label), PQ codebooks trained on
+    RESIDUALS with the same deterministic init/iterations as the flat
+    PQ, nprobe=2 probe of the query's nearest cells, per-cell ADC
+    tables from the query's cell residual, top-10 by (adc_d2, vec_id)."""
+    from traj_sim_spark_spark.operators.similarity_ext import (
+        _IVFPQ_NPROBE,
+        _PQ_ITERS,
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUB,
+        _PQ_TOPK,
+        sim_knn_ivfpq,
+    )
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    labels = np.asarray(tbl.column("label").to_pylist(), dtype=np.int64)
+    vecs = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    vecs, ids, labels = vecs[order], ids[order], labels[order]
+
+    # coarse: per-label centroids, argmin assignment (ties -> low label)
+    clabels = np.sort(np.unique(labels))
+    coarse = np.stack([vecs[labels == c].mean(axis=0) for c in clabels])
+    cd2 = ((vecs[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    cassign = clabels[cd2.argmin(axis=1)]
+    resid = vecs - coarse[np.searchsorted(clabels, cassign)]
+
+    # probe: the query's nprobe nearest cells by (d2, clabel)
+    qi = int(np.where(ids == 0)[0][0])
+    probe_order = sorted(zip(cd2[qi], clabels))[:_IVFPQ_NPROBE]
+    probed = [int(c) for _, c in probe_order]
+
+    adc = np.zeros(len(vecs))
+    for m in range(_PQ_M):
+        sub = resid[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+        cent = sub[ids < _PQ_K][np.argsort(ids[ids < _PQ_K])].copy()
+        for _ in range(_PQ_ITERS):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(_PQ_K):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        codes = d2.argmin(axis=1)
+        for cell in probed:
+            qres = vecs[qi] - coarse[np.searchsorted(clabels, cell)]
+            qsub = qres[m * _PQ_SUB : (m + 1) * _PQ_SUB]
+            table = ((cent - qsub) ** 2).sum(axis=1)
+            in_cell = cassign == cell
+            adc[in_cell] += table[codes[in_cell]]
+
+    mask = np.isin(cassign, probed) & (ids != 0)
+    cand = sorted(
+        zip(np.round(adc[mask], 6), ids[mask]), key=lambda t: (t[0], t[1])
+    )[:_PQ_TOPK]
+    exp = {int(v): float(d) for d, v in cand}
+
+    got = {
+        r["vec_id"]: r["adc_d2"] for r in sim_knn_ivfpq(spark, SF).collect()
+    }
+    assert set(got) == set(exp), (sorted(got.items()), sorted(exp.items()))
+    for v, d in exp.items():
+        assert abs(got[v] - d) <= 1e-6, (v, got[v], d)

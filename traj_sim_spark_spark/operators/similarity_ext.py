@@ -304,3 +304,110 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_d2", "vec_id")
         .limit(_PQ_TOPK)
     )
+
+
+_IVFPQ_NPROBE = 2
+
+
+@query("sim_knn_ivfpq")  # WEAK: float argmin codebooks, not ANSI-SQL
+def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed — the production ANN index (FAISS IVFPQ shape):
+    the coarse quantizer prunes WHICH cells a query reads
+    (``sim_knn_ivf_centroid``'s 10-centroid codebook, nprobe=2) and
+    product quantization shrinks WHAT each read vector costs (8-byte
+    codes), with PQ trained on RESIDUALS (v - coarse centroid) — the
+    textbook refinement: residuals are centered near zero, so one
+    shared subspace codebook covers every cell.
+
+    Query path: per probed cell, the query's OWN residual against that
+    cell's centroid builds a 128-row ADC table; each candidate code is
+    scored as 8 lookups keyed by (cell, m, code); top-10 by
+    (adc_d2, vec_id). Scale: encode is a write-path job over the
+    assigned layout (`emb_layout_ivf`); the query touches nprobe
+    partitions' codes plus two broadcast tables — no float vector at
+    query time. WEAK row (float argmin); pinned against a NumPy IVFPQ
+    reference in tests/test_analytics.py."""
+    from pyspark.sql import Window as W
+
+    from .similarity import _ivf_adist, _emb
+
+    t = Tables(spark, sf_dir)
+    emb = _emb(t)
+    adist = _ivf_adist(emb)
+    rk = F.row_number().over(W.partitionBy("vec_id").orderBy("d2", "clabel"))
+    # assignment + residual in one pass (cemb rides along in adist)
+    assign = (
+        adist.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            "clabel",
+            F.zip_with("emb", "cemb", lambda a, b: a - b).alias("v"),
+        )
+    )
+    subv = _pq_subvectors(assign.select("vec_id", "v"))
+    cent = subv.filter(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").cast("int").alias("cid"), F.col("sub").alias("c")
+    )
+    d2 = _pq_d2("sub", "c")
+    for _ in range(_PQ_ITERS):
+        assigned = (
+            subv.join(F.broadcast(cent), "m")
+            .withColumn("d2", d2)
+            .groupBy("vec_id", "m")
+            .agg(
+                F.min_by("cid", F.struct("d2", "cid")).alias("cid"),
+                F.first("sub").alias("sub"),
+            )
+        )
+        cent = (
+            assigned.select("m", "cid", F.posexplode("sub").alias("pos", "x"))
+            .groupBy("m", "cid", "pos")
+            .agg(F.avg("x").alias("mv"))
+            .groupBy("m", "cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pm")
+            )
+            .select("m", "cid", F.transform("pm", lambda s: s["mv"]).alias("c"))
+        )
+    codes = (
+        subv.join(F.broadcast(cent), "m")
+        .withColumn("d2", d2)
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
+    )
+    # query probe: nprobe nearest cells, each with the query's residual
+    # against THAT cell's centroid
+    probe = (
+        adist.filter(F.col("vec_id") == 0)
+        .withColumn("prk", F.row_number().over(W.orderBy("d2", "clabel")))
+        .filter(F.col("prk") <= _IVFPQ_NPROBE)
+        .select(
+            "clabel",
+            F.zip_with("emb", "cemb", lambda a, b: a - b).alias("v"),
+        )
+    )
+    qsubs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice("v", m * _PQ_SUB + 1, _PQ_SUB).alias("sub"),
+            )
+            for m in range(_PQ_M)
+        ]
+    )
+    qtab = (
+        probe.select("clabel", F.explode(qsubs).alias("s"))
+        .select("clabel", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+        .join(F.broadcast(cent), "m")
+        .select("clabel", "m", "cid", d2.alias("qd2"))
+    )
+    return (
+        codes.join(assign.select("vec_id", "clabel"), "vec_id")
+        .filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qtab), ["clabel", "m", "cid"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("qd2"), 6).alias("adc_d2"))
+        .orderBy("adc_d2", "vec_id")
+        .limit(_PQ_TOPK)
+    )
