@@ -174,3 +174,36 @@ def test_sim_knn_ivfpq_matches_numpy_reference(spark):
     assert set(got) == set(exp), (sorted(got.items()), sorted(exp.items()))
     for v, d in exp.items():
         assert abs(got[v] - d) <= 1e-6, (v, got[v], d)
+
+
+def test_emb_pca_matches_numpy_reference(spark):
+    """emb_pca must reproduce NumPy PCA under the same determinism
+    contract: exact covariance, power iteration with all-ones init and
+    the fixed iteration count, sign fixed by first nonzero component,
+    second axis via one deflation."""
+    from traj_sim_spark_spark.operators.analytics import (
+        _PCA_DIM,
+        _PCA_POWER_ITERS,
+        _pca_power,
+        emb_pca,
+    )
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    cv = vecs - vecs.mean(axis=0)
+    cov = (cv[:, :, None] * cv[:, None, :]).mean(axis=0)
+    e1, e2, _ = _pca_power(cov, _PCA_DIM, _PCA_POWER_ITERS)
+    exp = {
+        int(i): (round(float(c @ e1), 6), round(float(c @ e2), 6))
+        for i, c in zip(ids, cv)
+    }
+
+    got = {
+        r["vec_id"]: (r["pc1"], r["pc2"])
+        for r in emb_pca(spark, SF).collect()
+    }
+    assert set(got) == set(exp)
+    for v in exp:
+        assert abs(got[v][0] - exp[v][0]) <= 2e-6, (v, got[v], exp[v])
+        assert abs(got[v][1] - exp[v][1]) <= 2e-6, (v, got[v], exp[v])

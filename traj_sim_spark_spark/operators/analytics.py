@@ -286,3 +286,100 @@ def rel_win_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("us").alias("first_match_us"),
         )
     )
+
+
+_PCA_DIM = 64
+_PCA_POWER_ITERS = 64
+
+
+def _pca_power(cov, d: int, iters: int):
+    """Deterministic power iteration (NumPy, driver-side) on the d x d
+    covariance: init = all-ones/sqrt(d), fixed iteration count, sign
+    fixed by the first nonzero component. Returns (e1, e2, lam1):
+    the top two principal axes (second via one deflation step). The
+    matrix is dim^2-bounded — CONSTANT relative to corpus size, like a
+    PQ codebook — so the driver-side solve is scale-safe; all
+    data-sized work stays distributed."""
+    import numpy as np
+
+    def top(mat):
+        v = np.full(d, 1.0 / np.sqrt(d))
+        for _ in range(iters):
+            w = mat @ v
+            v = w / np.linalg.norm(w)
+        if v[np.flatnonzero(v)[0]] < 0:
+            v = -v
+        return v, float(v @ mat @ v)
+
+    e1, lam1 = top(cov)
+    e2, _ = top(cov - lam1 * np.outer(e1, e1))
+    return e1, e2, lam1
+
+
+@query("emb_pca")  # WEAK: eigensolve has no stable ANSI-SQL twin
+def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding corpus onto its top-2 principal
+    axes — the dimensionality-reduction step a curation pipeline runs
+    before semantic clustering/dedup (project, then bucket in the
+    reduced space).
+
+    Distributed part (data-sized, one pass + one hash agg): the 64x64
+    covariance via a JVM-side OUTER-PRODUCT fold — each centered vector
+    expands to its 4096-element flattened outer product
+    (``transform x transform`` + ``flatten``, no self-join), then a
+    (pos)-keyed average; 4096 groups regardless of corpus size, so the
+    aggregate is map-side combinable. Driver part (dim^2-bounded
+    constant work, same legitimacy as a broadcast codebook): power
+    iteration for the top two axes. Projections are then a broadcast
+    zip_with fold per vector. WEAK row; pinned against a NumPy PCA
+    reference in tests/test_analytics.py."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    mu = (
+        emb.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg("x").alias("mu"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("i", "mu"))).alias("ms"))
+        .select(F.col("ms.mu").alias("mu"))
+    )
+    # pre-explode repartition: the fixture is a single row group, and the
+    # 4096x outer-product expansion is the heavy stage — spread it
+    centered = (
+        emb.repartition("vec_id")
+        .join(F.broadcast(mu))
+        .select(
+            "vec_id", F.zip_with("v", "mu", lambda a, b: a - b).alias("cv")
+        )
+    )
+    outer = F.flatten(
+        F.transform(
+            "cv", lambda x: F.transform("cv", lambda y: x * y)
+        )
+    )
+    cov_rows = (
+        centered.select(F.posexplode(outer).alias("pos", "xy"))
+        .groupBy("pos")
+        .agg(F.avg("xy").alias("c"))
+        .collect()
+    )  # 4096 doubles to the driver — dim^2-bounded, corpus-independent
+    import numpy as np
+
+    cov = np.zeros((_PCA_DIM, _PCA_DIM))
+    for r in cov_rows:
+        cov[r["pos"] // _PCA_DIM, r["pos"] % _PCA_DIM] = r["c"]
+    e1, e2, lam1 = _pca_power(cov, _PCA_DIM, _PCA_POWER_ITERS)
+    a1 = F.array(*[F.lit(float(x)) for x in e1])
+    a2 = F.array(*[F.lit(float(x)) for x in e2])
+    dot = lambda arr: F.aggregate(  # noqa: E731
+        F.zip_with("cv", arr, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return centered.select(
+        "vec_id",
+        F.round(dot(a1), 6).alias("pc1"),
+        F.round(dot(a2), 6).alias("pc2"),
+    )
