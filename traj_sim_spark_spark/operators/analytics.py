@@ -383,3 +383,150 @@ def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dot(a1), 6).alias("pc1"),
         F.round(dot(a2), 6).alias("pc2"),
     )
+
+
+@query(
+    "rel_retention",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, event_type,
+               CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400e6)
+                    AS BIGINT) AS dy
+        FROM events
+    ),
+    cohort AS (
+        SELECT user_id, MIN(dy) AS c_day
+        FROM d WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (SELECT DISTINCT user_id, dy AS a_day FROM d)
+    SELECT c.c_day AS cohort_day,
+           a.a_day - c.c_day AS day_offset,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS n_users
+    FROM cohort c JOIN activity a USING (user_id)
+    WHERE a.a_day - c.c_day BETWEEN 0 AND 7
+    GROUP BY 1, 2
+    """,
+)
+def rel_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by their first 'signup'
+    day, counted as retained on each of the next 7 days they show ANY
+    activity — the standard product-analytics rollup, and a shape the
+    event-replay deployments of this engine run daily.
+
+    Plan: two hash aggregates (cohort = conditional MIN, activity =
+    DISTINCT (user, day)) joined on user_id — every shuffle is the
+    user_id exchange, the 8-column retention matrix is the only
+    output. No event self-join, no per-day scan. Days as epoch-day
+    bigints (the ``traj_od_flows`` convention — cross-engine DATE
+    normalization differs)."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_micros("ts") / F.lit(86400e6)).alias("day"),
+    )
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("day").alias("cohort_day"))
+    )
+    activity = ev.select("user_id", F.col("day").alias("a_day")).distinct()
+    off = F.col("a_day") - F.col("cohort_day")
+    return (
+        cohort.join(activity, "user_id")
+        .withColumn("day_offset", off)
+        .filter((F.col("day_offset") >= 0) & (F.col("day_offset") <= 7))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "emb_outliers",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label,
+               CAST(unnest(embedding) AS DOUBLE) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, i, AVG(v) AS c FROM e GROUP BY label, i
+    ),
+    cs AS (
+        SELECT e.vec_id, e.label,
+               SUM(e.v * cent.c)
+                 / (SQRT(SUM(e.v * e.v)) * SQRT(SUM(cent.c * cent.c)))
+                 AS cos_c
+        FROM e JOIN cent USING (label, i)
+        GROUP BY e.vec_id, e.label
+    ),
+    stats AS (
+        SELECT label, AVG(cos_c) AS mu, STDDEV_SAMP(cos_c) AS sd
+        FROM cs GROUP BY label
+    )
+    SELECT cs.vec_id, cs.label,
+           ROUND(cs.cos_c, 6) AS cos_c,
+           ROUND((cs.cos_c - s.mu) / NULLIF(s.sd, 0), 6) AS z,
+           CASE WHEN ROUND((cs.cos_c - s.mu) / NULLIF(s.sd, 0), 6) < -2.0
+                THEN 1 ELSE 0 END AS is_outlier
+    FROM cs JOIN stats s USING (label)
+    """,
+)
+def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding OUTLIER detection — the curation gate that drops
+    mis-embedded / off-cluster vectors before semantic dedup: cosine of
+    every vector to its OWN label centroid, z-scored within the label,
+    flagged below -2.
+
+    One posexplode + (label, dim) hash agg trains the centroids
+    (``sim_centroid``'s aggregate), one broadcast join + fold scores
+    every vector, one (label) agg z-scores — all linear, all JVM. The
+    outlier flag compares the ROUNDED z on both engines, so the
+    boundary is hash-deterministic."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = (
+        emb.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("cs"))
+        .select("label", F.col("cs.c").alias("c"))
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cs = (
+        emb.join(F.broadcast(cent), "label")
+        .select(
+            "vec_id",
+            "label",
+            (
+                dot("v", "c")
+                / (F.sqrt(dot("v", "v")) * F.sqrt(dot("c", "c")))
+            ).alias("cos_c"),
+        )
+    )
+    stats = cs.groupBy("label").agg(
+        F.avg("cos_c").alias("mu"), F.stddev_samp("cos_c").alias("sd")
+    )
+    z = F.round(
+        (F.col("cos_c") - F.col("mu"))
+        / F.nullif(F.col("sd"), F.lit(0.0)),
+        6,
+    )
+    return (
+        cs.join(F.broadcast(stats), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round("cos_c", 6).alias("cos_c"),
+            z.alias("z"),
+            F.when(z < -2.0, 1).otherwise(0).alias("is_outlier"),
+        )
+    )
