@@ -452,3 +452,99 @@ def rel_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+_BLOOM_BITS = 4096
+_BLOOM_K = 3
+
+
+def _bloom_pos(j, key):
+    """Hash-j Bloom bit position of a key: first 16 bits of
+    md5('<j>:<key>'), mod the filter width — bit-identical in any
+    engine with md5 (the ``_cms_bucket`` idiom)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", j, key)), 1, 4), 16, 10
+        ).cast("int")
+        % _BLOOM_BITS
+    )
+
+
+@query(
+    "rel_bloom_prefilter",
+    oracle=f"""
+    WITH ks AS (SELECT UNNEST(generate_series(0, {_BLOOM_K - 1})) AS j),
+    bits AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+                                        CAST(o_custkey AS VARCHAR)), 1, 4))
+                    AS INTEGER) % {_BLOOM_BITS} AS pos
+        FROM orders CROSS JOIN ks
+    ),
+    probe AS (
+        SELECT c.c_custkey, k.j,
+               CAST(('0x' || substr(md5(CAST(k.j AS VARCHAR) || ':' ||
+                                        CAST(c.c_custkey AS VARCHAR)), 1, 4))
+                    AS INTEGER) % {_BLOOM_BITS} AS pos
+        FROM customer c CROSS JOIN ks k
+    ),
+    maybe AS (
+        SELECT p.c_custkey,
+               CASE WHEN COUNT(bits.pos) = {_BLOOM_K} THEN 1 ELSE 0 END
+                 AS bloom_maybe
+        FROM probe p LEFT JOIN bits ON p.pos = bits.pos
+        GROUP BY p.c_custkey
+    )
+    SELECT m.c_custkey, m.bloom_maybe,
+           CASE WHEN EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = m.c_custkey)
+                THEN 1 ELSE 0 END AS actually_has
+    FROM maybe m
+    """,
+)
+def rel_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10 made literal: a DETERMINISTIC Bloom filter (4096 bits, k=3
+    md5 hashes) built from the orders build side, probed by every
+    customer — the reference's compressed-bitmap candidate set
+    [P §4.2], and the manual twin of Spark's own runtime Bloom join
+    pruning (session flag `spark.sql.optimizer.runtime.bloomFilter`).
+
+    The filter is an aggregate (DISTINCT bit positions — ≤4096 rows no
+    matter the build-side size, map-side combinable) broadcast to the
+    probe; each probe key checks its k positions with one small
+    equi-join + count. Output carries the exact semi-join verdict next
+    to the Bloom verdict, so the driver hash also PINS the filter's
+    false-positive set — deterministic md5 means both engines build
+    bit-identical filters. Every customer appears exactly once."""
+    t = Tables(spark, sf_dir)
+    js = F.array(*[F.lit(j) for j in range(_BLOOM_K)])
+    bits = (
+        t.orders.select(F.explode(js).alias("j"), "o_custkey")
+        .select(_bloom_pos(F.col("j"), F.col("o_custkey")).alias("pos"))
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    probe = t.customer.select(
+        "c_custkey", F.explode(js).alias("j")
+    ).select(
+        "c_custkey", _bloom_pos(F.col("j"), F.col("c_custkey")).alias("pos")
+    )
+    maybe = (
+        probe.join(F.broadcast(bits), "pos", "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.when(F.count("present") == _BLOOM_K, 1)
+            .otherwise(0)
+            .alias("bloom_maybe")
+        )
+    )
+    actual = (
+        t.orders.select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("has", F.lit(1))
+    )
+    return maybe.join(actual, "c_custkey", "left").select(
+        "c_custkey",
+        "bloom_maybe",
+        F.coalesce("has", F.lit(0)).alias("actually_has"),
+    )
