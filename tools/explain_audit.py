@@ -94,6 +94,13 @@ AUDIT = [
     "sink_partitioned_roundtrip",
     "sim_ann_recall",
     "text_minhash_estimate",
+    # round-2 late additions (loops/eager builders audit their final plan)
+    "traj_cluster_threshold",
+    "sim_knn_ivfpq",
+    "emb_pca",
+    "emb_outliers",
+    "rel_retention",
+    "rel_bloom_prefilter",
 ]
 
 
