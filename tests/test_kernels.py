@@ -154,3 +154,43 @@ def test_simhash_banding_pigeonhole_is_lossless(a, b):
     )
     if hamming <= 3:
         assert shares_band
+
+
+@given(series, series)
+@settings(max_examples=100, deadline=None)
+def test_banded_dtw_wide_band_equals_exact(a, b):
+    """With w >= max(n, m) the corridor admits every coupling, so the
+    banded kernel must equal exact DTW."""
+    w = max(len(a), len(b))
+    assert abs(
+        kernels.dtw_banded(a, b, w=w) - kernels.dtw(a, b)
+    ) <= 1e-9
+
+
+@given(series, series)
+@settings(max_examples=100, deadline=None)
+def test_banded_dtw_dominates_exact_and_tightens(a, b):
+    """Banded cost is monotone non-increasing in w and always >= exact
+    DTW (restricting the path set can only raise the minimum)."""
+    exact = kernels.dtw(a, b)
+    prev = None
+    for w in (1, 4, 16):
+        v = kernels.dtw_banded(a, b, w=w)
+        assert v >= exact - 1e-9
+        if prev is not None:
+            assert v <= prev + 1e-9  # wider band can only help
+        prev = v
+
+
+@given(series, series)
+@settings(max_examples=100, deadline=None)
+def test_banded_dtw_tau_abandon_is_sound(a, b):
+    """With tau set, the banded kernel returns the exact banded value
+    when it is <= tau, and SOME value > tau otherwise."""
+    full = kernels.dtw_banded(a, b, w=4)
+    for tau in (full * 0.5, full, full * 2.0):
+        got = kernels.dtw_banded(a, b, w=4, tau=tau)
+        if full <= tau:
+            assert abs(got - full) <= 1e-9
+        else:
+            assert got > tau

@@ -319,3 +319,26 @@ def test_knn_batch_slice_equals_single_query(spark, sf_dir):
         .collect()
     )
     assert batch == sorted(single)
+
+
+def test_dtw_banded_knn_two_phase_is_exact(spark, sf_dir):
+    """The banded-DTW kNN must equal brute force under the SAME banded
+    kernel (exact w.r.t. the banded semantic)."""
+    from traj_sim_spark_spark.operators.trajectory_ext import (
+        _DTW_BAND_W,
+    )
+
+    series = _series_by_user(spark, sf_dir)
+    q = series[1]
+    brute = sorted(
+        (round(kernels.dtw_banded(s, q, w=_DTW_BAND_W), 6), u)
+        for u, s in series.items()
+        if u != 1
+    )[:10]
+    got = [
+        (r["dtw_banded"], r["user_id"])
+        for r in registry.QUERIES["traj_dtw_knn_banded"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert got == brute, f"two-phase != brute force:\n{got}\n{brute}"

@@ -145,3 +145,65 @@ def douglas_peucker(x: np.ndarray, y: np.ndarray, tol: float) -> np.ndarray:
             stack.append((i, split))
             stack.append((split, j))
     return np.flatnonzero(keep)
+
+
+def dtw_banded(
+    a: np.ndarray, b: np.ndarray, w: int = 8, tau: float | None = None
+) -> float:
+    """Sakoe-Chiba BANDED DTW: the classic constrained-alignment kernel
+    — only couplings with |i - j| <= w are admissible (w widened to
+    |n - m| so the end corner stays reachable). Banded cost >= exact
+    DTW (restricting the path set can only raise the minimum), so every
+    SQL lower bound that gates exact DTW gates the banded kernel too.
+
+    Unlike the exact engine, BOTH the DP and the distance evaluations
+    are band-local: each antidiagonal clips its index range to
+    |2i - k| <= w and gathers only those |a_i - b_j| values — O(n * w)
+    total work and memory instead of O(n * m), the reason banded DTW is
+    the long-series scale variant. The tau early-abandon argument from
+    ``_antidiagonal_dp`` carries over unchanged (band paths touch one
+    of any two consecutive antidiagonals)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    n, m = len(a), len(b)
+    weff = max(w, abs(n - m))
+
+    if a.ndim == 1:
+        def dist(idx: np.ndarray, jdx: np.ndarray) -> np.ndarray:
+            return np.abs(a[idx] - b[jdx])
+    else:
+        def dist(idx: np.ndarray, jdx: np.ndarray) -> np.ndarray:
+            diff = a[idx] - b[jdx]
+            return np.sqrt((diff * diff).sum(axis=1))
+
+    d00 = float(dist(np.array([0]), np.array([0]))[0])
+    if n == 1 and m == 1:
+        return d00
+    if tau is not None and d00 > tau:
+        return d00
+    inf = np.inf
+    prev2 = np.full(n + 1, inf)
+    prev1 = np.full(n + 1, inf)
+    prev1[1] = d00
+    prev_min = d00
+    for k in range(1, n + m - 1):
+        lo = max(0, k - m + 1, (k - weff + 1) // 2)  # ceil((k - w) / 2)
+        hi = min(k, n - 1, (k + weff) // 2)
+        if lo > hi:  # unreachable for weff >= |n - m|; guard anyway
+            prev2, prev1 = prev1, np.full(n + 1, inf)
+            continue
+        idx = np.arange(lo, hi + 1)
+        dk = dist(idx, k - idx)
+        best = np.minimum(
+            np.minimum(prev1[idx], prev1[idx + 1]), prev2[idx]
+        )
+        vals = dk + best
+        if tau is not None:
+            mn = float(vals.min())
+            if mn > tau and prev_min > tau:
+                return min(mn, prev_min)
+            prev_min = mn
+        cur = np.full(n + 1, inf)
+        cur[idx + 1] = vals
+        prev2, prev1 = prev1, cur
+    return float(prev1[n])

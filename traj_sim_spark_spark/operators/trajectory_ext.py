@@ -525,3 +525,37 @@ def traj_hausdorff_knn_2d_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("qid", "user_id", F.round(h, 6).alias("hausdorff_2d"))
     )
+
+
+_DTW_BAND_W = 8
+
+
+def _dtw_banded_kernel(a, b, tau=None):
+    return kernels.dtw_banded(a, b, w=_DTW_BAND_W, tau=tau)
+
+
+@query("traj_dtw_knn_banded")  # WEAK: order-sensitive DP kernel
+def traj_dtw_knn_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9 under SAKOE-CHIBA banded DTW (w=8): the constrained-alignment
+    kNN — the kernel-level scale variant of ``traj_dtw_knn``. The band
+    caps per-pair work at O(n*w) instead of O(n*m) (both the DP and the
+    distance gathers are band-local, kernels.dtw_banded), which is how
+    production DTW search survives long series.
+
+    EXACT under the banded semantic via the SAME two-phase harness:
+    banded cost >= exact DTW >= Fréchet >= the SQL lower bound
+    (restricting the coupling set can only raise the minimum), so the
+    identical lb prune and tau early-abandon stay valid. Pinned against
+    a NumPy banded reference + the wide-band==exact property in
+    tests/test_kernels.py, brute-force-equality in
+    tests/test_twophase.py."""
+    from .trajectory import _frechet_lb, _paired_series, _series_1d
+
+    t = Tables(spark, sf_dir)
+    return _dp_knn(
+        _frechet_lb(t, _QUERY_USER),
+        lambda ids: _paired_series(t, _QUERY_USER, ids=ids),
+        _dtw_banded_kernel,
+        _series_1d,
+        "dtw_banded",
+    )
