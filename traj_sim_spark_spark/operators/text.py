@@ -640,12 +640,13 @@ def text_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Each round's plan embeds the previous round's ~3x (labels enters the
-# neighborhood join, the new-label projection, AND the convergence-count
-# self-join), so lineage grows GEOMETRICALLY, not linearly — plans blow
-# the driver heap near round ~10. Checkpoint every 4 rounds: worst-case
-# plan is 3^4 = 81x the base, bounded for any graph diameter.
-_CC_CHECKPOINT_EVERY = 4
+# Each round's plan embeds the previous round's ~4x (labels enters the
+# neighborhood join and the hop projection, and the pointer-doubling
+# chase joins hop against itself), so lineage grows GEOMETRICALLY, not
+# linearly — plan analysis blows up within a few unmaterialized rounds.
+# Checkpoint every 2 rounds: worst-case plan is 4^2 = 16x the base,
+# bounded for any graph diameter.
+_CC_CHECKPOINT_EVERY = 2
 
 
 def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
@@ -692,13 +693,25 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
                 .groupBy("u")
                 .agg(F.min("label").alias("nlabel"))
             )
-            new_labels = labels.join(
+            hop = labels.join(
                 neigh, labels.node == neigh.u, "left"
             ).select(
                 "node",
                 F.least(
                     "label", F.coalesce("nlabel", F.col("label"))
                 ).alias("label"),
+            )
+            # pointer doubling: also take the label OF the label (path
+            # compression) — convergence drops from O(diameter) to
+            # O(log diameter) rounds at one extra same-key join/round
+            chase = hop.select(
+                F.col("node").alias("label"), F.col("label").alias("ll")
+            )
+            new_labels = hop.join(chase, "label", "left").select(
+                "node",
+                F.least("label", F.coalesce("ll", F.col("label"))).alias(
+                    "label"
+                ),
             )
             rounds += 1
             if rounds % _CC_CHECKPOINT_EVERY == 0:
