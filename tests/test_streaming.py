@@ -192,3 +192,60 @@ def test_funnel_state_machine_across_batches(spark, stream_dir, tmp_path):
     assert r["v_us"] == us("2024-01-01 10:00:00")
     assert r["c_us"] == us("2024-01-01 10:01:00")
     assert r["p_us"] == us("2024-01-01 10:02:00")
+
+
+def test_anomaly_welford_state_across_batches(spark, stream_dir, tmp_path):
+    """The Welford accumulator must carry across micro-batches: the
+    spike in batch 2 is anomalous only against batch 1's history."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from traj_sim_spark_spark.streaming.streams_ext import _anomaly_advance
+
+    def _write(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["user_id", "event_id", "us", "value"]
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
+            stream_dir
+        )
+        time.sleep(0.05)
+
+    # batch 1: 8 well-behaved points (warmup is 5)
+    _write([(7, i, i * 1000, float(v)) for i, v in
+            enumerate([10, 11, 9, 10, 12, 9, 11, 10])])
+    src = (
+        spark.readStream.schema(
+            "user_id long, event_id long, us long, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    out = src.groupBy("user_id").applyInPandasWithState(
+        _anomaly_advance,
+        outputStructType="user_id bigint, n_events bigint, "
+        "n_anomalies bigint",
+        stateStructType="n bigint, mean double, m2 double, hits bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("anom_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {r["user_id"]: r for r in spark.table("anom_test").collect()}
+        assert first[7]["n_anomalies"] == 0, first
+        # batch 2: an extreme spike — anomalous only vs carried history
+        _write([(7, 100, 100_000, 1000.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(
+        spark.table("anom_test").collect(), key=lambda r: r["n_events"]
+    )
+    assert rows[-1]["n_events"] == 9
+    assert rows[-1]["n_anomalies"] == 1, rows

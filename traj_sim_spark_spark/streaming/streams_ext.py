@@ -349,3 +349,99 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "s.v_us", "s.c_us", "s.p_us", "s.stage")
     )
+
+
+_ANOM_WARMUP = 5  # score only after this many prior points
+_ANOM_Z = 3.0
+
+
+def _anomaly_advance(key, pdfs, state):  # noqa: ANN001
+    """Per-user Welford accumulator (n, mean, M2) over event-time order;
+    each point is scored against the STRICTLY-PRIOR prefix (score, then
+    absorb — the streaming semantic), counting |z| > 3 after a 5-point
+    warmup. Module-level so the cross-batch test drives the production
+    function."""
+    import math
+
+    import pandas as pd
+
+    n, mean, m2, hits = (
+        state.get if state.exists else (0, 0.0, 0.0, 0)
+    )
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values(["us", "event_id"], kind="mergesort")
+    for x in batch["value"]:
+        x = float(x)
+        if n > _ANOM_WARMUP:
+            sd = math.sqrt(m2 / (n - 1))
+            if sd > 0 and round(abs(x - mean) / sd, 6) > _ANOM_Z:
+                hits += 1
+        n += 1
+        delta = x - mean
+        mean += delta / n
+        m2 += delta * (x - mean)
+    state.update((n, mean, m2, hits))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "n_anomalies": [hits]}
+    )
+
+
+@query(
+    "stream_anomaly",
+    oracle=f"""
+    WITH z AS (
+        SELECT user_id, value,
+               AVG(value) OVER w AS mu,
+               STDDEV_SAMP(value) OVER w AS sd,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (
+               WHERE rn > {_ANOM_WARMUP + 1} AND sd > 0
+                 AND ROUND(ABS(value - mu) / sd, 6) > {_ANOM_Z}
+           ) AS BIGINT) AS n_anomalies
+    FROM z
+    GROUP BY user_id
+    """,
+)
+def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly detection — the monitoring shape a deployment
+    of this engine alerts on: per-user RUNNING z-score against the
+    strictly-prior history (Welford's single-pass mean/M2, so state is
+    four scalars per user regardless of stream length), counting
+    |z| > 3 excursions after a 5-point warmup.
+
+    The batch oracle is the same semantic as SQL: prefix AVG/STDDEV
+    window frames ending at 1 PRECEDING. The anomaly predicate
+    compares the ROUNDED z on both engines, making the count
+    hash-deterministic; emission is update-mode one row per user per
+    batch, deduped to the final state by the monotone event count
+    (``stream_stateful``'s argument)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _anomaly_advance,
+        outputStructType="user_id bigint, n_events bigint, "
+        "n_anomalies bigint",
+        stateStructType="n bigint, mean double, m2 double, hits bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = run_to_completion(out, "update")
+    return (
+        res.groupBy("user_id")
+        .agg(
+            F.expr("max_by(struct(n_events, n_anomalies), n_events)").alias(
+                "s"
+            )
+        )
+        .select("user_id", "s.n_events", "s.n_anomalies")
+    )
