@@ -422,3 +422,70 @@ def traj_heatmap_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).alias("n"),
         )
     )
+
+
+@query(
+    "graph_triangles",
+    oracle="""
+    WITH b AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400e6)
+                    AS BIGINT) AS dy,
+               MIN(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    e AS MATERIALIZED (
+        SELECT a.user_id u, c.user_id v
+        FROM b a JOIN b c
+          ON a.dy = c.dy AND a.user_id < c.user_id
+         AND ABS(a.v - c.v) <= 1.0
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    nodes AS (
+        SELECT a AS user_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY user_id
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TRIANGLE counts over the co-movement graph — the
+    classic distributed graph-mining kernel (clustering-coefficient
+    numerator), composed from the SAME registered ``traj_comovement``
+    builder (and its oracle SQL) that produces the edges: a triangle of
+    co-moving users is a 3-flock candidate.
+
+    The standard two-join counting shape with the u < v edge
+    orientation doing the dedup work: each triangle {a<b<c} is
+    enumerated exactly once as (a,b) ⋈ (b,c) ⋈ (a,c) — no
+    symmetrization, no division by 6. Both joins key on single edge
+    endpoints, so fan-out per key is that node's out-degree in the
+    ORIENTED graph (bounded by the banded co-movement join that built
+    the edges), never all-pairs. Edges are materialized once
+    (localCheckpoint — no cache to leak) and read three times."""
+    from .mining import traj_comovement
+
+    e = (
+        traj_comovement(spark, sf_dir)
+        .select(F.col("user_a").alias("u"), F.col("user_b").alias("v"))
+        .localCheckpoint()
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = (
+        tri.select(F.col("a").alias("user_id"))
+        .unionAll(tri.select(F.col("b").alias("user_id")))
+        .unionAll(tri.select(F.col("c").alias("user_id")))
+    )
+    out = nodes.groupBy("user_id").agg(F.count("*").alias("n_triangles"))
+    return out
