@@ -101,6 +101,7 @@ AUDIT = [
     "emb_outliers",
     "rel_retention",
     "rel_bloom_prefilter",
+    "graph_triangles",
 ]
 
 
