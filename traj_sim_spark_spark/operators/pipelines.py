@@ -284,3 +284,141 @@ def pipe_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(F.col("dropped").isNull(), 1).otherwise(0).alias("keep"),
     )
+
+
+def _incremental_oracle() -> str:
+    from .text import _MINHASH_ORACLE_BANDS, _MINHASH_ORACLE_SIG
+
+    return f"""
+    WITH tok AS (
+        SELECT DISTINCT d.doc_id, t.token
+        FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(token)
+    ),
+    sig AS (SELECT doc_id, {_MINHASH_ORACLE_SIG} FROM tok GROUP BY doc_id),
+    bands AS ({_MINHASH_ORACLE_BANDS}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_new, c.id_old, COUNT(*) AS both_n
+        FROM cand c
+        JOIN tok ta ON ta.doc_id = c.id_new
+        JOIN tok tb ON tb.doc_id = c.id_old AND tb.token = ta.token
+        GROUP BY 1, 2
+    ),
+    jacs AS (
+        SELECT i.id_new, i.id_old,
+               ROUND(i.both_n * 1.0 / (sa.n + sb.n - i.both_n), 6) AS j
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_new
+        JOIN sizes sb ON sb.doc_id = i.id_old
+    ),
+    best AS (
+        SELECT id_new, id_old, j,
+               ROW_NUMBER() OVER (PARTITION BY id_new
+                                  ORDER BY j DESC, id_old) AS rk
+        FROM jacs
+    )
+    SELECT d.doc_id, b.id_old AS dup_of, b.j AS jaccard,
+           CASE WHEN b.j >= 0.5 THEN 0 ELSE 1 END AS keep
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+    LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.id_new = d.doc_id
+    """
+
+
+@query("pipe_incremental_dedup", oracle=_incremental_oracle())
+def pipe_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup dedup — the daily-ingest shape: a NEW batch
+    (odd doc_ids) deduped against the EXISTING corpus (even doc_ids)
+    without ever re-pairing the existing corpus with itself. This is
+    what a production pipeline runs per increment: the corpus-side
+    MinHash signatures are a persisted artifact, the new batch's
+    signatures are one linear aggregate, and the band join is
+    new x existing only.
+
+    Same first-colliding-band LSH emission as ``text_minhash_neardup``
+    (cross-side, so no id-ordering filter is needed — the sides are
+    disjoint), exact token-Jaccard verification of the shortlist only,
+    then per-new-doc best match via one window (rounded Jaccard DESC,
+    id ASC — deterministic cross-engine tie-break) and a keep flag at
+    J >= 0.5. Every new doc appears exactly once, match or not."""
+    from .text import _BAND_W, _N_MINHASH, _minhash_cols
+
+    t = Tables(spark, sf_dir)
+    sig = (
+        t.doc_tokens()
+        .groupBy("doc_id")
+        .agg(*_minhash_cols())
+        .localCheckpoint()
+    )
+    new_sig = sig.filter(F.col("doc_id") % 2 == 1)
+    old_sig = sig.filter(F.col("doc_id") % 2 == 0)
+    n_bands = _N_MINHASH // _BAND_W
+
+    def bucket(j: int) -> F.Column:
+        return F.concat(
+            *[F.col(f"mh{_BAND_W * j + r}") for r in range(_BAND_W)]
+        )
+
+    parts = []
+    for j in range(n_bands):
+        a = new_sig.select(
+            F.col("doc_id").alias("id_new"),
+            *[bucket(i).alias(f"ba{i}") for i in range(j + 1)],
+        )
+        b = old_sig.select(
+            F.col("doc_id").alias("id_old"),
+            *[bucket(i).alias(f"bb{i}") for i in range(j + 1)],
+        )
+        pairs = a.join(F.broadcast(b), F.col(f"ba{j}") == F.col(f"bb{j}"))
+        for i in range(j):
+            pairs = pairs.filter(F.col(f"ba{i}") != F.col(f"bb{i}"))
+        parts.append(pairs.select("id_new", "id_old"))
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+
+    tok = t.doc_tokens().distinct()
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ta = tok.select(F.col("doc_id").alias("id_new"), "token")
+    tb = tok.select(F.col("doc_id").alias("id_old"), "token")
+    inter = (
+        cand.join(ta, "id_new")
+        .join(tb, ["id_old", "token"])
+        .groupBy("id_new", "id_old")
+        .agg(F.count("*").alias("both_n"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_new"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_old"), F.col("n").alias("nb"))
+    jacs = (
+        inter.join(sa, "id_new")
+        .join(sb, "id_old")
+        .select(
+            "id_new",
+            "id_old",
+            F.round(
+                F.col("both_n")
+                / (F.col("na") + F.col("nb") - F.col("both_n")),
+                6,
+            ).alias("j"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("id_new").orderBy(F.desc("j"), "id_old")
+    )
+    best = jacs.withColumn("rk", rk).filter(F.col("rk") == 1)
+    return (
+        t.documents.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id")
+        .join(best, F.col("doc_id") == F.col("id_new"), "left")
+        .select(
+            "doc_id",
+            F.col("id_old").alias("dup_of"),
+            F.col("j").alias("jaccard"),
+            F.when(F.col("j") >= 0.5, 0).otherwise(1).alias("keep"),
+        )
+    )
