@@ -422,3 +422,87 @@ def pipe_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("j") >= 0.5, 0).otherwise(1).alias("keep"),
         )
     )
+
+
+def _dedup_quality_oracle() -> str:
+    from .text import _JACCARD_PAIRS_SQL
+
+    return f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_SQL},
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE both_n * 1.0 / (sa.n + sb.n - both_n) >= 0.2
+    ),
+    edges AS MATERIALIZED (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.u, r.label
+        FROM reach r JOIN edges e ON e.v = r.node
+        WHERE r.label < e.u
+    ),
+    lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+            FROM reach GROUP BY node),
+    q AS (
+        SELECT d.doc_id, COUNT(DISTINCT t.token) AS quality
+        FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(token)
+        GROUP BY d.doc_id
+    ),
+    rk AS (
+        SELECT lab.doc_id, lab.cluster_id, q.quality,
+               ROW_NUMBER() OVER (PARTITION BY lab.cluster_id
+                                  ORDER BY q.quality DESC, lab.doc_id)
+                 AS rk
+        FROM lab JOIN q USING (doc_id)
+    )
+    SELECT doc_id, cluster_id, CAST(quality AS BIGINT) AS quality,
+           CASE WHEN rk = 1 THEN 1 ELSE 0 END AS keep
+    FROM rk
+    """
+
+
+@query("pipe_dedup_quality", oracle=_dedup_quality_oracle())
+def pipe_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-AWARE cluster dedup — keep the BEST document of every
+    near-dup cluster, not the lowest-id one (what C4/RefinedWeb
+    actually do: among near-duplicates, retain the richest copy).
+    Composes two registered builders: ``text_dedup_cluster``'s
+    connected-component labels and a per-doc quality score, then one
+    window picks each cluster's argmax.
+
+    Quality here = DISTINCT-token count — an INTEGER, so the
+    cross-engine argmax has no float-tie hazard; ties break to the
+    lowest doc_id. Every doc appears once with its cluster, quality,
+    and keep flag; singleton clusters trivially keep themselves."""
+    from .text import text_dedup_cluster
+
+    t = Tables(spark, sf_dir)
+    labels = text_dedup_cluster(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    quality = (
+        t.doc_tokens()
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("quality"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("cluster_id").orderBy(F.desc("quality"), "doc_id")
+    )
+    return (
+        labels.join(quality, "doc_id")
+        .withColumn("rk", rk)
+        .select(
+            "doc_id",
+            "cluster_id",
+            "quality",
+            F.when(F.col("rk") == 1, 1).otherwise(0).alias("keep"),
+        )
+    )
