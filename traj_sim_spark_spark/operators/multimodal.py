@@ -169,3 +169,87 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.mapInPandas(
         sample, schema="doc_id bigint, frame_idx int, mean_intensity double"
     )
+
+
+@query(
+    "mm_feature_knn",
+    oracle="""
+    WITH bins AS (SELECT unnest(generate_series(0, 7)) AS bin),
+    b AS (
+        SELECT d.doc_id,
+               CAST(FLOOR(ascii(substr(d.text, i.i, 1)) / 32) AS BIGINT)
+                 AS bin
+        FROM documents d
+        CROSS JOIN (SELECT unnest(generate_series(
+                        1, (SELECT MAX(LEN(text)) FROM documents))) AS i) i
+        WHERE i.i <= LEN(d.text)
+    ),
+    h AS (SELECT doc_id, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+    full_h AS (
+        SELECT d.doc_id, bins.bin, COALESCE(h.c, 0) AS c
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        CROSS JOIN bins
+        LEFT JOIN h ON h.doc_id = d.doc_id AND h.bin = bins.bin
+    ),
+    q AS (SELECT bin, c FROM full_h WHERE doc_id = 0),
+    d2 AS (
+        SELECT f.doc_id,
+               SUM((f.c - q.c) * (f.c - q.c)) AS dist
+        FROM full_h f JOIN q USING (bin)
+        WHERE f.doc_id <> 0
+        GROUP BY 1
+    )
+    SELECT doc_id, CAST(dist AS BIGINT) AS dist
+    FROM d2 ORDER BY dist, doc_id LIMIT 10
+    """,
+)
+def mm_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal RETRIEVAL path end-to-end: binary payload ->
+    (stub) decode -> fixed-width feature vector -> kNN against a query
+    payload's features — the image-similarity-search shape with every
+    Spark-side stage real (Arrow-batched decode, broadcast query
+    vector, JVM distance fold, TakeOrderedAndProject top-k).
+
+    Features are 8-bin BYTE HISTOGRAMS (np.bincount of sample >> 5) and
+    the distance is UNNORMALIZED integer squared-L2 — all-integer
+    arithmetic end-to-end, so the kNN ordering has no cross-engine
+    float-ulp hazard and the row stays FULL despite the Python stage
+    (the stub is byte-deterministic, like ``mm_decode_features``). A
+    real decoder swap returns this row to WEAK."""
+    t = Tables(spark, sf_dir)
+    src = t.documents.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (
+                    doc_id,
+                    [
+                        int(x)
+                        for x in np.bincount(
+                            _fake_decode(bytes(payload)) >> 5, minlength=8
+                        )[:8]
+                    ],
+                )
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "f"])
+
+    feats = src.mapInPandas(
+        featurize, schema="doc_id bigint, f array<bigint>"
+    )
+    q = feats.filter(F.col("doc_id") == 0).select(F.col("f").alias("qf"))
+    dist = F.aggregate(
+        F.zip_with("f", "qf", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        feats.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(q))
+        .select("doc_id", dist.alias("dist"))
+        .orderBy("dist", "doc_id")
+        .limit(10)
+    )
