@@ -52,6 +52,7 @@ _MODULES = (
     "traj_sim_spark_spark.operators.timeseries",
     "traj_sim_spark_spark.operators.graph",
     "traj_sim_spark_spark.operators.similarity_ext",
+    "traj_sim_spark_spark.operators.curation",
 )
 
 _loaded = False
