@@ -102,6 +102,12 @@ AUDIT = [
     "rel_retention",
     "rel_bloom_prefilter",
     "graph_triangles",
+    # round-3 curation additions
+    "pipe_pack_chunks",
+    "pipe_token_budget",
+    "text_entropy",
+    "rel_skyline",
+    "graph_common_neighbors",
 ]
 
 

@@ -442,6 +442,120 @@ _CLUSTER_TAU = 6.0  # Hausdorff threshold for the similarity graph
 _SIG_M = 16  # rank-sampled signature size per user
 
 
+def _sig_hausdorff_pairs(t: Tables, tau: float) -> DataFrame:
+    """(u < v, h) candidate pairs with EXACT signature-Hausdorff h,
+    pruned by a banded summary self-join — the shared engine under
+    ``traj_cluster_threshold`` (edges of the similarity graph) and
+    ``traj_knn_join`` (capped kNN join).
+
+    Stage shape (nothing is all-pairs):
+
+    1. each user's point set is compacted to a deterministic 16-point
+       RANK-SAMPLED signature (evenly spaced ranks over the distinct
+       sorted values, endpoints always included);
+    2. candidates come from a BANDED summary self-join: the endpoint
+       lower bound H(A,B) >= max(|dmin|, |dmax|) is lossless (the
+       nearest neighbor of A's extreme point is at least the extreme-
+       point gap away), and |dmin| <= tau is an equi-join on
+       floor(mn/tau) cells with a 3-cell probe — ``sim_band_join``'s
+       trick, so pair fan-out is per-band, not U^2;
+    3. survivors are refined EXACTLY (on signatures): two grouped
+       minima over the 16x16 value grid per pair.
+
+    Pairs whose endpoint bounds exceed tau are pruned WITHOUT emitting
+    a row, so the result is complete for any ``h <= tau`` filter.
+    Returned materialized (localCheckpoint) — both callers iterate or
+    window over it more than once."""
+    # signature in ONE aggregation: sorted distinct values per user, then
+    # the evenly-ranked picks by array index (rank r = 1 + floor(j*(nv-1)
+    # / (m-1)), j = 0..m-1 — endpoints always included, same formula the
+    # oracle's picks CTE evaluates row-wise)
+    sig = (
+        t.events.select("user_id", F.col("value").alias("v"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("v")).alias("vs"))
+        .select(
+            "user_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(_SIG_M - 1)),
+                        lambda j: F.element_at(
+                            "vs",
+                            (
+                                1
+                                + F.floor(
+                                    j
+                                    * (F.size("vs") - 1)
+                                    / (_SIG_M - 1.0)
+                                )
+                            ).cast("int"),
+                        ),
+                    )
+                )
+            ).alias("v"),
+        )
+        .persist()
+    )
+    s = sig.groupBy("user_id").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    # banded candidate join: |dmin|<=tau => cells adjacent (3-cell probe)
+    a = s.select(
+        F.col("user_id").alias("u"),
+        F.col("mn").alias("amn"),
+        F.col("mx").alias("amx"),
+        F.explode(
+            F.array(
+                F.floor(F.col("mn") / tau) - 1,
+                F.floor(F.col("mn") / tau),
+                F.floor(F.col("mn") / tau) + 1,
+            )
+        ).alias("cell"),
+    )
+    b = s.select(
+        F.col("user_id").alias("v"),
+        F.col("mn").alias("bmn"),
+        F.col("mx").alias("bmx"),
+        F.floor(F.col("mn") / tau).alias("cell"),
+    )
+    cand = (
+        a.join(b, "cell")
+        .filter(
+            (F.col("u") < F.col("v"))
+            & (F.abs(F.col("amn") - F.col("bmn")) <= tau)
+            & (F.abs(F.col("amx") - F.col("bmx")) <= tau)
+        )
+        .select("u", "v")
+    )
+    sa = sig.select(F.col("user_id").alias("u"), F.col("v").alias("av"))
+    sb = sig.select(F.col("user_id").alias("v"), F.col("v").alias("bv"))
+    d = (
+        cand.join(sa, "u")
+        .join(sb, "v")
+        .select(
+            "u", "v", "av", "bv",
+            F.abs(F.col("av") - F.col("bv")).alias("dd"),
+        )
+    )
+    h1 = (
+        d.groupBy("u", "v", "av").agg(F.min("dd").alias("md"))
+        .groupBy("u", "v").agg(F.max("md").alias("h1"))
+    )
+    h2 = (
+        d.groupBy("u", "v", "bv").agg(F.min("dd").alias("md"))
+        .groupBy("u", "v").agg(F.max("md").alias("h2"))
+    )
+    pairs = (
+        h1.join(h2, ["u", "v"])
+        .select("u", "v", F.greatest("h1", "h2").alias("h"))
+        .localCheckpoint()
+    )
+    sig.unpersist()
+    return pairs
+
+
 @query(
     "traj_cluster_threshold",
     oracle=f"""
@@ -527,103 +641,101 @@ def traj_cluster_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     tau = _CLUSTER_TAU
-    # signature in ONE aggregation: sorted distinct values per user, then
-    # the evenly-ranked picks by array index (rank r = 1 + floor(j*(nv-1)
-    # / (m-1)), j = 0..m-1 — endpoints always included, same formula the
-    # oracle's picks CTE evaluates row-wise)
-    sig = (
-        t.events.select("user_id", F.col("value").alias("v"))
-        .distinct()
-        .groupBy("user_id")
-        .agg(F.array_sort(F.collect_set("v")).alias("vs"))
-        .select(
-            "user_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(_SIG_M - 1)),
-                        lambda j: F.element_at(
-                            "vs",
-                            (
-                                1
-                                + F.floor(
-                                    j
-                                    * (F.size("vs") - 1)
-                                    / (_SIG_M - 1.0)
-                                )
-                            ).cast("int"),
-                        ),
-                    )
-                )
-            ).alias("v"),
-        )
-        .persist()
-    )
-    s = sig.groupBy("user_id").agg(
-        F.min("v").alias("mn"), F.max("v").alias("mx")
-    )
-    # banded candidate join: |dmin|<=tau => cells adjacent (3-cell probe)
-    a = s.select(
-        F.col("user_id").alias("u"),
-        F.col("mn").alias("amn"),
-        F.col("mx").alias("amx"),
-        F.explode(
-            F.array(
-                F.floor(F.col("mn") / tau) - 1,
-                F.floor(F.col("mn") / tau),
-                F.floor(F.col("mn") / tau) + 1,
-            )
-        ).alias("cell"),
-    )
-    b = s.select(
-        F.col("user_id").alias("v"),
-        F.col("mn").alias("bmn"),
-        F.col("mx").alias("bmx"),
-        F.floor(F.col("mn") / tau).alias("cell"),
-    )
-    cand = (
-        a.join(b, "cell")
-        .filter(
-            (F.col("u") < F.col("v"))
-            & (F.abs(F.col("amn") - F.col("bmn")) <= tau)
-            & (F.abs(F.col("amx") - F.col("bmx")) <= tau)
-        )
-        .select("u", "v")
-    )
-    sa = sig.select(F.col("user_id").alias("u"), F.col("v").alias("av"))
-    sb = sig.select(F.col("user_id").alias("v"), F.col("v").alias("bv"))
-    d = (
-        cand.join(sa, "u")
-        .join(sb, "v")
-        .select(
-            "u", "v", "av", "bv",
-            F.abs(F.col("av") - F.col("bv")).alias("dd"),
-        )
-    )
-    h1 = (
-        d.groupBy("u", "v", "av").agg(F.min("dd").alias("md"))
-        .groupBy("u", "v").agg(F.max("md").alias("h1"))
-    )
-    h2 = (
-        d.groupBy("u", "v", "bv").agg(F.min("dd").alias("md"))
-        .groupBy("u", "v").agg(F.max("md").alias("h2"))
-    )
     e = (
-        h1.join(h2, ["u", "v"])
-        .filter(F.greatest("h1", "h2") <= tau)
+        _sig_hausdorff_pairs(t, tau)
+        .filter(F.col("h") <= tau)
         .select("u", "v")
-        .persist()
     )
     edges = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     nodes = t.events.select(F.col("user_id").alias("node")).distinct()
     labels = connected_components(nodes, edges)
-    sig.unpersist()
-    e.unpersist()
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "label").select(
         F.col("node").alias("user_id"),
         F.col("label").alias("cluster_id"),
         "cluster_size",
+    )
+
+
+_KNNJ_TAU = 12.0  # kNN-join radius cap (2x the cluster threshold)
+_KNNJ_K = 3
+
+
+@query(
+    "traj_knn_join",
+    oracle=f"""
+    WITH p AS (SELECT DISTINCT user_id, value AS v FROM events),
+    rk AS (SELECT user_id, v,
+                  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY v) AS r,
+                  COUNT(*) OVER (PARTITION BY user_id) AS nv
+           FROM p),
+    picks AS (SELECT DISTINCT user_id,
+                     1 + CAST(FLOOR((i.i - 1) * (nv - 1)
+                                    / {_SIG_M - 1}.0) AS BIGINT) AS r
+              FROM (SELECT DISTINCT user_id, nv FROM rk) u
+              CROSS JOIN (SELECT UNNEST(generate_series(1, {_SIG_M}))
+                          AS i) i),
+    sig AS (SELECT rk.user_id, rk.v FROM rk JOIN picks USING (user_id, r)),
+    s AS (SELECT user_id, MIN(v) mn, MAX(v) mx FROM sig GROUP BY user_id),
+    cand AS (SELECT a.user_id u, b.user_id v
+             FROM s a JOIN s b ON a.user_id < b.user_id
+             WHERE ABS(a.mn - b.mn) <= {_KNNJ_TAU}
+               AND ABS(a.mx - b.mx) <= {_KNNJ_TAU}),
+    d AS (SELECT c.u, c.v, sa.v av, sb.v bv, ABS(sa.v - sb.v) dd
+          FROM cand c JOIN sig sa ON sa.user_id = c.u
+                      JOIN sig sb ON sb.user_id = c.v),
+    h1 AS (SELECT u, v, MAX(md) h FROM (
+               SELECT u, v, av, MIN(dd) md FROM d GROUP BY u, v, av)
+           GROUP BY u, v),
+    h2 AS (SELECT u, v, MAX(md) h FROM (
+               SELECT u, v, bv, MIN(dd) md FROM d GROUP BY u, v, bv)
+           GROUP BY u, v),
+    pr AS (SELECT h1.u, h1.v, GREATEST(h1.h, h2.h) AS h
+           FROM h1 JOIN h2 USING (u, v)
+           WHERE GREATEST(h1.h, h2.h) <= {_KNNJ_TAU}),
+    sym AS (SELECT u, v, h FROM pr UNION ALL SELECT v, u, h FROM pr),
+    r AS (SELECT u, v, h,
+                 ROW_NUMBER() OVER (PARTITION BY u ORDER BY h, v) AS rnk
+          FROM sym)
+    SELECT u AS user_id, v AS neighbor_id, ROUND(h, 6) AS h_dist,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= {_KNNJ_K}
+    """,
+)
+def traj_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped-radius trajectory kNN JOIN: for EVERY user, its k=3
+    nearest users under signature-Hausdorff, restricted to neighbors
+    within tau=12.0 — the all-pairs variant of the paper's single-query
+    kNN search (the shape a fleet-wide "nearest routes per route"
+    report needs), run as ``_sig_hausdorff_pairs`` + one per-user
+    top-k window.
+
+    The radius cap is what keeps a kNN JOIN tractable at scale: exact
+    uncapped kNN join needs per-user adaptive radii (a driver loop per
+    user); capping at tau turns it into the SAME banded self-join as
+    the clustering query, and the per-user top-k is a row_number window
+    over pair rows already clustered by user. Users with fewer than k
+    in-cap neighbors return fewer rows (documented semantics, mirrored
+    exactly by the oracle). Ordering ties break on neighbor id; all
+    distances are exact float min/max chains (no accumulation), so the
+    rank is engine-independent."""
+    t = Tables(spark, sf_dir)
+    pairs = _sig_hausdorff_pairs(t, _KNNJ_TAU).filter(
+        F.col("h") <= _KNNJ_TAU
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"), "h")
+    )
+    w = W.partitionBy("u").orderBy("h", "v")
+    return (
+        sym.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KNNJ_K)
+        .select(
+            F.col("u").alias("user_id"),
+            F.col("v").alias("neighbor_id"),
+            F.round("h", 6).alias("h_dist"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
     )
