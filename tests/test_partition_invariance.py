@@ -31,6 +31,11 @@ KEYS = [
     "pipe_clean_corpus",
     "emb_layout_ivf",
     "text_simhash_neardup",
+    # curation additions: window-cumsum packing (hash-order-exposed if
+    # the order key were non-total), top-k-per-user join ranking
+    "pipe_pack_chunks",
+    "pipe_token_budget",
+    "traj_knn_join",
 ]
 
 

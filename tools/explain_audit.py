@@ -108,6 +108,7 @@ AUDIT = [
     "text_entropy",
     "rel_skyline",
     "graph_common_neighbors",
+    "traj_knn_join",
 ]
 
 
