@@ -301,3 +301,143 @@ def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.col("q") * F.col("n") - F.col("cum_prev")) / F.col("c")
     ) * ((F.col("mx") - F.col("mn")) / _QH_BINS)
     return hit.select("q", F.round(est, 6).alias("est"))
+
+
+_PROFILE_K = 10
+_PROFILE_QUERY = 1
+
+
+@query(
+    "rel_gapfill",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400e6)
+                    AS BIGINT) AS dy,
+               COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18, 6)))
+                          AS DOUBLE), 6) AS sv
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT user_id, MIN(dy) AS d0, MAX(dy) AS d1 FROM daily
+        GROUP BY user_id
+    ),
+    cal AS (
+        SELECT user_id, UNNEST(generate_series(d0, d1)) AS dy FROM span
+    )
+    SELECT cal.user_id, cal.dy,
+           COALESCE(daily.n, 0) AS n_events,
+           COALESCE(daily.sv, 0.0) AS sum_value
+    FROM cal LEFT JOIN daily USING (user_id, dy)
+    """,
+)
+def rel_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification (the hypertable `time_bucket_gapfill`):
+    every user's daily activity series zero-filled over the days
+    between their first and last event — downstream window math (moving
+    averages, EWMA-style decay, change detection) needs the dense grid,
+    not the sparse observed rows.
+
+    The calendar is GENERATED WHERE THE DATA LIVES: each user's span
+    row explodes to its own days via ``sequence()`` — no global
+    calendar table, no cross join; the left join keys on (user_id, dy),
+    the same key the daily rollup already clustered on. Linear in
+    user-days at any scale. Sums quantize to DECIMAL per row before
+    accumulating (order-independent, see ``rel_agg_basic``)."""
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        "user_id",
+        F.floor(F.unix_micros("ts") / 86400e6).alias("dy"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("sv"),
+    )
+    cal = (
+        daily.groupBy("user_id")
+        .agg(F.min("dy").alias("d0"), F.max("dy").alias("d1"))
+        .select(
+            "user_id", F.explode(F.sequence("d0", "d1")).alias("dy")
+        )
+    )
+    return cal.join(daily, ["user_id", "dy"], "left").select(
+        "user_id",
+        "dy",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.coalesce("sv", F.lit(0.0)).alias("sum_value"),
+    )
+
+
+@query(
+    "traj_profile_knn",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id,
+               EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS hr,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    nrm AS (
+        SELECT user_id, SQRT(SUM(n * n)) AS nn FROM p GROUP BY user_id
+    ),
+    q AS (SELECT hr, n FROM p WHERE user_id = {_PROFILE_QUERY}),
+    dots AS (
+        SELECT p.user_id, SUM(p.n * q.n) AS dp
+        FROM p JOIN q USING (hr)
+        WHERE p.user_id <> {_PROFILE_QUERY}
+        GROUP BY p.user_id
+    )
+    SELECT d.user_id,
+           ROUND(d.dp / (na.nn *
+                 (SELECT nn FROM nrm WHERE user_id = {_PROFILE_QUERY})),
+                 6) AS cos_sim
+    FROM dots d JOIN nrm na ON na.user_id = d.user_id
+    ORDER BY cos_sim DESC, d.user_id
+    LIMIT {_PROFILE_K}
+    """,
+)
+def traj_profile_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-profile kNN: each user's hour-of-day activity
+    histogram (24 integer bins) as a derived embedding; the 10 users
+    most cosine-similar to the query user's profile — temporal
+    similarity, complementing the positional Hausdorff/Fréchet family
+    (two users can visit different places on the same schedule).
+
+    Profiles are integer count vectors, so every dot product and
+    squared norm is INTEGER-exact cross-engine; only the final cosine
+    divides in floats (rounded at 6). The query profile is a broadcast
+    <=24-row join, the scan aggregates linearly, and the top-k is a
+    TakeOrdered — no per-pair work across users."""
+    t = Tables(spark, sf_dir)
+    p = t.events.groupBy(
+        "user_id", F.hour("ts").alias("hr")
+    ).agg(F.count("*").alias("n"))
+    nrm = p.groupBy("user_id").agg(
+        F.sqrt(F.sum(F.col("n") * F.col("n"))).alias("nn")
+    )
+    q = p.filter(F.col("user_id") == _PROFILE_QUERY).select(
+        "hr", F.col("n").alias("qn")
+    )
+    qn = nrm.filter(F.col("user_id") == _PROFILE_QUERY).select(
+        F.col("nn").alias("qnn")
+    )
+    dots = (
+        p.filter(F.col("user_id") != _PROFILE_QUERY)
+        .join(F.broadcast(q), "hr")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("n") * F.col("qn")).alias("dp"))
+    )
+    return (
+        dots.join(nrm, "user_id")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "user_id",
+            F.round(
+                F.col("dp") / (F.col("nn") * F.col("qnn")), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "user_id")
+        .limit(_PROFILE_K)
+    )
