@@ -249,3 +249,64 @@ def test_anomaly_welford_state_across_batches(spark, stream_dir, tmp_path):
     )
     assert rows[-1]["n_events"] == 9
     assert rows[-1]["n_anomalies"] == 1, rows
+
+
+def test_pack_chunks_offset_across_batches(spark, tmp_path):
+    """The packing offset must carry across micro-batches: a document
+    arriving in batch 2 starts at the token offset where batch 1 ended,
+    so its block range continues the stream rather than restarting at
+    chunk 0."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from traj_sim_spark_spark.streaming.streams_ext import _pack_advance
+
+    src_dir = str(tmp_path / "docs")
+
+    def _write(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["doc_id", "source", "shard", "n_tokens"]
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        time.sleep(0.05)
+
+    # batch 1: 100 + 200 tokens -> stream offset ends at 300
+    _write([(0, "web", 0, 100), (4, "web", 0, 200)])
+    src = (
+        spark.readStream.schema(
+            "doc_id long, source string, shard long, n_tokens long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out = src.groupBy("source", "shard").applyInPandasWithState(
+        _pack_advance,
+        outputStructType="source string, shard bigint, doc_id bigint, "
+        "n_tokens bigint, first_chunk bigint, last_chunk bigint, "
+        "n_chunks bigint",
+        stateStructType="off bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("pack_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pack"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: 300 tokens starting at offset 300 -> chunks 1..2
+        _write([(8, "web", 0, 300)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]: (r["first_chunk"], r["last_chunk"])
+        for r in spark.table("pack_test").collect()
+    }
+    assert got[0] == (0, 0)  # offset 0..99
+    assert got[4] == (0, 1)  # offset 100..299 crosses the 256 boundary
+    assert got[8] == (1, 2)  # offset 300..599: state carried, not reset

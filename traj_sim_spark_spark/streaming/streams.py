@@ -433,3 +433,26 @@ def stream_topk_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(3)
     )
     return run_to_completion(agg, "complete")
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a file-source stream (schema is plain —
+    no timestamp-encoding branch needed, unlike ``events_stream``)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d = os.path.join(
+        tempfile.gettempdir(), "spark_graft_stream_docs", tag
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir.rstrip('/')}/documents.parquet", link)
+    return spark.readStream.schema(schema).parquet(d)

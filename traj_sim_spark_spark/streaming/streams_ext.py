@@ -445,3 +445,101 @@ def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "s.n_events", "s.n_anomalies")
     )
+
+
+_PACK_BUDGET = 256  # tokens per packed block (== pipe_pack_chunks)
+_PACK_SHARDS = 4
+
+
+def _pack_advance(key, pdfs, state):  # noqa: ANN001
+    """Per-(source, shard) running token offset; docs in each batch are
+    packed in doc_id order (deterministic under the single-batch file
+    replay; under multi-batch arrival the offset carries across batches
+    — the true streaming semantic). State = one bigint."""
+    import pandas as pd
+
+    (off,) = state.get if state.exists else (0,)
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values("doc_id", kind="mergesort")
+    rows = []
+    for r in batch.itertuples():
+        n = int(r.n_tokens)
+        first = off // _PACK_BUDGET
+        last = (off + n - 1) // _PACK_BUDGET
+        rows.append(
+            (key[0], int(key[1]), int(r.doc_id), n, first, last,
+             last - first + 1)
+        )
+        off += n
+    state.update((off,))
+    yield pd.DataFrame(
+        rows,
+        columns=[
+            "source", "shard", "doc_id", "n_tokens",
+            "first_chunk", "last_chunk", "n_chunks",
+        ],
+    )
+
+
+@query(
+    "stream_pack_chunks",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               doc_id % {_PACK_SHARDS} AS shard
+        FROM documents
+    ),
+    c AS (
+        SELECT *,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source, shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS st
+        FROM d
+    )
+    SELECT source, CAST(shard AS BIGINT) AS shard, doc_id, n_tokens,
+           CAST(FLOOR(st / {_PACK_BUDGET}) AS BIGINT) AS first_chunk,
+           CAST(FLOOR((st + n_tokens - 1) / {_PACK_BUDGET}) AS BIGINT)
+               AS last_chunk,
+           CAST(FLOOR((st + n_tokens - 1) / {_PACK_BUDGET})
+                - FLOOR(st / {_PACK_BUDGET}) + 1 AS BIGINT) AS n_chunks
+    FROM c
+    """,
+)
+def stream_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING concat-and-chunk sequence packing: documents arrive on
+    a stream and each is assigned its 256-token block range the moment
+    it is seen — the online form of ``pipe_pack_chunks``, for pipelines
+    that tokenize-and-pack as crawl shards land instead of re-running a
+    batch job. State per (source, shard) is a single bigint offset —
+    constant memory per key forever.
+
+    Each document is emitted exactly once (update mode, one row per
+    doc), so the completed stream equals the batch packer row-for-row —
+    a FULL oracle on a stateful streaming query. Token counts are
+    computed JVM-side BEFORE the stateful boundary; only the integer
+    cumsum crosses into Python. The file replay delivers one micro-
+    batch in doc_id order; under multi-batch arrival the offset carries
+    across batches and packing follows arrival order (the true
+    streaming semantic — the oracle pins the replay's order)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .streams import documents_stream
+
+    docs = documents_stream(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.pmod("doc_id", F.lit(_PACK_SHARDS)).cast("long").alias("shard"),
+    )
+    out = docs.groupBy("source", "shard").applyInPandasWithState(
+        _pack_advance,
+        outputStructType="source string, shard bigint, doc_id bigint, "
+        "n_tokens bigint, first_chunk bigint, last_chunk bigint, "
+        "n_chunks bigint",
+        stateStructType="off bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_completion(out, "update")
