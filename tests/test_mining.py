@@ -101,3 +101,45 @@ def test_dp_zero_tol_examples():
         3,
         4,
     ]
+
+
+def test_kcore_fixpoint_reached(spark, sf_dir):
+    """graph_kcore runs a FIXED 5-round peel so its oracle can unroll
+    the same chain; this pins that the peel has converged by then at
+    fixture scale — one more round must not change the result. If this
+    ever fails, raise _KCORE_ROUNDS (and the oracle unrolls with it)."""
+    from pyspark.sql import functions as F
+
+    from traj_sim_spark_spark.operators.graph import _KCORE_K
+    from traj_sim_spark_spark.operators.graph import graph_kcore
+    from traj_sim_spark_spark.operators.mining import traj_comovement
+
+    at_depth = sorted(
+        tuple(r) for r in graph_kcore(spark, sf_dir).collect()
+    )
+
+    e = traj_comovement(spark, sf_dir).select(
+        F.col("user_a").alias("u"), F.col("user_b").alias("v")
+    ).localCheckpoint()
+    und = e.select(
+        F.col("u").alias("s"), F.col("v").alias("t")
+    ).unionByName(e.select(F.col("v").alias("s"), F.col("u").alias("t")))
+    for _ in range(6):  # one round deeper than the registered query
+        alive = (
+            und.groupBy("s").agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= _KCORE_K).select("s")
+        )
+        und = (
+            und.join(alive, "s", "left_semi")
+            .join(alive.select(F.col("s").alias("t")), "t", "left_semi")
+            .localCheckpoint()
+        )
+    deeper = sorted(
+        tuple(r)
+        for r in und.groupBy("s")
+        .agg(F.count("*").alias("degree"))
+        .filter(F.col("degree") >= _KCORE_K)
+        .select(F.col("s").alias("user_id"), "degree")
+        .collect()
+    )
+    assert at_depth == deeper

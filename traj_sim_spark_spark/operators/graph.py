@@ -489,3 +489,100 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = nodes.groupBy("user_id").agg(F.count("*").alias("n_triangles"))
     return out
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 5  # fixed peel depth; fixture convergence pinned in pytest
+
+
+def _kcore_oracle() -> str:
+    """Chained-CTE oracle: _KCORE_ROUNDS degree-filter/edge-restrict
+    peels over the co-movement graph. A FIXED unrolling (recursive CTEs
+    cannot re-aggregate degrees per round); the engine runs the same
+    fixed depth, and tests/test_mining.py asserts the peel has reached
+    its fixpoint by then at fixture scale."""
+    ctes = [
+        """
+    b AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400e6)
+                    AS BIGINT) AS dy,
+               MIN(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    e AS MATERIALIZED (
+        SELECT a.user_id u, c.user_id v
+        FROM b a JOIN b c
+          ON a.dy = c.dy AND a.user_id < c.user_id
+         AND ABS(a.v - c.v) <= 1.0
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    und0 AS (SELECT u AS s, v AS t FROM e
+             UNION ALL SELECT v, u FROM e)"""
+    ]
+    for i in range(_KCORE_ROUNDS):
+        ctes.append(f"""
+    a{i} AS (SELECT s FROM und{i} GROUP BY s
+             HAVING COUNT(*) >= {_KCORE_K}),
+    und{i + 1} AS (SELECT und{i}.s, und{i}.t FROM und{i}
+                   JOIN a{i} ON a{i}.s = und{i}.s
+                   JOIN a{i} x ON x.s = und{i}.t)""")
+    n = _KCORE_ROUNDS
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+    SELECT s AS user_id, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM und{n} GROUP BY s HAVING COUNT(*) >= {_KCORE_K}
+    """
+    )
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3) of the co-movement graph: repeatedly
+    peel nodes with degree < k until the remaining subgraph is stable —
+    the standard cohesive-subgraph extractor (a 3-core is where flocks
+    and convoys can live; degree-1/2 stragglers cannot).
+
+    The third iterative-algorithm pattern beside connected components
+    and PageRank: each round is ONE hash aggregate (degrees) + ONE
+    semi-join pair (restrict both endpoints) — linear per round, no
+    all-pairs anywhere; edge fan-out only ever shrinks. Runs a FIXED
+    5-round peel so the DuckDB oracle (which cannot re-aggregate inside
+    a recursive CTE) unrolls the identical chain; fixture convergence
+    by round 5 is asserted in tests/test_mining.py, and at larger
+    diameters the loop extends with localCheckpoint every few rounds
+    exactly like ``connected_components``."""
+    from .mining import traj_comovement
+
+    e = (
+        traj_comovement(spark, sf_dir)
+        .select(F.col("user_a").alias("u"), F.col("user_b").alias("v"))
+        .localCheckpoint()
+    )
+    und = e.select(F.col("u").alias("s"), F.col("v").alias("t")).unionByName(
+        e.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    )
+    for _ in range(_KCORE_ROUNDS):
+        alive = (
+            und.groupBy("s")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("s")
+        )
+        # materialize per round: `und` is referenced twice per peel
+        # (degrees + restriction), so an unbroken lineage DOUBLES in
+        # plan size every round — O(2^rounds) planning. The edge set
+        # only shrinks, so the checkpoint is a small, bounded job.
+        und = (
+            und.join(alive, "s", "left_semi")
+            .join(alive.select(F.col("s").alias("t")), "t", "left_semi")
+            .localCheckpoint()
+        )
+    return (
+        und.groupBy("s")
+        .agg(F.count("*").alias("degree"))
+        .filter(F.col("degree") >= _KCORE_K)
+        .select(F.col("s").alias("user_id"), "degree")
+    )
