@@ -53,6 +53,7 @@ _MODULES = (
     "traj_sim_spark_spark.operators.graph",
     "traj_sim_spark_spark.operators.similarity_ext",
     "traj_sim_spark_spark.operators.curation",
+    "traj_sim_spark_spark.operators.series",
 )
 
 _loaded = False
