@@ -586,3 +586,95 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("degree") >= _KCORE_K)
         .select(F.col("s").alias("user_id"), "degree")
     )
+
+
+_BFS_DEPTH = 4
+
+
+def _bfs_oracle() -> str:
+    """Chained-CTE oracle: fixed-depth BFS frontier expansion (min-hop
+    labels fall out because level h excludes every earlier level)."""
+    ctes = [
+        """
+    b AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400e6)
+                    AS BIGINT) AS dy,
+               MIN(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    e AS MATERIALIZED (
+        SELECT a.user_id u, c.user_id v
+        FROM b a JOIN b c
+          ON a.dy = c.dy AND a.user_id < c.user_id
+         AND ABS(a.v - c.v) <= 1.0
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    und AS (SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e),
+    l0 AS (SELECT MIN(u) AS user_id FROM e),
+    seen0 AS (SELECT user_id FROM l0)"""
+    ]
+    for h in range(1, _BFS_DEPTH + 1):
+        ctes.append(f"""
+    l{h} AS (
+        SELECT DISTINCT und.t AS user_id
+        FROM und JOIN l{h - 1} ON und.s = l{h - 1}.user_id
+        WHERE und.t NOT IN (SELECT user_id FROM seen{h - 1})
+    ),
+    seen{h} AS (SELECT user_id FROM seen{h - 1}
+                UNION ALL SELECT user_id FROM l{h})""")
+    levels = " UNION ALL ".join(
+        f"SELECT user_id, {h} AS hop FROM l{h}"
+        for h in range(_BFS_DEPTH + 1)
+    )
+    return (
+        "WITH " + ",".join(ctes)
+        + f" SELECT user_id, hop FROM ({levels}) WHERE user_id IS NOT NULL"
+    )
+
+
+@query("graph_bfs_hops", oracle=_bfs_oracle())
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances (depth <= 4) from a deterministic seed (the
+    smallest user appearing in any edge) over the undirected
+    co-movement graph — the social-reachability primitive ("friends of
+    friends of co-movers"), and the fourth iterative pattern beside CC,
+    PageRank and k-core.
+
+    Each round is ONE frontier⋈edges equi-join + ONE distinct + ONE
+    anti-join against the visited set — per-round cost is frontier
+    volume x degree, the textbook distributed BFS; min-hop labels need
+    no min() because level h is constructed to exclude levels < h.
+    Every level is localCheckpoint'd: the visited set is read by every
+    later round, and without the cut the plan would re-derive all
+    previous frontiers per round (lineage doubling — same policy as the
+    CC loop). The seed is an aggregate, not a .head() — no driver
+    round-trip; the whole query stays one lazy plan per level."""
+    from .mining import traj_comovement
+
+    e = (
+        traj_comovement(spark, sf_dir)
+        .select(F.col("user_a").alias("u"), F.col("user_b").alias("v"))
+        .localCheckpoint()
+    )
+    und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    level = e.agg(F.min("u").alias("user_id")).filter(
+        F.col("user_id").isNotNull()
+    ).localCheckpoint()
+    out = level.withColumn("hop", F.lit(0))
+    visited = level
+    for h in range(1, _BFS_DEPTH + 1):
+        nxt = (
+            und.join(
+                level.withColumnRenamed("user_id", "s"),
+                und["u"] == F.col("s"),
+            )
+            .select(F.col("v").alias("user_id"))
+            .distinct()
+            .join(visited, "user_id", "left_anti")
+            .localCheckpoint()
+        )
+        out = out.unionAll(nxt.withColumn("hop", F.lit(h)))
+        visited = visited.unionAll(nxt).localCheckpoint()
+        level = nxt
+    return out

@@ -739,3 +739,136 @@ def traj_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+_ROG_CELL = 50.0  # value-cell width for the entropy op (same as od_flows)
+
+
+@query(
+    "traj_radius_gyration",
+    oracle="""
+    WITH p AS (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                 - MIN(epoch_us(CAST(ts AS TIMESTAMP)))
+                     OVER (PARTITION BY user_id) AS dx,
+               CAST(ROUND(value * 1e6) AS BIGINT) AS vi
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, COUNT(*) AS n,
+               CAST(SUM(dx) AS DECIMAL(38, 0)) AS sx,
+               CAST(SUM(vi) AS DECIMAL(38, 0)) AS sy,
+               SUM(CAST(dx AS HUGEINT) * CAST(dx AS HUGEINT)) AS sxx,
+               SUM(CAST(vi AS HUGEINT) * CAST(vi AS HUGEINT)) AS syy
+        FROM p GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_points,
+           ROUND(SQRT(
+               (CAST(sxx AS DOUBLE) / n
+                - (CAST(sx AS DOUBLE) / n) ** 2) / (86400e6 ** 2)
+               + (CAST(syy AS DOUBLE) / n
+                  - (CAST(sy AS DOUBLE) / n) ** 2) / (1e6 ** 2)), 6)
+               AS rog
+    FROM s
+    """,
+)
+def traj_radius_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius of gyration per user — the canonical mobility-science
+    compactness feature (Gonzalez et al.'s r_g): RMS distance of the
+    user's points from their own centroid, in the engine's derived 2-D
+    trajectory space (x = days since the user's first fix, y = value) —
+    the same plane the Hausdorff/Fréchet 2-D family measures in.
+
+    Sufficient statistics only: n, Σx, Σy (BIGINT), Σx², Σy²
+    (DECIMAL(38,0)) — exact, order-independent, repartition-invariant;
+    the variance identity E[x²]−E[x]² turns them into r_g in ONE float
+    expression per user over exact integers, so the float never
+    accumulates. One scan + one window-min + one hash aggregate: linear
+    at any scale, clustered on user_id throughout."""
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("user_id")
+    p = t.events.select(
+        "user_id",
+        (F.unix_micros("ts") - F.min(F.unix_micros("ts")).over(w)).alias(
+            "dx"
+        ),
+        F.round(F.col("value") * 1e6).cast("long").alias("vi"),
+    )
+    d15 = lambda c: F.col(c).cast("decimal(15,0)")  # noqa: E731
+    s = p.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("dx").cast("decimal(38,0)").alias("sx"),
+        F.sum("vi").cast("decimal(38,0)").alias("sy"),
+        F.sum(d15("dx") * d15("dx")).alias("sxx"),
+        F.sum(d15("vi") * d15("vi")).alias("syy"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    var_x = (dbl("sxx") / F.col("n") - (dbl("sx") / F.col("n")) ** 2) / (
+        86400e6**2
+    )
+    var_y = (dbl("syy") / F.col("n") - (dbl("sy") / F.col("n")) ** 2) / (
+        1e6**2
+    )
+    return s.select(
+        "user_id",
+        F.col("n").alias("n_points"),
+        F.round(F.sqrt(var_x + var_y), 6).alias("rog"),
+    )
+
+
+@query(
+    "traj_mobility_entropy",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id,
+               CAST(FLOOR(value / {_ROG_CELL}) AS BIGINT) AS cell,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    q AS (
+        SELECT user_id, n,
+               CAST(ROUND(LN(n), 9) AS DECIMAL(18, 9)) AS lnq
+        FROM c
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(n) AS BIGINT) AS n_points,
+           ROUND(LN(SUM(n)) - CAST(SUM(n * lnq) AS DOUBLE) / SUM(n), 6)
+               AS entropy
+    FROM q GROUP BY user_id
+    """,
+)
+def traj_mobility_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mobility (visitation) entropy per user: Shannon entropy of the
+    user's visit distribution over value-cells (width 50 — the
+    ``traj_od_flows`` grid) — the predictability feature that pairs
+    with ``traj_radius_gyration`` (how FAR you roam vs how EVENLY you
+    spread).
+
+    Uses the algebraic identity H = ln(n) − (Σ c·ln c)/n so the only
+    logarithms are of INTEGER counts, each quantized once to
+    DECIMAL(18,9) (engine ulp differences in LN die at the 9th
+    decimal); the weighted sum of decimals is exact and
+    order-independent, and one float expression per user finishes the
+    job. Two hash aggregates clustered on user_id — linear at any
+    scale."""
+    t = Tables(spark, sf_dir)
+    c = t.events.groupBy(
+        "user_id",
+        F.floor(F.col("value") / _ROG_CELL).alias("cell"),
+    ).agg(F.count("*").alias("n"))
+    q = c.select(
+        "user_id",
+        "n",
+        F.round(F.log("n"), 9).cast("decimal(18,9)").alias("lnq"),
+    )
+    return q.groupBy("user_id").agg(
+        F.count("*").alias("n_cells"),
+        F.sum("n").alias("n_points"),
+        F.round(
+            F.log(F.sum("n"))
+            - F.sum(F.col("n") * F.col("lnq")).cast("double") / F.sum("n"),
+            6,
+        ).alias("entropy"),
+    )

@@ -504,3 +504,96 @@ def pipe_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hit").isNull().alias("kept"),
         )
     )
+
+
+_LM_BOTTOM = 10  # most-improbable docs to emit
+
+
+@query(
+    "text_bigram_lm",
+    oracle=f"""
+    WITH bg AS (
+        SELECT d.doc_id, substr(d.text, CAST(i.i AS INTEGER), 2) AS g
+        FROM documents d
+        CROSS JOIN (SELECT unnest(generate_series(
+                        1, (SELECT MAX(LEN(text)) FROM documents))) AS i) i
+        WHERE i.i <= LEN(d.text) - 1
+    ),
+    lm AS (
+        SELECT g,
+               CAST(ROUND(LN(COUNT(*) * 1.0
+                             / (SELECT COUNT(*) FROM bg)), 9)
+                    AS DECIMAL(12, 9)) AS lp
+        FROM bg GROUP BY g
+    ),
+    scored AS (
+        SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+               SUM(lm.lp) AS slp
+        FROM bg JOIN lm USING (g)
+        GROUP BY bg.doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           ROUND(CAST(slp AS DOUBLE) / n_bigrams, 6) AS avg_lp
+    FROM scored
+    ORDER BY avg_lp ASC, doc_id LIMIT {_LM_BOTTOM}
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram language-model quality score: train bigram
+    log-probabilities on the corpus itself (one aggregate), score every
+    document by its mean bigram log-prob, and surface the 10 most
+    improbable documents — the self-supervised "perplexity filter" a
+    pretraining pipeline runs when no external LM is available (KenLM's
+    role, order 2, no smoothing needed since every scored bigram is by
+    construction in the corpus).
+
+    Determinism: each bigram's log-prob is quantized ONCE to
+    DECIMAL(12,9) (a 1-ulp engine difference in LN dies at the 9th
+    decimal), and per-doc sums of decimals are exact and
+    order-independent — so the knife-edge bottom-10 ranking is stable
+    across engines and partitionings. The scoring join keys on the
+    bigram string; fan-out per key is that bigram's corpus frequency —
+    at 100 TB the ~1k-row bigram LM is a broadcast dictionary, making
+    the whole scorer a map-side pass over the exploded corpus (the
+    explode is pre-repartitioned like the tokenizer so one fat split
+    cannot serialize it)."""
+    t = Tables(spark, sf_dir)
+    bg = (
+        t.documents.filter(F.length("text") > 1)
+        .select("doc_id", "text")
+        .repartition(32, "doc_id")
+        .select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(1), F.length("text") - 1)).alias("i"),
+        )
+        .select("doc_id", F.expr("substring(text, i, 2)").alias("g"))
+    )
+    total = bg.agg(F.count("*").alias("tot"))
+    lm = (
+        bg.groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .join(F.broadcast(total))
+        .select(
+            "g",
+            F.round(F.log(F.col("c") / F.col("tot")), 9)
+            .cast("decimal(12,9)")
+            .alias("lp"),
+        )
+    )
+    scored = (
+        bg.join(F.broadcast(lm), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("lp").alias("slp"))
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("slp").cast("double") / F.col("n_bigrams"), 6
+            ).alias("avg_lp"),
+        )
+        .orderBy(F.asc("avg_lp"), "doc_id")
+        .limit(_LM_BOTTOM)
+    )
