@@ -310,3 +310,77 @@ def test_pack_chunks_offset_across_batches(spark, tmp_path):
     assert got[0] == (0, 0)  # offset 0..99
     assert got[4] == (0, 1)  # offset 100..299 crosses the 256 boundary
     assert got[8] == (1, 2)  # offset 300..599: state carried, not reset
+
+
+def test_ewma_ring_state_across_batches(spark, stream_dir, tmp_path):
+    """The 16-slot ring buffer must carry across micro-batches: after
+    two batches of 10 events each, the EWMA sees the last 16 events
+    spanning both batches, not just batch 2."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from traj_sim_spark_spark.streaming.streams_ext import (
+        _EWMA_W,
+        _ewma_advance,
+    )
+
+    def _write(rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "us", "vi"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
+            stream_dir
+        )
+        time.sleep(0.05)
+
+    vals1 = [(9, i, i * 1000, 1_000_000 * (i + 1)) for i in range(10)]
+    _write(vals1)
+    src = (
+        spark.readStream.schema(
+            "user_id long, event_id long, us long, vi long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    out = src.groupBy("user_id").applyInPandasWithState(
+        _ewma_advance,
+        outputStructType="user_id bigint, n_events bigint, ewma double",
+        stateStructType="vals array<bigint>, n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ewma_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ewma"))
+        .start()
+    )
+
+    def _expected(all_vis):
+        tail = all_vis[-_EWMA_W:]
+        k = len(tail)
+        num = sum(
+            v << (_EWMA_W - 1 - j) for j, v in enumerate(reversed(tail))
+        )
+        denom = (1 << _EWMA_W) - (1 << (_EWMA_W - k))
+        return round(num / denom / 1e6, 6)
+
+    try:
+        q.processAllAvailable()
+        rows = {
+            r["n_events"]: r["ewma"]
+            for r in spark.table("ewma_test").collect()
+        }
+        assert rows[10] == _expected([v[3] for v in vals1])
+        vals2 = [(9, 10 + i, (10 + i) * 1000, 2_000_000 * (i + 1))
+                 for i in range(10)]
+        _write(vals2)
+        q.processAllAvailable()
+        rows = {
+            r["n_events"]: r["ewma"]
+            for r in spark.table("ewma_test").collect()
+        }
+        all_vis = [v[3] for v in vals1 + vals2]
+        # 20 events seen; the ring holds the last 16, 6 of them from
+        # batch 1 — wrong if state did not carry across batches
+        assert rows[20] == _expected(all_vis)
+    finally:
+        q.stop()

@@ -678,3 +678,71 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionAll(nxt).localCheckpoint()
         level = nxt
     return out
+
+
+@query(
+    "graph_cc",
+    oracle="""
+    WITH RECURSIVE b AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400e6)
+                    AS BIGINT) AS dy,
+               MIN(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    e AS MATERIALIZED (
+        SELECT a.user_id u, c.user_id v
+        FROM b a JOIN b c
+          ON a.dy = c.dy AND a.user_id < c.user_id
+         AND ABS(a.v - c.v) <= 1.0
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    reach(node, label) AS (
+        SELECT DISTINCT user_id, user_id FROM events
+        UNION
+        SELECT und.u, r.label
+        FROM reach r JOIN und ON und.v = r.node
+        WHERE r.label < und.u
+    ),
+    lab AS (SELECT node AS user_id, MIN(label) AS component_id
+            FROM reach GROUP BY node)
+    SELECT lab.user_id, lab.component_id, c.component_size
+    FROM lab JOIN (
+        SELECT component_id, COUNT(*) AS component_size FROM lab
+        GROUP BY component_id
+    ) c USING (component_id)
+    """,
+)
+def graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the co-movement graph — the social-
+    group extractor (every user labeled with the smallest user id
+    reachable through co-movement edges, plus the component size), and
+    the graph-family sibling of the text pipeline's dedup clustering:
+    both reuse the SAME ``connected_components`` min-label-propagation
+    engine (one join + one aggregate per round, scalar convergence
+    check, ``localCheckpoint`` every few rounds to truncate lineage).
+
+    Isolated users form singleton components — the node set is every
+    user in events, not just edge endpoints, so the output is a total
+    labeling (what a downstream group-by-component join needs)."""
+    from .mining import traj_comovement
+    from .text import connected_components
+
+    e = (
+        traj_comovement(spark, sf_dir)
+        .select(F.col("user_a").alias("u"), F.col("user_b").alias("v"))
+        .localCheckpoint()
+    )
+    und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    t = Tables(spark, sf_dir)
+    nodes = t.events.select(F.col("user_id").alias("node")).distinct()
+    labels = connected_components(nodes, und)
+    sizes = labels.groupBy("label").agg(
+        F.count("*").alias("component_size")
+    )
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("user_id"),
+        F.col("label").alias("component_id"),
+        "component_size",
+    )

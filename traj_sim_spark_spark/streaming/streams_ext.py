@@ -543,3 +543,96 @@ def stream_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_completion(out, "update")
+
+
+_EWMA_W = 16  # ring length; power-of-two weights (see rel_ewma)
+
+
+def _ewma_advance(key, pdfs, state):  # noqa: ANN001
+    """Per-user ring buffer of the last 16 integer micro-unit values +
+    total count. Each batch appends in event-time order; the emitted
+    EWMA is computed from EXACT integers (term = vi * 2^(15-j) <= 2.6e14
+    < 2^53), so the float division at the end is engine-deterministic.
+    Module-level so the cross-batch pytest drives the production fn."""
+    import pandas as pd
+
+    if state.exists:
+        (vals, n) = state.get
+        vals = list(vals)
+    else:
+        vals, n = [], 0
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values(["us", "event_id"], kind="mergesort")
+    for v in batch["vi"]:
+        vals.append(int(v))
+        if len(vals) > _EWMA_W:
+            vals.pop(0)
+        n += 1
+    k = len(vals)
+    num = sum(v << (_EWMA_W - 1 - j) for j, v in enumerate(reversed(vals)))
+    denom = (1 << _EWMA_W) - (1 << (_EWMA_W - k))
+    state.update((vals, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "ewma": [round(num / denom / 1e6, 6)],
+        }
+    )
+
+
+@query(
+    "stream_ewma",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id,
+               CAST(ROUND(value * 1e6) AS BIGINT) AS vi,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           ROUND(SUM(vi * (2 ** ({_EWMA_W - 1} - (n - rn))))
+                 / (2 ** {_EWMA_W}
+                    - 2 ** ({_EWMA_W} - LEAST(CAST(n AS INTEGER),
+                                              {_EWMA_W})))
+                 / 1e6, 6) AS ewma
+    FROM p WHERE n - rn < {_EWMA_W}
+    GROUP BY user_id, n
+    """,
+)
+def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EWMA: each user's exponentially weighted average of
+    their last 16 event values, maintained across micro-batches with a
+    RING-BUFFER state (16 BIGINTs + a count — constant per key
+    regardless of stream length; the third state shape beside scalar
+    accumulators and offset counters). Weights are the ``rel_ewma``
+    powers of two, so the state->output arithmetic is exact integer
+    work and the emitted float is deterministic.
+
+    The batch oracle is the suffix-window formulation: the final EWMA
+    only sees each user's last 16 events (`n - rn < 16`), weighted by
+    recency. Update-mode emission, deduped to the final state by the
+    monotone event count (``stream_stateful``'s argument)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 1e6).cast("long").alias("vi"),
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _ewma_advance,
+        outputStructType="user_id bigint, n_events bigint, ewma double",
+        stateStructType="vals array<bigint>, n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = run_to_completion(out, "update")
+    return (
+        res.groupBy("user_id")
+        .agg(F.expr("max_by(struct(n_events, ewma), n_events)").alias("s"))
+        .select("user_id", "s.n_events", "s.ewma")
+    )
