@@ -36,6 +36,11 @@ KEYS = [
     "pipe_pack_chunks",
     "pipe_token_budget",
     "traj_knn_join",
+    # series/graph additions: knife-edge bottom-k ranking over decimal
+    # sums; iterative min-label propagation; exact grouped percentiles
+    "text_bigram_lm",
+    "graph_cc",
+    "rel_anomaly_mad",
 ]
 
 

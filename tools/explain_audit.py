@@ -109,6 +109,15 @@ AUDIT = [
     "rel_skyline",
     "graph_common_neighbors",
     "traj_knn_join",
+    # round-2 continuation: series analytics + graph + LM additions
+    "rel_ewma",
+    "rel_autocorr",
+    "rel_anomaly_mad",
+    "graph_bfs_hops",
+    "graph_cc",
+    "text_bigram_lm",
+    "traj_radius_gyration",
+    "traj_mobility_entropy",
 ]
 
 
