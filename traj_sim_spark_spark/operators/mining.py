@@ -872,3 +872,77 @@ def traj_mobility_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy"),
     )
+
+
+_SPEED_MAX = 100.0  # value-units per hour (≈ p95 of the corpus)
+
+
+@query(
+    "traj_speed_outliers",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id,
+               CAST(ROUND(value * 1e6) AS BIGINT) AS vi,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               LAG(CAST(ROUND(value * 1e6) AS BIGINT))
+                   OVER w AS pvi,
+               LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS pus
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    seg AS (
+        SELECT user_id,
+               ABS(vi - pvi) * 1.0 / (us - pus) * 3.6e9 / 1e6 AS speed
+        FROM p WHERE pus IS NOT NULL AND us > pus
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(COUNT(*) FILTER (WHERE speed > {_SPEED_MAX}) AS BIGINT)
+               AS n_outliers,
+           ROUND(MAX(speed), 6) AS max_speed
+    FROM seg GROUP BY user_id
+    """,
+)
+def traj_speed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPS-style implausible-jump detection: per-user counts of
+    consecutive-fix segments whose speed (|Δvalue| per hour) exceeds a
+    physical plausibility cap — the cleaning gate every trajectory
+    pipeline runs BEFORE similarity search, because one teleporting fix
+    poisons Hausdorff/Fréchet distances for its whole trajectory.
+
+    Determinism: Δvalue is a difference of integer micro-units and Δt a
+    difference of integer microseconds, so every speed is one float
+    expression over exact integers — identical IEEE doubles in any
+    engine, making even the strict threshold compare deterministic.
+    One window pass + one hash aggregate, clustered on user_id; linear
+    at any scale (the reference's point-parsing stage would hold this
+    gate as its first filter)."""
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    vi = F.round(F.col("value") * 1e6).cast("long")
+    p = t.events.select(
+        "user_id",
+        vi.alias("vi"),
+        F.unix_micros("ts").alias("us"),
+        F.lag(vi).over(w).alias("pvi"),
+        F.lag(F.unix_micros("ts")).over(w).alias("pus"),
+    )
+    seg = p.filter(
+        F.col("pus").isNotNull() & (F.col("us") > F.col("pus"))
+    ).select(
+        "user_id",
+        (
+            F.abs(F.col("vi") - F.col("pvi"))
+            * 1.0
+            / (F.col("us") - F.col("pus"))
+            * 3.6e9
+            / 1e6
+        ).alias("speed"),
+    )
+    return seg.groupBy("user_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.when(F.col("speed") > _SPEED_MAX, 1).otherwise(0))
+        .cast("long")
+        .alias("n_outliers"),
+        F.round(F.max("speed"), 6).alias("max_speed"),
+    )

@@ -317,3 +317,96 @@ def rel_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_anomalies"),
         )
     )
+
+
+_CP_MIN_SPAN = 8  # minimum grid days for a changepoint to be meaningful
+
+
+@query(
+    "rel_changepoint",
+    oracle=f"""
+    WITH {_GRID_SQL},
+    cum AS (
+        SELECT user_id, dy,
+               SUM(si) OVER (PARTITION BY user_id ORDER BY dy) AS cl,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dy)
+                   AS nl,
+               COUNT(*) OVER (PARTITION BY user_id) AS n,
+               SUM(si) OVER (PARTITION BY user_id) AS tot
+        FROM grid
+    ),
+    stat AS (
+        SELECT user_id, dy, nl, n,
+               cl * 1.0 / nl AS mean_l,
+               (tot - cl) * 1.0 / (n - nl) AS mean_r,
+               ABS(cl * 1.0 / nl - (tot - cl) * 1.0 / (n - nl))
+                   * SQRT(nl * (n - nl) * 1.0 / n) AS z
+        FROM cum
+        WHERE n >= {_CP_MIN_SPAN} AND nl < n
+    ),
+    best AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY z DESC, dy ASC) AS rk
+        FROM stat
+    )
+    SELECT user_id, dy AS split_dy,
+           ROUND(z / 1e6, 6) AS shift_stat,
+           ROUND(mean_l / 1e6, 6) AS mean_before,
+           ROUND(mean_r / 1e6, 6) AS mean_after
+    FROM best WHERE rk = 1
+    """,
+)
+def rel_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single changepoint detection per user: the split day of the dense
+    daily series maximizing the scaled mean shift
+    |mean_L − mean_R|·sqrt(nL·nR/n) — the CUSUM-equivalent statistic a
+    monitoring pipeline uses to date a regime change (deploys, habit
+    changes, sensor drift).
+
+    One window pass builds per-day prefix sums (exact BIGINT — the
+    dense grid's integer micro-units again), every candidate split's
+    statistic is ONE float expression over exact integers (identical
+    IEEE result in any engine), and the argmax is a row_number with the
+    earliest-day tie-break, so even equal-statistic plateaus resolve
+    deterministically. Cost: one sort per user (the window) + one
+    window-ranked reduction — linear in user-days, no self-join over
+    splits, clustered on user_id end-to-end."""
+    t = Tables(spark, sf_dir)
+    grid = _daily_grid(t)
+    w = W.partitionBy("user_id").orderBy("dy")
+    wall = W.partitionBy("user_id")
+    cum = grid.select(
+        "user_id",
+        "dy",
+        F.sum("si").over(w).alias("cl"),
+        F.row_number().over(w).alias("nl"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("si").over(wall).alias("tot"),
+    )
+    mean_l = F.col("cl") * 1.0 / F.col("nl")
+    mean_r = (F.col("tot") - F.col("cl")) * 1.0 / (F.col("n") - F.col("nl"))
+    z = F.abs(mean_l - mean_r) * F.sqrt(
+        F.col("nl") * (F.col("n") - F.col("nl")) * 1.0 / F.col("n")
+    )
+    stat = cum.filter(
+        (F.col("n") >= _CP_MIN_SPAN) & (F.col("nl") < F.col("n"))
+    ).select(
+        "user_id",
+        "dy",
+        mean_l.alias("mean_l"),
+        mean_r.alias("mean_r"),
+        z.alias("z"),
+    )
+    wr = W.partitionBy("user_id").orderBy(F.desc("z"), F.asc("dy"))
+    return (
+        stat.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("dy").alias("split_dy"),
+            F.round(F.col("z") / 1e6, 6).alias("shift_stat"),
+            F.round(F.col("mean_l") / 1e6, 6).alias("mean_before"),
+            F.round(F.col("mean_r") / 1e6, 6).alias("mean_after"),
+        )
+    )

@@ -411,3 +411,61 @@ def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_d2", "vec_id")
         .limit(_PQ_TOPK)
     )
+
+
+_MIPS_K = 10
+_MIPS_QUERY = 0
+
+
+@query(
+    "sim_mips",
+    oracle=f"""
+    WITH ev AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT i, v FROM ev WHERE vec_id = {_MIPS_QUERY}),
+    dots AS (
+        SELECT ev.vec_id, SUM(ev.v * q.v) AS dp
+        FROM ev JOIN q USING (i)
+        WHERE ev.vec_id <> {_MIPS_QUERY}
+        GROUP BY ev.vec_id
+    )
+    SELECT vec_id, ROUND(dp, 6) AS inner_product
+    FROM dots ORDER BY dp DESC, vec_id LIMIT {_MIPS_K}
+    """,
+)
+def sim_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search (MIPS): top-10 vectors by raw dot
+    product with the query — the recommender-scoring retrieval mode
+    (user·item affinity), where cosine's norm division is WRONG because
+    item popularity lives in the norm.
+
+    Exact path: one broadcast of the 1-row query, one codegen'd
+    ``zip_with``+fold per vector, TakeOrderedAndProject — linear scan,
+    no driver collect. The scale path is the standard norm-augmentation
+    reduction (Shrivastava & Li's asymmetric LSH): append
+    sqrt(M² − |v|²) to every corpus vector (M = max norm) and 0 to the
+    query, and MIPS order becomes cosine order — after which ALL of the
+    engine's cosine-bucketed infrastructure (`sim_knn_ivf*`,
+    `emb_layout_ivf` partition pruning) applies unchanged; the
+    augmentation is one ``concat(emb, array(sqrt(...)))`` column."""
+    from ..functions.vector import dot, to_double
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", to_double("embedding").alias("emb")
+    )
+    q = emb.filter(F.col("vec_id") == _MIPS_QUERY).select(
+        F.col("emb").alias("q_emb")
+    )
+    return (
+        emb.filter(F.col("vec_id") != _MIPS_QUERY)
+        .join(F.broadcast(q))
+        .withColumn("dp", dot(F.col("emb"), F.col("q_emb")))
+        .orderBy(F.col("dp").desc(), "vec_id")
+        .limit(_MIPS_K)
+        .select("vec_id", F.round("dp", 6).alias("inner_product"))
+    )
