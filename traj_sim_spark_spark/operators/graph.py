@@ -746,3 +746,164 @@ def graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("component_id"),
         "component_size",
     )
+
+
+_GI_TOPK = 20
+
+
+@query(
+    "traj_hotspot_gi",
+    oracle=f"""
+    WITH t0 AS (
+        SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0 FROM events
+    ),
+    cells AS (
+        SELECT CAST(FLOOR((epoch_us(CAST(ts AS TIMESTAMP))
+                           - (SELECT t0 FROM t0)) / 86400e6)
+                    AS BIGINT) AS cx,
+               CAST(FLOOR(value / 10.0) AS BIGINT) AS cy,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    box AS (
+        SELECT MIN(cx) AS x0, MAX(cx) AS x1,
+               MIN(cy) AS y0, MAX(cy) AS y1,
+               (MAX(cx) - MIN(cx) + 1) * (MAX(cy) - MIN(cy) + 1) AS nn,
+               SUM(n) AS s1,
+               SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS s2
+        FROM cells
+    ),
+    sm AS (
+        SELECT c.cx + dx.d AS cx, c.cy + dy.d AS cy, c.n
+        FROM cells c,
+             (SELECT UNNEST([-1, 0, 1]) AS d) dx,
+             (SELECT UNNEST([-1, 0, 1]) AS d) dy
+    ),
+    gi AS (
+        SELECT cells.cx, cells.cy,
+               g.gsum,
+               (LEAST(cells.cx + 1, b.x1) - GREATEST(cells.cx - 1, b.x0)
+                + 1)
+               * (LEAST(cells.cy + 1, b.y1) - GREATEST(cells.cy - 1, b.y0)
+                  + 1) AS wi,
+               b.nn, b.s1, b.s2
+        FROM cells
+        JOIN (SELECT cx, cy, CAST(SUM(n) AS BIGINT) AS gsum
+              FROM sm GROUP BY cx, cy) g USING (cx, cy)
+        CROSS JOIN box b
+    )
+    SELECT cx, cy, CAST(gsum AS BIGINT) AS neighbor_sum,
+           ROUND((gsum - (s1 * 1.0 / nn) * wi)
+                 / (SQRT(CAST(s2 AS DOUBLE) / nn - (s1 * 1.0 / nn) ** 2)
+                    * SQRT((nn * 1.0 * wi - wi * 1.0 * wi) / (nn - 1))),
+                 6) AS gi_z
+    FROM gi
+    ORDER BY (gsum - (s1 * 1.0 / nn) * wi)
+             / (SQRT(CAST(s2 AS DOUBLE) / nn - (s1 * 1.0 / nn) ** 2)
+                * SQRT((nn * 1.0 * wi - wi * 1.0 * wi) / (nn - 1)))
+             DESC, cx, cy
+    LIMIT {_GI_TOPK}
+    """,
+)
+def traj_hotspot_gi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hotspot detection over the (day, value/10) density
+    grid: the top-20 statistically hottest cells — the spatial-
+    statistics step after ``traj_heatmap_density``'s raster (a high
+    count is not a hotspot unless its NEIGHBORHOOD is jointly high
+    relative to the study area's mean and variance).
+
+    The study area is the occupied cells' bounding box; per-cell
+    neighborhood weight W_i is the box-clamped 3x3 size (integer
+    arithmetic), the neighborhood sum reuses the heatmap's scatter-
+    gather (no neighbor join), and the global moments (N, Σx, Σx²) are
+    one broadcast row of exact integers — so every z-score is a single
+    float expression over exact integers, identical cross-engine, and
+    the knife-edge top-20 needs only the (cx, cy) tie-break. Cost: the
+    grid aggregate is the only data-sized pass; everything downstream
+    is grid-sized."""
+    t = Tables(spark, sf_dir)
+    t0 = t.events.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    cells = (
+        t.events.join(F.broadcast(t0))
+        .groupBy(
+            F.floor((F.unix_micros("ts") - F.col("t0")) / 86400e6).alias(
+                "cx"
+            ),
+            F.floor(F.col("value") / 10.0).alias("cy"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    d18 = F.col("n").cast("decimal(18,0)")
+    box = cells.agg(
+        F.min("cx").alias("x0"),
+        F.max("cx").alias("x1"),
+        F.min("cy").alias("y0"),
+        F.max("cy").alias("y1"),
+        (
+            (F.max("cx") - F.min("cx") + 1)
+            * (F.max("cy") - F.min("cy") + 1)
+        ).alias("nn"),
+        F.sum("n").alias("s1"),
+        F.sum(d18 * d18).alias("s2"),
+    )
+    sm = (
+        cells.select(
+            "cx", "cy", "n", F.expr("explode(array(-1,0,1))").alias("dx")
+        )
+        .select(
+            "cx",
+            "cy",
+            "n",
+            "dx",
+            F.expr("explode(array(-1,0,1))").alias("dy"),
+        )
+        .select(
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+            "n",
+        )
+        .groupBy("cx", "cy")
+        .agg(F.sum("n").alias("gsum"))
+    )
+    gi = (
+        cells.join(sm, ["cx", "cy"])
+        .join(F.broadcast(box))
+        .withColumn(
+            "wi",
+            (
+                F.least(F.col("cx") + 1, F.col("x1"))
+                - F.greatest(F.col("cx") - 1, F.col("x0"))
+                + 1
+            )
+            * (
+                F.least(F.col("cy") + 1, F.col("y1"))
+                - F.greatest(F.col("cy") - 1, F.col("y0"))
+                + 1
+            ),
+        )
+    )
+    mean = F.col("s1") * 1.0 / F.col("nn")
+    sd = F.sqrt(
+        F.col("s2").cast("double") / F.col("nn") - mean * mean
+    )
+    z = (F.col("gsum") - mean * F.col("wi")) / (
+        sd
+        * F.sqrt(
+            (
+                F.col("nn") * 1.0 * F.col("wi")
+                - F.col("wi") * 1.0 * F.col("wi")
+            )
+            / (F.col("nn") - 1)
+        )
+    )
+    return (
+        gi.withColumn("gi_z", z)
+        .orderBy(F.desc("gi_z"), "cx", "cy")
+        .limit(_GI_TOPK)
+        .select(
+            "cx",
+            "cy",
+            F.col("gsum").alias("neighbor_sum"),
+            F.round("gi_z", 6).alias("gi_z"),
+        )
+    )

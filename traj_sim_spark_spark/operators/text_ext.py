@@ -22,7 +22,7 @@ hot-key-bounded shape as ``text_jaccard_neardup``'s capped variant.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -596,4 +596,103 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("avg_lp"), "doc_id")
         .limit(_LM_BOTTOM)
+    )
+
+
+_WIN_K = 4  # winnowing k-gram length (chars)
+_WIN_W = 5  # winnowing window (k-grams per window)
+
+
+@query(
+    "text_winnowing",
+    oracle=f"""
+    WITH kg AS (
+        SELECT d.doc_id,
+               CAST(i.i AS INTEGER) AS pos,
+               CAST(('0x' || substr(md5(substr(d.text, CAST(i.i AS INTEGER),
+                                               {_WIN_K})), 1, 8))
+                    AS BIGINT) AS h
+        FROM documents d
+        CROSS JOIN (SELECT unnest(generate_series(
+                        1, (SELECT MAX(LEN(text)) FROM documents))) AS i) i
+        WHERE i.i <= LEN(d.text) - {_WIN_K - 1}
+    ),
+    wmin AS (
+        SELECT doc_id, pos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                                     AND {_WIN_W - 1} FOLLOWING) AS mh,
+               COUNT(*) OVER (PARTITION BY doc_id) AS nk
+        FROM kg
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id, mh
+        FROM wmin WHERE pos <= nk - {_WIN_W - 1}
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           MIN(mh) AS min_fp
+    FROM sel GROUP BY doc_id
+    """,
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken, the
+    MOSS algorithm): hash every char 4-gram, slide a 5-gram window, keep
+    each window's minimum hash — guaranteeing any shared substring of
+    length >= k+w−1 = 8 contributes a shared fingerprint, with ~2/(w+1)
+    selection density. The plagiarism/near-dup fingerprinting scheme
+    that MinHash doesn't give you: position-local, so it survives
+    partial overlap (a copied paragraph in an otherwise-new doc).
+
+    Hashes are md5-derived BIGINTs (engine-identical); selection keeps
+    distinct minimum VALUES per doc (winnowing's set semantics), so no
+    position tie-break is needed and the result is order-insensitive.
+    One explode + one bounded window min + one distinct-agg — linear,
+    clustered on doc_id, with the usual pre-explode repartition."""
+    t = Tables(spark, sf_dir)
+    kg = (
+        t.documents.filter(F.length("text") >= _WIN_K)
+        .select("doc_id", "text")
+        .repartition(32, "doc_id")
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - (_WIN_K - 1))
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(
+                F.substring(
+                    F.md5(F.expr(f"substring(text, pos, {_WIN_K})")), 1, 8
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    wmin = kg.select(
+        "doc_id",
+        "pos",
+        F.min("h")
+        .over(
+            W.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(0, _WIN_W - 1)
+        )
+        .alias("mh"),
+        F.count("*").over(W.partitionBy("doc_id")).alias("nk"),
+    )
+    sel = (
+        wmin.filter(F.col("pos") <= F.col("nk") - (_WIN_W - 1))
+        .select("doc_id", "mh")
+        .distinct()
+    )
+    return sel.groupBy("doc_id").agg(
+        F.count("*").alias("n_fingerprints"),
+        F.min("mh").alias("min_fp"),
     )

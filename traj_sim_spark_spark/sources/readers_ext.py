@@ -137,3 +137,96 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
     )
+
+
+@query(
+    "src_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 6) AS o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+                ELSE NULL END AS o_orderpriority
+    FROM orders
+    """,
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution ingest: a table landed in TWO generations — an
+    old batch without ``o_orderpriority`` and a new batch carrying it —
+    read back as ONE DataFrame via ``mergeSchema``, the missing column
+    NULL-filled for old rows. This is how a year of a 100 TB lakehouse
+    table actually looks (columns get added; history is not rewritten),
+    and the reason the reader must reconcile footers instead of trusting
+    the first file.
+
+    The oracle reconstructs the same view from the source table (parity
+    split), so the hash proves merge-read loses neither rows nor the
+    late column. Cost note: ``mergeSchema`` reconciles FOOTERS (one
+    driver-side metadata pass), not data; the scan itself stays columnar
+    and pruned."""
+    t = Tables(spark, sf_dir)
+    path = os.path.join(staging_dir(sf_dir, "ingest"), "orders_evolved")
+    old = t.orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = t.orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    old.write.mode("overwrite").parquet(os.path.join(path, "gen=1"))
+    new.write.mode("overwrite").parquet(os.path.join(path, "gen=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "gen=1"), os.path.join(path, "gen=2")
+    )
+    return back.select(
+        "o_orderkey",
+        F.round("o_totalprice", 6).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+
+
+@query(
+    "sink_stream_parquet",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(SUM(CAST(value AS DECIMAL(18, 2))), 6) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def sink_stream_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming PARQUET sink (bronze-layer archival): the event
+    stream appended micro-batch by micro-batch to a parquet directory
+    with exactly-once file-commit semantics (checkpointed manifest; a
+    re-run resumes, never double-writes), then the landed files read
+    back BATCH-side and aggregated. Every other streaming row uses the
+    memory sink; this one proves the durable path — at 100 TB this IS
+    the ingest architecture (stream lands bronze parquet; batch
+    analytics read it).
+
+    The oracle aggregates the original table — the hash proves the
+    stream→parquet→batch round trip is lossless. Sums quantize per row
+    to DECIMAL before accumulating (order-independent across the
+    arbitrary file layout the sink produced)."""
+    import uuid as _uuid
+
+    from ..streaming.streams import events_stream
+
+    out = os.path.join(
+        staging_dir(sf_dir, "stream_sink"), f"run_{_uuid.uuid4().hex[:8]}"
+    )
+    ev = events_stream(spark, sf_dir).select("event_type", "value")
+    q = (
+        ev.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(out, "data"))
+        .option("checkpointLocation", os.path.join(out, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(os.path.join(out, "data"))
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 6
+        ).alias("sum_value"),
+    )
