@@ -907,3 +907,104 @@ def traj_hotspot_gi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("gi_z", 6).alias("gi_z"),
         )
     )
+
+
+@query(
+    "graph_assortativity",
+    oracle="""
+    WITH b AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400e6)
+                    AS BIGINT) AS dy,
+               MIN(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    e AS MATERIALIZED (
+        SELECT a.user_id u, c.user_id v
+        FROM b a JOIN b c
+          ON a.dy = c.dy AND a.user_id < c.user_id
+         AND ABS(a.v - c.v) <= 1.0
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    und AS (SELECT u AS s, t.v AS t FROM e t(u, v)
+            UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT s, COUNT(*) AS d FROM und GROUP BY s),
+    pairs AS (
+        SELECT da.d AS x, db.d AS y
+        FROM und JOIN deg da ON da.s = und.s
+                 JOIN deg db ON db.s = und.t
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy
+        FROM pairs
+    )
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / (SQRT(n * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) ** 2)
+                    * SQRT(n * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) ** 2)), 6)
+               AS assortativity
+    FROM m
+    WHERE n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) ** 2 > 0
+      AND n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) ** 2 > 0
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-movement graph (Newman's r): the
+    Pearson correlation of endpoint degrees over all directed edge
+    slots — do gregarious users co-move with other gregarious users
+    (r > 0, social networks) or with loners (r < 0, hub-and-spoke)?
+    One scalar that tells you which skew-mitigation story the graph's
+    joins will need.
+
+    Sufficient statistics over INTEGER degrees (exact 128-bit products,
+    order-independent sums) + one final float expression — the
+    ``rel_autocorr`` discipline applied to a graph moment. Cost: one
+    degree aggregate + two broadcast-sized joins back to the edge list;
+    linear in edges. Degenerate regular graphs (zero degree variance)
+    emit no row on both sides rather than NULL/NaN divergence."""
+    from .mining import traj_comovement
+
+    e = (
+        traj_comovement(spark, sf_dir)
+        .select(F.col("user_a").alias("u"), F.col("user_b").alias("v"))
+        .localCheckpoint()
+    )
+    und = e.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
+        e.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    )
+    deg = und.groupBy("s").agg(F.count("*").alias("d"))
+    pairs = (
+        und.join(deg.withColumnRenamed("d", "x"), "s")
+        .join(
+            deg.select(F.col("s").alias("t"), F.col("d").alias("y")), "t"
+        )
+        .select("x", "y")
+    )
+    d18 = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    m = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(d18("x") * d18("x")).alias("sxx"),
+        F.sum(d18("y") * d18("y")).alias("syy"),
+        F.sum(d18("x") * d18("y")).alias("sxy"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    var_x = F.col("n") * dbl("sxx") - dbl("sx") * dbl("sx")
+    var_y = F.col("n") * dbl("syy") - dbl("sy") * dbl("sy")
+    r = (F.col("n") * dbl("sxy") - dbl("sx") * dbl("sy")) / (
+        F.sqrt(var_x) * F.sqrt(var_y)
+    )
+    return (
+        m.filter((var_x > 0) & (var_y > 0))
+        .select(
+            (F.col("n") / 2).cast("long").alias("n_edges"),
+            F.round(r, 6).alias("assortativity"),
+        )
+    )

@@ -441,3 +441,80 @@ def traj_profile_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "user_id")
         .limit(_PROFILE_K)
     )
+
+
+_KMV_K = 64  # k minimum values retained by the sketch
+
+
+@query(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5(token), 1, 13)) AS BIGINT) AS hv
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS token
+              FROM documents)
+    ),
+    kmin AS (
+        SELECT MAX(hv) AS kv, COUNT(*) AS kn
+        FROM (SELECT hv FROM h ORDER BY hv LIMIT {_KMV_K})
+    ),
+    exact AS (SELECT COUNT(*) AS n_exact FROM h)
+    SELECT CAST({_KMV_K} AS BIGINT) AS k,
+           CAST((SELECT n_exact FROM exact) AS BIGINT) AS n_exact,
+           CAST(CASE WHEN (SELECT kn FROM kmin) < {_KMV_K}
+                     THEN (SELECT kn FROM kmin)
+                     ELSE ROUND(({_KMV_K} - 1)
+                                / ((SELECT kv FROM kmin)
+                                   / 4503599627370495.0))
+                END AS BIGINT) AS n_estimated
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count estimation via a KMV (k-minimum-values) sketch —
+    the DETERMINISTIC alternative to HLL (``rel_agg_approx``, the
+    registry's one no-oracle row): keep the k=64 smallest md5-derived
+    hashes of the token vocabulary; the estimator (k−1)/max_kth_hash is
+    bit-identical in any engine, so unlike HLL this cardinality sketch
+    carries a FULL oracle (same argument as the Count-Min and histogram
+    sketches). The row emits estimate AND exact side by side, making the
+    sketch's error visible and pinned.
+
+    Scale shape: KMV is a mergeable bounded aggregate — per partition
+    keep the k smallest, merge keeps the k smallest of the union; here
+    expressed as a global top-k over distinct hashes
+    (TakeOrderedAndProject — no full sort). One token explode + one
+    distinct hash agg is the only data-sized work."""
+    t = Tables(spark, sf_dir)
+    h = (
+        t.documents.select(
+            F.explode(F.split("text", " ")).alias("token")
+        )
+        .select(
+            F.conv(F.substring(F.md5("token"), 1, 13), 16, 10)
+            .cast("long")
+            .alias("hv")
+        )
+        .distinct()
+    )
+    kth = (
+        h.orderBy("hv")
+        .limit(_KMV_K)
+        .agg(F.max("hv").alias("kv"), F.count("*").alias("kn"))
+    )
+    exact = h.agg(F.count("*").alias("n_exact"))
+    return (
+        kth.join(F.broadcast(exact))
+        .select(
+            F.lit(_KMV_K).cast("long").alias("k"),
+            F.col("n_exact").cast("long"),
+            F.when(F.col("kn") < _KMV_K, F.col("kn"))
+            .otherwise(
+                F.round(
+                    (_KMV_K - 1) / (F.col("kv") / 4503599627370495.0)
+                )
+            )
+            .cast("long")
+            .alias("n_estimated"),
+        )
+    )
