@@ -118,6 +118,15 @@ AUDIT = [
     "text_bigram_lm",
     "traj_radius_gyration",
     "traj_mobility_entropy",
+    "sim_mips",
+    "rel_changepoint",
+    "traj_speed_outliers",
+    "text_winnowing",
+    "traj_hotspot_gi",
+    "sketch_kmv_distinct",
+    "graph_assortativity",
+    "src_schema_evolution",
+    "traj_transition_matrix",
 ]
 
 

@@ -946,3 +946,65 @@ def traj_speed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_outliers"),
         F.round(F.max("speed"), 6).alias("max_speed"),
     )
+
+
+@query(
+    "traj_transition_matrix",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id,
+               CAST(FLOOR(value / {_OD_CELL}) AS BIGINT) AS cell,
+               LAG(CAST(FLOOR(value / {_OD_CELL}) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_cell
+        FROM events
+    ),
+    tr AS (
+        SELECT prev_cell AS from_cell, cell AS to_cell, COUNT(*) AS n
+        FROM p WHERE prev_cell IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    rowsum AS (
+        SELECT from_cell, SUM(n) AS rn FROM tr GROUP BY from_cell
+    )
+    SELECT tr.from_cell, tr.to_cell, CAST(tr.n AS BIGINT) AS n,
+           ROUND(tr.n * 1.0 / rowsum.rn, 6) AS prob
+    FROM tr JOIN rowsum USING (from_cell)
+    """,
+)
+def traj_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov mobility model: the corpus-wide transition
+    matrix between value-cells (width 50, the ``traj_od_flows`` grid) —
+    counts and row-normalized probabilities of moving cell→cell between
+    consecutive fixes. The estimator behind next-location prediction
+    and synthetic-trajectory generation; its stationary vector is the
+    long-run occupancy.
+
+    One lag window per user + one (from, to) hash aggregate + one
+    broadcast-sized row-sum join: linear, and every probability is one
+    integer ratio (exact numerator and denominator cross-engine). The
+    matrix is ~cells² ≤ a few hundred rows at ANY corpus size — the
+    model stays broadcastable no matter how much data trained it."""
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cell = F.floor(F.col("value") / _OD_CELL)
+    p = t.events.select(
+        "user_id",
+        cell.alias("cell"),
+        F.lag(cell).over(w).alias("prev_cell"),
+    )
+    tr = (
+        p.filter(F.col("prev_cell").isNotNull())
+        .groupBy(
+            F.col("prev_cell").alias("from_cell"),
+            F.col("cell").alias("to_cell"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    rowsum = tr.groupBy("from_cell").agg(F.sum("n").alias("rn"))
+    return tr.join(F.broadcast(rowsum), "from_cell").select(
+        "from_cell",
+        "to_cell",
+        "n",
+        F.round(F.col("n") * 1.0 / F.col("rn"), 6).alias("prob"),
+    )
