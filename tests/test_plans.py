@@ -219,3 +219,13 @@ def test_partitioned_sink_scan_prunes_partitions(spark, sf_dir):
     plan = explain.physical_plan(df)
     assert "PartitionFilters" in plan, plan
     assert "PartitionFilters: []" not in plan, plan
+
+
+def test_dual_index_threshold_has_partition_filters(spark, sf_dir):
+    """The dual-index (manifest + cell layout) threshold search must
+    prune cell partitions at the layout scan — the persistent
+    global-index architecture [P §4.1-4.2] end-to-end."""
+    df = registry.QUERIES["traj_hausdorff_threshold_2d_idx"](spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    assert "PartitionFilters: []" not in plan, plan

@@ -1567,3 +1567,147 @@ def traj_frechet_knn_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         _series_2d,
         "frechet_2d",
     )
+
+
+_IDX_TAU = 32.0  # threshold for the dual-index search (== threshold_2d)
+
+
+def _manifest_path(sf_dir: str) -> str:
+    return os.path.join(staging_dir(sf_dir, "layout"), "user_manifest")
+
+
+def _write_user_manifest(spark: SparkSession, sf_dir: str) -> str:
+    """The GLOBAL index beside the cell layout: one row per user with
+    its point count, value MBR, and the corpus t0 — the engine's
+    TrajMeta + partition-MBR table (SURVEY.md §1.1 dual store / [P
+    §4.1]). Tiny (one row per trajectory), rebuilt only when the layout
+    is."""
+    path = _manifest_path(sf_dir)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    t = Tables(spark, sf_dir)
+    t0 = t.events.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    man = (
+        t.events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .join(F.broadcast(t0))
+    )
+    man.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+@query(
+    "traj_hausdorff_threshold_2d_idx",
+    oracle="""
+    WITH t0 AS (
+        SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0 FROM events
+    ),
+    pts AS (
+        SELECT user_id,
+               (epoch_us(CAST(ts AS TIMESTAMP)) - (SELECT t0 FROM t0))
+               / 86400000000.0 AS x,
+               value AS y
+        FROM events
+    ),
+    q AS (SELECT x AS qx, y AS qy FROM pts WHERE user_id = 1),
+    d AS (
+        SELECT p.user_id, p.x, p.y, q.qx, q.qy,
+               SQRT((p.x-q.qx)*(p.x-q.qx) + (p.y-q.qy)*(p.y-q.qy)) AS d
+        FROM pts p CROSS JOIN q
+        WHERE p.user_id <> 1
+    ),
+    h1 AS (SELECT user_id, MAX(md) AS h FROM (
+               SELECT user_id, qx, qy, MIN(d) AS md FROM d
+               GROUP BY user_id, qx, qy)
+           GROUP BY user_id),
+    h2 AS (SELECT user_id, MAX(md) AS h FROM (
+               SELECT user_id, x, y, MIN(d) AS md FROM d
+               GROUP BY user_id, x, y)
+           GROUP BY user_id)
+    SELECT h1.user_id,
+           ROUND(GREATEST(h1.h, h2.h), 6) AS hausdorff_2d
+    FROM h1 JOIN h2 ON h1.user_id = h2.user_id
+    WHERE GREATEST(h1.h, h2.h) <= 32.0
+    """,
+)
+def traj_hausdorff_threshold_2d_idx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The reference's DUAL-INDEX architecture end-to-end, persistent:
+    threshold search answered from (a) the GLOBAL index — the per-user
+    manifest (point count, value MBR, corpus t0), the TrajMeta +
+    partition-MBR table [P §4.1] — and (b) the LOCAL data — the
+    cell-partitioned, value-sorted Parquet layout, read with
+    PartitionFilters so only the query's value band is scanned.
+
+    Prune chain, each step lossless for H <= tau:
+    1. manifest → candidate users whose value MBR fits inside
+       [q_lo − tau, q_hi + tau] (any point outside that band is > tau
+       from EVERY query point, since d >= |Δvalue| — so h(U→Q) > tau);
+    2. the same band, snapped to cells, selects the partition
+       directories to read — candidates' points all lie inside, so the
+       pruned scan is complete for them;
+    3. exact grouped-minima Hausdorff over candidates only, final
+       H <= tau filter.
+    At 100 TB steps 1-2 read a trajectory-count-sized manifest plus the
+    band's directories — the full corpus is never scanned; the same
+    oracle as the unindexed `traj_hausdorff_threshold_2d` proves the
+    result identical. The band bounds are one manifest row fetched at
+    plan time (the tau_k-scalar footprint)."""
+    man_path = _write_user_manifest(spark, sf_dir)
+    lay_path = _layout_path(sf_dir)
+    if not os.path.exists(os.path.join(lay_path, "_SUCCESS")):
+        _write_cell_layout(spark, sf_dir)
+    man = spark.read.parquet(man_path)
+    qrow = man.filter(F.col("user_id") == 1).head()
+    qlo, qhi = qrow["vmin"] - _IDX_TAU, qrow["vmax"] + _IDX_TAU
+    lo_cell = math.floor(qlo / _LAYOUT_CELL)
+    hi_cell = math.floor(qhi / _LAYOUT_CELL)
+    cands = man.filter(
+        (F.col("user_id") != 1)
+        & (F.col("vmin") >= qlo)
+        & (F.col("vmax") <= qhi)
+    ).select("user_id")
+    ev = spark.read.parquet(lay_path).filter(
+        (F.col("cell") >= lo_cell) & (F.col("cell") <= hi_cell)
+    )
+    pts = ev.select(
+        "user_id",
+        ((F.unix_micros("ts") - F.lit(qrow["t0"])) / 86400000000.0).alias(
+            "x"
+        ),
+        F.col("value").alias("y"),
+    )
+    q = pts.filter(F.col("user_id") == 1).select(
+        F.col("x").alias("qx"), F.col("y").alias("qy")
+    )
+    probe = pts.join(F.broadcast(cands), "user_id", "left_semi")
+    d = probe.join(F.broadcast(q)).withColumn(
+        "d",
+        F.sqrt(
+            (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))
+            + (F.col("y") - F.col("qy")) * (F.col("y") - F.col("qy"))
+        ),
+    )
+    h1 = (
+        d.groupBy("user_id", "qx", "qy")
+        .agg(F.min("d").alias("md"))
+        .groupBy("user_id")
+        .agg(F.max("md").alias("h1"))
+    )
+    h2 = (
+        d.groupBy("user_id", "x", "y")
+        .agg(F.min("d").alias("md"))
+        .groupBy("user_id")
+        .agg(F.max("md").alias("h2"))
+    )
+    h = F.greatest("h1", "h2")
+    return (
+        h1.join(h2, "user_id")
+        .filter(h <= _IDX_TAU)
+        .select("user_id", F.round(h, 6).alias("hausdorff_2d"))
+    )
