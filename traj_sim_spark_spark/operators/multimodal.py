@@ -253,3 +253,93 @@ def mm_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", "doc_id")
         .limit(10)
     )
+
+
+_AUDIO_FRAME = 32  # bytes per fake audio frame (mono u8 samples)
+
+
+@query(
+    "mm_audio_energy",
+    oracle=f"""
+    WITH s AS (
+        SELECT d.doc_id,
+               CAST((i.i - 1) // {_AUDIO_FRAME} AS BIGINT) AS frame,
+               ascii(substr(d.text, CAST(i.i AS INTEGER), 1)) AS v
+        FROM documents d
+        CROSS JOIN (SELECT unnest(generate_series(
+                        1, (SELECT MAX(LEN(text)) FROM documents))) AS i) i
+        WHERE i.i <= LEN(d.text)
+    ),
+    f AS (
+        SELECT doc_id, frame,
+               COUNT(*) AS n,
+               SUM(CAST(v AS BIGINT) * v) AS ss
+        FROM s GROUP BY 1, 2
+        HAVING COUNT(*) = {_AUDIO_FRAME}
+    ),
+    e AS (
+        SELECT doc_id, frame, SQRT(ss * 1.0 / n) AS rms,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY ss DESC, frame) AS rk
+        FROM f
+    )
+    SELECT e.doc_id,
+           (SELECT COUNT(*) FROM f WHERE f.doc_id = e.doc_id)
+               AS n_frames,
+           e.frame AS peak_frame,
+           ROUND(e.rms, 6) AS peak_rms
+    FROM e WHERE rk = 1
+    """,
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUDIO half of the multimodal story: binary payload -> (stub)
+    PCM decode -> per-frame RMS energy -> peak-frame detection (the
+    loudness analysis behind silence trimming, voice-activity gating,
+    and clip-level loudness normalization in an audio-training
+    pipeline). Frames are 32 u8 samples; partial tail frames are
+    dropped (fixed-width frame contract).
+
+    Same architecture as the image path (``mm_decode_features``):
+    Arrow-batched ``mapInPandas``, the decode stub byte-deterministic
+    (swap for soundfile/librosa in production — that one function), so
+    the row keeps a FULL oracle. Peak selection orders by the INTEGER
+    energy sum (exact; the float RMS is computed only for display),
+    with the frame index as tie-break — no float-ordering hazard."""
+    t = Tables(spark, sf_dir)
+    src = t.documents.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nf, pf, pr = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = _fake_decode(bytes(payload)).astype(np.int64)
+                n_frames = len(s) // _AUDIO_FRAME
+                if n_frames == 0:
+                    continue
+                frames = s[: n_frames * _AUDIO_FRAME].reshape(
+                    n_frames, _AUDIO_FRAME
+                )
+                ss = (frames * frames).sum(axis=1)  # exact int64
+                peak = int(ss.argmax())  # first max == smallest index
+                ids.append(doc_id)
+                nf.append(n_frames)
+                pf.append(peak)
+                pr.append(
+                    round(float(np.sqrt(ss[peak] / _AUDIO_FRAME)), 6)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_frames": nf,
+                    "peak_frame": pf,
+                    "peak_rms": pr,
+                }
+            )
+
+    return src.mapInPandas(
+        energy,
+        schema="doc_id bigint, n_frames bigint, peak_frame bigint, "
+        "peak_rms double",
+    )

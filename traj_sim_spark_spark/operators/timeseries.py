@@ -518,3 +518,90 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_estimated"),
         )
     )
+
+
+@query(
+    "sketch_cms_merge",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source,
+               UNNEST(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    rows_ AS (SELECT UNNEST(generate_series(0, {_CMS_D - 1})) AS j),
+    partial AS (
+        SELECT source, j,
+               CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token),
+                                    1, 4)) AS INTEGER) % {_CMS_W} AS bucket,
+               COUNT(*) AS cnt
+        FROM tok CROSS JOIN rows_
+        GROUP BY 1, 2, 3
+    ),
+    merged AS (
+        SELECT j, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+        FROM partial GROUP BY j, bucket
+    ),
+    probe AS (
+        SELECT t.token, r.j,
+               CAST(('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' ||
+                                        t.token), 1, 4))
+                    AS INTEGER) % {_CMS_W} AS bucket
+        FROM (SELECT DISTINCT token FROM tok) t CROSS JOIN rows_ r
+    ),
+    est AS (
+        SELECT probe.token, CAST(MIN(merged.cnt) AS BIGINT) AS est
+        FROM probe JOIN merged USING (j, bucket)
+        GROUP BY probe.token
+    )
+    SELECT token, est FROM est
+    ORDER BY est DESC, token LIMIT {_CMS_TOPK}
+    """,
+)
+def sketch_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY made visible: build one Count-Min sketch PER
+    SOURCE (the per-shard/per-day partial a real pipeline materializes),
+    merge the per-source sketches by cell-wise addition, and answer the
+    heavy-hitter top-10 from the MERGED sketch — the result is
+    bit-identical to ``sketch_cms_topk``'s single global build, which is
+    the algebraic property (cells are counters, addition commutes) that
+    makes sketches the right 100 TB summary: partials build where the
+    data lives, only 1024-cell grids move.
+
+    The oracle performs the same two-level build, and the top-10 matches
+    the single-pass row's — pinning merge == rebuild. The extra
+    (source, j, bucket) aggregate is still map-side combinable; nothing
+    data-sized crosses the network twice."""
+    t = Tables(spark, sf_dir)
+    tok = t.documents.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    rows = spark.range(_CMS_D).select(F.col("id").cast("int").alias("j"))
+    partial = (
+        tok.join(F.broadcast(rows))
+        .select(
+            "source",
+            "j",
+            _cms_bucket(F.col("j"), F.col("token")).alias("bucket"),
+        )
+        .groupBy("source", "j", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    merged = partial.groupBy("j", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    probe = (
+        tok.select("token")
+        .distinct()
+        .join(F.broadcast(rows))
+        .select(
+            "token",
+            "j",
+            _cms_bucket(F.col("j"), F.col("token")).alias("bucket"),
+        )
+    )
+    est = (
+        probe.join(F.broadcast(merged), ["j", "bucket"])
+        .groupBy("token")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return est.orderBy(F.desc("est"), "token").limit(_CMS_TOPK)
