@@ -469,3 +469,83 @@ def sim_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_MIPS_K)
         .select("vec_id", F.round("dp", 6).alias("inner_product"))
     )
+
+
+@query(
+    "emb_drift",
+    oracle="""
+    WITH e AS (
+        SELECT label, vec_id % 2 AS half,
+               unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    m AS (
+        SELECT label, half, i, AVG(CAST(v AS DOUBLE)) AS mv,
+               COUNT(*) AS n
+        FROM e GROUP BY 1, 2, 3
+    ),
+    paired AS (
+        SELECT a.label, a.i, a.mv AS ma, b.mv AS mb,
+               a.n AS na, b.n AS nb
+        FROM m a JOIN m b
+          ON a.label = b.label AND a.i = b.i
+         AND a.half = 0 AND b.half = 1
+    )
+    SELECT label,
+           CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b,
+           ROUND(SUM(ma * mb)
+                 / (SQRT(SUM(ma * ma)) * SQRT(SUM(mb * mb))), 6)
+               AS centroid_cos
+    FROM paired GROUP BY label
+    """,
+)
+def emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per label, the cosine between the
+    centroid of one half of the corpus (even vec_ids — "yesterday's
+    batch") and the other half (odd — "today's") — the model/data drift
+    check an embedding pipeline runs before trusting ANN indexes and
+    semantic-dedup thresholds trained on earlier data (a centroid
+    swinging away from 1.0 means re-train the quantizer).
+
+    Same shape as ``sim_centroid``: posexplode to (label, half, dim),
+    one hash aggregate, then a per-label fold of two 64-dim mean
+    vectors — linear, fully JVM-side, and the halves are keyed by a
+    DETERMINISTIC id parity (in production: the partition date), not a
+    sample."""
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("i", "v"),
+    )
+    m = e.groupBy("label", "half", "i").agg(
+        F.avg("v").alias("mv"), F.count("*").alias("n")
+    )
+    a = m.filter(F.col("half") == 0).select(
+        "label", "i",
+        F.col("mv").alias("ma"), F.col("n").alias("na"),
+    )
+    b = m.filter(F.col("half") == 1).select(
+        "label", "i",
+        F.col("mv").alias("mb"), F.col("n").alias("nb"),
+    )
+    return (
+        a.join(b, ["label", "i"])
+        .groupBy("label")
+        .agg(
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            F.round(
+                F.sum(F.col("ma") * F.col("mb"))
+                / (
+                    F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                    * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+                ),
+                6,
+            ).alias("centroid_cos"),
+        )
+    )
