@@ -57,6 +57,10 @@ HEADLINE = [
     "sketch_cms_topk",
     "rel_join_interval_overlap",
     "graph_pagerank",
+    # round-2 continuation: the persistent dual-index search path and
+    # the dense-grid series family representative
+    "traj_hausdorff_threshold_2d_idx",
+    "rel_ewma",
 ]
 
 

@@ -60,3 +60,27 @@ def test_cell_partition_pruning(spark, sf_dir, cell_layout):
         & (F.floor(F.col("value") / _CELL) <= 4)
     ).count()
     assert banded.count() == expect
+
+
+def test_dual_index_threshold_equals_unindexed(spark, sf_dir):
+    """The manifest+layout dual-index threshold search must return
+    EXACTLY the unindexed full-scan result — every prune step is
+    claimed lossless; this pins it end-to-end (beyond the shared
+    oracle, which could in principle miss a divergence the driver's
+    float normalization forgives)."""
+    from traj_sim_spark_spark import registry
+
+    registry.load_all()
+    a = sorted(
+        tuple(r)
+        for r in registry.QUERIES["traj_hausdorff_threshold_2d"](
+            spark, sf_dir
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in registry.QUERIES["traj_hausdorff_threshold_2d_idx"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert a == b
