@@ -127,6 +127,10 @@ AUDIT = [
     "graph_assortativity",
     "src_schema_evolution",
     "traj_transition_matrix",
+    "traj_hausdorff_threshold_2d_idx",
+    "mm_audio_energy",
+    "sketch_cms_merge",
+    "emb_drift",
 ]
 
 
