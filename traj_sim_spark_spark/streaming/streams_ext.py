@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import Tables
-from .streams import events_stream, run_to_completion
+from .streams import _DELAY, events_stream, run_to_completion
 
 
 @query(
@@ -636,3 +636,62 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("max_by(struct(n_events, ewma), n_events)").alias("s"))
         .select("user_id", "s.n_events", "s.ewma")
     )
+
+
+@query(
+    "stream_distinct_users",
+    oracle="""
+    WITH agg AS (
+        SELECT epoch_us(time_bucket(INTERVAL 1 HOUR,
+                                    CAST(ts AS TIMESTAMP)))
+                   AS win_start_us,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT win_start_us, CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM agg
+    WHERE win_start_us + 3600000000
+          <= (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP)))
+              FROM events) - 600000000
+    """,
+)
+def stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per closed 1-hour window on the live stream
+    — the DAU/MAU-style audience metric. Streaming COUNT(DISTINCT) is
+    not directly supported, so the op composes the two state primitives
+    that ARE: a watermarked ``dropDuplicates`` on (window-hour, user)
+    whose state is one row per distinct pair and self-expires with the
+    watermark, feeding an ordinary windowed count — exact, bounded
+    state, no sketch needed. (The approximate path at extreme
+    cardinality is the registered KMV/CMS family; this row is the exact
+    contract.) n_events rides along from a parallel plain count joined
+    on the window."""
+    ev = events_stream(spark, sf_dir).select(
+        "ts", "user_id", F.date_trunc("hour", "ts").alias("hr")
+    )
+    dedup = ev.withWatermark("ts", _DELAY).dropDuplicates(
+        ["hr", "user_id"]
+    )
+    users = (
+        dedup.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("win_start_us"),
+            "n_users",
+        )
+    )
+    u = run_to_completion(users, "append")
+    ev2 = events_stream(spark, sf_dir)
+    events = (
+        ev2.withWatermark("ts", _DELAY)
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("win_start_us"),
+            "n_events",
+        )
+    )
+    e = run_to_completion(events, "append")
+    return u.join(e, "win_start_us")
