@@ -84,3 +84,24 @@ def test_dual_index_threshold_equals_unindexed(spark, sf_dir):
         ).collect()
     )
     assert a == b
+
+
+def test_dual_index_knn_equals_unindexed(spark, sf_dir):
+    """The seed→bound→prune→refine kNN over the dual index must return
+    EXACTLY the unindexed full-scan top-k."""
+    from traj_sim_spark_spark import registry
+
+    registry.load_all()
+    a = sorted(
+        tuple(r)
+        for r in registry.QUERIES["traj_hausdorff_knn_2d"](
+            spark, sf_dir
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in registry.QUERIES["traj_hausdorff_knn_2d_idx"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert a == b

@@ -1711,3 +1711,160 @@ def traj_hausdorff_threshold_2d_idx(
         .filter(h <= _IDX_TAU)
         .select("user_id", F.round(h, 6).alias("hausdorff_2d"))
     )
+
+
+_IDX_K = 10
+
+
+def _idx_hausdorff_exact(
+    spark: SparkSession, lay_path: str, t0_us: int,
+    lo_cell: int, hi_cell: int, cand: DataFrame,
+) -> DataFrame:
+    """Exact symmetric Hausdorff of candidate users to user 1, computed
+    from the cell layout restricted to [lo_cell, hi_cell] — the LOCAL
+    refinement half of the dual index (grouped-minima engine over a
+    partition-pruned scan)."""
+    ev = spark.read.parquet(lay_path).filter(
+        (F.col("cell") >= lo_cell) & (F.col("cell") <= hi_cell)
+    )
+    pts = ev.select(
+        "user_id",
+        ((F.unix_micros("ts") - F.lit(t0_us)) / 86400000000.0).alias("x"),
+        F.col("value").alias("y"),
+    )
+    q = pts.filter(F.col("user_id") == 1).select(
+        F.col("x").alias("qx"), F.col("y").alias("qy")
+    )
+    probe = pts.join(F.broadcast(cand), "user_id", "left_semi")
+    d = probe.join(F.broadcast(q)).withColumn(
+        "d",
+        F.sqrt(
+            (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))
+            + (F.col("y") - F.col("qy")) * (F.col("y") - F.col("qy"))
+        ),
+    )
+    h1 = (
+        d.groupBy("user_id", "qx", "qy")
+        .agg(F.min("d").alias("md"))
+        .groupBy("user_id")
+        .agg(F.max("md").alias("h1"))
+    )
+    h2 = (
+        d.groupBy("user_id", "x", "y")
+        .agg(F.min("d").alias("md"))
+        .groupBy("user_id")
+        .agg(F.max("md").alias("h2"))
+    )
+    return h1.join(h2, "user_id").select(
+        "user_id", F.greatest("h1", "h2").alias("h")
+    )
+
+
+@query(
+    "traj_hausdorff_knn_2d_idx",
+    oracle="""
+    WITH t0 AS (
+        SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0 FROM events
+    ),
+    pts AS (
+        SELECT user_id,
+               (epoch_us(CAST(ts AS TIMESTAMP)) - (SELECT t0 FROM t0))
+               / 86400000000.0 AS x,
+               value AS y
+        FROM events
+    ),
+    q AS (SELECT x AS qx, y AS qy FROM pts WHERE user_id = 1),
+    d AS (
+        SELECT p.user_id, p.x, p.y, q.qx, q.qy,
+               SQRT((p.x-q.qx)*(p.x-q.qx) + (p.y-q.qy)*(p.y-q.qy)) AS d
+        FROM pts p CROSS JOIN q
+        WHERE p.user_id <> 1
+    ),
+    h1 AS (SELECT user_id, MAX(md) AS h FROM (
+               SELECT user_id, qx, qy, MIN(d) AS md FROM d
+               GROUP BY user_id, qx, qy)
+           GROUP BY user_id),
+    h2 AS (SELECT user_id, MAX(md) AS h FROM (
+               SELECT user_id, x, y, MIN(d) AS md FROM d
+               GROUP BY user_id, x, y)
+           GROUP BY user_id)
+    SELECT h1.user_id,
+           ROUND(GREATEST(h1.h, h2.h), 6) AS hausdorff_2d
+    FROM h1 JOIN h2 ON h1.user_id = h2.user_id
+    ORDER BY GREATEST(h1.h, h2.h), h1.user_id
+    LIMIT 10
+    """,
+)
+def traj_hausdorff_knn_2d_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN over the PERSISTENT dual index — the paper's kNN algorithm
+    shape [P §4.3] on the manifest + cell layout:
+
+    1. SEED: the k manifest rows whose value-MBR midpoint is closest to
+       the query's (global-index-only, trajectory-count-sized);
+    2. BOUND: exact Hausdorff of the seeds (partition-pruned read of
+       the seeds' own band) — their max is tau_k, an upper bound on the
+       true kth distance;
+    3. PRUNE: manifest users whose MBR fits inside the query band
+       ±tau_k (any user violating it has H > tau_k — the same lossless
+       argument as the threshold row);
+    4. REFINE: exact Hausdorff over survivors from the tau_k-band
+       partition-pruned scan; top-k by (H, user_id).
+    The corpus is never fully scanned: steps 1/3 read the manifest,
+    steps 2/4 read only band directories. The driver holds exactly the
+    reference's global-index working set (a handful of manifest rows +
+    one tau_k scalar). Oracle identical to the unindexed
+    ``traj_hausdorff_knn_2d``."""
+    man_path = _write_user_manifest(spark, sf_dir)
+    lay_path = _layout_path(sf_dir)
+    if not os.path.exists(os.path.join(lay_path, "_SUCCESS")):
+        _write_cell_layout(spark, sf_dir)
+    man = spark.read.parquet(man_path)
+    qrow = man.filter(F.col("user_id") == 1).head()
+    t0_us = qrow["t0"]
+    mid_q = (qrow["vmin"] + qrow["vmax"]) / 2.0
+    seeds = (
+        man.filter(F.col("user_id") != 1)
+        .withColumn(
+            "gap", F.abs((F.col("vmin") + F.col("vmax")) / 2.0 - mid_q)
+        )
+        .orderBy("gap", "user_id")
+        .limit(_IDX_K)
+        .select("user_id", "vmin", "vmax")
+        .collect()
+    )
+    lo3 = min([qrow["vmin"]] + [r["vmin"] for r in seeds])
+    hi3 = max([qrow["vmax"]] + [r["vmax"] for r in seeds])
+    seed_ids = spark.createDataFrame(
+        [(r["user_id"],) for r in seeds], "user_id bigint"
+    )
+    tau_k = (
+        _idx_hausdorff_exact(
+            spark,
+            lay_path,
+            t0_us,
+            math.floor(lo3 / _LAYOUT_CELL),
+            math.floor(hi3 / _LAYOUT_CELL),
+            seed_ids,
+        )
+        .agg(F.max("h"))
+        .head()[0]
+    )
+    qlo, qhi = qrow["vmin"] - tau_k, qrow["vmax"] + tau_k
+    cands = man.filter(
+        (F.col("user_id") != 1)
+        & (F.col("vmin") >= qlo)
+        & (F.col("vmax") <= qhi)
+    ).select("user_id")
+    h = _idx_hausdorff_exact(
+        spark,
+        lay_path,
+        t0_us,
+        math.floor(qlo / _LAYOUT_CELL),
+        math.floor(qhi / _LAYOUT_CELL),
+        cands,
+    )
+    return (
+        h.orderBy("h", "user_id")
+        .limit(_IDX_K)
+        .select("user_id", F.round("h", 6).alias("hausdorff_2d"))
+    )
