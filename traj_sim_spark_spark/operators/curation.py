@@ -368,3 +368,77 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+_KANON = 5  # minimum group size for release
+
+
+@query(
+    "rel_kanonymity",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type,
+               CAST(FLOOR(value / 50.0) AS BIGINT) AS value_cell,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(*) AS n_events,
+               ROUND(SUM(CAST(value AS DECIMAL(18, 2))), 6) AS sum_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, value_cell,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(sum_value AS DOUBLE) AS sum_value
+    FROM g WHERE n_users >= {_KANON}
+    UNION ALL
+    SELECT 'SUPPRESSED' AS event_type,
+           CAST(-1 AS BIGINT) AS value_cell,
+           CAST(SUM(n_users) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(sum_value), 6) AS DOUBLE) AS sum_value
+    FROM g WHERE n_users < {_KANON}
+    HAVING COUNT(*) > 0
+    """,
+)
+def rel_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gate (k=5): per-(event_type, value-cell)
+    statistics published ONLY where at least k distinct users
+    contribute; all sub-threshold cells collapse into one SUPPRESSED
+    rollup row so totals still reconcile — the minimum-cell-size rule
+    every data-release/aggregation API enforces before analytics leave
+    the trust boundary.
+
+    One hash aggregate + a threshold split; the suppressed remainder is
+    a second tiny aggregate over the already-reduced cell table, not
+    the raw scan. Sums quantize to DECIMAL per row (order-independent
+    across partitionings — the release must not depend on cluster
+    width). The gate composes in front of ANY registered aggregate at
+    100 TB unchanged."""
+    t = Tables(spark, sf_dir)
+    g = t.events.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 50.0).alias("value_cell"),
+    ).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 6
+        ).alias("sum_value"),
+    )
+    ok = g.filter(F.col("n_users") >= _KANON)
+    sup = (
+        g.filter(F.col("n_users") < _KANON)
+        .agg(
+            F.sum("n_users").alias("n_users"),
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 6).alias("sum_value"),
+        )
+        .filter(F.col("n_events").isNotNull())
+        .select(
+            F.lit("SUPPRESSED").alias("event_type"),
+            F.lit(-1).cast("long").alias("value_cell"),
+            "n_users",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return ok.unionByName(sup)
