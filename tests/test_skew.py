@@ -79,3 +79,61 @@ def test_bucketed_join_survives_hot_bucket(spark, skew_dir, key):
     # quadratic pair set (150 users pairwise co-located)
     if key == "traj_comovement":
         assert len(got) == 150 * 149 // 2
+
+
+@pytest.fixture(scope="module")
+def dup_dir(tmp_path_factory):
+    """events.parquet where 30 users are EXACT clones of user 1's
+    trajectory (same timestamps, same values): the kth kNN distance is
+    0.0, which once divided the pruned branch's eps-grid by zero."""
+    d = tmp_path_factory.mktemp("dup")
+    rows = []
+    eid = 0
+    for u in range(40):
+        clone = u <= 30  # users 1..30 clone user 1; 31..39 differ
+        for k in range(20):
+            rows.append(
+                (
+                    eid,
+                    pd.Timestamp("2024-01-01")
+                    + pd.Timedelta(hours=k),
+                    u,
+                    "view",
+                    50.0 + k * 2.0 + (0.0 if clone else u * 7.0),
+                    "{}",
+                )
+            )
+            eid += 1
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pdf.to_parquet(d / "events.parquet", index=False)
+    return str(d)
+
+
+def test_knn_2d_pruned_survives_duplicate_trajectories(
+    spark, dup_dir, monkeypatch
+):
+    """tau == 0 (k exact clones of the query) must not crash the
+    eps-grid prune, and both kNN branches must agree on the duplicate
+    corpus."""
+    monkeypatch.setenv("SPARK_GRAFT_KNN2D_PRUNE_MIN_EVENTS", "0")
+    from traj_sim_spark_spark.operators import trajectory as tr
+
+    tr._EVENTS_COUNT_CACHE.clear()
+    pruned = sorted(
+        tuple(r)
+        for r in registry.QUERIES["traj_hausdorff_knn_2d"](
+            spark, dup_dir
+        ).collect()
+    )
+    monkeypatch.setenv("SPARK_GRAFT_KNN2D_PRUNE_MIN_EVENTS", "1000000000")
+    single = sorted(
+        tuple(r)
+        for r in registry.QUERIES["traj_hausdorff_knn_2d"](
+            spark, dup_dir
+        ).collect()
+    )
+    assert pruned == single
+    assert all(r[1] == 0.0 for r in pruned)  # clones fill the top-k

@@ -970,10 +970,16 @@ def _hausdorff_knn_2d_pruned(t: Tables) -> DataFrame:
         first.unpersist()
         lb.unpersist()
         return out
+    # tau == 0.0 happens when >= k users duplicate the query trajectory
+    # exactly (a 20x-cloned scale probe found this): the eps-grid would
+    # divide by zero. A positive floor keeps the prune lossless — a
+    # LARGER eps only admits more candidates — and the lb <= tau filter
+    # still does the tight cut.
+    eps_prune = tau if tau > 0 else 1e-9
     rest_ids = (
         lb.filter(F.col("lb") <= tau)
         .select("user_id")
-        .join(_grid_prune_2d(t, 1, eps=tau), "user_id", "left_semi")
+        .join(_grid_prune_2d(t, 1, eps=eps_prune), "user_id", "left_semi")
         .join(F.broadcast(cand_ids), "user_id", "left_anti")
     )
     rest = _hausdorff_2d_per_user(t, 1, ids=rest_ids).select(
