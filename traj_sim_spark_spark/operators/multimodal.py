@@ -326,9 +326,7 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ids.append(doc_id)
                 nf.append(n_frames)
                 pf.append(peak)
-                pr.append(
-                    round(float(np.sqrt(ss[peak] / _AUDIO_FRAME)), 6)
-                )
+                pr.append(float(np.sqrt(ss[peak] / _AUDIO_FRAME)))
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
@@ -338,8 +336,105 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return src.mapInPandas(
+    out = src.mapInPandas(
         energy,
         schema="doc_id bigint, n_frames bigint, peak_frame bigint, "
         "peak_rms double",
+    )
+    # JVM-side half-up rounding (Python round() is banker's — ties)
+    return out.select(
+        "doc_id",
+        "n_frames",
+        "peak_frame",
+        F.round("peak_rms", 6).alias("peak_rms"),
+    )
+
+
+_RESIZE_W = 64  # target samples after block-average resize
+
+
+@query(
+    "mm_resize",
+    oracle=f"""
+    WITH s AS (
+        SELECT d.doc_id,
+               LEN(d.text) AS n,
+               ((i.i - 1) * {_RESIZE_W}) // LEN(d.text) AS j,
+               ascii(substr(d.text, CAST(i.i AS INTEGER), 1)) AS v
+        FROM documents d
+        CROSS JOIN (SELECT unnest(generate_series(
+                        1, (SELECT MAX(LEN(text)) FROM documents))) AS i) i
+        WHERE i.i <= LEN(d.text) AND LEN(d.text) >= {_RESIZE_W}
+    ),
+    b AS (
+        SELECT doc_id, j,
+               SUM(CAST(v AS BIGINT)) AS sv, COUNT(*) AS c
+        FROM s GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS width,
+           ROUND(MIN(sv * 1.0 / c), 6) AS min_sample,
+           ROUND(MAX(sv * 1.0 / c), 6) AS max_sample,
+           ROUND(SUM(sv) * 1.0 / SUM(c), 6) AS mean_sample
+    FROM b GROUP BY doc_id
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESIZE stage of the multimodal pipeline: every binary
+    payload block-average downsampled to a fixed 64-sample signal (the
+    1-D stand-in for image thumbnailing / audio resampling to a model's
+    fixed input width), summarized per doc (width, min/max/mean
+    sample). Payloads shorter than the target width are dropped —
+    upsampling is a different contract.
+
+    Arrow-batched ``mapInPandas`` like the other decode stages, stub
+    decoder swap-compatible; each output sample is an integer byte-sum
+    over its block divided once (exact inputs → identical floats in
+    any engine). The mapping position→block is integer arithmetic
+    (floor((i·W)/n)), so block boundaries are bit-identical too."""
+    t = Tables(spark, sf_dir)
+    src = t.documents.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, mn, mx, me = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = _fake_decode(bytes(payload)).astype(np.int64)
+                n = len(s)
+                if n < _RESIZE_W:
+                    continue
+                j = (np.arange(n) * _RESIZE_W) // n
+                sums = np.bincount(j, weights=s, minlength=_RESIZE_W)
+                cnts = np.bincount(j, minlength=_RESIZE_W)
+                means = sums / cnts
+                ids.append(doc_id)
+                ws.append(_RESIZE_W)
+                mn.append(float(means.min()))
+                mx.append(float(means.max()))
+                me.append(float(s.sum() / n))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": ws,
+                    "min_sample": mn,
+                    "max_sample": mx,
+                    "mean_sample": me,
+                }
+            )
+
+    out = src.mapInPandas(
+        resize,
+        schema="doc_id bigint, width bigint, min_sample double, "
+        "max_sample double, mean_sample double",
+    )
+    # round JVM-side: F.round is half-up like the oracle's ROUND;
+    # Python's round() is banker's and diverges on exact .5 ties
+    return out.select(
+        "doc_id",
+        "width",
+        F.round("min_sample", 6).alias("min_sample"),
+        F.round("max_sample", 6).alias("max_sample"),
+        F.round("mean_sample", 6).alias("mean_sample"),
     )
