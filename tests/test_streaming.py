@@ -361,7 +361,9 @@ def test_ewma_ring_state_across_batches(spark, stream_dir, tmp_path):
             v << (_EWMA_W - 1 - j) for j, v in enumerate(reversed(tail))
         )
         denom = (1 << _EWMA_W) - (1 << (_EWMA_W - k))
-        return round(num / denom / 1e6, 6)
+        # the UDF emits the RAW double (rounding is JVM-side in the
+        # final select); identical integer inputs => identical float
+        return num / denom / 1e6
 
     try:
         q.processAllAvailable()

@@ -319,8 +319,10 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "sum_value": [round(s, 6)],
-                "max_value": [round(m, 6)],
+                # raw doubles; rounding happens JVM-side below
+                # (Python round() is banker's, F.round matches ROUND)
+                "sum_value": [s],
+                "max_value": [m],
             }
         )
 
@@ -344,7 +346,12 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "max_by(struct(n_events, sum_value, max_value), n_events)"
             ).alias("s")
         )
-        .select("user_id", "s.n_events", "s.sum_value", "s.max_value")
+        .select(
+            "user_id",
+            "s.n_events",
+            F.round("s.sum_value", 6).alias("sum_value"),
+            F.round("s.max_value", 6).alias("max_value"),
+        )
     )
 
 

@@ -576,7 +576,8 @@ def _ewma_advance(key, pdfs, state):  # noqa: ANN001
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "ewma": [round(num / denom / 1e6, 6)],
+            # raw double; JVM-side F.round below (half-up like ROUND)
+            "ewma": [num / denom / 1e6],
         }
     )
 
@@ -634,7 +635,9 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         res.groupBy("user_id")
         .agg(F.expr("max_by(struct(n_events, ewma), n_events)").alias("s"))
-        .select("user_id", "s.n_events", "s.ewma")
+        .select(
+            "user_id", "s.n_events", F.round("s.ewma", 6).alias("ewma")
+        )
     )
 
 
