@@ -25,6 +25,9 @@ fixed-point discipline as ``graph_pagerank`` / ``rel_agg_basic``).
   median and MAD quarter-integer-exact in both engines ((a+b)/2 of
   values < 2^52 is exact IEEE), so even the strict > comparison is
   deterministic — no epsilon needed.
+- ``rel_changepoint`` — the split day maximizing the CUSUM-scaled mean
+  shift, from one window pass of exact BIGINT prefix sums and a
+  row_number argmax with an earliest-day tie-break.
 """
 
 from __future__ import annotations
