@@ -41,6 +41,11 @@ KEYS = [
     "text_bigram_lm",
     "graph_cc",
     "rel_anomaly_mad",
+    # dual-index search (driver-scalar bounds + top-k ties), KMV top-k
+    # hash selection, Gi* knife-edge top-20
+    "traj_hausdorff_knn_2d_idx",
+    "sketch_kmv_distinct",
+    "traj_hotspot_gi",
 ]
 
 
