@@ -137,3 +137,68 @@ def test_knn_2d_pruned_survives_duplicate_trajectories(
     )
     assert pruned == single
     assert all(r[1] == 0.0 for r in pruned)  # clones fill the top-k
+
+
+@pytest.fixture(scope="module")
+def degenerate_dir(tmp_path_factory):
+    """Single-user, 3-event corpus: every per-user statistic hits its
+    floor (no pairs, no neighbors, a 1-cell study area, empty seeds)."""
+    d = tmp_path_factory.mktemp("degen")
+    rows = [
+        (
+            i,
+            pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i),
+            1,
+            "view",
+            100.0 + i,
+            "{}",
+        )
+        for i in range(3)
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(d / "events.parquet", index=False)
+    return str(d)
+
+
+_EVENTS_FAMILY_PREFIXES = (
+    "traj_",
+    "rel_ewma",
+    "rel_autocorr",
+    "rel_anomaly",
+    "rel_changepoint",
+    "rel_gapfill",
+    "rel_retention",
+    "rel_funnel",
+    "rel_win_pattern",
+    "rel_rollup",
+    "rel_kanonymity",
+    "rel_join_interval",
+    "graph_bfs",
+    "graph_cc",
+    "graph_kcore",
+    "graph_tri",
+    "graph_common",
+    "graph_assort",
+    "sketch_quantile",
+)
+
+
+def test_events_family_survives_degenerate_corpus(spark, degenerate_dir):
+    """No events-based query may CRASH on the single-user floor corpus
+    (empty results are fine; two .head()-derived crashes were found and
+    fixed by exactly this sweep — empty kNN seeds, 1-cell Gi* grid)."""
+    keys = [
+        k
+        for k in registry.QUERIES
+        if k.startswith(_EVENTS_FAMILY_PREFIXES)
+    ]
+    assert len(keys) > 60
+    failures = []
+    for k in keys:
+        try:
+            registry.QUERIES[k](spark, degenerate_dir).count()
+        except Exception as e:  # noqa: BLE001
+            failures.append((k, str(e).split("\n")[0][:120]))
+    assert not failures, failures

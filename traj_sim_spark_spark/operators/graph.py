@@ -798,6 +798,9 @@ _GI_TOPK = 20
                     * SQRT((nn * 1.0 * wi - wi * 1.0 * wi) / (nn - 1))),
                  6) AS gi_z
     FROM gi
+    WHERE nn > 1
+      AND CAST(s2 AS DOUBLE) / nn - (s1 * 1.0 / nn) ** 2 > 0
+      AND nn * wi - wi * wi > 0
     ORDER BY (gsum - (s1 * 1.0 / nn) * wi)
              / (SQRT(CAST(s2 AS DOUBLE) / nn - (s1 * 1.0 / nn) ** 2)
                 * SQRT((nn * 1.0 * wi - wi * 1.0 * wi) / (nn - 1)))
@@ -896,8 +899,17 @@ def traj_hotspot_gi(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("nn") - 1)
         )
     )
+    # exclude degenerate study areas (one cell, zero variance, or a
+    # neighborhood covering the whole box): Gi* is undefined there —
+    # mirrored in the oracle; real grids always pass
+    defined = (
+        (F.col("nn") > 1)
+        & (F.col("s2").cast("double") / F.col("nn") - mean * mean > 0)
+        & (F.col("nn") * F.col("wi") - F.col("wi") * F.col("wi") > 0)
+    )
     return (
-        gi.withColumn("gi_z", z)
+        gi.filter(defined)
+        .withColumn("gi_z", z)
         .orderBy(F.desc("gi_z"), "cx", "cy")
         .limit(_GI_TOPK)
         .select(

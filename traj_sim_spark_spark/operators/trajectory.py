@@ -1855,6 +1855,10 @@ def traj_hausdorff_knn_2d_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("h"))
         .head()[0]
     )
+    if tau_k is None:  # corpus has no user besides the query user
+        return spark.createDataFrame(
+            [], "user_id bigint, hausdorff_2d double"
+        )
     qlo, qhi = qrow["vmin"] - tau_k, qrow["vmax"] + tau_k
     cands = man.filter(
         (F.col("user_id") != 1)
