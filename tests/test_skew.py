@@ -202,3 +202,70 @@ def test_events_family_survives_degenerate_corpus(spark, degenerate_dir):
         except Exception as e:  # noqa: BLE001
             failures.append((k, str(e).split("\n")[0][:120]))
     assert not failures, failures
+
+
+@pytest.fixture(scope="module")
+def degenerate_docs_dir(tmp_path_factory):
+    """Floor corpus for the text/embedding families: ONE 4-token doc
+    (shorter than every shingle width) + two embeddings + 3 events."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("degen_docs")
+    pd.DataFrame(
+        [(0, "tiny doc text here", "en", "src0", 18)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(d / "documents.parquet", index=False)
+    tb = pa.table(
+        {
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array(
+                [list(np.arange(64) / 64.0), [1.0] * 64],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0, 1], pa.int32()),
+        }
+    )
+    pq.write_table(tb, d / "embeddings.parquet")
+    rows = [
+        (
+            i,
+            pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i),
+            1,
+            "view",
+            100.0 + i,
+            "{}",
+        )
+        for i in range(3)
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(d / "events.parquet", index=False)
+    return str(d)
+
+
+def test_text_emb_family_survives_degenerate_corpus(
+    spark, degenerate_docs_dir
+):
+    """No text/similarity/multimodal/pipeline query may CRASH on the
+    one-short-doc corpus (the sweep found a descending-sequence slice()
+    crash in the word-shingle builder for docs shorter than the shingle
+    width — now guarded)."""
+    keys = [
+        k
+        for k in registry.QUERIES
+        if k.startswith(
+            ("text_", "sim_", "emb_", "mm_", "pipe_", "sketch_cms",
+             "sketch_kmv")
+        )
+    ]
+    assert len(keys) > 50
+    failures = []
+    for k in keys:
+        try:
+            registry.QUERIES[k](spark, degenerate_docs_dir).count()
+        except Exception as e:  # noqa: BLE001
+            failures.append((k, str(e).split("\n")[0][:120]))
+    assert not failures, failures

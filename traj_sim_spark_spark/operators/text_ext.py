@@ -36,17 +36,22 @@ def _word_shingles(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, lang, source, shingle) — one row per word n-gram
     position; JVM-side (sequence + transform + array_join), no UDF."""
     toks = F.split("text", " ")
+    # docs shorter than one shingle yield NO rows: without the guard,
+    # sequence(1, size-(n-1)) runs DESCENDING for size < n and slice()
+    # then rejects start 0 (found by the degenerate-corpus sweep)
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         docs.select(
             "doc_id",
             "lang",
             "source",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                    lambda i: F.array_join(F.slice(toks, i, n), " "),
-                )
-            ).alias("shingle"),
+            F.explode(shingles).alias("shingle"),
         )
     )
 
