@@ -269,3 +269,118 @@ def test_text_emb_family_survives_degenerate_corpus(
         except Exception as e:  # noqa: BLE001
             failures.append((k, str(e).split("\n")[0][:120]))
     assert not failures, failures
+
+
+@pytest.fixture(scope="module")
+def degenerate_all_dir(tmp_path_factory):
+    """One-row versions of every relational table (µs-encoded
+    timestamps like the real fixtures) + the floor events/documents/
+    embeddings — the minimal corpus the FULL registry must survive."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("degen_all")
+    pd.DataFrame(
+        [(0, "AMERICA")], columns=["r_regionkey", "r_name"]
+    ).astype({"r_regionkey": "int32"}).to_parquet(
+        d / "region.parquet", index=False
+    )
+    pd.DataFrame(
+        [(0, "BRAZIL", 0)],
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).astype({"n_nationkey": "int32", "n_regionkey": "int32"}).to_parquet(
+        d / "nation.parquet", index=False
+    )
+    pd.DataFrame(
+        [(1, "c1", 0, 10.0, "BUILDING")],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    ).astype({"c_nationkey": "int32"}).to_parquet(
+        d / "customer.parquet", index=False
+    )
+    pd.DataFrame(
+        [(1, "s1", 0, 5.0)],
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    ).astype({"s_nationkey": "int32"}).to_parquet(
+        d / "supplier.parquet", index=False
+    )
+    pd.DataFrame(
+        [(1, "p1", "Brand#1", "TYPE A", 5, 100.0)],
+        columns=["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+                 "p_retailprice"],
+    ).astype({"p_size": "int32"}).to_parquet(
+        d / "part.parquet", index=False
+    )
+    pd.DataFrame(
+        [(1, 1, "O", 100.0, pd.Timestamp("2024-01-02"), "1-URGENT")],
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderdate", "o_orderpriority"],
+    ).to_parquet(d / "orders.parquet", index=False,
+                 coerce_timestamps="us")
+    pd.DataFrame(
+        [(1, 1, 1, 1, 2.0, 50.0, 0.05, 0.02, "N", "O",
+          pd.Timestamp("2024-01-05"))],
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    ).astype({"l_linenumber": "int32"}).to_parquet(
+        d / "lineitem.parquet", index=False, coerce_timestamps="us"
+    )
+    rows = [
+        (
+            i,
+            pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i),
+            1,
+            "view",
+            100.0 + i,
+            '{"k": 1}',
+        )
+        for i in range(3)
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value",
+                 "props"],
+    ).to_parquet(d / "events.parquet", index=False)
+    pd.DataFrame(
+        [(0, "tiny doc text here", "en", "src0", 18)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(d / "documents.parquet", index=False)
+    tb = pa.table(
+        {
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array(
+                [list(np.arange(64) / 64.0), [1.0] * 64],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0, 1], pa.int32()),
+        }
+    )
+    pq.write_table(tb, d / "embeddings.parquet")
+    return str(d)
+
+
+def test_remaining_families_survive_degenerate_corpus(
+    spark, degenerate_all_dir
+):
+    """The relational/source/stream/udf families (everything the other
+    two sweeps skip) must not CRASH on one-row tables."""
+    covered = (
+        "traj_", "rel_ewma", "rel_autocorr", "rel_anomaly",
+        "rel_changepoint", "rel_gapfill", "rel_retention", "rel_funnel",
+        "rel_win_pattern", "rel_rollup", "rel_kanonymity",
+        "rel_join_interval", "graph_bfs", "graph_cc", "graph_kcore",
+        "graph_tri", "graph_common", "graph_assort", "sketch_quantile",
+        "text_", "sim_", "emb_", "mm_", "pipe_", "sketch_cms",
+        "sketch_kmv",
+    )
+    keys = [k for k in registry.QUERIES if not k.startswith(covered)]
+    assert len(keys) > 60
+    failures = []
+    for k in keys:
+        try:
+            registry.QUERIES[k](spark, degenerate_all_dir).count()
+        except Exception as e:  # noqa: BLE001
+            failures.append((k, str(e).split("\n")[0][:120]))
+    assert not failures, failures
