@@ -333,13 +333,9 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edge builder is eps-banded per (day, value-cell). Degrees are
     a hash aggregate; Jaccard is |N(a) n N(b)| / (d_a + d_b - |int|)
     from the inclusion-exclusion identity — no union materialized."""
-    from .mining import traj_comovement
+    from .mining import comovement_edges
 
-    e = (
-        traj_comovement(spark, sf_dir)
-        .select(F.col("user_a").alias("u"), F.col("user_b").alias("v"))
-        .localCheckpoint()
-    )
+    e = comovement_edges(spark, sf_dir)
     und = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
         e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )

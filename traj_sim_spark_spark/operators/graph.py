@@ -471,13 +471,9 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORIENTED graph (bounded by the banded co-movement join that built
     the edges), never all-pairs. Edges are materialized once
     (localCheckpoint — no cache to leak) and read three times."""
-    from .mining import traj_comovement
+    from .mining import comovement_edges
 
-    e = (
-        traj_comovement(spark, sf_dir)
-        .select(F.col("user_a").alias("u"), F.col("user_b").alias("v"))
-        .localCheckpoint()
-    )
+    e = comovement_edges(spark, sf_dir)
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
@@ -554,13 +550,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     by round 5 is asserted in tests/test_mining.py, and at larger
     diameters the loop extends with localCheckpoint every few rounds
     exactly like ``connected_components``."""
-    from .mining import traj_comovement
+    from .mining import comovement_edges
 
-    e = (
-        traj_comovement(spark, sf_dir)
-        .select(F.col("user_a").alias("u"), F.col("user_b").alias("v"))
-        .localCheckpoint()
-    )
+    e = comovement_edges(spark, sf_dir)
     und = e.select(F.col("u").alias("s"), F.col("v").alias("t")).unionByName(
         e.select(F.col("v").alias("s"), F.col("u").alias("t"))
     )
@@ -650,13 +642,9 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     previous frontiers per round (lineage doubling — same policy as the
     CC loop). The seed is an aggregate, not a .head() — no driver
     round-trip; the whole query stays one lazy plan per level."""
-    from .mining import traj_comovement
+    from .mining import comovement_edges
 
-    e = (
-        traj_comovement(spark, sf_dir)
-        .select(F.col("user_a").alias("u"), F.col("user_b").alias("v"))
-        .localCheckpoint()
-    )
+    e = comovement_edges(spark, sf_dir)
     und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     level = e.agg(F.min("u").alias("user_id")).filter(
         F.col("user_id").isNotNull()
@@ -726,14 +714,10 @@ def graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Isolated users form singleton components — the node set is every
     user in events, not just edge endpoints, so the output is a total
     labeling (what a downstream group-by-component join needs)."""
-    from .mining import traj_comovement
+    from .mining import comovement_edges
     from .text import connected_components
 
-    e = (
-        traj_comovement(spark, sf_dir)
-        .select(F.col("user_a").alias("u"), F.col("user_b").alias("v"))
-        .localCheckpoint()
-    )
+    e = comovement_edges(spark, sf_dir)
     und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     t = Tables(spark, sf_dir)
     nodes = t.events.select(F.col("user_id").alias("node")).distinct()
@@ -980,13 +964,9 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree aggregate + two broadcast-sized joins back to the edge list;
     linear in edges. Degenerate regular graphs (zero degree variance)
     emit no row on both sides rather than NULL/NaN divergence."""
-    from .mining import traj_comovement
+    from .mining import comovement_edges
 
-    e = (
-        traj_comovement(spark, sf_dir)
-        .select(F.col("user_a").alias("u"), F.col("user_b").alias("v"))
-        .localCheckpoint()
-    )
+    e = comovement_edges(spark, sf_dir)
     und = e.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
         e.select(F.col("v").alias("s"), F.col("u").alias("t"))
     )
