@@ -438,3 +438,63 @@ def rel_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ok.unionByName(sup)
+
+
+@query(
+    "pipe_train_split",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, source,
+               CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS INTEGER) % 100 AS bucket
+        FROM documents
+    ),
+    s AS (
+        SELECT CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val'
+                    ELSE 'test' END AS split,
+               source, n_tokens
+        FROM b
+    )
+    SELECT split, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM s GROUP BY split, source
+    """,
+)
+def pipe_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5) by content-hash
+    bucket — the op every training pipeline runs LAST, and the one that
+    must be reproducible above all others: the same document lands in
+    the same split on any engine, any cluster size, any rerun, because
+    the split key is md5(doc_id) % 100, not RNG state or row order
+    (the ``pipe_mix_sources`` idiom). Emits per-(split, source) doc and
+    token budgets — the numbers a training run is configured from.
+
+    One scan + one hash aggregate; the split predicate pushes into the
+    scan as an ordinary deterministic expression, so downstream
+    per-split readers (`WHERE split = 'train'`) prune at the source."""
+    t = Tables(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        t.documents.select(
+            split.alias("split"),
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
