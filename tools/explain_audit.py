@@ -131,6 +131,11 @@ AUDIT = [
     "mm_audio_energy",
     "sketch_cms_merge",
     "emb_drift",
+    "traj_hausdorff_knn_2d_idx",
+    "text_winnowing",
+    "rel_kanonymity",
+    "mm_resize",
+    "pipe_train_split",
 ]
 
 
