@@ -94,7 +94,42 @@ def traj_dtw_threshold_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("traj_dtw_pair_2d")  # WEAK: order-sensitive DP kernel
+def _dtw_pair_2d_oracle() -> str:
+    """FULL oracle for the 2-D DTW pair: the shared antidiagonal
+    recursion (``trajectory._dp_layers_sql``) with the Euclidean local
+    cost."""
+    from .trajectory import _dp_layers_sql
+
+    dtw = _dp_layers_sql(
+        "dtw_dp", "cells.d + MIN(cur.val)", "SQRT((av.x - bv.x) * (av.x - bv.x) + (av.y - bv.y) * (av.y - bv.y))"
+    )
+    return f"""
+    WITH RECURSIVE
+    t0 AS (SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0
+           FROM events),
+    av(i, x, y) AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id),
+               (epoch_us(CAST(ts AS TIMESTAMP)) - (SELECT t0 FROM t0))
+               / 86400000000.0, value
+        FROM events WHERE user_id = 2
+    ),
+    bv(j, x, y) AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id),
+               (epoch_us(CAST(ts AS TIMESTAMP)) - (SELECT t0 FROM t0))
+               / 86400000000.0, value
+        FROM events WHERE user_id = 1
+    ),
+    {dtw}
+    SELECT CAST(2 AS BIGINT) AS user_id,
+           ROUND((SELECT val FROM dtw_dp
+                  WHERE age = 0
+                    AND k = (SELECT MAX(i) FROM av)
+                          + (SELECT MAX(j) FROM bv)
+                    AND i = (SELECT MAX(i) FROM av)), 6) AS dtw_2d
+    """
+
+
+@query("traj_dtw_pair_2d", oracle=_dtw_pair_2d_oracle())
 def traj_dtw_pair_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R14 in TWO dimensions: DTW alignment cost between users 1 and 2
     in the (time-in-days, value) plane — the pair form that completes
