@@ -112,9 +112,13 @@ def _seg_dist(x: np.ndarray, y: np.ndarray, i: int, j: int) -> np.ndarray:
     falls back to distance-to-point when the chord is degenerate."""
     px, py = x[i + 1 : j], y[i + 1 : j]
     dx, dy = x[j] - x[i], y[j] - y[i]
-    norm = np.hypot(dx, dy)
+    # explicit sqrt(dx^2+dy^2), NOT np.hypot: hypot's overflow-safe
+    # algorithm differs from SQL's SQRT(a*a+b*b) by ulps, and the
+    # recursive-CTE oracle must reproduce the argmax bit-for-bit
+    norm = np.sqrt(dx * dx + dy * dy)
     if norm == 0.0:
-        return np.hypot(px - x[i], py - y[i])
+        ex, ey = px - x[i], py - y[i]
+        return np.sqrt(ex * ex + ey * ey)
     return np.abs(dy * (px - x[i]) - dx * (py - y[i])) / norm
 
 

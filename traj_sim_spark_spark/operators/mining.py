@@ -309,7 +309,83 @@ def traj_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("traj_simplify_dp")  # WEAK: recursive split order, not SQL
+def _dp_simplify_oracle() -> str:
+    """Recursive-CTE Douglas-Peucker: a WORK-QUEUE recursion (the second
+    recursion shape beside the DP pair rows' antidiagonal one) — each
+    iteration joins the open intervals to their interior points,
+    computes the chord distance with the EXACT float expression the
+    NumPy kernel uses (explicit sqrt, not hypot), picks the first
+    farthest point (ORDER BY d DESC, idx) and, when it exceeds tol,
+    emits it as KEPT plus the two child intervals. Keeps accumulate
+    across iterations; intervals die when nothing exceeds tol."""
+    return f"""
+    WITH RECURSIVE
+    t0 AS (SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0
+           FROM events),
+    pts AS (
+        SELECT user_id,
+               (epoch_us(CAST(ts AS TIMESTAMP)) - (SELECT t0 FROM t0))
+               / 86400000000.0 AS x,
+               value AS y,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)
+                    AS INTEGER) AS idx
+        FROM events
+    ),
+    ends AS (SELECT user_id, MAX(idx) AS n FROM pts GROUP BY user_id),
+    dp(user_id, a, b, p, typ) AS (
+        SELECT user_id, 1, n, NULL, 0 FROM ends WHERE n >= 2
+        UNION ALL
+        (
+          WITH cur AS (SELECT * FROM dp WHERE typ = 0),
+          cand AS (
+              SELECT cur.user_id, cur.a, cur.b, m.idx,
+                     CASE WHEN (pj.x - pi.x) * (pj.x - pi.x)
+                             + (pj.y - pi.y) * (pj.y - pi.y) = 0
+                          THEN SQRT((m.x - pi.x) * (m.x - pi.x)
+                                    + (m.y - pi.y) * (m.y - pi.y))
+                          ELSE ABS((pj.y - pi.y) * (m.x - pi.x)
+                                   - (pj.x - pi.x) * (m.y - pi.y))
+                               / SQRT((pj.x - pi.x) * (pj.x - pi.x)
+                                      + (pj.y - pi.y) * (pj.y - pi.y))
+                     END AS d
+              FROM cur
+              JOIN pts pi ON pi.user_id = cur.user_id AND pi.idx = cur.a
+              JOIN pts pj ON pj.user_id = cur.user_id AND pj.idx = cur.b
+              JOIN pts m ON m.user_id = cur.user_id
+                        AND m.idx > cur.a AND m.idx < cur.b
+          ),
+          far AS (
+              SELECT user_id, a, b, idx, d,
+                     ROW_NUMBER() OVER (PARTITION BY user_id, a, b
+                                        ORDER BY d DESC, idx) AS rn
+              FROM cand
+          ),
+          splits AS (
+              SELECT user_id, a, b, idx FROM far
+              WHERE rn = 1 AND d > {_DP_TOL}
+          )
+          SELECT user_id, a, idx, idx, 1 FROM splits
+          UNION ALL
+          SELECT user_id, a, idx, NULL, 0 FROM splits
+          UNION ALL
+          SELECT user_id, idx, b, NULL, 0 FROM splits
+        )
+    ),
+    keep AS (
+        SELECT user_id, p AS idx FROM dp WHERE typ = 1
+        UNION ALL
+        SELECT user_id, 1 FROM ends
+        UNION ALL
+        SELECT user_id, n FROM ends WHERE n >= 2
+    )
+    SELECT pts.user_id, pts.idx, ROUND(pts.y, 6) AS y
+    FROM pts JOIN keep ON keep.user_id = pts.user_id
+                      AND keep.idx = pts.idx
+    """
+
+
+@query("traj_simplify_dp", oracle=_dp_simplify_oracle())
 def traj_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Douglas-Peucker polyline simplification per user in the
     (time-in-days, value) plane, tolerance 40.0 — the standard
