@@ -342,3 +342,54 @@ def test_dtw_banded_knn_two_phase_is_exact(spark, sf_dir):
         ).collect()
     ]
     assert got == brute, f"two-phase != brute force:\n{got}\n{brute}"
+
+
+def test_dp_searches_match_duckdb_recursion(spark, sf_dir):
+    """Engine-independent check of the WEAK DP search rows: the
+    multi-user recursive-CTE brute force (every candidate's full DP
+    grid inside DuckDB) must reproduce the engine's pruned two-phase
+    results exactly — stronger evidence than same-engine brute-force
+    equality, at sf0.001 cost."""
+    import duckdb
+
+    from traj_sim_spark_spark import registry
+    from traj_sim_spark_spark.operators.trajectory import (
+        _DTW_TAU,
+        _FRECHET_TAU,
+        _dp_search_oracle,
+    )
+
+    registry.load_all()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    cases = {
+        "traj_frechet_knn": _dp_search_oracle(
+            "GREATEST(cells.d, MIN(cur.val))",
+            "SELECT user_id, ROUND(val, 6) AS frechet FROM finals "
+            "ORDER BY ROUND(val, 6), user_id LIMIT 10",
+        ),
+        "traj_dtw_knn": _dp_search_oracle(
+            "cells.d + MIN(cur.val)",
+            "SELECT user_id, ROUND(val, 6) AS dtw FROM finals "
+            "ORDER BY ROUND(val, 6), user_id LIMIT 10",
+        ),
+        "traj_frechet_threshold": _dp_search_oracle(
+            "GREATEST(cells.d, MIN(cur.val))",
+            f"SELECT user_id, ROUND(val, 6) AS frechet FROM finals "
+            f"WHERE ROUND(val, 6) <= {_FRECHET_TAU}",
+        ),
+        "traj_dtw_threshold": _dp_search_oracle(
+            "cells.d + MIN(cur.val)",
+            f"SELECT user_id, ROUND(val, 6) AS dtw FROM finals "
+            f"WHERE ROUND(val, 6) <= {_DTW_TAU}",
+        ),
+    }
+    for key, sql in cases.items():
+        got = sorted(
+            tuple(r) for r in registry.QUERIES[key](spark, sf_dir).collect()
+        )
+        want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        assert got == want, (key, got[:3], want[:3])

@@ -472,7 +472,75 @@ def _dp_threshold(
     )
 
 
-@query("traj_frechet_knn")  # WEAK: order-sensitive DP, not SQL-expressible
+
+
+def _dp_search_oracle(combine: str, final: str) -> str:
+    """Multi-user antidiagonal recursion: EVERY candidate user's DP grid
+    against the query user advances in lockstep (rows keyed by user) —
+    the brute-force DP search truth as ONE recursive CTE.
+
+    NOT registered as the driver oracle: DuckDB materializes every
+    layer of every user's grid, measured 37 s at sf0.01 / 245 s at
+    sf0.1 — a gate-budget explosion for rows that are green in seconds
+    today. Instead tests/test_twophase.py runs it at sf0.001 (<1 s) as
+    an ENGINE-INDEPENDENT check of the pruned searches — upgrading the
+    WEAK rows' evidence from same-engine brute-force equality to
+    cross-engine equality without touching the driver gate."""
+    return f"""
+    WITH RECURSIVE
+    bv(j, v) AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id), value
+        FROM events WHERE user_id = 1
+    ),
+    av(u, i, v) AS (
+        SELECT user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id), value
+        FROM events WHERE user_id <> 1
+    ),
+    peru AS (SELECT u, MAX(i) AS n FROM av GROUP BY u),
+    mdim AS (SELECT MAX(j) AS m FROM bv),
+    dp(u, k, i, val, age) AS (
+        SELECT av.u, 2, 1, ABS(av.v - bv.v), 0
+        FROM av JOIN bv ON av.i = 1 AND bv.j = 1
+        UNION ALL
+        (
+          WITH cur AS (SELECT * FROM dp),
+          kk AS (SELECT MAX(k) AS k FROM cur),
+          cells AS (
+              SELECT (SELECT k FROM kk) + 1 AS k, av.u, av.i,
+                     ABS(av.v - bv.v) AS d
+              FROM av JOIN bv ON bv.j = (SELECT k FROM kk) + 1 - av.i
+          ),
+          newcells AS (
+              SELECT cells.u, cells.k, cells.i,
+                     {combine} AS val, 0 AS age
+              FROM cells JOIN cur
+                ON cur.u = cells.u
+               AND ((cur.age = 0 AND cur.i IN (cells.i - 1, cells.i))
+                    OR (cur.age = 1 AND cur.i = cells.i - 1))
+              GROUP BY cells.k, cells.u, cells.i, cells.d
+          ),
+          carry AS (
+              SELECT u, k + 1, i, val, 1 FROM cur WHERE age = 0
+          )
+          SELECT u, k, i, val, age FROM newcells
+          UNION ALL
+          SELECT * FROM carry
+          WHERE (SELECT k FROM kk)
+                < (SELECT MAX(n) FROM peru) + (SELECT m FROM mdim)
+        )
+    ),
+    finals AS (
+        SELECT dp.u AS user_id, dp.val
+        FROM dp JOIN peru ON peru.u = dp.u
+        WHERE dp.age = 0 AND dp.i = peru.n
+          AND dp.k = peru.n + (SELECT m FROM mdim)
+    )
+    {final}
+    """
+
+@query("traj_frechet_knn")  # WEAK in the gate: see _dp_search_oracle
 def traj_frechet_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R9/R13: k users nearest the query user under discrete Fréchet —
     EXACT, via the reference's two-phase prune-then-refine [P §5]:
