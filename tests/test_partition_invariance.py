@@ -46,6 +46,10 @@ KEYS = [
     "traj_hausdorff_knn_2d_idx",
     "sketch_kmv_distinct",
     "traj_hotspot_gi",
+    # extras2 additions: row_number NN tie-break over an LSH bucket
+    # join; CC min-label over the dense-cell graph
+    "mm_phash_nn",
+    "traj_grid_dbscan",
 ]
 
 

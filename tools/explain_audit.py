@@ -136,6 +136,11 @@ AUDIT = [
     "rel_kanonymity",
     "mm_resize",
     "pipe_train_split",
+    "text_boilerplate",
+    "mm_phash_nn",
+    "traj_grid_dbscan",
+    "rel_seasonal_anomaly",
+    "graph_modularity",
 ]
 
 

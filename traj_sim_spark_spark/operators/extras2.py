@@ -1,0 +1,665 @@
+"""Second extras batch — round-2 continuation coverage extensions.
+
+Five operators that round out the curation / spatial / graph / series
+families with shapes the earlier rows don't cover:
+
+- ``text_boilerplate``    — CROSS-document duplicate-shingle mass per
+  doc (the C4-style boilerplate gate). ``text_repetition`` measures
+  intra-doc repetition; this row measures how much of each document is
+  text shared with OTHER documents — the complementary quality signal.
+- ``mm_phash_nn``         — perceptual-hash nearest neighbor for the
+  multimodal (binary) column: block-average hash (aHash family) over
+  the decoded byte stream, 8 x 8-bit LSH bands, candidate = any shared
+  band, exact Hamming re-rank to each doc's top-1 neighbor.
+- ``traj_grid_dbscan``    — density-based spatial clustering (grid
+  DBSCAN): eps-cells with >= minPts points are core; clusters are
+  connected components over the 8-neighborhood of core cells. The
+  grid analog of DBSCAN that actually scales — no point-to-point
+  eps-joins, density decided per cell by one hash aggregate.
+- ``rel_seasonal_anomaly``— hour-of-day DEseasonalized z-score
+  anomalies per event type (the seasonal sibling of the daily
+  ``rel_anomaly_mad``): exact integer sufficient statistics per
+  (type, hour) profile, one final float z for display.
+- ``graph_modularity``    — Newman modularity of a value-band node
+  partition over the co-movement graph: per-community internal-edge
+  and degree mass, Q-contribution per community. Unlike the CC rows,
+  the partition here is independent of the edges, so the statistic is
+  non-degenerate (D_c != 2 L_c).
+
+Exactness discipline (house rules, see ``series.py``): every comparison
+that decides MEMBERSHIP of the result set is integer-exact (centi-unit
+quantized values, cross-multiplied variance tests, bit-exact hashes);
+floats appear only in displayed columns as one final expression over
+exact integers, written with the same operation order in the Spark and
+DuckDB forms.
+
+Scale notes: boilerplate = two hash aggregates + one equi-join keyed on
+the shingle (fan-out 1: the DF side is pre-aggregated to one row per
+shingle); phash = Arrow-batched decode + an LSH band bucket join (at
+production corpus sizes the band width widens from 8 to 16+ bits so
+bucket occupancy stays bounded — same argument as ``emb_neardup_lsh``);
+grid DBSCAN = one aggregate over points, then CC over the (tiny) dense-
+cell graph via the shared min-label-propagation engine; seasonal/
+modularity = linear aggregates, the graph reusing the session-shared
+co-movement edge artifact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+
+# --------------------------------------------------------------------------
+# text_boilerplate
+# --------------------------------------------------------------------------
+
+_BP_N = 4  # shingle width (words)
+_BP_DF = 2  # boilerplate = shingle appearing in >= this many distinct docs
+
+
+@query(
+    "text_boilerplate",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, lang,
+               array_to_string(list_slice(toks, i, i + {_BP_N - 1}), ' ')
+                   AS shingle
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+              FROM documents),
+             LATERAL (SELECT UNNEST(generate_series(
+                 1, len(toks) - {_BP_N - 1})) AS i)
+        WHERE len(toks) >= {_BP_N}
+    ),
+    df AS (
+        SELECT shingle, COUNT(DISTINCT doc_id) AS d
+        FROM sh GROUP BY shingle
+    ),
+    per AS (
+        SELECT sh.doc_id, sh.lang,
+               COUNT(*) AS n_shingles,
+               COUNT(*) FILTER (df.d >= {_BP_DF}) AS n_shared
+        FROM sh JOIN df USING (shingle)
+        GROUP BY 1, 2
+    )
+    SELECT doc_id, lang,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           ROUND(n_shared * 1.0 / n_shingles, 6) AS shared_frac
+    FROM per
+    """,
+)
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate mass: for each document, the fraction
+    of its word 4-gram positions whose shingle also occurs in at least
+    one OTHER document (corpus document frequency >= 2) — the C4/RefinedWeb
+    "duplicated text" quality signal, complementary to the intra-doc
+    ``text_repetition`` row.
+
+    Shape: shingle explode (JVM higher-order functions, no UDF) -> one
+    hash aggregate for document frequency -> equi-join back on the
+    shingle string (the DF side is one row per shingle, so per-position
+    fan-out is exactly 1 — no pair explosion, unlike a doc-doc join) ->
+    one per-doc aggregate. Linear in total shingle positions at any
+    corpus size; the shingle key is content-hashed by the shuffle, so
+    hot shingles spread by value, not by document."""
+    from .text_ext import _word_shingles
+
+    t = Tables(spark, sf_dir)
+    sh = _word_shingles(t.documents, _BP_N).select("doc_id", "lang", "shingle")
+    df = sh.groupBy("shingle").agg(
+        F.countDistinct("doc_id").alias("d")
+    )
+    return (
+        sh.join(df, "shingle")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count(F.when(F.col("d") >= _BP_DF, 1)).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_shingles",
+            "n_shared",
+            F.round(
+                F.col("n_shared") * 1.0 / F.col("n_shingles"), 6
+            ).alias("shared_frac"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# mm_phash_nn
+# --------------------------------------------------------------------------
+
+_PH_BLOCKS = 64  # hash bits = average-hash blocks
+_PH_BANDS = 8  # LSH bands (8 bits each)
+_PH_MIN_BYTES = 64  # payloads shorter than one byte per block are skipped
+
+
+def _phash_bands(payload: bytes) -> list[int]:
+    """Block-average hash of a byte stream, split into 8-bit band values.
+
+    The decode step is the same deterministic STUB as the rest of the
+    multimodal family (``multimodal._fake_decode``): the byte stream IS
+    the sample array. A real deployment decodes pixels first; everything
+    downstream (block averaging, mean threshold, banding) is the
+    standard aHash pipeline and unchanged.
+
+    Bit b of the hash is 1 iff the mean of block b exceeds the global
+    mean. Both comparisons are done in cross-multiplied INTEGERS
+    (sum_b * n > total * cnt_b) so the bit pattern is bit-exact across
+    engines — no float averaging."""
+    a = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    n = a.size
+    blk = (np.arange(n) * _PH_BLOCKS) // n
+    bsum = np.bincount(blk, weights=a, minlength=_PH_BLOCKS).astype(np.int64)
+    bcnt = np.bincount(blk, minlength=_PH_BLOCKS).astype(np.int64)
+    bits = (bsum * n > a.sum() * bcnt).astype(np.int64)
+    width = _PH_BLOCKS // _PH_BANDS
+    return [
+        int((bits[b * width : (b + 1) * width] << np.arange(width)).sum())
+        for b in range(_PH_BANDS)
+    ]
+
+
+@query(
+    "mm_phash_nn",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, n_chars AS n,
+               CAST(((i - 1) * {_PH_BLOCKS}) // n_chars AS INT) AS blk,
+               ascii(substring(text, CAST(i AS INT), 1)) AS byte
+        FROM documents,
+             LATERAL (SELECT UNNEST(generate_series(1, n_chars)) AS i)
+        WHERE n_chars >= {_PH_MIN_BYTES}
+    ),
+    blocks AS (
+        SELECT doc_id, n, blk, SUM(byte) AS bsum, COUNT(*) AS bcnt
+        FROM b GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT doc_id, SUM(bsum) AS tsum FROM blocks GROUP BY 1),
+    bands AS (
+        SELECT blocks.doc_id, blk // {_PH_BLOCKS // _PH_BANDS} AS band,
+               CAST(SUM(
+                   CASE WHEN bsum * n > tsum * bcnt THEN 1 ELSE 0 END
+                   * (1 << (blk % {_PH_BLOCKS // _PH_BANDS}))
+               ) AS INT) AS band_val
+        FROM blocks JOIN tot USING (doc_id)
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
+        FROM bands a
+        JOIN bands c
+          ON a.band = c.band AND a.band_val = c.band_val
+         AND a.doc_id <> c.doc_id
+    ),
+    ham AS (
+        SELECT cand.da, cand.db,
+               CAST(SUM(bit_count(CAST(
+                   xor(x.band_val, y.band_val) AS BIGINT))) AS INT)
+                   AS hamming
+        FROM cand
+        JOIN bands x ON x.doc_id = cand.da
+        JOIN bands y ON y.doc_id = cand.db AND y.band = x.band
+        GROUP BY 1, 2
+    )
+    SELECT da AS doc_id, db AS nn_doc, hamming
+    FROM ham
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY da ORDER BY hamming, db) = 1
+    """,
+)
+def mm_phash_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash nearest neighbor over the binary (multimodal)
+    column: each payload gets a 64-bit block-average hash (aHash — the
+    DCT-free member of the pHash family), the hash splits into 8 LSH
+    bands of 8 bits, candidates are any two payloads sharing a band
+    value, and each document reports its exact-Hamming top-1 neighbor
+    among candidates (ties broken to the smallest neighbor id).
+
+    Pipeline shape is the production one: Arrow-batched ``mapInPandas``
+    decode+hash (one pass over the binary column, no driver hop), then
+    an equi-join on (band, band_val) — the LSH bucket join, never an
+    all-pairs — then a per-pair 8-row aggregate for Hamming and a
+    per-doc row_number argmin. At corpus scale the band width widens
+    (16+ bits) so bucket occupancy stays bounded; the banding is exact
+    for any neighbor within Hamming 7 (pigeonhole over 8 bands), and
+    beyond that it is the standard recall/width trade.
+
+    The decode stub interprets utf-8 text bytes as the sample array
+    (``multimodal.py`` contract), which is what makes the hash SQL-
+    expressible and this row a FULL oracle instead of a WEAK one: the
+    bit pattern is decided by cross-multiplied integer comparisons,
+    identical in numpy and DuckDB."""
+    t = Tables(spark, sf_dir)
+    src = t.documents.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    ).where(F.octet_length("payload") >= _PH_MIN_BYTES)
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for band, val in enumerate(_phash_bands(bytes(payload))):
+                    out.append((doc_id, band, val))
+            yield pd.DataFrame(out, columns=["doc_id", "band", "band_val"])
+
+    # materialized once (8 small int rows per doc — the hash ARTIFACT a
+    # production pipeline persists); referenced four times below
+    bands = src.mapInPandas(
+        hash_batches, "doc_id bigint, band int, band_val int"
+    ).localCheckpoint()
+    a, c = bands.alias("a"), bands.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.band_val") == F.col("c.band_val"))
+            & (F.col("a.doc_id") != F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"), F.col("c.doc_id").alias("db")
+        )
+        .distinct()
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    ham = (
+        cand.join(x, F.col("x.doc_id") == F.col("da"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("db"))
+            & (F.col("y.band") == F.col("x.band")),
+        )
+        .groupBy("da", "db")
+        .agg(
+            F.sum(
+                F.bit_count(
+                    (F.col("x.band_val").bitwiseXOR(F.col("y.band_val"))).cast(
+                        "bigint"
+                    )
+                )
+            )
+            .cast("int")
+            .alias("hamming")
+        )
+    )
+    w = W.partitionBy("da").orderBy("hamming", "db")
+    return (
+        ham.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("da").alias("doc_id"),
+            F.col("db").alias("nn_doc"),
+            "hamming",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# traj_grid_dbscan
+# --------------------------------------------------------------------------
+
+_DB_CELL_Y = 10.0  # value-axis cell height (same grid as traj_heatmap)
+_DB_MINPTS = 20  # core-cell density threshold
+_DB_OFF = 1000  # linearization offset (keeps ids positive)
+_DB_K = 100_000  # linearization stride
+
+
+@query(
+    "traj_grid_dbscan",
+    oracle=f"""
+    WITH RECURSIVE t0 AS (
+        SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0 FROM events
+    ),
+    cells AS (
+        SELECT CAST(FLOOR((epoch_us(CAST(ts AS TIMESTAMP))
+                           - (SELECT t0 FROM t0)) / 86400e6)
+                    AS BIGINT) AS cx,
+               CAST(FLOOR(value / {_DB_CELL_Y}) AS BIGINT) AS cy,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    dense AS MATERIALIZED (
+        SELECT cx, cy, n,
+               (cx + {_DB_OFF}) * {_DB_K} + (cy + {_DB_OFF}) AS cid
+        FROM cells WHERE n >= {_DB_MINPTS}
+    ),
+    e AS MATERIALIZED (
+        SELECT a.cid AS u, b.cid AS v
+        FROM dense a JOIN dense b
+          ON ABS(a.cx - b.cx) <= 1 AND ABS(a.cy - b.cy) <= 1
+         AND a.cid <> b.cid
+    ),
+    reach(node, label) AS (
+        SELECT cid, cid FROM dense
+        UNION
+        SELECT e.u, r.label
+        FROM reach r JOIN e ON e.v = r.node
+        WHERE r.label < e.u
+    ),
+    lab AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node)
+    SELECT lab.cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(dense.n) AS BIGINT) AS n_points,
+           MIN(dense.cx) AS min_day, MAX(dense.cx) AS max_day,
+           MIN(dense.cy) AS min_band, MAX(dense.cy) AS max_band
+    FROM lab JOIN dense ON dense.cid = lab.node
+    GROUP BY 1
+    """,
+)
+def traj_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid DBSCAN over the (time-in-days, value-band) plane: an eps-
+    cell is CORE when it holds >= minPts points; clusters are connected
+    components of core cells under 8-neighborhood adjacency. The
+    density-based cluster extractor (hotspot REGIONS, where
+    ``traj_hotspot_gi`` scores individual cells).
+
+    This is the formulation of DBSCAN that survives 100 TB: density is
+    decided by ONE hash aggregate over the points (no point-to-point
+    eps-join, which is quadratic in dense regions), and the connectivity
+    graph lives on CELLS — orders of magnitude smaller than the points —
+    so the shared min-label-propagation CC engine (``text.py``) runs on
+    a table whose size is bounded by the grid, not the data. Points
+    rejoin their cluster label by cell key afterwards if per-point
+    labels are needed (same linear equi-join as the heatmap).
+
+    Cell ids linearize as (cx+off)*K + (cy+off) — written identically
+    in the oracle — so the cluster label (min reachable cell id) is
+    deterministic across engines and partitionings."""
+    from .text import connected_components
+
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    t0 = ev.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    cells = (
+        ev.join(F.broadcast(t0))
+        .select(
+            F.floor(
+                (F.unix_micros("ts") - F.col("t0")) / 86400e6
+            ).alias("cx"),
+            F.floor(F.col("value") / _DB_CELL_Y).alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= _DB_MINPTS)
+        .withColumn(
+            "cid",
+            (F.col("cx") + _DB_OFF) * _DB_K + (F.col("cy") + _DB_OFF),
+        )
+    )
+    dense = cells.localCheckpoint()  # tiny; reused by edges + nodes + stats
+    a, b = dense.alias("a"), dense.alias("b")
+    edges = a.join(
+        b,
+        (F.abs(F.col("a.cx") - F.col("b.cx")) <= 1)
+        & (F.abs(F.col("a.cy") - F.col("b.cy")) <= 1)
+        & (F.col("a.cid") != F.col("b.cid")),
+    ).select(F.col("a.cid").alias("u"), F.col("b.cid").alias("v"))
+    labels = connected_components(
+        dense.select(F.col("cid").alias("node")), edges
+    )
+    return (
+        labels.join(dense, labels.node == dense.cid)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum("n").alias("n_points"),
+            F.min("cx").alias("min_day"),
+            F.max("cx").alias("max_day"),
+            F.min("cy").alias("min_band"),
+            F.max("cy").alias("max_band"),
+        )
+        .select(
+            F.col("label").alias("cluster_id"),
+            "n_cells",
+            "n_points",
+            "min_day",
+            "max_day",
+            "min_band",
+            "max_band",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# rel_seasonal_anomaly
+# --------------------------------------------------------------------------
+
+_SA_K = 2.5  # |z| threshold; membership tested as 4*num^2*(n-1) > 25*n*var
+
+
+@query(
+    "rel_seasonal_anomaly",
+    oracle="""
+    WITH q AS (
+        SELECT event_id, event_type, value,
+               CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24
+                    AS INT) AS hod,
+               CAST(ROUND(value * 100) AS BIGINT) AS cv
+        FROM events
+    ),
+    prof AS (
+        SELECT event_type, hod,
+               COUNT(*) AS n,
+               SUM(cv) AS sv,
+               SUM(CAST(cv AS HUGEINT) * CAST(cv AS HUGEINT)) AS sxx
+        FROM q GROUP BY 1, 2
+    )
+    SELECT q.event_id, q.event_type, q.hod, q.value,
+           ROUND((q.cv * p.n - p.sv) /
+                 SQRT(p.n * 1.0 * (p.n * p.sxx - CAST(p.sv AS HUGEINT)
+                                   * CAST(p.sv AS HUGEINT)) / (p.n - 1)),
+                 6) AS z
+    FROM q JOIN prof p USING (event_type, hod)
+    WHERE p.n >= 2
+      AND p.n * p.sxx > CAST(p.sv AS HUGEINT) * CAST(p.sv AS HUGEINT)
+      AND 4 * CAST(q.cv * p.n - p.sv AS HUGEINT)
+            * CAST(q.cv * p.n - p.sv AS HUGEINT) * (p.n - 1)
+          > 25 * CAST(p.n AS HUGEINT)
+              * (p.n * p.sxx
+                 - CAST(p.sv AS HUGEINT) * CAST(p.sv AS HUGEINT))
+    """,
+)
+def rel_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomalies: each event's value is z-scored
+    against its (event_type, hour-of-day) profile, and rows with
+    |z| > 2.5 are reported — the deseasonalized sibling of the daily
+    ``rel_anomaly_mad`` row (an event that is normal at peak hour is
+    anomalous at 4 am; a raw global threshold can't see that).
+
+    Exactness (house fixed-point discipline, ``series.py``): values
+    quantize to exact centi-units once; the profile keeps integer
+    sufficient statistics (n, sum, sum-of-squares); set MEMBERSHIP is
+    the cross-multiplied integer inequality
+    ``4*(x*n - Sv)^2*(n-1) > 25*n*(n*Sxx - Sv^2)`` — no float ever
+    decides inclusion, so the result set is bit-stable across engines.
+    The displayed z is one float expression over those integers,
+    written with identical operation order in the oracle. Hour-of-day
+    is epoch-arithmetic ((us // 3600e6) % 24), not a calendar function
+    — timezone-free on both engines.
+
+    Shape: one hash aggregate for the 120-row profile (types x hours),
+    broadcast back onto the scan — a single pass at any scale."""
+    t = Tables(spark, sf_dir)
+    q = t.events.select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.expr("unix_micros(ts) div 3600000000") % 24)
+        .cast("int")
+        .alias("hod"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cv"),
+    )
+    prof = q.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n"),
+        F.sum("cv").alias("sv"),
+        F.sum(
+            F.col("cv").cast("decimal(18,0)") * F.col("cv").cast("decimal(18,0)")
+        ).alias("sxx"),
+    )
+    j = q.join(F.broadcast(prof), ["event_type", "hod"])
+    num = F.col("cv") * F.col("n") - F.col("sv")  # bigint, exact
+    n_d = F.col("n").cast("decimal(18,0)")
+    sv_d = F.col("sv").cast("decimal(18,0)")
+    var_num = n_d * F.col("sxx") - sv_d * sv_d  # decimal, exact
+    lhs = (
+        F.lit(4).cast("decimal(18,0)")
+        * num.cast("decimal(18,0)")
+        * num.cast("decimal(18,0)")
+        * (n_d - 1)
+    )
+    rhs = F.lit(25).cast("decimal(18,0)") * n_d * var_num
+    return j.where(
+        (F.col("n") >= 2) & (var_num > 0) & (lhs > rhs)
+    ).select(
+        "event_id",
+        "event_type",
+        "hod",
+        "value",
+        F.round(
+            num
+            / F.sqrt(
+                F.col("n")
+                * 1.0
+                * var_num.cast("double")
+                / (F.col("n") - 1)
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+# --------------------------------------------------------------------------
+# graph_modularity
+# --------------------------------------------------------------------------
+
+
+@query(
+    "graph_modularity",
+    oracle="""
+    WITH b AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400e6)
+                    AS BIGINT) AS dy,
+               MIN(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    e AS MATERIALIZED (
+        SELECT a.user_id AS u, c.user_id AS v
+        FROM b a JOIN b c
+          ON a.dy = c.dy AND a.user_id < c.user_id
+         AND ABS(a.v - c.v) <= 1.0
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    comm AS (
+        SELECT user_id,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                    // (COUNT(*) * 1000) AS BIGINT) AS community
+        FROM events GROUP BY user_id
+    ),
+    m AS (SELECT COUNT(*) AS m FROM e),
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v FROM e
+        ) GROUP BY node
+    ),
+    nodes AS (
+        SELECT comm.user_id, comm.community, COALESCE(deg.d, 0) AS d
+        FROM comm LEFT JOIN deg ON deg.node = comm.user_id
+    ),
+    intra AS (
+        SELECT a.community, COUNT(*) AS l
+        FROM e
+        JOIN nodes a ON a.user_id = e.u
+        JOIN nodes c ON c.user_id = e.v AND c.community = a.community
+        GROUP BY 1
+    )
+    SELECT n.community,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(COALESCE(MAX(intra.l), 0) AS BIGINT) AS internal_edges,
+           CAST(SUM(n.d) AS BIGINT) AS degree_sum,
+           ROUND(COALESCE(MAX(intra.l), 0) * 1.0 / (SELECT m FROM m)
+                 - (SUM(n.d) * 0.5 / (SELECT m FROM m))
+                   * (SUM(n.d) * 0.5 / (SELECT m FROM m)), 6)
+               AS q_contrib
+    FROM nodes n LEFT JOIN intra ON intra.community = n.community
+    GROUP BY n.community
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of a node partition over the co-movement graph:
+    users partition by their mean value band (an edge-independent
+    attribute), and each community reports its node count, internal
+    edge count L_c, degree mass D_c and modularity contribution
+    Q_c = L_c/m - (D_c/2m)^2. Sum of q_contrib = the partition's Q —
+    the standard "do edges concentrate within groups" statistic
+    (community-quality gate for any clustering the pipeline produces).
+
+    Reuses the session-shared co-movement edge artifact (one build per
+    sf_dir, ``mining.comovement_edges``); everything else is linear hash
+    aggregates plus two broadcast-sized joins (communities ~ tens of
+    rows, the m scalar a 1-row cross join). The community key is exact:
+    SUM(centi-value) integer-divided by (count * 1000) — floor of the
+    mean value band with no float mean.
+
+    Unlike the CC rows, the partition is independent of the edges, so
+    D_c != 2*L_c and the statistic is non-degenerate."""
+    from .mining import comovement_edges
+
+    t = Tables(spark, sf_dir)
+    e = comovement_edges(spark, sf_dir)
+    comm = t.events.groupBy("user_id").agg(
+        # exact floor of the mean value band: integer `div`, no float mean
+        F.expr(
+            "sum(cast(round(value * 100) as bigint)) div (count(*) * 1000)"
+        ).alias("community")
+    )
+    m = e.agg(F.count("*").alias("m"))
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    nodes = comm.join(
+        deg, comm.user_id == deg.node, "left"
+    ).select(
+        "user_id", "community", F.coalesce("d", F.lit(0)).alias("d")
+    )
+    na, nc = nodes.alias("na"), nodes.alias("nc")
+    intra = (
+        e.join(na, F.col("na.user_id") == e.u)
+        .join(
+            nc,
+            (F.col("nc.user_id") == e.v)
+            & (F.col("nc.community") == F.col("na.community")),
+        )
+        .groupBy(F.col("na.community").alias("community"))
+        .agg(F.count("*").alias("l"))
+    )
+    return (
+        nodes.join(F.broadcast(intra), "community", "left")
+        .join(F.broadcast(m))
+        .groupBy("community")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.coalesce(F.max("l"), F.lit(0)).alias("internal_edges"),
+            F.sum("d").alias("degree_sum"),
+            F.round(
+                F.coalesce(F.max("l"), F.lit(0)) * 1.0 / F.max("m")
+                - (F.sum("d") * 0.5 / F.max("m"))
+                * (F.sum("d") * 0.5 / F.max("m")),
+                6,
+            ).alias("q_contrib"),
+        )
+    )

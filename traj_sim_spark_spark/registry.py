@@ -54,6 +54,7 @@ _MODULES = (
     "traj_sim_spark_spark.operators.similarity_ext",
     "traj_sim_spark_spark.operators.curation",
     "traj_sim_spark_spark.operators.series",
+    "traj_sim_spark_spark.operators.extras2",
 )
 
 _loaded = False
