@@ -229,3 +229,13 @@ def test_dual_index_threshold_has_partition_filters(spark, sf_dir):
     plan = explain.physical_plan(df)
     assert "PartitionFilters" in plan and "cell" in plan, plan
     assert "PartitionFilters: []" not in plan, plan
+
+
+def test_stream_layout_ingest_read_prunes_band_partitions(spark, sf_dir):
+    """The stream-grown layout's read path must prune band partitions at
+    the scan, same as the bulk-built layout — index maintenance under
+    ingest keeps the pruning contract from the first commit."""
+    df = registry.QUERIES["stream_layout_ingest"](spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "PartitionFilters" in plan and "band" in plan, plan
+    assert "PartitionFilters: []" not in plan, plan

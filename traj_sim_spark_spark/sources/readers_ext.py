@@ -230,3 +230,72 @@ def sink_stream_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 6
         ).alias("sum_value"),
     )
+
+
+_LI_BAND_W = 50.0  # value-band width of the streamed layout partitions
+_LI_PROBE = 3  # the band the pruned read probes
+
+
+@query(
+    "stream_layout_ingest",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n,
+           ROUND(SUM(CAST(value AS DECIMAL(18, 2))), 6) AS sum_value
+    FROM events
+    WHERE CAST(FLOOR(value / {_LI_BAND_W}) AS BIGINT) = {_LI_PROBE}
+    GROUP BY user_id
+    """,
+)
+def stream_layout_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX MAINTENANCE UNDER INGEST: the reference's spatial layout is
+    built once, offline [P §4.2]; a live pipeline has to keep it current
+    while data arrives. Here the event stream lands DIRECTLY into the
+    cell-partitioned layout — ``writeStream.partitionBy(band)`` appends
+    each micro-batch into the right partition directories with the same
+    exactly-once checkpointed commits as ``sink_stream_parquet`` — and a
+    band-restricted query then reads ONLY its partition (Catalyst
+    PartitionFilters, pinned in tests/test_plans.py), exactly like the
+    offline ``traj_layout_cells`` path.
+
+    This closes the loop on the dual-index story: the STR-layout analog
+    is not a static artifact but a continuously-maintained one, and the
+    read path is identical whether the layout was bulk-built or
+    stream-grown. The oracle aggregates the source table under the same
+    band predicate — the hash proves the stream→partitioned-parquet→
+    pruned-read loop is lossless. At 100 TB this is the standard
+    hot/cold arrangement: streams append small per-band files,
+    compaction consolidates them later; pruning works from the first
+    commit because it keys on DIRECTORIES, not file sizes."""
+    import uuid as _uuid
+
+    from ..streaming.streams import events_stream
+
+    out = os.path.join(
+        staging_dir(sf_dir, "stream_layout"), f"run_{_uuid.uuid4().hex[:8]}"
+    )
+    ev = events_stream(spark, sf_dir).select(
+        "user_id",
+        "value",
+        F.floor(F.col("value") / _LI_BAND_W).cast("bigint").alias("band"),
+    )
+    q = (
+        ev.writeStream.outputMode("append")
+        .format("parquet")
+        .partitionBy("band")
+        .option("path", os.path.join(out, "data"))
+        .option("checkpointLocation", os.path.join(out, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(os.path.join(out, "data")).filter(
+        F.col("band") == _LI_PROBE
+    )
+    return back.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 6
+        ).alias("sum_value"),
+    )
