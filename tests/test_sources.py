@@ -46,3 +46,36 @@ def test_approx_count_distinct_within_5pct(spark, sf_dir):
     }
     for flag, nd in exact.items():
         assert abs(approx[flag] - nd) / nd <= 0.05, (flag, approx[flag], nd)
+
+
+def test_compaction_collapses_per_band_files(spark, sf_dir):
+    """sink_compaction must leave exactly ONE data file per band
+    directory (vs the fragmented stage's many) with identical content."""
+    from traj_sim_spark_spark.sources.readers import staging_dir
+
+    registry.QUERIES["sink_compaction"](spark, sf_dir).count()
+    root = staging_dir(sf_dir, "compaction")
+
+    def files_per_band(path):
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("band="):
+                out[d] = len(
+                    [
+                        f
+                        for f in os.listdir(os.path.join(path, d))
+                        if f.endswith(".parquet")
+                    ]
+                )
+        return out
+
+    frag = files_per_band(os.path.join(root, "frag"))
+    comp = files_per_band(os.path.join(root, "compact"))
+    assert set(frag) == set(comp) and len(comp) > 0
+    assert all(n == 1 for n in comp.values()), comp
+    assert any(n > 1 for n in frag.values()), frag
+    # content identical either side
+    a = spark.read.parquet(os.path.join(root, "frag"))
+    b = spark.read.parquet(os.path.join(root, "compact"))
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0

@@ -299,3 +299,56 @@ def stream_layout_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 6
         ).alias("sum_value"),
     )
+
+
+@query(
+    "sink_compaction",
+    oracle=f"""
+    SELECT CAST(FLOOR(value / {_LI_BAND_W}) AS BIGINT) AS band,
+           COUNT(*) AS n,
+           ROUND(SUM(CAST(value AS DECIMAL(18, 2))), 6) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION over the partitioned layout — the
+    maintenance job that keeps a stream-grown table readable. Ingest
+    (``stream_layout_ingest``) necessarily lands many small per-band
+    files (one or more per micro-batch per band); small files tax every
+    subsequent scan (per-file open cost, tiny row groups defeating
+    min/max skipping, scheduler pressure at 100 TB file counts). The
+    OPTIMIZE pass rewrites each partition to consolidated files without
+    changing a row.
+
+    Here: events land FRAGMENTED (24-way repartition before a
+    partitioned write — up to 24 files per band directory), then the
+    compactor reads the layout back, clusters by the partition key
+    (``repartition(band)`` — a hash shuffle sends each band to exactly
+    ONE task) and rewrites; a pytest asserts the per-band file count
+    collapses to 1 while this query's aggregate of the COMPACTED layout
+    hash-matches the source-table oracle (content-identical, layout-
+    only change). At scale the same job uses repartitionByRange +
+    maxRecordsPerFile to hit a target file size instead of one file,
+    and runs band-incrementally (only partitions whose file count
+    drifted), never touching cold consolidated data."""
+    t = Tables(spark, sf_dir)
+    root = staging_dir(sf_dir, "compaction")
+    frag, compact = os.path.join(root, "frag"), os.path.join(root, "compact")
+    ev = t.events.select(
+        "event_id",
+        "value",
+        F.floor(F.col("value") / _LI_BAND_W).cast("bigint").alias("band"),
+    )
+    ev.repartition(24).write.mode("overwrite").partitionBy("band").parquet(
+        frag
+    )
+    spark.read.parquet(frag).repartition("band").write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(compact)
+    back = spark.read.parquet(compact)
+    return back.groupBy("band").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 6
+        ).alias("sum_value"),
+    )
