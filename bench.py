@@ -61,6 +61,12 @@ HEADLINE = [
     # the dense-grid series family representative
     "traj_hausdorff_threshold_2d_idx",
     "rel_ewma",
+    # round-2 continuation #2: cross-doc boilerplate (shingle-join
+    # curation), grid DBSCAN (density CC), streaming layout ingest
+    # (index maintenance under ingest)
+    "text_boilerplate",
+    "traj_grid_dbscan",
+    "stream_layout_ingest",
 ]
 
 
