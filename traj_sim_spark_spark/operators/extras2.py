@@ -229,8 +229,10 @@ def mm_phash_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pipeline shape is the production one: Arrow-batched ``mapInPandas``
     decode+hash (one pass over the binary column, no driver hop), then
-    an equi-join on (band, band_val) — the LSH bucket join, never an
-    all-pairs — then a per-pair 8-row aggregate for Hamming and a
+    per-band equi-joins on the band value (the LSH bucket join, never
+    an all-pairs), unioned and deduped; Hamming then reads BOTH 8-band
+    signatures off the joined pair row itself (wide one-row-per-doc
+    signature artifact — no per-band re-join or aggregate) and a
     per-doc row_number argmin. At corpus scale the band width widens
     (16+ bits) so bucket occupancy stays bounded; the banding is exact
     for any neighbor within Hamming 7 (pigeonhole over 8 bands), and
@@ -242,56 +244,51 @@ def mm_phash_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit pattern is decided by cross-multiplied integer comparisons,
     identical in numpy and DuckDB."""
     t = Tables(spark, sf_dir)
-    src = t.documents.select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
-    ).where(F.octet_length("payload") >= _PH_MIN_BYTES)
+    src = (
+        t.documents.select(
+            "doc_id", F.encode("text", "UTF-8").alias("payload")
+        )
+        .where(F.octet_length("payload") >= _PH_MIN_BYTES)
+        .repartition(32, "doc_id")  # decode parallelism (1 row group)
+    )
+    band_cols = [f"b{i}" for i in range(_PH_BANDS)]
+    schema = "doc_id bigint, " + ", ".join(f"{c} int" for c in band_cols)
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                for band, val in enumerate(_phash_bands(bytes(payload))):
-                    out.append((doc_id, band, val))
-            yield pd.DataFrame(out, columns=["doc_id", "band", "band_val"])
+            out = [
+                (doc_id, *_phash_bands(bytes(payload)))
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(out, columns=["doc_id", *band_cols])
 
-    # materialized once (8 small int rows per doc — the hash ARTIFACT a
-    # production pipeline persists); referenced four times below
-    bands = src.mapInPandas(
-        hash_batches, "doc_id bigint, band int, band_val int"
-    ).localCheckpoint()
-    a, c = bands.alias("a"), bands.alias("c")
-    cand = (
-        a.join(
+    # ONE row per doc (doc_id, b0..b7) — the hash ARTIFACT a production
+    # pipeline persists; wide layout so the Hamming re-rank reads both
+    # signatures from the joined row itself (no 8-row re-join)
+    wide = src.mapInPandas(hash_batches, schema).localCheckpoint()
+    a, c = wide.alias("a"), wide.alias("c")
+    # LSH candidates: one equi-join per band, unioned — each keys on a
+    # single band value (the bucket join); distinct folds multi-band hits
+    cand = None
+    for bc in band_cols:
+        p = a.join(
             c,
-            (F.col("a.band") == F.col("c.band"))
-            & (F.col("a.band_val") == F.col("c.band_val"))
+            (F.col(f"a.{bc}") == F.col(f"c.{bc}"))
             & (F.col("a.doc_id") != F.col("c.doc_id")),
+        ).select(F.col("a.doc_id").alias("da"), F.col("c.doc_id").alias("db"))
+        cand = p if cand is None else cand.unionAll(p)
+    cand = cand.distinct()
+    x, y = wide.alias("x"), wide.alias("y")
+    hamming = sum(
+        F.bit_count(
+            (F.col(f"x.{bc}").bitwiseXOR(F.col(f"y.{bc}"))).cast("bigint")
         )
-        .select(
-            F.col("a.doc_id").alias("da"), F.col("c.doc_id").alias("db")
-        )
-        .distinct()
-    )
-    x, y = bands.alias("x"), bands.alias("y")
+        for bc in band_cols
+    ).cast("int")
     ham = (
         cand.join(x, F.col("x.doc_id") == F.col("da"))
-        .join(
-            y,
-            (F.col("y.doc_id") == F.col("db"))
-            & (F.col("y.band") == F.col("x.band")),
-        )
-        .groupBy("da", "db")
-        .agg(
-            F.sum(
-                F.bit_count(
-                    (F.col("x.band_val").bitwiseXOR(F.col("y.band_val"))).cast(
-                        "bigint"
-                    )
-                )
-            )
-            .cast("int")
-            .alias("hamming")
-        )
+        .join(y, F.col("y.doc_id") == F.col("db"))
+        .select("da", "db", hamming.alias("hamming"))
     )
     w = W.partitionBy("da").orderBy("hamming", "db")
     return (
