@@ -384,3 +384,42 @@ def test_remaining_families_survive_degenerate_corpus(
         except Exception as e:  # noqa: BLE001
             failures.append((k, str(e).split("\n")[0][:120]))
     assert not failures, failures
+
+
+@pytest.fixture(scope="module")
+def phash_clone_dir(tmp_path_factory):
+    """documents.parquet where 60 of 80 docs are EXACT clones of one
+    text — every clone lands in the SAME 8 LSH buckets (the hottest
+    possible banding), so the candidate join fans out quadratically in
+    the clone set."""
+    d = tmp_path_factory.mktemp("phash_clones")
+    base = ("spark scan table value row agg join merge sort window "
+            "batch stream key hash filter group ") * 4  # ~280 chars
+    rows = []
+    for i in range(80):
+        text = base if i < 60 else (
+            " ".join(f"tok{i}w{j}" for j in range(40))
+        )
+        rows.append((i, text, "en", "web", len(text)))
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pdf.to_parquet(d / "documents.parquet", index=False)
+    return str(d)
+
+
+def test_phash_nn_survives_clone_hot_buckets(spark, phash_clone_dir):
+    got = registry.QUERIES["mm_phash_nn"](spark, phash_clone_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{phash_clone_dir}/documents.parquet')"
+    )
+    want = con.execute(registry.ORACLES["mm_phash_nn"]).fetchdf()
+    assert len(got) == len(want)
+    assert _norm(got) == _norm(want)
+    # every clone's NN is another clone at Hamming 0, smallest id wins
+    clones = got[got.doc_id < 60]
+    assert len(clones) == 60
+    assert (clones.hamming == 0).all()
+    assert (clones[clones.doc_id != 0].nn_doc == 0).all()
