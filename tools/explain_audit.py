@@ -141,6 +141,8 @@ AUDIT = [
     "traj_grid_dbscan",
     "rel_seasonal_anomaly",
     "graph_modularity",
+    "pipe_quality_prune",
+    "sink_compaction",
 ]
 
 

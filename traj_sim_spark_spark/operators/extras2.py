@@ -660,3 +660,119 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_contrib"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# pipe_quality_prune
+# --------------------------------------------------------------------------
+
+_QP_MIN_TOK = 20
+_QP_MAX_TOK = 80
+# repetitive: intra-doc duplicate 3-gram mass > 2%  ((ng-nd)*50 > ng)
+# boilerplate: cross-doc shared 4-gram mass > 30%   (nsh*10 > ns*3)
+
+
+@query(
+    "pipe_quality_prune",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source, string_split(text, ' ') AS t
+        FROM documents
+    ),
+    rep AS (
+        SELECT doc_id, COUNT(*) AS ng, COUNT(DISTINCT s) AS nd
+        FROM (SELECT doc_id,
+                     array_to_string(list_slice(t, i, i + 2), ' ') AS s
+              FROM toks,
+                   LATERAL (SELECT UNNEST(generate_series(1, len(t) - 2))
+                            AS i)
+              WHERE len(t) >= 3)
+        GROUP BY 1
+    ),
+    sh AS (
+        SELECT doc_id, array_to_string(list_slice(t, i, i + 3), ' ') AS s
+        FROM toks,
+             LATERAL (SELECT UNNEST(generate_series(1, len(t) - 3)) AS i)
+        WHERE len(t) >= 4
+    ),
+    df AS (SELECT s, COUNT(DISTINCT doc_id) AS d FROM sh GROUP BY s),
+    bp AS (
+        SELECT sh.doc_id, COUNT(*) AS ns,
+               COUNT(*) FILTER (df.d >= 2) AS nsh
+        FROM sh JOIN df USING (s) GROUP BY 1
+    )
+    SELECT t.doc_id, t.lang, t.source,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CASE WHEN len(t.t) < {_QP_MIN_TOK} THEN 'too_short'
+                WHEN len(t.t) > {_QP_MAX_TOK} THEN 'too_long'
+                WHEN (rep.ng - rep.nd) * 50 > rep.ng THEN 'repetitive'
+                WHEN bp.nsh * 10 > bp.ns * 3 THEN 'boilerplate'
+                ELSE 'keep' END AS verdict
+    FROM toks t
+    LEFT JOIN rep USING (doc_id)
+    LEFT JOIN bp USING (doc_id)
+    """,
+)
+def pipe_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite curation AUDIT: every document gets a keep/drop
+    verdict with the FIRST failing rule as its reason code — length
+    band (Gopher-style), intra-doc repetition (``text_repetition``'s
+    duplicate 3-gram mass), cross-doc boilerplate
+    (``text_boilerplate``'s shared 4-gram mass). A per-doc decision
+    table, not just aggregate counts, because "why was THIS document
+    dropped" is the question a curation team actually debugs — and
+    because downstream stages (dedup, mixing) want the kept set as a
+    relation to semi-join against.
+
+    All rule memberships are exact-integer comparisons (cross-
+    multiplied ratios: dup mass > 2% is ``(ng-nd)*50 > ng``, shared
+    mass > 30% is ``nsh*10 > ns*3``) — no float ever decides a verdict,
+    so the audit is bit-identical across engines and reruns. Shape:
+    two shingle explodes (both repartitioned by the shared builder) +
+    three doc_id-keyed hash aggregates + two LEFT joins back to the doc
+    scan — linear end-to-end, every join key the natural doc_id."""
+    from .text_ext import _word_shingles
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    rep3 = (
+        _word_shingles(docs, 3)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("ng"),
+            F.countDistinct("shingle").alias("nd"),
+        )
+    )
+    sh4 = _word_shingles(docs, 4).select("doc_id", "shingle")
+    df4 = sh4.groupBy("shingle").agg(F.countDistinct("doc_id").alias("d"))
+    bp = (
+        sh4.join(df4, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("ns"),
+            F.count(F.when(F.col("d") >= _BP_DF, 1)).alias("nsh"),
+        )
+    )
+    base = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        )
+        .join(rep3, "doc_id", "left")
+        .join(bp, "doc_id", "left")
+    )
+    verdict = (
+        F.when(F.col("n_tokens") < _QP_MIN_TOK, F.lit("too_short"))
+        .when(F.col("n_tokens") > _QP_MAX_TOK, F.lit("too_long"))
+        .when(
+            (F.col("ng") - F.col("nd")) * 50 > F.col("ng"),
+            F.lit("repetitive"),
+        )
+        .when(F.col("nsh") * 10 > F.col("ns") * 3, F.lit("boilerplate"))
+        .otherwise(F.lit("keep"))
+    )
+    return base.select(
+        "doc_id", "lang", "source", "n_tokens", verdict.alias("verdict")
+    )
