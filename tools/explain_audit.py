@@ -143,6 +143,7 @@ AUDIT = [
     "graph_modularity",
     "pipe_quality_prune",
     "sink_compaction",
+    "sim_knn_filtered",
 ]
 
 

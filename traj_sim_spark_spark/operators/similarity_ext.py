@@ -549,3 +549,120 @@ def emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_cos"),
         )
     )
+
+
+_FILT_NPROBE = 4  # widened probe: the filter halves every cell's yield
+_FILT_K = 10
+
+
+@query(
+    "sim_knn_filtered",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               CAST(unnest(embedding) AS DOUBLE) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label AS clabel, i, AVG(v) AS mv
+        FROM e GROUP BY label, i
+    ),
+    adist AS (
+        SELECT e.vec_id, c.clabel,
+               SUM((e.v - c.mv) * (e.v - c.mv)) AS d2
+        FROM e JOIN cent c ON e.i = c.i
+        GROUP BY e.vec_id, c.clabel
+    ),
+    assign AS (
+        SELECT vec_id, clabel FROM (
+            SELECT vec_id, clabel,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, clabel) AS rk
+            FROM adist
+        ) WHERE rk = 1
+    ),
+    probe AS (
+        SELECT clabel FROM (
+            SELECT clabel,
+                   ROW_NUMBER() OVER (ORDER BY d2, clabel) AS rk
+            FROM adist WHERE vec_id = 0
+        ) WHERE rk <= {_FILT_NPROBE}
+    ),
+    cand AS (
+        SELECT a.vec_id
+        FROM assign a
+        JOIN probe p USING (clabel)
+        JOIN embeddings m ON m.vec_id = a.vec_id
+        WHERE a.vec_id <> 0 AND m.label % 2 = 1
+    ),
+    q AS (SELECT i, v FROM e WHERE vec_id = 0),
+    scored AS (
+        SELECT e.vec_id,
+               SUM(e.v * q.v)
+               / (SQRT(SUM(e.v * e.v)) * SQRT(SUM(q.v * q.v))) AS cs
+        FROM e JOIN q ON e.i = q.i
+        WHERE e.vec_id IN (SELECT vec_id FROM cand)
+        GROUP BY e.vec_id
+    )
+    SELECT vec_id, ROUND(cs, 6) AS cos_sim
+    FROM scored
+    ORDER BY cs DESC, vec_id
+    LIMIT {_FILT_K}
+    """,
+)
+def sim_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN — metadata-predicated vector search (the "WHERE
+    clause on your vector index" every production system needs: search
+    only in-tenant / in-language / in-date-range vectors). Composes the
+    IVF path with a label predicate (here ``label % 2 = 1``): probe
+    cells from the query as usual, intersect the cell candidates with
+    the FILTER before any exact distance work, rerank exact cosine.
+
+    The classic filtered-ANN failure is recall collapse: a selective
+    filter empties the nearest cells, so a fixed nprobe returns fewer
+    than k survivors. The standard mitigation — widen the probe in
+    proportion to the filter's selectivity — is applied here (nprobe
+    {_FILT_NPROBE} vs the unfiltered row's 2 for a ~1/2-selective
+    filter). At 100 TB the filter composes with layout twice: the IVF
+    cell is a partition directory AND the metadata predicate prunes
+    row groups inside it (both visible to Catalyst, neither touching
+    Python).
+
+    Deterministic end-to-end (centroid means, argmin tie-broken by
+    label, integer predicate), so the filtered ANN path is FULLY
+    oracle-checked like its unfiltered sibling."""
+    from pyspark.sql import Window as W
+
+    from .similarity import _emb, _ivf_adist, _query_vec, cosine
+
+    t = Tables(spark, sf_dir)
+    emb = _emb(t)
+    adist = _ivf_adist(emb)
+    rk = F.row_number().over(W.partitionBy("vec_id").orderBy("d2", "clabel"))
+    assign = (
+        adist.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "clabel")
+    )
+    probe = (
+        adist.filter(F.col("vec_id") == 0)
+        .withColumn("rk", F.row_number().over(W.orderBy("d2", "clabel")))
+        .filter(F.col("rk") <= _FILT_NPROBE)
+        .select("clabel")
+    )
+    allowed = t.embeddings.filter(F.col("label") % 2 == 1).select("vec_id")
+    cand = (
+        assign.join(F.broadcast(probe), "clabel")
+        .join(allowed, "vec_id", "left_semi")
+        .filter(F.col("vec_id") != 0)
+    )
+    q = _query_vec(emb, 0)
+    return (
+        emb.join(F.broadcast(cand.select("vec_id")), "vec_id", "left_semi")
+        .join(F.broadcast(q))
+        .withColumn("cos_raw", cosine(F.col("emb"), F.col("q_emb")))
+        .orderBy(F.col("cos_raw").desc(), "vec_id")
+        .limit(_FILT_K)
+        .select("vec_id", F.round("cos_raw", 6).alias("cos_sim"))
+    )
