@@ -144,6 +144,7 @@ AUDIT = [
     "pipe_quality_prune",
     "sink_compaction",
     "sim_knn_filtered",
+    "traj_segment_intersections",
 ]
 
 

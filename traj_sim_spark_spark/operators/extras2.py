@@ -776,3 +776,220 @@ def pipe_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc_id", "lang", "source", "n_tokens", verdict.alias("verdict")
     )
+
+
+# --------------------------------------------------------------------------
+# traj_segment_intersections
+# --------------------------------------------------------------------------
+
+_SI_DAY_US = 86_400_000_000  # candidate bucket: one day of microseconds
+
+
+@query(
+    "traj_segment_intersections",
+    oracle=f"""
+    WITH t0 AS (
+        SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0 FROM events
+    ),
+    p AS (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) - (SELECT t0 FROM t0) AS xi,
+               CAST(ROUND(value * 100) AS BIGINT) AS yi,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS seq
+        FROM events
+    ),
+    s AS (
+        SELECT * FROM (
+            SELECT user_id, seq, xi AS x1, yi AS y1,
+                   LEAD(xi) OVER (PARTITION BY user_id ORDER BY seq) AS x2,
+                   LEAD(yi) OVER (PARTITION BY user_id ORDER BY seq) AS y2
+            FROM p
+        ) WHERE x2 IS NOT NULL
+    ),
+    sd AS (
+        SELECT s.*, UNNEST(generate_series(
+            x1 // {_SI_DAY_US}, x2 // {_SI_DAY_US})) AS day
+        FROM s
+    ),
+    cand AS (
+        SELECT a.user_id AS ua, a.seq AS sa,
+               a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2,
+               b.user_id AS ub, b.seq AS sb,
+               b.x1 AS bx1, b.y1 AS by1, b.x2 AS bx2, b.y2 AS by2
+        FROM sd a JOIN sd b
+          ON a.day = b.day AND a.user_id < b.user_id
+         AND a.day = GREATEST(a.x1 // {_SI_DAY_US}, b.x1 // {_SI_DAY_US})
+         AND GREATEST(a.x1, b.x1) <= LEAST(a.x2, b.x2)
+         AND GREATEST(LEAST(a.y1, a.y2), LEAST(b.y1, b.y2))
+             <= LEAST(GREATEST(a.y1, a.y2), GREATEST(b.y1, b.y2))
+    ),
+    tested AS (
+        SELECT ua, ub,
+               CASE WHEN (ax2-ax1)*(by1-ay1) - (ay2-ay1)*(bx1-ax1) > 0
+                    THEN 1 WHEN (ax2-ax1)*(by1-ay1) - (ay2-ay1)*(bx1-ax1)
+                    < 0 THEN -1 ELSE 0 END AS d1,
+               CASE WHEN (ax2-ax1)*(by2-ay1) - (ay2-ay1)*(bx2-ax1) > 0
+                    THEN 1 WHEN (ax2-ax1)*(by2-ay1) - (ay2-ay1)*(bx2-ax1)
+                    < 0 THEN -1 ELSE 0 END AS d2,
+               CASE WHEN (bx2-bx1)*(ay1-by1) - (by2-by1)*(ax1-bx1) > 0
+                    THEN 1 WHEN (bx2-bx1)*(ay1-by1) - (by2-by1)*(ax1-bx1)
+                    < 0 THEN -1 ELSE 0 END AS d3,
+               CASE WHEN (bx2-bx1)*(ay2-by1) - (by2-by1)*(ax2-bx1) > 0
+                    THEN 1 WHEN (bx2-bx1)*(ay2-by1) - (by2-by1)*(ax2-bx1)
+                    < 0 THEN -1 ELSE 0 END AS d4
+        FROM cand
+    )
+    SELECT ua AS user_a, ub AS user_b,
+           CAST(COUNT(*) AS BIGINT) AS n_crossings
+    FROM tested
+    WHERE d1 * d2 < 0 AND d3 * d4 < 0
+    GROUP BY 1, 2
+    """,
+)
+def traj_segment_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENT-SEGMENT geometry — the reference's LineSegment core
+    (R6/R15: Simba-lineage ``LineSegment`` with segment-segment
+    predicates [P §3.2]) as a distributed crossing-detection join:
+    count, per user pair, the segment pairs that PROPERLY cross in the
+    (time, value) plane (trajectory paths intersecting — encounter /
+    conflict detection).
+
+    Exactness: coordinates quantize ONCE to integers (microseconds,
+    centi-value) — per-axis scaling is an invertible affine map, so
+    crossings in the integer plane are exactly the crossings in the
+    float plane — and the crossing predicate is the classic four-
+    orientation CCW test computed in INT64 cross products (|dx·dy| <=
+    2.6e12 · 4.9e4 ≈ 1.3e17 < 2^63) with sign() products: no float
+    enters any decision, both engines get identical bits.
+
+    Scale shape: segments explode to the DAY buckets their x-extent
+    covers (the reference's STR cell assignment for segments, R5/[P
+    §4.1]); candidates come from a day-bucket equi-join gated by exact
+    bbox overlap BEFORE the orientation math, and a pair found in
+    several shared days is counted once via canonical-cell attribution
+    (only in the FIRST day both cover — a join-side predicate, not a
+    post-join DISTINCT shuffle). A properly
+    crossing pair shares the cell containing its intersection point,
+    so the bucketing is lossless. All joins are equi-joins; the only
+    quadratic term is within-bucket, bounded by per-day segment
+    density (the same argument as ``traj_comovement``)."""
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    t0 = ev.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    pts = (
+        t.user_points()
+        .join(F.broadcast(t0))
+        .select(
+            "user_id",
+            "seq",
+            (F.unix_micros("ts") - F.col("t0")).alias("xi"),
+            F.round(F.col("value") * 100).cast("bigint").alias("yi"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("seq")
+    seg = (
+        pts.select(
+            "user_id",
+            "seq",
+            F.col("xi").alias("x1"),
+            F.col("yi").alias("y1"),
+            F.lead("xi").over(w).alias("x2"),
+            F.lead("yi").over(w).alias("y2"),
+        )
+        .filter(F.col("x2").isNotNull())
+        .withColumn(
+            "day",
+            F.explode(
+                F.sequence(
+                    F.expr(f"x1 div {_SI_DAY_US}"),
+                    F.expr(f"x2 div {_SI_DAY_US}"),
+                )
+            ),
+        )
+    )
+    # Pair-block decomposition: ~30 day keys alone cap the join at 30
+    # tasks while the within-day work is quadratic. Each side replicates
+    # B ways so the (day, block_a, block_b) key space has 30*B^2 keys
+    # and every user pair meets in EXACTLY one of them (a's own block
+    # crossed with b's own block) — pure physical re-distribution, the
+    # logical pair set is untouched (so the oracle needs no mirror).
+    _B = 6
+    blocks = F.explode(F.sequence(F.lit(0), F.lit(_B - 1)))
+    a = (
+        seg.withColumn("blk", F.pmod("user_id", F.lit(_B)))
+        .withColumn("obk", blocks)
+        .alias("a")
+    )
+    b = (
+        seg.withColumn("obk", F.pmod("user_id", F.lit(_B)))
+        .withColumn("blk", blocks)
+        .alias("b")
+    )
+    # a pair found in several shared days is counted ONCE by attributing
+    # it to the canonical cell — the first day both segments cover,
+    # GREATEST of the two start days, which the x-overlap guarantees is
+    # shared. This replaces a wide-row DISTINCT (a full shuffle of every
+    # candidate pair: 116 s at sf0.1) with a predicate evaluated inside
+    # the join itself.
+    cand = a.join(
+        b,
+        (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.obk") == F.col("b.obk"))
+        & (F.col("a.user_id") < F.col("b.user_id"))
+        & (
+            F.col("a.day")
+            == F.greatest(
+                F.expr(f"a.x1 div {_SI_DAY_US}"),
+                F.expr(f"b.x1 div {_SI_DAY_US}"),
+            )
+        )
+        & (F.greatest("a.x1", "b.x1") <= F.least("a.x2", "b.x2"))
+        & (
+            F.greatest(
+                F.least("a.y1", "a.y2"), F.least("b.y1", "b.y2")
+            )
+            <= F.least(
+                F.greatest("a.y1", "a.y2"), F.greatest("b.y1", "b.y2")
+            )
+        ),
+    ).select(
+        F.col("a.user_id").alias("ua"),
+        F.col("a.x1").alias("ax1"),
+        F.col("a.y1").alias("ay1"),
+        F.col("a.x2").alias("ax2"),
+        F.col("a.y2").alias("ay2"),
+        F.col("b.user_id").alias("ub"),
+        F.col("b.x1").alias("bx1"),
+        F.col("b.y1").alias("by1"),
+        F.col("b.x2").alias("bx2"),
+        F.col("b.y2").alias("by2"),
+    )
+
+    def _sgn(e):
+        return F.when(e > 0, 1).when(e < 0, -1).otherwise(0)
+
+    d1 = _sgn(
+        (F.col("ax2") - F.col("ax1")) * (F.col("by1") - F.col("ay1"))
+        - (F.col("ay2") - F.col("ay1")) * (F.col("bx1") - F.col("ax1"))
+    )
+    d2 = _sgn(
+        (F.col("ax2") - F.col("ax1")) * (F.col("by2") - F.col("ay1"))
+        - (F.col("ay2") - F.col("ay1")) * (F.col("bx2") - F.col("ax1"))
+    )
+    d3 = _sgn(
+        (F.col("bx2") - F.col("bx1")) * (F.col("ay1") - F.col("by1"))
+        - (F.col("by2") - F.col("by1")) * (F.col("ax1") - F.col("bx1"))
+    )
+    d4 = _sgn(
+        (F.col("bx2") - F.col("bx1")) * (F.col("ay2") - F.col("by1"))
+        - (F.col("by2") - F.col("by1")) * (F.col("ax2") - F.col("bx1"))
+    )
+    return (
+        cand.filter((d1 * d2 < 0) & (d3 * d4 < 0))
+        .groupBy(
+            F.col("ua").alias("user_a"), F.col("ub").alias("user_b")
+        )
+        .agg(F.count("*").alias("n_crossings"))
+    )
