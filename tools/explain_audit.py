@@ -145,6 +145,7 @@ AUDIT = [
     "sink_compaction",
     "sim_knn_filtered",
     "traj_segment_intersections",
+    "traj_self_intersections",
 ]
 
 

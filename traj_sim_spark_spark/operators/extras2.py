@@ -785,6 +785,65 @@ def pipe_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SI_DAY_US = 86_400_000_000  # candidate bucket: one day of microseconds
 
 
+def _int_segments(t: Tables) -> DataFrame:
+    """(user_id, seq, x1, y1, x2, y2) consecutive-point segments in
+    EXACT integer coordinates: x = microseconds since corpus start,
+    y = centi-value. Per-axis scaling is an invertible affine map, so
+    segment incidence in this integer plane equals incidence in the
+    (days, value) float plane — and every orientation test downstream
+    stays in INT64."""
+    t0 = t.events.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    pts = (
+        t.user_points()
+        .join(F.broadcast(t0))
+        .select(
+            "user_id",
+            "seq",
+            (F.unix_micros("ts") - F.col("t0")).alias("xi"),
+            F.round(F.col("value") * 100).cast("bigint").alias("yi"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("seq")
+    return (
+        pts.select(
+            "user_id",
+            "seq",
+            F.col("xi").alias("x1"),
+            F.col("yi").alias("y1"),
+            F.lead("xi").over(w).alias("x2"),
+            F.lead("yi").over(w).alias("y2"),
+        )
+        .filter(F.col("x2").isNotNull())
+    )
+
+
+def _proper_crossing():
+    """Column: the four-orientation CCW proper-crossing predicate over
+    canonical pair columns (ax1..ay2, bx1..by2) — INT64 cross products,
+    sign() products strictly negative (touching/collinear excluded)."""
+
+    def sgn(e):
+        return F.when(e > 0, 1).when(e < 0, -1).otherwise(0)
+
+    d1 = sgn(
+        (F.col("ax2") - F.col("ax1")) * (F.col("by1") - F.col("ay1"))
+        - (F.col("ay2") - F.col("ay1")) * (F.col("bx1") - F.col("ax1"))
+    )
+    d2 = sgn(
+        (F.col("ax2") - F.col("ax1")) * (F.col("by2") - F.col("ay1"))
+        - (F.col("ay2") - F.col("ay1")) * (F.col("bx2") - F.col("ax1"))
+    )
+    d3 = sgn(
+        (F.col("bx2") - F.col("bx1")) * (F.col("ay1") - F.col("by1"))
+        - (F.col("by2") - F.col("by1")) * (F.col("ax1") - F.col("bx1"))
+    )
+    d4 = sgn(
+        (F.col("bx2") - F.col("bx1")) * (F.col("ay2") - F.col("by1"))
+        - (F.col("by2") - F.col("by1")) * (F.col("ax2") - F.col("bx1"))
+    )
+    return (d1 * d2 < 0) & (d3 * d4 < 0)
+
+
 @query(
     "traj_segment_intersections",
     oracle=f"""
@@ -874,39 +933,14 @@ def traj_segment_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the bucketing is lossless. All joins are equi-joins; the only
     quadratic term is within-bucket, bounded by per-day segment
     density (the same argument as ``traj_comovement``)."""
-    t = Tables(spark, sf_dir)
-    ev = t.events
-    t0 = ev.agg(F.min(F.unix_micros("ts")).alias("t0"))
-    pts = (
-        t.user_points()
-        .join(F.broadcast(t0))
-        .select(
-            "user_id",
-            "seq",
-            (F.unix_micros("ts") - F.col("t0")).alias("xi"),
-            F.round(F.col("value") * 100).cast("bigint").alias("yi"),
-        )
-    )
-    w = W.partitionBy("user_id").orderBy("seq")
-    seg = (
-        pts.select(
-            "user_id",
-            "seq",
-            F.col("xi").alias("x1"),
-            F.col("yi").alias("y1"),
-            F.lead("xi").over(w).alias("x2"),
-            F.lead("yi").over(w).alias("y2"),
-        )
-        .filter(F.col("x2").isNotNull())
-        .withColumn(
-            "day",
-            F.explode(
-                F.sequence(
-                    F.expr(f"x1 div {_SI_DAY_US}"),
-                    F.expr(f"x2 div {_SI_DAY_US}"),
-                )
-            ),
-        )
+    seg = _int_segments(Tables(spark, sf_dir)).withColumn(
+        "day",
+        F.explode(
+            F.sequence(
+                F.expr(f"x1 div {_SI_DAY_US}"),
+                F.expr(f"x2 div {_SI_DAY_US}"),
+            )
+        ),
     )
     # Pair-block decomposition: ~30 day keys alone cap the join at 30
     # tasks while the within-day work is quadratic. Each side replicates
@@ -967,29 +1001,144 @@ def traj_segment_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.y2").alias("by2"),
     )
 
-    def _sgn(e):
-        return F.when(e > 0, 1).when(e < 0, -1).otherwise(0)
-
-    d1 = _sgn(
-        (F.col("ax2") - F.col("ax1")) * (F.col("by1") - F.col("ay1"))
-        - (F.col("ay2") - F.col("ay1")) * (F.col("bx1") - F.col("ax1"))
-    )
-    d2 = _sgn(
-        (F.col("ax2") - F.col("ax1")) * (F.col("by2") - F.col("ay1"))
-        - (F.col("ay2") - F.col("ay1")) * (F.col("bx2") - F.col("ax1"))
-    )
-    d3 = _sgn(
-        (F.col("bx2") - F.col("bx1")) * (F.col("ay1") - F.col("by1"))
-        - (F.col("by2") - F.col("by1")) * (F.col("ax1") - F.col("bx1"))
-    )
-    d4 = _sgn(
-        (F.col("bx2") - F.col("bx1")) * (F.col("ay2") - F.col("by1"))
-        - (F.col("by2") - F.col("by1")) * (F.col("ax2") - F.col("bx1"))
-    )
     return (
-        cand.filter((d1 * d2 < 0) & (d3 * d4 < 0))
+        cand.filter(_proper_crossing())
         .groupBy(
             F.col("ua").alias("user_a"), F.col("ub").alias("user_b")
         )
         .agg(F.count("*").alias("n_crossings"))
+    )
+
+
+@query(
+    "traj_self_intersections",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS v,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS seq
+        FROM events
+    ),
+    ph AS (
+        SELECT user_id, seq,
+               LAG(v) OVER (PARTITION BY user_id ORDER BY seq) AS x,
+               v AS y
+        FROM p
+    ),
+    s AS (
+        SELECT * FROM (
+            SELECT user_id, seq, x AS x1, y AS y1,
+                   LEAD(x) OVER (PARTITION BY user_id ORDER BY seq) AS x2,
+                   LEAD(y) OVER (PARTITION BY user_id ORDER BY seq) AS y2
+            FROM ph WHERE x IS NOT NULL
+        ) WHERE x2 IS NOT NULL
+    ),
+    cand AS (
+        SELECT a.user_id,
+               a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2,
+               b.x1 AS bx1, b.y1 AS by1, b.x2 AS bx2, b.y2 AS by2
+        FROM s a JOIN s b
+          ON a.user_id = b.user_id AND a.seq + 1 < b.seq
+         AND GREATEST(LEAST(a.x1, a.x2), LEAST(b.x1, b.x2))
+             <= LEAST(GREATEST(a.x1, a.x2), GREATEST(b.x1, b.x2))
+         AND GREATEST(LEAST(a.y1, a.y2), LEAST(b.y1, b.y2))
+             <= LEAST(GREATEST(a.y1, a.y2), GREATEST(b.y1, b.y2))
+    ),
+    tested AS (
+        SELECT user_id,
+               CASE WHEN (ax2-ax1)*(by1-ay1) - (ay2-ay1)*(bx1-ax1) > 0
+                    THEN 1 WHEN (ax2-ax1)*(by1-ay1) - (ay2-ay1)*(bx1-ax1)
+                    < 0 THEN -1 ELSE 0 END AS d1,
+               CASE WHEN (ax2-ax1)*(by2-ay1) - (ay2-ay1)*(bx2-ax1) > 0
+                    THEN 1 WHEN (ax2-ax1)*(by2-ay1) - (ay2-ay1)*(bx2-ax1)
+                    < 0 THEN -1 ELSE 0 END AS d2,
+               CASE WHEN (bx2-bx1)*(ay1-by1) - (by2-by1)*(ax1-bx1) > 0
+                    THEN 1 WHEN (bx2-bx1)*(ay1-by1) - (by2-by1)*(ax1-bx1)
+                    < 0 THEN -1 ELSE 0 END AS d3,
+               CASE WHEN (bx2-bx1)*(ay2-by1) - (by2-by1)*(ax2-bx1) > 0
+                    THEN 1 WHEN (bx2-bx1)*(ay2-by1) - (by2-by1)*(ax2-bx1)
+                    < 0 THEN -1 ELSE 0 END AS d4
+        FROM cand
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_self_crossings
+    FROM tested
+    WHERE d1 * d2 < 0 AND d3 * d4 < 0
+    GROUP BY 1
+    """,
+)
+def traj_self_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-crossing count per trajectory in the DELAY-COORDINATE phase
+    space (v_{i-1}, v_i) — the Takens-embedding complexity feature: a
+    series whose phase-space path keeps re-crossing itself is erratic/
+    oscillatory, a trending one is not. (In any TIME-parameterized
+    plane self-crossings are geometrically impossible — x is strictly
+    increasing, non-adjacent segments have disjoint x-extents — which
+    is why the embedding, not the raw plane, is the meaningful domain;
+    verified: the raw-plane count is identically zero.)
+
+    Same exact-integer segment-geometry kernel as
+    ``traj_segment_intersections`` (shared ``_proper_crossing``
+    predicate), restricted to within-user pairs with seq gap >= 2
+    (adjacent segments share an endpoint and cannot properly cross).
+    Phase-space x is NOT monotone, so the bbox gate takes LEAST/
+    GREATEST on both axes. The join keys on user_id itself —
+    per-trajectory locality (R2), per-user segment counts bounded, no
+    bucketing needed."""
+    t = Tables(spark, sf_dir)
+    pts = t.user_points().select(
+        "user_id",
+        "seq",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    w = W.partitionBy("user_id").orderBy("seq")
+    ph = pts.select(
+        "user_id",
+        "seq",
+        F.lag("v").over(w).alias("x"),
+        F.col("v").alias("y"),
+    ).filter(F.col("x").isNotNull())
+    seg = ph.select(
+        "user_id",
+        "seq",
+        F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+        F.lead("x").over(w).alias("x2"),
+        F.lead("y").over(w).alias("y2"),
+    ).filter(F.col("x2").isNotNull())
+    a, b = seg.alias("a"), seg.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.seq") + 1 < F.col("b.seq"))
+        & (
+            F.greatest(
+                F.least("a.x1", "a.x2"), F.least("b.x1", "b.x2")
+            )
+            <= F.least(
+                F.greatest("a.x1", "a.x2"), F.greatest("b.x1", "b.x2")
+            )
+        )
+        & (
+            F.greatest(
+                F.least("a.y1", "a.y2"), F.least("b.y1", "b.y2")
+            )
+            <= F.least(
+                F.greatest("a.y1", "a.y2"), F.greatest("b.y1", "b.y2")
+            )
+        ),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.x1").alias("ax1"),
+        F.col("a.y1").alias("ay1"),
+        F.col("a.x2").alias("ax2"),
+        F.col("a.y2").alias("ay2"),
+        F.col("b.x1").alias("bx1"),
+        F.col("b.y1").alias("by1"),
+        F.col("b.x2").alias("bx2"),
+        F.col("b.y2").alias("by2"),
+    )
+    return (
+        cand.filter(_proper_crossing())
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_self_crossings"))
     )
