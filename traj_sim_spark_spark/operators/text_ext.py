@@ -378,7 +378,7 @@ def text_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     tok = (
-        t.documents.select(
+        t.documents.repartition(32, "doc_id").select(
             "doc_id", F.explode(F.split("text", " ")).alias("token")
         )
         .distinct()
