@@ -146,6 +146,7 @@ AUDIT = [
     "sim_knn_filtered",
     "traj_segment_intersections",
     "traj_self_intersections",
+    "mm_scene_cuts",
 ]
 
 

@@ -1142,3 +1142,100 @@ def traj_self_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count("*").alias("n_self_crossings"))
     )
+
+
+# --------------------------------------------------------------------------
+# mm_scene_cuts
+# --------------------------------------------------------------------------
+
+_SC_FRAME = 32  # bytes per frame (matches multimodal._FRAME_BYTES)
+# cut: frame energy moves > 5% vs previous frame (|e-pe|*20 > pe, integer)
+
+
+@query(
+    "mm_scene_cuts",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id,
+               (i - 1) // {_SC_FRAME} AS f,
+               ascii(substring(text, CAST(i AS INT), 1)) AS byte
+        FROM documents,
+             LATERAL (SELECT UNNEST(generate_series(
+                 1, (n_chars // {_SC_FRAME}) * {_SC_FRAME})) AS i)
+        WHERE n_chars >= {2 * _SC_FRAME}
+    ),
+    e AS (
+        SELECT doc_id, f, SUM(byte) AS en FROM b GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT doc_id, f, en,
+               LAG(en) OVER (PARTITION BY doc_id ORDER BY f) AS pe
+        FROM e
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN pe IS NOT NULL
+                          AND ABS(en - pe) * 20 > pe
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+           MIN(CASE WHEN pe IS NOT NULL AND ABS(en - pe) * 20 > pe
+                    THEN f END) AS first_cut
+    FROM d GROUP BY doc_id
+    """,
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCENE-CUT detection over the binary (video-analog) column:
+    payloads split into consecutive fixed-width frames (the
+    ``mm_frame_sample`` frame model), per-frame energy summed, a CUT
+    flagged wherever energy moves more than 5% frame-over-frame — the
+    shot-boundary / scene-segmentation pass a video curation pipeline
+    runs before sampling frames for captioning (sample AROUND cuts, not
+    uniformly). Per doc: frame count, cut count, first cut position.
+
+    The decode stub keeps the same byte-deterministic contract as the
+    rest of the multimodal family, which makes the whole temporal
+    pipeline SQL-mirrorable: frame assignment is integer division,
+    energies are integer sums, and the cut test is the cross-multiplied
+    integer inequality |e−pe|·20 > pe — no float anywhere, so the row
+    is FULL despite modeling a perceptual operation.
+
+    Shape: one Arrow pass (or JVM explode — here the frame table comes
+    from the exploded byte positions) + a doc_id-clustered lag window +
+    one per-doc aggregate: linear, clustered on the natural key
+    end-to-end. A real decoder swap changes only the energy definition
+    (pixel-difference SAD instead of byte sums)."""
+    t = Tables(spark, sf_dir)
+    docs = (
+        t.documents.repartition(32, "doc_id")
+        .where(F.col("n_chars") >= 2 * _SC_FRAME)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    (F.floor(F.col("n_chars") / _SC_FRAME) * _SC_FRAME).cast(
+                        "int"
+                    ),
+                )
+            ).alias("i"),
+            "text",
+        )
+    )
+    frames = (
+        docs.select(
+            "doc_id",
+            F.floor((F.col("i") - 1) / _SC_FRAME).alias("f"),
+            F.ascii(F.expr("substring(text, i, 1)")).alias("byte"),
+        )
+        .groupBy("doc_id", "f")
+        .agg(F.sum("byte").alias("en"))
+    )
+    w = W.partitionBy("doc_id").orderBy("f")
+    d = frames.withColumn("pe", F.lag("en").over(w))
+    is_cut = F.col("pe").isNotNull() & (
+        F.abs(F.col("en") - F.col("pe")) * 20 > F.col("pe")
+    )
+    return d.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.when(is_cut, 1).otherwise(0)).alias("n_cuts"),
+        F.min(F.when(is_cut, F.col("f"))).alias("first_cut"),
+    )
