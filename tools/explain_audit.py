@@ -147,6 +147,7 @@ AUDIT = [
     "traj_segment_intersections",
     "traj_self_intersections",
     "mm_scene_cuts",
+    "rel_merge_upsert",
 ]
 
 

@@ -1239,3 +1239,96 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_cut, 1).otherwise(0)).alias("n_cuts"),
         F.min(F.when(is_cut, F.col("f"))).alias("first_cut"),
     )
+
+
+# --------------------------------------------------------------------------
+# rel_merge_upsert
+# --------------------------------------------------------------------------
+
+
+@query(
+    "rel_merge_upsert",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    ),
+    delta AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) + 500 AS cents,
+               CASE WHEN o_orderkey % 6 = 0 THEN 'D'
+                    WHEN o_orderkey % 3 = 2 THEN 'I'
+                    ELSE 'U' END AS op
+        FROM orders WHERE o_orderkey % 3 IN (1, 2) OR o_orderkey % 6 = 0
+    ),
+    merged AS (
+        SELECT COALESCE(b.k, d.k) AS k,
+               CASE WHEN d.op = 'D' THEN 'deleted'
+                    WHEN d.k IS NULL THEN 'kept'
+                    WHEN b.k IS NULL THEN 'inserted'
+                    ELSE 'updated' END AS action,
+               CASE WHEN d.op = 'D' THEN NULL
+                    WHEN d.k IS NULL THEN b.cents
+                    ELSE d.cents END AS cents
+        FROM base b FULL OUTER JOIN delta d ON b.k = d.k
+    )
+    SELECT action,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(cents) / 100.0, 2) AS sum_price
+    FROM merged GROUP BY action
+    """,
+)
+def rel_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse MERGE (CDC apply): a change batch with UPDATE /
+    INSERT / DELETE ops applied to a base snapshot in one pass — the
+    write-side primitive behind every Delta/Iceberg `MERGE INTO`, and
+    the op that turns a stream of change events into a queryable table
+    (``rel_scd2_merge`` keeps HISTORY; this row produces the current
+    snapshot plus the audit counts an ingestion job reports).
+
+    Fixture framing: base = orders with key % 3 in (0,1); the delta
+    updates key%3==1 rows (+5.00), inserts key%3==2 rows, and
+    tombstones key%6==0. Apply = ONE full-outer join on the key with a
+    CASE router; output = per-action row counts and amounts. Prices
+    quantize to integer cents once (the +5.00 is +500 exact), sums stay
+    integer, one final /100 for display — bit-stable across engines.
+
+    Scale shape: MERGE is a single shuffle join on the merge key. On a
+    partitioned/bucketed base the join co-locates (only touched
+    partitions rewrite — the same PartitionFilters story as the layout
+    rows); the delta side is typically small enough to broadcast, which
+    turns MERGE into a map-side operation over the base scan."""
+    t = Tables(spark, sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = t.orders.where(F.col("o_orderkey") % 3 < 2).select(
+        F.col("o_orderkey").alias("k"), cents.alias("b_cents")
+    )
+    delta = (
+        t.orders.where(
+            (F.col("o_orderkey") % 3 > 0) | (F.col("o_orderkey") % 6 == 0)
+        )
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (cents + 500).alias("d_cents"),
+            F.when(F.col("o_orderkey") % 6 == 0, "D")
+            .when(F.col("o_orderkey") % 3 == 2, "I")
+            .otherwise("U")
+            .alias("op"),
+        )
+    )
+    merged = base.join(delta, "k", "full_outer").select(
+        F.when(F.col("op") == "D", "deleted")
+        .when(F.col("op").isNull(), "kept")
+        .when(F.col("b_cents").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("action"),
+        F.when(F.col("op") == "D", F.lit(None).cast("bigint"))
+        .when(F.col("op").isNull(), F.col("b_cents"))
+        .otherwise(F.col("d_cents"))
+        .alias("cents"),
+    )
+    return merged.groupBy("action").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("cents") / 100.0, 2).alias("sum_price"),
+    )
