@@ -148,6 +148,8 @@ AUDIT = [
     "traj_self_intersections",
     "mm_scene_cuts",
     "rel_merge_upsert",
+    "sim_knn_mrl",
+    "graph_copurchase",
 ]
 
 

@@ -1332,3 +1332,93 @@ def rel_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.round(F.sum("cents") / 100.0, 2).alias("sum_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# graph_copurchase
+# --------------------------------------------------------------------------
+
+_CP_MIN_SHARED = 20  # keep supplier pairs sharing at least this many buyers
+
+
+@query(
+    "graph_copurchase",
+    oracle=f"""
+    WITH e0 AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (SELECT s, COUNT(*) AS d FROM e0 GROUP BY s),
+    pairs AS (
+        SELECT a.s AS s1, b.s AS s2, COUNT(*) AS shared
+        FROM e0 a JOIN e0 b ON a.c = b.c AND a.s < b.s
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_CP_MIN_SHARED}
+    )
+    SELECT p.s1, p.s2,
+           CAST(p.shared AS BIGINT) AS shared_customers,
+           ROUND(p.shared * 1.0 / (d1.d + d2.d - p.shared), 6)
+               AS jaccard
+    FROM pairs p
+    JOIN deg d1 ON d1.s = p.s1
+    JOIN deg d2 ON d2.s = p.s2
+    """,
+)
+def graph_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIPARTITE PROJECTION (the AᵀA co-occurrence join): supplier
+    pairs weighted by shared customers, with Jaccard affinity — the
+    item-item co-occurrence matrix behind every "customers who bought X
+    also bought Y" recommender, and the graph construction that turns a
+    purchase log into an item graph (community detection / label
+    propagation run downstream on exactly this).
+
+    Scale shape and its hazard: the pair join keys on the CUSTOMER (one
+    row per customer-supplier link, self-joined per customer), so cost
+    is Σ_c fanout(c)² — a single promiscuous key explodes
+    quadratically. The mitigations are standard and documented: cap
+    per-customer fanout (top-N suppliers by spend; changes semantics
+    openly), or AQE skew-split (on, handles moderate skew). The
+    projection is then a hash aggregate on the pair key; degrees join
+    back broadcast-sized. Jaccard = shared/(d1+d2−shared) in exact
+    integers, one final float divide for display."""
+    t = Tables(spark, sf_dir)
+    e0 = (
+        t.lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            F.broadcast(t.orders.select("o_orderkey", "o_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+    )
+    deg = e0.groupBy("s").agg(F.count("*").alias("d"))
+    a, b = e0.alias("a"), e0.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= _CP_MIN_SHARED)
+    )
+    d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+    return (
+        pairs.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            F.col("shared").alias("shared_customers"),
+            F.round(
+                F.col("shared")
+                * 1.0
+                / (F.col("d1") + F.col("d2") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

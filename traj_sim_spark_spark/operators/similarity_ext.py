@@ -666,3 +666,109 @@ def sim_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_FILT_K)
         .select("vec_id", F.round("cos_raw", 6).alias("cos_sim"))
     )
+
+
+_MRL_PREFIX = 16  # truncated head dimensions for the cheap pass
+_MRL_CAND = 50  # shortlist size
+_MRL_K = 10
+
+
+@query(
+    "sim_knn_mrl",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    q16 AS (
+        SELECT i, CAST(ROUND(v * 1e6) AS BIGINT) AS vq
+        FROM e WHERE vec_id = 0 AND i <= {_MRL_PREFIX}
+    ),
+    pre AS (
+        SELECT e.vec_id,
+               SUM((CAST(ROUND(e.v * 1e6) AS BIGINT) - q16.vq)
+                   * (CAST(ROUND(e.v * 1e6) AS BIGINT) - q16.vq)) AS d2
+        FROM e JOIN q16 USING (i)
+        WHERE e.vec_id <> 0 AND e.i <= {_MRL_PREFIX}
+        GROUP BY e.vec_id
+    ),
+    short AS (
+        SELECT vec_id FROM (
+            SELECT vec_id,
+                   ROW_NUMBER() OVER (ORDER BY d2, vec_id) AS rk
+            FROM pre
+        ) WHERE rk <= {_MRL_CAND}
+    ),
+    q AS (SELECT i, v FROM e WHERE vec_id = 0),
+    scored AS (
+        SELECT e.vec_id,
+               SUM(e.v * q.v)
+               / (SQRT(SUM(e.v * e.v)) * SQRT(SUM(q.v * q.v))) AS cs
+        FROM e JOIN q USING (i)
+        WHERE e.vec_id IN (SELECT vec_id FROM short)
+        GROUP BY e.vec_id
+    )
+    SELECT vec_id, ROUND(cs, 6) AS cos_sim
+    FROM scored
+    ORDER BY cs DESC, vec_id
+    LIMIT {_MRL_K}
+    """,
+)
+def sim_knn_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) prefix-truncated ANN — the dimension-truncation
+    member of the approximate-search family (SQ8/PQ shrink PRECISION;
+    MRL-style retrieval shrinks DIMENSIONALITY): rank everything by
+    squared-L2 over only the first 16 of 64 dimensions, shortlist 50,
+    then exact full-dimension cosine reranks the shortlist to top-10.
+    With Matryoshka-trained embeddings the head dims carry most of the
+    signal, so the cheap pass touches 4x less data per vector — and at
+    100 TB the head prefix is a SEPARATE narrow column (or leading
+    Parquet field) so the first pass scans a quarter of the bytes.
+
+    Determinism discipline (same as ``sim_knn_sq8``): the shortlist —
+    the only approximation boundary — is decided by INTEGER arithmetic
+    (micro-unit quantized components, exact integer squared-L2, ties by
+    vec_id), so the candidate set is bit-identical on every engine;
+    floats appear only in the final rerank expression."""
+    from .similarity import _emb, _query_vec, cosine
+
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    emb = _emb(t)
+    vq = F.transform(
+        F.slice("emb", 1, _MRL_PREFIX),
+        lambda x: F.round(x * 1e6).cast("bigint"),
+    )
+    base = emb.withColumn("vq", vq)
+    qrow = base.filter(F.col("vec_id") == 0).select(
+        F.col("vq").alias("qvq")
+    )
+    d2 = F.aggregate(
+        F.zip_with("vq", "qvq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pre = (
+        base.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qrow))
+        .select("vec_id", d2.alias("d2"))
+    )
+    short = (
+        pre.withColumn(
+            "rk", F.row_number().over(W.orderBy("d2", "vec_id"))
+        )
+        .filter(F.col("rk") <= _MRL_CAND)
+        .select("vec_id")
+    )
+    q = _query_vec(emb, 0)
+    return (
+        emb.join(F.broadcast(short), "vec_id", "left_semi")
+        .join(F.broadcast(q))
+        .withColumn("cos_raw", cosine(F.col("emb"), F.col("q_emb")))
+        .orderBy(F.col("cos_raw").desc(), "vec_id")
+        .limit(_MRL_K)
+        .select("vec_id", F.round("cos_raw", 6).alias("cos_sim"))
+    )
