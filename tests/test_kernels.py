@@ -194,3 +194,54 @@ def test_banded_dtw_tau_abandon_is_sound(a, b):
             assert abs(got - full) <= 1e-9
         else:
             assert got > tau
+
+
+# ---------------------------------------------------------------------------
+# Segment proper-crossing predicate (extras2): the engine decides with
+# four INT64 CCW sign products; this independent reference solves the
+# parametric intersection EXACTLY in rationals (Cramer's rule over
+# Fraction) and demands strict interior parameters on both segments.
+# ---------------------------------------------------------------------------
+
+
+def ref_proper_crossing(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
+    from fractions import Fraction
+
+    # A + t*(A2-A1) == B + u*(B2-B1); solve the 2x2 linear system
+    dax, day = ax2 - ax1, ay2 - ay1
+    dbx, dby = bx2 - bx1, by2 - by1
+    det = dax * (-dby) - day * (-dbx)
+    if det == 0:
+        return False  # parallel/collinear: never a PROPER crossing
+    rx, ry = bx1 - ax1, by1 - ay1
+    t = Fraction(rx * (-dby) - ry * (-dbx), det)
+    u = Fraction(dax * ry - day * rx, det)
+    return 0 < t < 1 and 0 < u < 1
+
+
+def _ccw_sign(o_x, o_y, p_x, p_y, q_x, q_y):
+    v = (p_x - o_x) * (q_y - o_y) - (p_y - o_y) * (q_x - o_x)
+    return (v > 0) - (v < 0)
+
+
+def engine_proper_crossing(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
+    # the same four-orientation test extras2._proper_crossing compiles
+    # into Catalyst expressions, evaluated in plain ints
+    d1 = _ccw_sign(ax1, ay1, ax2, ay2, bx1, by1)
+    d2 = _ccw_sign(ax1, ay1, ax2, ay2, bx2, by2)
+    d3 = _ccw_sign(bx1, by1, bx2, by2, ax1, ay1)
+    d4 = _ccw_sign(bx1, by1, bx2, by2, ax2, ay2)
+    return d1 * d2 < 0 and d3 * d4 < 0
+
+
+coord = st.integers(min_value=-50, max_value=50)
+
+
+@settings(max_examples=500, deadline=None)
+@given(*[coord] * 8)
+def test_proper_crossing_matches_rational_solver(
+    ax1, ay1, ax2, ay2, bx1, by1, bx2, by2
+):
+    got = engine_proper_crossing(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2)
+    want = ref_proper_crossing(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2)
+    assert got == want, (ax1, ay1, ax2, ay2, bx1, by1, bx2, by2)
