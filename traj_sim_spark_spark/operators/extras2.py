@@ -587,7 +587,7 @@ def rel_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n.d) AS BIGINT) AS degree_sum,
            ROUND(COALESCE(MAX(intra.l), 0) * 1.0 / (SELECT m FROM m)
                  - (SUM(n.d) * 0.5 / (SELECT m FROM m))
-                   * (SUM(n.d) * 0.5 / (SELECT m FROM m)), 6)
+                   * (SUM(n.d) * 0.5 / (SELECT m FROM m)), 6) + 0.0
                AS q_contrib
     FROM nodes n LEFT JOIN intra ON intra.community = n.community
     GROUP BY n.community
@@ -652,11 +652,18 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_nodes"),
             F.coalesce(F.max("l"), F.lit(0)).alias("internal_edges"),
             F.sum("d").alias("degree_sum"),
-            F.round(
-                F.coalesce(F.max("l"), F.lit(0)) * 1.0 / F.max("m")
-                - (F.sum("d") * 0.5 / F.max("m"))
-                * (F.sum("d") * 0.5 / F.max("m")),
-                6,
+            (
+                F.round(
+                    F.coalesce(F.max("l"), F.lit(0)) * 1.0 / F.max("m")
+                    - (F.sum("d") * 0.5 / F.max("m"))
+                    * (F.sum("d") * 0.5 / F.max("m")),
+                    6,
+                )
+                # + 0.0 collapses IEEE negative zero: a community whose
+                # Q-contribution rounds to -0.0 on one engine and +0.0
+                # on the other would string-compare unequal (found by
+                # the sf0.1 dual-scale gate)
+                + 0.0
             ).alias("q_contrib"),
         )
     )
