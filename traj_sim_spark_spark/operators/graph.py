@@ -943,7 +943,7 @@ def traj_hotspot_gi(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (SQRT(n * CAST(sxx AS DOUBLE)
                          - CAST(sx AS DOUBLE) ** 2)
                     * SQRT(n * CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE) ** 2)), 6)
+                           - CAST(sy AS DOUBLE) ** 2)), 6) + 0.0
                AS assortativity
     FROM m
     WHERE n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) ** 2 > 0
@@ -997,6 +997,8 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.filter((var_x > 0) & (var_y > 0))
         .select(
             (F.col("n") / 2).cast("long").alias("n_edges"),
-            F.round(r, 6).alias("assortativity"),
+            # + 0.0 collapses IEEE negative zero (same hazard as
+            # graph_modularity, found by the sf0.1 dual-scale gate)
+            (F.round(r, 6) + 0.0).alias("assortativity"),
         )
     )

@@ -194,7 +194,7 @@ def rel_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (SQRT(n * CAST(sxx AS DOUBLE)
                          - CAST(sx AS DOUBLE) ** 2)
                     * SQRT(n * CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE) ** 2)), 6) AS acf1
+                           - CAST(sy AS DOUBLE) ** 2)), 6) + 0.0 AS acf1
     FROM s
     WHERE n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) ** 2 > 0
       AND n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) ** 2 > 0
@@ -246,7 +246,9 @@ def rel_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.col("n").alias("n_pairs"),
-            F.round(acf, 6).alias("acf1"),
+            # + 0.0 collapses IEEE negative zero (a correlation that
+            # rounds to zero must render identically on both engines)
+            (F.round(acf, 6) + 0.0).alias("acf1"),
         )
     )
 
