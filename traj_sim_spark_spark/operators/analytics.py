@@ -466,8 +466,8 @@ def rel_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cs GROUP BY label
     )
     SELECT cs.vec_id, cs.label,
-           ROUND(cs.cos_c, 6) AS cos_c,
-           ROUND((cs.cos_c - s.mu) / NULLIF(s.sd, 0), 6) AS z,
+           ROUND(cs.cos_c, 6) + 0.0 AS cos_c,
+           ROUND((cs.cos_c - s.mu) / NULLIF(s.sd, 0), 6) + 0.0 AS z,
            CASE WHEN ROUND((cs.cos_c - s.mu) / NULLIF(s.sd, 0), 6) < -2.0
                 THEN 1 ELSE 0 END AS is_outlier
     FROM cs JOIN stats s USING (label)
@@ -515,17 +515,19 @@ def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = cs.groupBy("label").agg(
         F.avg("cos_c").alias("mu"), F.stddev_samp("cos_c").alias("sd")
     )
+    # + 0.0 collapses IEEE negative zero in the two sign-crossing
+    # display columns (house hardening after the sf0.1 dual-scale find)
     z = F.round(
         (F.col("cos_c") - F.col("mu"))
         / F.nullif(F.col("sd"), F.lit(0.0)),
         6,
-    )
+    ) + 0.0
     return (
         cs.join(F.broadcast(stats), "label")
         .select(
             "vec_id",
             "label",
-            F.round("cos_c", 6).alias("cos_c"),
+            (F.round("cos_c", 6) + 0.0).alias("cos_c"),
             z.alias("z"),
             F.when(z < -2.0, 1).otherwise(0).alias("is_outlier"),
         )

@@ -308,7 +308,7 @@ def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN ev eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
         GROUP BY a.vec_id, b.vec_id
     )
-    SELECT id_a, id_b, ROUND(cs, 6) AS cos_sim
+    SELECT id_a, id_b, ROUND(cs, 6) + 0.0 AS cos_sim
     FROM pairs WHERE cs >= 0.4
     """,
 )
@@ -338,7 +338,7 @@ def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cs", cosine(F.col("ea"), F.col("eb")))
         .filter(F.col("cs") >= 0.4)
-        .select("id_a", "id_b", F.round("cs", 6).alias("cos_sim"))
+        .select("id_a", "id_b", (F.round("cs", 6) + 0.0).alias("cos_sim"))
     )
 
 

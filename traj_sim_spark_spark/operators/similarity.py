@@ -54,7 +54,8 @@ def _query_vec(emb: DataFrame, vec_id: int = 0) -> DataFrame:
     b AS (SELECT i, v FROM ev WHERE vec_id = 1)
     SELECT 0 AS id_a, 1 AS id_b,
            ROUND(SUM(a.v * b.v)
-                 / (SQRT(SUM(a.v * a.v)) * SQRT(SUM(b.v * b.v))), 6) AS cos_sim,
+                 / (SQRT(SUM(a.v * a.v)) * SQRT(SUM(b.v * b.v))), 6) + 0.0
+               AS cos_sim,
            ROUND(SQRT(SUM((a.v - b.v) * (a.v - b.v))), 6) AS l2_dist
     FROM a JOIN b USING (i)
     """,
@@ -68,7 +69,7 @@ def sim_pair_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.crossJoin(b).select(
         F.lit(0).alias("id_a"),
         F.lit(1).alias("id_b"),
-        F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+        (F.round(cosine(F.col("ea"), F.col("eb")), 6) + 0.0).alias("cos_sim"),
         F.round(euclidean(F.col("ea"), F.col("eb")), 6).alias("l2_dist"),
     )
 
@@ -87,7 +88,7 @@ def sim_pair_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE ev.vec_id <> 0
         GROUP BY ev.vec_id
     )
-    SELECT vec_id, ROUND(dp / (n2 * (SELECT n FROM qn)), 6) AS cos_sim
+    SELECT vec_id, ROUND(dp / (n2 * (SELECT n FROM qn)), 6) + 0.0 AS cos_sim
     FROM dots
     ORDER BY dp / (n2 * (SELECT n FROM qn)) DESC, vec_id
     LIMIT 10
@@ -109,7 +110,7 @@ def sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos_raw", cosine(F.col("emb"), F.col("q_emb")))
         .orderBy(F.col("cos_raw").desc(), "vec_id")
         .limit(10)
-        .select("vec_id", F.round("cos_raw", 6).alias("cos_sim"))
+        .select("vec_id", (F.round("cos_raw", 6) + 0.0).alias("cos_sim"))
     )
 
 
@@ -125,7 +126,7 @@ def sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AND a.vec_id < b.vec_id
         GROUP BY a.vec_id, b.vec_id
     )
-    SELECT id_a, id_b, ROUND(cs, 6) AS cos_sim
+    SELECT id_a, id_b, ROUND(cs, 6) + 0.0 AS cos_sim
     FROM pairs WHERE cs >= 0.25
     """,
 )
@@ -157,7 +158,7 @@ def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ia, ib = ids[iu[keep]], ids[ju[keep]]
         lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
         return pd.DataFrame(
-            {"id_a": lo, "id_b": hi, "cos_sim": np.round(cs[keep], 6)}
+            {"id_a": lo, "id_b": hi, "cos_sim": np.round(cs[keep], 6) + 0.0}
         )
 
     return (
@@ -186,7 +187,7 @@ def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY cs DESC, id_b) AS rn
         FROM pairs
     )
-    SELECT id_a, id_b, ROUND(cs, 6) AS cos_sim
+    SELECT id_a, id_b, ROUND(cs, 6) + 0.0 AS cos_sim
     FROM ranked WHERE rn <= 3
     """,
 )
@@ -222,7 +223,7 @@ def sim_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             order = np.lexsort((ids, -c[r]))[:k]
             out_a.extend([ids[r]] * k)
             out_b.extend(ids[order])
-            out_c.extend(np.round(c[r, order], 6))
+            out_c.extend(np.round(c[r, order], 6) + 0.0)
         return pd.DataFrame(
             {"id_a": out_a, "id_b": out_b, "cos_sim": out_c}
         )
@@ -287,7 +288,7 @@ def sim_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ev.vec_id
     ),
     qn AS (SELECT SQRT(SUM(v * v)) AS n FROM q)
-    SELECT vec_id, ROUND(dp / (n2 * (SELECT n FROM qn)), 6) AS cos_sim
+    SELECT vec_id, ROUND(dp / (n2 * (SELECT n FROM qn)), 6) + 0.0 AS cos_sim
     FROM dots
     ORDER BY dp / (n2 * (SELECT n FROM qn)) DESC, vec_id
     LIMIT 10
@@ -344,7 +345,7 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos_raw", cosine(F.col("emb"), F.col("q_emb")))
         .orderBy(F.col("cos_raw").desc(), "vec_id")
         .limit(10)
-        .select("vec_id", F.round("cos_raw", 6).alias("cos_sim"))
+        .select("vec_id", (F.round("cos_raw", 6) + 0.0).alias("cos_sim"))
     )
 
 
@@ -468,7 +469,7 @@ _IVF_NPROBE_ORACLE = """
         WHERE e.vec_id IN (SELECT vec_id FROM cand)
         GROUP BY e.vec_id
     )
-    SELECT vec_id, ROUND(cs, 6) AS cos_sim
+    SELECT vec_id, ROUND(cs, 6) + 0.0 AS cos_sim
     FROM scored
     ORDER BY cs DESC, vec_id
     LIMIT 10
@@ -518,7 +519,7 @@ def sim_knn_ivf_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos_raw", cosine(F.col("emb"), F.col("q_emb")))
         .orderBy(F.col("cos_raw").desc(), "vec_id")
         .limit(10)
-        .select("vec_id", F.round("cos_raw", 6).alias("cos_sim"))
+        .select("vec_id", (F.round("cos_raw", 6) + 0.0).alias("cos_sim"))
     )
 
 
@@ -536,7 +537,7 @@ def sim_knn_ivf_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE ev.vec_id <> 0
         GROUP BY ev.vec_id
     )
-    SELECT vec_id, ROUND(dp / (n2 * (SELECT n FROM qn)), 6) AS cos_sim
+    SELECT vec_id, ROUND(dp / (n2 * (SELECT n FROM qn)), 6) + 0.0 AS cos_sim
     FROM dots
     WHERE dp / (n2 * (SELECT n FROM qn)) >= 0.25
     """,
@@ -558,7 +559,7 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(q))
         .withColumn("cos_raw", cosine(F.col("emb"), F.col("q_emb")))
         .filter(F.col("cos_raw") >= 0.25)
-        .select("vec_id", F.round("cos_raw", 6).alias("cos_sim"))
+        .select("vec_id", (F.round("cos_raw", 6) + 0.0).alias("cos_sim"))
     )
 
 
@@ -620,5 +621,5 @@ def emb_layout_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos_raw", cosine(F.col("emb"), F.col("q_emb")))
         .orderBy(F.col("cos_raw").desc(), "vec_id")
         .limit(10)
-        .select("vec_id", F.round("cos_raw", 6).alias("cos_sim"))
+        .select("vec_id", (F.round("cos_raw", 6) + 0.0).alias("cos_sim"))
     )

@@ -433,7 +433,7 @@ _MIPS_QUERY = 0
         WHERE ev.vec_id <> {_MIPS_QUERY}
         GROUP BY ev.vec_id
     )
-    SELECT vec_id, ROUND(dp, 6) AS inner_product
+    SELECT vec_id, ROUND(dp, 6) + 0.0 AS inner_product
     FROM dots ORDER BY dp DESC, vec_id LIMIT {_MIPS_K}
     """,
 )
@@ -467,7 +467,7 @@ def sim_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dp", dot(F.col("emb"), F.col("q_emb")))
         .orderBy(F.col("dp").desc(), "vec_id")
         .limit(_MIPS_K)
-        .select("vec_id", F.round("dp", 6).alias("inner_product"))
+        .select("vec_id", (F.round("dp", 6) + 0.0).alias("inner_product"))
     )
 
 
@@ -496,7 +496,7 @@ def sim_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(na) AS BIGINT) AS n_a,
            CAST(MAX(nb) AS BIGINT) AS n_b,
            ROUND(SUM(ma * mb)
-                 / (SQRT(SUM(ma * ma)) * SQRT(SUM(mb * mb))), 6)
+                 / (SQRT(SUM(ma * ma)) * SQRT(SUM(mb * mb))), 6) + 0.0
                AS centroid_cos
     FROM paired GROUP BY label
     """,
@@ -539,13 +539,16 @@ def emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("na").alias("n_a"),
             F.max("nb").alias("n_b"),
-            F.round(
-                F.sum(F.col("ma") * F.col("mb"))
-                / (
-                    F.sqrt(F.sum(F.col("ma") * F.col("ma")))
-                    * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
-                ),
-                6,
+            (
+                F.round(
+                    F.sum(F.col("ma") * F.col("mb"))
+                    / (
+                        F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                        * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+                    ),
+                    6,
+                )
+                + 0.0
             ).alias("centroid_cos"),
         )
     )
@@ -605,7 +608,7 @@ _FILT_K = 10
         WHERE e.vec_id IN (SELECT vec_id FROM cand)
         GROUP BY e.vec_id
     )
-    SELECT vec_id, ROUND(cs, 6) AS cos_sim
+    SELECT vec_id, ROUND(cs, 6) + 0.0 AS cos_sim
     FROM scored
     ORDER BY cs DESC, vec_id
     LIMIT {_FILT_K}
@@ -664,7 +667,7 @@ def sim_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos_raw", cosine(F.col("emb"), F.col("q_emb")))
         .orderBy(F.col("cos_raw").desc(), "vec_id")
         .limit(_FILT_K)
-        .select("vec_id", F.round("cos_raw", 6).alias("cos_sim"))
+        .select("vec_id", (F.round("cos_raw", 6) + 0.0).alias("cos_sim"))
     )
 
 
@@ -710,7 +713,7 @@ _MRL_K = 10
         WHERE e.vec_id IN (SELECT vec_id FROM short)
         GROUP BY e.vec_id
     )
-    SELECT vec_id, ROUND(cs, 6) AS cos_sim
+    SELECT vec_id, ROUND(cs, 6) + 0.0 AS cos_sim
     FROM scored
     ORDER BY cs DESC, vec_id
     LIMIT {_MRL_K}
@@ -770,5 +773,5 @@ def sim_knn_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos_raw", cosine(F.col("emb"), F.col("q_emb")))
         .orderBy(F.col("cos_raw").desc(), "vec_id")
         .limit(_MRL_K)
-        .select("vec_id", F.round("cos_raw", 6).alias("cos_sim"))
+        .select("vec_id", (F.round("cos_raw", 6) + 0.0).alias("cos_sim"))
     )

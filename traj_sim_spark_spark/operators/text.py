@@ -470,7 +470,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ev JOIN q USING (i)
         GROUP BY ev.vec_id
     )
-    SELECT d.doc_id, d.lang, d.n_chars, ROUND(cs.c, 6) AS cos_sim
+    SELECT d.doc_id, d.lang, d.n_chars, ROUND(cs.c, 6) + 0.0 AS cos_sim
     FROM documents d JOIN cs ON d.doc_id = cs.vec_id
     WHERE d.lang = 'en'
     """,
@@ -492,7 +492,7 @@ def mm_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             "n_chars",
-            F.round(cosine(F.col("emb"), F.col("q_emb")), 6).alias("cos_sim"),
+            (F.round(cosine(F.col("emb"), F.col("q_emb")), 6) + 0.0).alias("cos_sim"),
         )
     )
 

@@ -36,7 +36,7 @@ from ..tables import Tables
     q AS (SELECT i, v FROM ev WHERE vec_id = 0)
     SELECT ev.vec_id,
            ROUND(SUM(ev.v * q.v)
-                 / (SQRT(SUM(ev.v * ev.v)) * SQRT(SUM(q.v * q.v))), 6)
+                 / (SQRT(SUM(ev.v * ev.v)) * SQRT(SUM(q.v * q.v))), 6) + 0.0
                AS cos_sim
     FROM ev JOIN q USING (i)
     GROUP BY ev.vec_id
@@ -65,7 +65,7 @@ def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return emb.select(
-        "vec_id", F.round(cos_to_q("embedding"), 6).alias("cos_sim")
+        "vec_id", (F.round(cos_to_q("embedding"), 6) + 0.0).alias("cos_sim")
     )
 
 
