@@ -215,51 +215,69 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.unionAll(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").alias("d")
-    )
-    n = deg.agg(F.count("*").alias("n"))
-    base = F.expr(f"(15 * CAST({_FP_ONE} AS BIGINT)) DIV (100 * n)")
-    r = (
-        deg.join(F.broadcast(n))
-        .select("node", "d", "n", F.expr(f"CAST({_FP_ONE} AS BIGINT) DIV n").alias("r"))
-    )
-    for _ in range(_PR_ITERS):
-        # rank table is |nodes| rows (tiny vs edges): broadcast it, so
-        # each Jacobi step streams the edge list ONCE map-side with no
-        # edge shuffle — the scatter-gather step's join side asymmetry
-        # is the whole point of rank-table broadcast at scale too
-        # (|V| << |E|); partial aggregation combines inflow per dst
-        # before the single |V|-sized exchange.
-        contrib = (
-            edges.join(
-                F.broadcast(
-                    r.select(
-                        F.col("node").alias("src"),
-                        F.expr("r DIV d").alias("c"),
-                    )
-                ),
-                "src",
-            )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("c").alias("inflow"))
+    # iteration economics (the connected_components argument): each
+    # Jacobi round pays per-shuffle-partition scheduling cost whatever
+    # the data volume, so the loop's width tracks the EDGE count, not
+    # the session's scan width — 2 stages x 3 rounds x 32 near-empty
+    # tasks was pure overhead at fixture scale
+    n_edges = edges.count()  # edges are materialized; this is free
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = max(1, min(width, n_edges // 2_000_000 + 1))
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        deg = edges.groupBy(F.col("src").alias("node")).agg(
+            F.count("*").alias("d")
         )
+        n = deg.agg(F.count("*").alias("n"))
+        base = F.expr(f"(15 * CAST({_FP_ONE} AS BIGINT)) DIV (100 * n)")
         r = (
             deg.join(F.broadcast(n))
-            .join(contrib, "node", "left")
             .select(
                 "node",
                 "d",
                 "n",
-                (
-                    base
-                    + F.expr("(85 * COALESCE(inflow, 0)) DIV 100")
-                ).alias("r"),
+                F.expr(f"CAST({_FP_ONE} AS BIGINT) DIV n").alias("r"),
             )
-            # truncate lineage per iteration: keeps each Jacobi step ONE
-            # join + one agg instead of an exponentially re-expanded tree
-            .localCheckpoint()
         )
+        for _ in range(_PR_ITERS):
+            # rank table is |nodes| rows (tiny vs edges): broadcast it, so
+            # each Jacobi step streams the edge list ONCE map-side with no
+            # edge shuffle — the scatter-gather step's join side asymmetry
+            # is the whole point of rank-table broadcast at scale too
+            # (|V| << |E|); partial aggregation combines inflow per dst
+            # before the single |V|-sized exchange.
+            contrib = (
+                edges.join(
+                    F.broadcast(
+                        r.select(
+                            F.col("node").alias("src"),
+                            F.expr("r DIV d").alias("c"),
+                        )
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("c").alias("inflow"))
+            )
+            r = (
+                deg.join(F.broadcast(n))
+                .join(contrib, "node", "left")
+                .select(
+                    "node",
+                    "d",
+                    "n",
+                    (
+                        base
+                        + F.expr("(85 * COALESCE(inflow, 0)) DIV 100")
+                    ).alias("r"),
+                )
+                # truncate lineage per iteration: keeps each Jacobi step ONE
+                # join + one agg instead of an exponentially re-expanded tree
+                .localCheckpoint()
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
     label = F.when(
         F.col("node") < _SUPP,
         F.concat(F.lit("c"), F.col("node").cast("string")),
