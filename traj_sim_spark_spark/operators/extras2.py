@@ -395,13 +395,26 @@ def traj_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dense = cells.localCheckpoint()  # tiny; reused by edges + nodes + stats
-    a, b = dense.alias("a"), dense.alias("b")
-    edges = a.join(
-        b,
-        (F.abs(F.col("a.cx") - F.col("b.cx")) <= 1)
-        & (F.abs(F.col("a.cy") - F.col("b.cy")) <= 1)
-        & (F.col("a.cid") != F.col("b.cid")),
-    ).select(F.col("a.cid").alias("u"), F.col("b.cid").alias("v"))
+    # 8-neighborhood adjacency as a scatter-gather EQUI-join (the
+    # heatmap pattern): each core cell scatters to its 9 neighbor keys
+    # and gathers core cells sitting there. An abs(dx)<=1 theta-join is
+    # only viable while the cell table broadcasts; the equi-join keys
+    # hash-shuffle at ANY grid size.
+    offs = F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    nbr = (
+        dense.select("cid", "cx", "cy")
+        .withColumn("dx", F.explode(offs))
+        .withColumn("dy", F.explode(offs))
+        .select(
+            F.col("cid").alias("u"),
+            (F.col("cx") + F.col("dx")).alias("ncx"),
+            (F.col("cy") + F.col("dy")).alias("ncy"),
+        )
+    )
+    edges = nbr.join(
+        dense.select(F.col("cid").alias("v"), "cx", "cy"),
+        (F.col("ncx") == F.col("cx")) & (F.col("ncy") == F.col("cy")),
+    ).where(F.col("u") != F.col("v")).select("u", "v")
     labels = connected_components(
         dense.select(F.col("cid").alias("node")), edges
     )
