@@ -26,6 +26,13 @@ ORACLES: dict[str, str] = {}
 # (trajectory / text / streaming / udfs / multimodal / extras) register
 # first this round; the relational core — fully driver-verified in round 1 —
 # cedes its slots.
+#
+# ROUND-3 ROTATION (do at round-3 start, SURVEY round-status note): move
+# the round-2 families — mining, text_ext, analytics, timeseries, graph,
+# similarity_ext, curation, series, extras2 — to the FRONT of _MODULES so
+# they take the driver's first-50 window; trajectory/text/streams/readers
+# /udfs/multimodal held it in round 2 and will then have driver rows from
+# both r1-local and r2.
 _MODULES = (
     "traj_sim_spark_spark.operators.trajectory",
     "traj_sim_spark_spark.operators.text",
