@@ -1,7 +1,8 @@
 """Second extras batch — round-2 continuation coverage extensions.
 
-Five operators that round out the curation / spatial / graph / series
-families with shapes the earlier rows don't cover:
+Operators that round out the curation / spatial / graph / series /
+multimodal / relational families with shapes the earlier rows don't
+cover:
 
 - ``text_boilerplate``    — CROSS-document duplicate-shingle mass per
   doc (the C4-style boilerplate gate). ``text_repetition`` measures
@@ -25,6 +26,19 @@ families with shapes the earlier rows don't cover:
   and degree mass, Q-contribution per community. Unlike the CC rows,
   the partition here is independent of the edges, so the statistic is
   non-degenerate (D_c != 2 L_c).
+- ``pipe_quality_prune``  — the composite curation AUDIT: per-doc
+  keep/drop verdict with the first failing rule as reason code.
+- ``traj_segment_intersections`` / ``traj_self_intersections`` —
+  segment GEOMETRY at reference fidelity (R6/R15): exact INT64
+  four-orientation CCW crossing tests; cross-user path conflicts via
+  day-bucketed canonical-cell pair joins, per-trajectory tortuosity
+  via self-crossings in the Takens (v_{i-1}, v_i) phase space.
+- ``mm_scene_cuts``       — frame-energy shot-boundary detection over
+  binary payloads (the temporal half of the video curation story).
+- ``rel_merge_upsert``    — the lakehouse MERGE / CDC apply: one
+  full-outer join + CASE router, per-action audit counts.
+- ``graph_copurchase``    — bipartite projection (A^T A co-occurrence)
+  with shared-customer weights and exact-integer Jaccard affinity.
 
 Exactness discipline (house rules, see ``series.py``): every comparison
 that decides MEMBERSHIP of the result set is integer-exact (centi-unit
