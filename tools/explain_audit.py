@@ -150,6 +150,7 @@ AUDIT = [
     "rel_merge_upsert",
     "sim_knn_mrl",
     "graph_copurchase",
+    "traj_range_segments_2d",
 ]
 
 

@@ -1456,3 +1456,186 @@ def graph_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# traj_range_segments_2d
+# --------------------------------------------------------------------------
+
+_RS_EPS_U = 250_000  # eps in micro-units = 0.25 in the (day, value) plane
+_RS_Q_USER = 1  # query trajectory
+
+
+@query(
+    "traj_range_segments_2d",
+    oracle=f"""
+    WITH t0 AS (
+        SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0 FROM events
+    ),
+    p AS (
+        SELECT user_id,
+               (epoch_us(CAST(ts AS TIMESTAMP)) - (SELECT t0 FROM t0))
+                   // 86400 AS x,
+               CAST(ROUND(value * 1e6) AS BIGINT) AS y,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS seq
+        FROM events
+    ),
+    s AS (
+        SELECT * FROM (
+            SELECT user_id, seq, x AS x1, y AS y1,
+                   LEAD(x) OVER (PARTITION BY user_id ORDER BY seq) AS x2,
+                   LEAD(y) OVER (PARTITION BY user_id ORDER BY seq) AS y2
+            FROM p
+        ) WHERE x2 IS NOT NULL AND user_id <> {_RS_Q_USER}
+    ),
+    qp AS (SELECT x AS qx, y AS qy FROM p WHERE user_id = {_RS_Q_USER}),
+    sd AS (
+        SELECT s.*, UNNEST(generate_series(
+            x1 // {_RS_EPS_U}, x2 // {_RS_EPS_U})) AS cx
+        FROM s
+    ),
+    cand AS (
+        SELECT DISTINCT sd.user_id, sd.seq,
+               sd.x1, sd.y1, sd.x2, sd.y2, q.qx, q.qy
+        FROM sd JOIN (
+            SELECT qx, qy, UNNEST(generate_series(
+                qx // {_RS_EPS_U} - 1, qx // {_RS_EPS_U} + 1)) AS cx
+            FROM qp
+        ) q USING (cx)
+    ),
+    t AS (
+        SELECT user_id, seq, qx, qy,
+               (x2-x1)*(qx-x1) + (y2-y1)*(qy-y1) AS dotp,
+               CAST((x2-x1) AS HUGEINT)*(x2-x1)
+                   + CAST((y2-y1) AS HUGEINT)*(y2-y1) AS ab2,
+               CAST((qx-x1) AS HUGEINT)*(qx-x1)
+                   + CAST((qy-y1) AS HUGEINT)*(qy-y1) AS ap2,
+               CAST((qx-x2) AS HUGEINT)*(qx-x2)
+                   + CAST((qy-y2) AS HUGEINT)*(qy-y2) AS bp2,
+               CAST((x2-x1) AS HUGEINT)*(qy-y1)
+                   - CAST((y2-y1) AS HUGEINT)*(qx-x1) AS crs
+        FROM cand
+    )
+    SELECT user_id, seq, CAST(COUNT(*) AS BIGINT) AS n_qpoints
+    FROM t
+    WHERE CASE
+        WHEN ab2 = 0 OR dotp <= 0
+            THEN ap2 <= {_RS_EPS_U * _RS_EPS_U}
+        WHEN dotp >= ab2
+            THEN bp2 <= {_RS_EPS_U * _RS_EPS_U}
+        ELSE crs * crs
+             <= CAST({_RS_EPS_U * _RS_EPS_U} AS HUGEINT) * ab2 END
+    GROUP BY 1, 2
+    """,
+)
+def traj_range_segments_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6's ``minDist(point, LineSegment)`` AT REFERENCE FIDELITY: the
+    2-D range probe over SEGMENT geometry — every segment of every
+    other trajectory within eps of ANY query-trajectory point, with the
+    per-segment count of qualifying query points. The reference indexes
+    LineSegments and answers circleRange with point-to-segment minDist
+    [P §3.2, §4.2]; the earlier range row (``traj_range_query_2d``)
+    probes POINTS — for sparsely-sampled trajectories the segment form
+    is strictly more faithful (a path passes near q even when no SAMPLE
+    does).
+
+    Exactness: the point-to-segment distance test is decided entirely
+    in integers on the micro-quantized plane (x = micro-days via
+    integer div, y = micro-value): projection parameter cases by
+    cross-multiplied dot products, interior distance by
+    cross^2 <= eps^2 * |AB|^2 in 128-bit/DECIMAL arithmetic — no sqrt,
+    no float, no boundary hazard. The quantization (<= 1.2e-5 days) is
+    part of the operator contract and identical on both engines.
+
+    Scale shape: segments scatter to the eps-cells of their x-extent,
+    query points probe their 3-cell x-neighborhood (lossless: a segment
+    within eps of q overlaps q's eps-cell neighborhood in x), the
+    candidate join is an equi-join on the cell key, and DISTINCT
+    collapses multi-cell hits before the exact predicate — the same
+    prune-then-refine discipline as every other range row."""
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    t0 = ev.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    p = (
+        t.user_points()
+        .join(F.broadcast(t0))
+        .select(
+            "user_id",
+            "seq",
+            F.expr("(unix_micros(ts) - t0) div 86400").alias("x"),
+            F.round(F.col("value") * 1e6).cast("bigint").alias("y"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("seq")
+    seg = (
+        p.where(F.col("user_id") != _RS_Q_USER)
+        .select(
+            "user_id",
+            "seq",
+            F.col("x").alias("x1"),
+            F.col("y").alias("y1"),
+            F.lead("x").over(w).alias("x2"),
+            F.lead("y").over(w).alias("y2"),
+        )
+        .filter(F.col("x2").isNotNull())
+        .withColumn(
+            "cx",
+            F.explode(
+                F.sequence(
+                    F.expr(f"x1 div {_RS_EPS_U}"),
+                    F.expr(f"x2 div {_RS_EPS_U}"),
+                )
+            ),
+        )
+    )
+    qp = (
+        p.where(F.col("user_id") == _RS_Q_USER)
+        .select(F.col("x").alias("qx"), F.col("y").alias("qy"))
+        .withColumn(
+            "cx",
+            F.explode(
+                F.sequence(
+                    F.expr(f"qx div {_RS_EPS_U} - 1"),
+                    F.expr(f"qx div {_RS_EPS_U} + 1"),
+                )
+            ),
+        )
+    )
+    cand = (
+        seg.join(F.broadcast(qp), "cx")
+        .select(
+            "user_id", "seq", "x1", "y1", "x2", "y2", "qx", "qy"
+        )
+        .distinct()
+    )
+    d = "decimal(38,0)"
+    dotp = (F.col("x2") - F.col("x1")) * (F.col("qx") - F.col("x1")) + (
+        F.col("y2") - F.col("y1")
+    ) * (F.col("qy") - F.col("y1"))
+    ab2 = (
+        ((F.col("x2") - F.col("x1")).cast(d) * (F.col("x2") - F.col("x1")))
+        + ((F.col("y2") - F.col("y1")).cast(d) * (F.col("y2") - F.col("y1")))
+    )
+    ap2 = (
+        ((F.col("qx") - F.col("x1")).cast(d) * (F.col("qx") - F.col("x1")))
+        + ((F.col("qy") - F.col("y1")).cast(d) * (F.col("qy") - F.col("y1")))
+    )
+    bp2 = (
+        ((F.col("qx") - F.col("x2")).cast(d) * (F.col("qx") - F.col("x2")))
+        + ((F.col("qy") - F.col("y2")).cast(d) * (F.col("qy") - F.col("y2")))
+    )
+    crs = ((F.col("x2") - F.col("x1")).cast(d) * (F.col("qy") - F.col("y1"))) - (
+        (F.col("y2") - F.col("y1")).cast(d) * (F.col("qx") - F.col("x1"))
+    )
+    e2 = F.lit(_RS_EPS_U * _RS_EPS_U).cast(d)
+    within = (
+        F.when((ab2 == 0) | (dotp <= 0), ap2 <= e2)
+        .when(dotp.cast(d) >= ab2, bp2 <= e2)
+        .otherwise(crs * crs <= e2 * ab2)
+    )
+    return (
+        cand.filter(within)
+        .groupBy("user_id", "seq")
+        .agg(F.count("*").alias("n_qpoints"))
+    )
