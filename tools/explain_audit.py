@@ -151,6 +151,7 @@ AUDIT = [
     "sim_knn_mrl",
     "graph_copurchase",
     "traj_range_segments_2d",
+    "traj_hausdorff_segments_pair_2d",
 ]
 
 

@@ -1639,3 +1639,175 @@ def traj_range_segments_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "seq")
         .agg(F.count("*").alias("n_qpoints"))
     )
+
+
+# --------------------------------------------------------------------------
+# traj_hausdorff_segments_pair_2d
+# --------------------------------------------------------------------------
+
+_HS2_A = 1  # the trajectory pair under comparison
+_HS2_B = 2
+
+
+@query(
+    "traj_hausdorff_segments_pair_2d",
+    oracle=f"""
+    WITH t0 AS (
+        SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0 FROM events
+    ),
+    p AS (
+        SELECT user_id,
+               (epoch_us(CAST(ts AS TIMESTAMP)) - (SELECT t0 FROM t0))
+                   // 86400 AS x,
+               CAST(ROUND(value * 1e6) AS BIGINT) AS y,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS seq
+        FROM events WHERE user_id IN ({_HS2_A}, {_HS2_B})
+    ),
+    s AS (
+        SELECT * FROM (
+            SELECT user_id, seq, x AS x1, y AS y1,
+                   LEAD(x) OVER (PARTITION BY user_id ORDER BY seq) AS x2,
+                   LEAD(y) OVER (PARTITION BY user_id ORDER BY seq) AS y2
+            FROM p
+        ) WHERE x2 IS NOT NULL
+    ),
+    d AS (
+        SELECT a.user_id AS pu, a.x AS qx, a.y AS qy,
+               CASE WHEN CAST((b.x2-b.x1) AS HUGEINT)*(b.x2-b.x1)
+                         + CAST((b.y2-b.y1) AS HUGEINT)*(b.y2-b.y1) = 0
+                     OR (b.x2-b.x1)*(a.x-b.x1)
+                        + (b.y2-b.y1)*(a.y-b.y1) <= 0
+                 THEN CAST(CAST((a.x-b.x1) AS HUGEINT)*(a.x-b.x1)
+                           + CAST((a.y-b.y1) AS HUGEINT)*(a.y-b.y1)
+                           AS DOUBLE)
+                 WHEN (b.x2-b.x1)*(a.x-b.x1) + (b.y2-b.y1)*(a.y-b.y1)
+                      >= CAST((b.x2-b.x1) AS HUGEINT)*(b.x2-b.x1)
+                         + CAST((b.y2-b.y1) AS HUGEINT)*(b.y2-b.y1)
+                 THEN CAST(CAST((a.x-b.x2) AS HUGEINT)*(a.x-b.x2)
+                           + CAST((a.y-b.y2) AS HUGEINT)*(a.y-b.y2)
+                           AS DOUBLE)
+                 ELSE CAST(CAST((b.x2-b.x1) AS HUGEINT)*(a.y-b.y1)
+                           - CAST((b.y2-b.y1) AS HUGEINT)*(a.x-b.x1)
+                           AS DOUBLE)
+                      * CAST(CAST((b.x2-b.x1) AS HUGEINT)*(a.y-b.y1)
+                             - CAST((b.y2-b.y1) AS HUGEINT)*(a.x-b.x1)
+                             AS DOUBLE)
+                      / CAST(CAST((b.x2-b.x1) AS HUGEINT)*(b.x2-b.x1)
+                             + CAST((b.y2-b.y1) AS HUGEINT)*(b.y2-b.y1)
+                             AS DOUBLE)
+                 END AS d2
+        FROM p a JOIN s b ON a.user_id <> b.user_id
+    ),
+    nn AS (SELECT pu, qx, qy, MIN(d2) AS nd FROM d GROUP BY 1, 2, 3),
+    h AS (SELECT pu, MAX(nd) AS h2 FROM nn GROUP BY 1)
+    SELECT ROUND(SQRT((SELECT h2 FROM h WHERE pu = {_HS2_A})) / 1e6, 6)
+               AS h_ab,
+           ROUND(SQRT((SELECT h2 FROM h WHERE pu = {_HS2_B})) / 1e6, 6)
+               AS h_ba,
+           ROUND(GREATEST(
+               SQRT((SELECT h2 FROM h WHERE pu = {_HS2_A})),
+               SQRT((SELECT h2 FROM h WHERE pu = {_HS2_B}))) / 1e6, 6)
+               AS hausdorff_seg
+    """,
+)
+def traj_hausdorff_segments_pair_2d(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R15 AT REFERENCE FIDELITY in 2-D: the segment-based Hausdorff
+    between two trajectories — every point of A measures its minDist to
+    the SEGMENTS of B (not B's samples), and vice versa; H = max of the
+    two directed maxima. For sparsely-sampled trajectories this is the
+    reference's actual semantic [P §3.2]: a point passing close to B's
+    PATH between two distant samples scores near-zero here but large in
+    the point-set Hausdorff (``traj_hausdorff_pair_2d``).
+
+    Exactness: every CASE branch of the point-to-segment distance is
+    chosen by integer comparisons (projection parameter cross-
+    multiplied); d² itself is either an exact 128-bit integer converted
+    once to double, or an exact-integer square divided by an exact-
+    integer length — both engines convert the SAME exact integers with
+    the same IEEE rounding, so the min/max lattice is bit-identical;
+    sqrt + /1e6 is the single display step.
+
+    Shape: a 2-trajectory probe — points x segments of the other side,
+    both tiny; at corpus scale the pairing sits behind the same grid
+    prune as every other 2-D row (this is the PAIR tier; the search
+    tiers reuse ``traj_range_segments_2d``'s cell scatter)."""
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    t0 = ev.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    p = (
+        t.user_points()
+        .where(F.col("user_id").isin(_HS2_A, _HS2_B))
+        .join(F.broadcast(t0))
+        .select(
+            "user_id",
+            "seq",
+            F.expr("(unix_micros(ts) - t0) div 86400").alias("x"),
+            F.round(F.col("value") * 1e6).cast("bigint").alias("y"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("seq")
+    seg = (
+        p.select(
+            F.col("user_id").alias("su"),
+            F.col("x").alias("x1"),
+            F.col("y").alias("y1"),
+            F.lead("x").over(w).alias("x2"),
+            F.lead("y").over(w).alias("y2"),
+        )
+        .filter(F.col("x2").isNotNull())
+    )
+    d = "decimal(38,0)"
+    pair = p.join(F.broadcast(seg), F.col("user_id") != F.col("su"))
+    ab2 = (
+        (F.col("x2") - F.col("x1")).cast(d) * (F.col("x2") - F.col("x1"))
+        + (F.col("y2") - F.col("y1")).cast(d) * (F.col("y2") - F.col("y1"))
+    )
+    dotp = (F.col("x2") - F.col("x1")) * (F.col("x") - F.col("x1")) + (
+        F.col("y2") - F.col("y1")
+    ) * (F.col("y") - F.col("y1"))
+    ap2 = (
+        (F.col("x") - F.col("x1")).cast(d) * (F.col("x") - F.col("x1"))
+        + (F.col("y") - F.col("y1")).cast(d) * (F.col("y") - F.col("y1"))
+    )
+    bp2 = (
+        (F.col("x") - F.col("x2")).cast(d) * (F.col("x") - F.col("x2"))
+        + (F.col("y") - F.col("y2")).cast(d) * (F.col("y") - F.col("y2"))
+    )
+    crs = (
+        (F.col("x2") - F.col("x1")).cast(d) * (F.col("y") - F.col("y1"))
+        - (F.col("y2") - F.col("y1")).cast(d) * (F.col("x") - F.col("x1"))
+    )
+    d2 = (
+        F.when(
+            (ab2 == 0) | (dotp <= 0), ap2.cast("double")
+        )
+        .when(dotp.cast(d) >= ab2, bp2.cast("double"))
+        .otherwise(
+            crs.cast("double") * crs.cast("double") / ab2.cast("double")
+        )
+    )
+    nn = (
+        pair.select("user_id", "x", "y", d2.alias("d2"))
+        .groupBy("user_id", "x", "y")
+        .agg(F.min("d2").alias("nd"))
+    )
+    h = nn.groupBy("user_id").agg(F.max("nd").alias("h2"))
+    ha = h.where(F.col("user_id") == _HS2_A).select(
+        F.col("h2").alias("h2a")
+    )
+    hb = h.where(F.col("user_id") == _HS2_B).select(
+        F.col("h2").alias("h2b")
+    )
+    return (
+        ha.join(F.broadcast(hb))
+        .select(
+            F.round(F.sqrt("h2a") / 1e6, 6).alias("h_ab"),
+            F.round(F.sqrt("h2b") / 1e6, 6).alias("h_ba"),
+            F.round(
+                F.greatest(F.sqrt("h2a"), F.sqrt("h2b")) / 1e6, 6
+            ).alias("hausdorff_seg"),
+        )
+    )
