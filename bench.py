@@ -67,6 +67,8 @@ HEADLINE = [
     "text_boilerplate",
     "traj_grid_dbscan",
     "stream_layout_ingest",
+    # segment geometry at reference fidelity (R6 point-to-segment)
+    "traj_range_segments_2d",
 ]
 
 
