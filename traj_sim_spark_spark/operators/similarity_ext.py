@@ -146,8 +146,8 @@ def sim_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _recall_oracle() -> str:
-    # ensure the composed-from module is registered even when this
-    # module is imported directly (outside registry.load_all order)
+    # invoked lazily by registry.load_all() AFTER every module is loaded,
+    # so importing similarity here does not register its keys mid-window
     from ..registry import ORACLES
     from . import similarity  # noqa: F401
 
@@ -163,7 +163,7 @@ def _recall_oracle() -> str:
     """
 
 
-@query("sim_ann_recall", oracle=_recall_oracle())
+@query("sim_ann_recall", oracle=_recall_oracle)
 def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation as a first-class query: recall@10 of the
     IVF-centroid path (``sim_knn_ivf_centroid``, nprobe=2) against the

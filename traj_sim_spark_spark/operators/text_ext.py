@@ -479,7 +479,7 @@ def _dedup_semantic_oracle() -> str:
     """
 
 
-@query("pipe_dedup_semantic", oracle=_dedup_semantic_oracle())
+@query("pipe_dedup_semantic", oracle=_dedup_semantic_oracle)
 def pipe_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC dedup end-to-end at the document level: near-duplicate
     pairs from the hyperplane-LSH-bucketed embedding cosine

@@ -20,20 +20,40 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+# Oracles registered as zero-arg callables (cross-module compositions that
+# reference another key's oracle SQL); resolved into ORACLES by load_all()
+# so the composed-FROM module need not be imported at decoration time —
+# which would otherwise steal slots in the driver's first-50 window.
+_LAZY_ORACLES: dict[str, Callable[[], str]] = {}
 
 # Registration order matters: the correctness driver samples the first 50
-# registered queries, so the families without a driver row last round
-# (trajectory / text / streaming / udfs / multimodal / extras) register
-# first this round; the relational core — fully driver-verified in round 1 —
-# cedes its slots.
+# registered queries.
 #
-# ROUND-3 ROTATION (do at round-3 start, SURVEY round-status note): move
-# the round-2 families — mining, text_ext, analytics, timeseries, graph,
-# similarity_ext, curation, series, extras2 — to the FRONT of _MODULES so
-# they take the driver's first-50 window; trajectory/text/streams/readers
-# /udfs/multimodal held it in round 2 and will then have driver rows from
-# both r1-local and r2.
+# ROUND-3 ROTATION (executed): mining(12) + graph(10) + extras2(13) +
+# similarity_ext(8) + series(4) = 47 keys take the front, leaving 3 window
+# slots for extras3 (new round-3 ops — the 2-D segment-Hausdorff searches
+# register first there). These families had only judge-gate greens in
+# round 2; extras2/graph also carry this round's scale fixes (copurchase
+# fanout cap, pHash band dispatch, PageRank broadcast dispatch), so the
+# driver re-verifies their hashes after the change.  similarity_ext's
+# cross-module oracle is now LAZY (registry._LAZY_ORACLES) so importing
+# it no longer drags similarity's 10 keys into the window.
+#
+# ROUND-4 ROTATION (do at round-4 start): text_ext(8), analytics(7),
+# timeseries(7), curation(7), sim_range_search, emb_layout_ivf,
+# setops tail (rel_intersect_all/rel_except_all), multimodal tail,
+# plus any extras3 keys past slot 50 — still no driver row.
 _MODULES = (
+    "traj_sim_spark_spark.operators.mining",
+    "traj_sim_spark_spark.operators.graph",
+    "traj_sim_spark_spark.operators.extras2",
+    "traj_sim_spark_spark.operators.similarity_ext",
+    "traj_sim_spark_spark.operators.series",
+    "traj_sim_spark_spark.operators.extras3",
+    "traj_sim_spark_spark.operators.text_ext",
+    "traj_sim_spark_spark.operators.analytics",
+    "traj_sim_spark_spark.operators.timeseries",
+    "traj_sim_spark_spark.operators.curation",
     "traj_sim_spark_spark.operators.trajectory",
     "traj_sim_spark_spark.operators.text",
     "traj_sim_spark_spark.streaming.streams",
@@ -53,28 +73,27 @@ _MODULES = (
     "traj_sim_spark_spark.operators.pipelines",
     "traj_sim_spark_spark.streaming.streams_ext",
     "traj_sim_spark_spark.sources.readers_ext",
-    "traj_sim_spark_spark.operators.mining",
-    "traj_sim_spark_spark.operators.text_ext",
-    "traj_sim_spark_spark.operators.analytics",
-    "traj_sim_spark_spark.operators.timeseries",
-    "traj_sim_spark_spark.operators.graph",
-    "traj_sim_spark_spark.operators.similarity_ext",
-    "traj_sim_spark_spark.operators.curation",
-    "traj_sim_spark_spark.operators.series",
-    "traj_sim_spark_spark.operators.extras2",
 )
 
 _loaded = False
 
 
-def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Decorator: register a query builder (and its DuckDB oracle SQL)."""
+def query(
+    key: str, oracle: str | Callable[[], str] | None = None
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query builder (and its DuckDB oracle SQL).
+
+    ``oracle`` may be a zero-arg callable returning the SQL; it is invoked
+    once after all modules are loaded (lazy — use for oracles composed
+    from ANOTHER module's registered oracle)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if key in QUERIES:
             raise ValueError(f"duplicate query key {key!r}")
         QUERIES[key] = fn
-        if oracle is not None:
+        if callable(oracle):
+            _LAZY_ORACLES[key] = oracle
+        elif oracle is not None:
             ORACLES[key] = oracle
         return fn
 
@@ -88,6 +107,9 @@ def load_all() -> None:
         return
     for mod in _MODULES:
         importlib.import_module(mod)
+    while _LAZY_ORACLES:
+        key, fn = _LAZY_ORACLES.popitem()
+        ORACLES[key] = fn()
     _loaded = True
 
 
