@@ -393,3 +393,159 @@ def test_dp_searches_match_duckdb_recursion(spark, sf_dir):
         )
         want = sorted(tuple(r) for r in con.execute(sql).fetchall())
         assert got == want, (key, got[:3], want[:3])
+
+def _pts_int_by_user(spark, sf_dir):
+    """Per-user integer micro-plane points (the segment family's
+    coordinate contract), collected from the engine's own quantizer so
+    the test exercises only the search logic."""
+    from traj_sim_spark_spark.operators.extras3 import _pts_int
+
+    rows = _pts_int(Tables(spark, sf_dir)).collect()
+    series: dict[int, list] = {}
+    for r in rows:
+        series.setdefault(r["user_id"], []).append((r["seq"], r["x"], r["y"]))
+    return {
+        u: [(x, y) for _, x, y in sorted(s)] for u, s in series.items()
+    }
+
+
+def _seg_d2_py(px, py, x1, y1, x2, y2):
+    """Exact point-to-segment squared distance, Python-int cases with
+    the identical single float step as both engines."""
+    abx, aby = x2 - x1, y2 - y1
+    ab2 = abx * abx + aby * aby
+    dotp = abx * (px - x1) + aby * (py - y1)
+    if ab2 == 0 or dotp <= 0:
+        return float((px - x1) ** 2 + (py - y1) ** 2)
+    if dotp >= ab2:
+        return float((px - x2) ** 2 + (py - y2) ** 2)
+    crs = abx * (py - y1) - aby * (px - x1)
+    return float(crs) * float(crs) / float(ab2)
+
+
+def _hseg_brute(series, q_user=1):
+    """Per-user segment-Hausdorff to the query user (squared, micro²)."""
+    import math
+
+    q = series[q_user]
+    qsegs = list(zip(q, q[1:]))
+    out = {}
+    for u, pts in series.items():
+        if u == q_user or len(pts) < 2:
+            continue
+        segs = list(zip(pts, pts[1:]))
+        h1 = max(
+            min(_seg_d2_py(px, py, a[0], a[1], b[0], b[1]) for a, b in segs)
+            for px, py in q
+        )
+        h2 = max(
+            min(_seg_d2_py(px, py, a[0], a[1], b[0], b[1]) for a, b in qsegs)
+            for px, py in pts
+        )
+        out[u] = max(h1, h2)
+    return out
+
+
+def test_segment_knn_2d_pruned_is_exact(spark, sf_dir, monkeypatch):
+    """The lb-pruned two-phase 2-D segment-Hausdorff kNN must equal the
+    brute-force top-k (the y-interval sort-merge lower bound is a true
+    projection bound, ergo lossless). Env knob forces the pruned branch
+    the fixture corpus is too small to engage."""
+    import math
+
+    monkeypatch.setenv("SPARK_GRAFT_SEGKNN2D_PRUNE_MIN_EVENTS", "0")
+    h = _hseg_brute(_pts_int_by_user(spark, sf_dir))
+    brute = sorted((h2, u) for u, h2 in h.items())[:10]
+    brute = [(u, round(math.sqrt(h2) / 1e6, 6)) for h2, u in brute]
+    got = [
+        (r["user_id"], r["hseg_2d"])
+        for r in registry.QUERIES["traj_hausdorff_segments_knn_2d"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert got == brute, f"pruned != brute force:\n{got}\n{brute}"
+
+
+def test_segment_knn_2d_single_pass_is_exact(spark, sf_dir, monkeypatch):
+    """The single-pass dispatcher branch must return the same top-k."""
+    import math
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_SEGKNN2D_PRUNE_MIN_EVENTS", "1000000000"
+    )
+    h = _hseg_brute(_pts_int_by_user(spark, sf_dir))
+    brute = sorted((h2, u) for u, h2 in h.items())[:10]
+    brute = [(u, round(math.sqrt(h2) / 1e6, 6)) for h2, u in brute]
+    got = [
+        (r["user_id"], r["hseg_2d"])
+        for r in registry.QUERIES["traj_hausdorff_segments_knn_2d"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert got == brute
+
+
+def test_segment_threshold_2d_matches_int_brute(spark, sf_dir):
+    """The broadcast threshold search must return exactly the users
+    whose segment-Hausdorff is <= tau, decided by ARBITRARY-PRECISION
+    integer arithmetic in Python — an engine-independent exactness
+    check with no float anywhere."""
+    from traj_sim_spark_spark.operators.extras3 import _SK_TAU_U
+
+    def within(px, py, x1, y1, x2, y2, tau):
+        abx, aby = x2 - x1, y2 - y1
+        ab2 = abx * abx + aby * aby
+        dotp = abx * (px - x1) + aby * (py - y1)
+        if ab2 == 0 or dotp <= 0:
+            return (px - x1) ** 2 + (py - y1) ** 2 <= tau * tau
+        if dotp >= ab2:
+            return (px - x2) ** 2 + (py - y2) ** 2 <= tau * tau
+        crs = abx * (py - y1) - aby * (px - x1)
+        return crs * crs <= tau * tau * ab2
+
+    series = _pts_int_by_user(spark, sf_dir)
+    q = series[1]
+    qsegs = list(zip(q, q[1:]))
+    brute = []
+    for u, pts in series.items():
+        if u == 1 or len(pts) < 2:
+            continue
+        segs = list(zip(pts, pts[1:]))
+        d1 = all(
+            any(
+                within(px, py, a[0], a[1], b[0], b[1], _SK_TAU_U)
+                for a, b in segs
+            )
+            for px, py in q
+        )
+        d2 = d1 and all(
+            any(
+                within(px, py, a[0], a[1], b[0], b[1], _SK_TAU_U)
+                for a, b in qsegs
+            )
+            for px, py in pts
+        )
+        if d1 and d2:
+            brute.append(u)
+    got = sorted(
+        r["user_id"]
+        for r in registry.QUERIES["traj_hausdorff_segments_threshold_2d"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert got == sorted(brute), f"threshold != int brute:\n{got}\n{brute}"
+
+
+def test_segment_lb_is_lower_bound(spark, sf_dir):
+    """The sort-merge y-interval lower bound must never exceed the true
+    segment-Hausdorff (soundness of the prune) for ANY user."""
+    from traj_sim_spark_spark.operators.extras3 import _hseg_lb
+
+    h = _hseg_brute(_pts_int_by_user(spark, sf_dir))
+    lbs = {
+        r["user_id"]: r["lb"]
+        for r in _hseg_lb(Tables(spark, sf_dir)).collect()
+    }
+    for u, h2 in h.items():
+        lb = lbs[u]
+        assert float(lb) * float(lb) <= h2 + 1e-9, (u, lb, h2)

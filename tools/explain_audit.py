@@ -152,6 +152,8 @@ AUDIT = [
     "graph_copurchase",
     "traj_range_segments_2d",
     "traj_hausdorff_segments_pair_2d",
+    "traj_hausdorff_segments_knn_2d",
+    "traj_hausdorff_segments_threshold_2d",
 ]
 
 

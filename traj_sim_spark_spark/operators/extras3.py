@@ -1,15 +1,552 @@
-"""Round-3 operators: 2-D segment-geometry search tier.
+"""Round-3 operators: the 2-D segment-geometry SEARCH tier.
 
 The reference's flagship query family is similarity SEARCH over segment
 geometry (DFT, Xie/Li/Phillips PVLDB 2017 §4-5): kNN and threshold
 search under the segment-based Hausdorff distance in the plane.  Round 2
-landed the building blocks — the eps-cell scatter range query
+landed the building blocks — the eps-cell scatter range probe
 (``traj_range_segments_2d``, extras2.py) and the integer point-to-segment
-kernel (``traj_hausdorff_segments_pair_2d``, extras2.py) — this module
-composes them into the search tier.
+kernel (``traj_hausdorff_segments_pair_2d``, extras2.py); this module
+composes them into the search tier, completing the {pair, range, kNN,
+threshold} matrix at point-to-SEGMENT fidelity (SURVEY §2.1 R6/R15).
+
+Exactness discipline (house rules): the plane is micro-quantized
+(x = micro-days by integer div, y = micro-value), the threshold search
+decides membership ENTIRELY in integer/DECIMAL(38,0) arithmetic (no
+float anywhere), and the kNN's d² values are either exact 128-bit
+integers converted once to double or an exact-integer square divided by
+an exact-integer length — both engines convert the SAME integers with
+the same IEEE rounding, so min/max/top-k lattices are bit-identical
+(the argument proven by ``traj_hausdorff_segments_pair_2d``'s hash
+match).  sqrt + /1e6 + ROUND(,6) is the single display step.
 
 Registered FIRST in ``registry._MODULES``'s round-3 window tail so the
 new ops get driver correctness rows.
 """
 
 from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+
+_SK_Q = 1  # query trajectory
+_SK_TAU_U = 25_000_000  # threshold tau: 25.0 value-units in micro-units
+_SK_K = 10
+_SK_C = 3  # candidate over-fetch factor (c*k), as in [P §5]
+
+_DEC = "decimal(38,0)"
+
+# ---------------------------------------------------------------------------
+# shared geometry: micro-quantized points / segments and the exact
+# point-to-segment kernel (same arithmetic as extras2's pair/range rows)
+# ---------------------------------------------------------------------------
+
+_SQL_PTS = """
+    WITH t0 AS (
+        SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0 FROM events
+    ),
+    p AS (
+        SELECT user_id,
+               (epoch_us(CAST(ts AS TIMESTAMP)) - (SELECT t0 FROM t0))
+                   // 86400 AS x,
+               CAST(ROUND(value * 1e6) AS BIGINT) AS y,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS seq
+        FROM events
+    ),
+    s AS (
+        SELECT * FROM (
+            SELECT user_id, seq, x AS x1, y AS y1,
+                   LEAD(x) OVER (PARTITION BY user_id ORDER BY seq) AS x2,
+                   LEAD(y) OVER (PARTITION BY user_id ORDER BY seq) AS y2
+            FROM p
+        ) WHERE x2 IS NOT NULL
+    )
+"""
+
+# DuckDB exact point(a.x,a.y)-to-segment(b.*) squared distance (double) —
+# identical expression order to extras2's pair oracle.
+_SQL_D2 = """
+    CASE WHEN CAST((b.x2-b.x1) AS HUGEINT)*(b.x2-b.x1)
+              + CAST((b.y2-b.y1) AS HUGEINT)*(b.y2-b.y1) = 0
+           OR (b.x2-b.x1)*(a.x-b.x1) + (b.y2-b.y1)*(a.y-b.y1) <= 0
+      THEN CAST(CAST((a.x-b.x1) AS HUGEINT)*(a.x-b.x1)
+                + CAST((a.y-b.y1) AS HUGEINT)*(a.y-b.y1) AS DOUBLE)
+      WHEN (b.x2-b.x1)*(a.x-b.x1) + (b.y2-b.y1)*(a.y-b.y1)
+           >= CAST((b.x2-b.x1) AS HUGEINT)*(b.x2-b.x1)
+              + CAST((b.y2-b.y1) AS HUGEINT)*(b.y2-b.y1)
+      THEN CAST(CAST((a.x-b.x2) AS HUGEINT)*(a.x-b.x2)
+                + CAST((a.y-b.y2) AS HUGEINT)*(a.y-b.y2) AS DOUBLE)
+      ELSE CAST(CAST((b.x2-b.x1) AS HUGEINT)*(a.y-b.y1)
+                - CAST((b.y2-b.y1) AS HUGEINT)*(a.x-b.x1) AS DOUBLE)
+           * CAST(CAST((b.x2-b.x1) AS HUGEINT)*(a.y-b.y1)
+                  - CAST((b.y2-b.y1) AS HUGEINT)*(a.x-b.x1) AS DOUBLE)
+           / CAST(CAST((b.x2-b.x1) AS HUGEINT)*(b.x2-b.x1)
+                  + CAST((b.y2-b.y1) AS HUGEINT)*(b.y2-b.y1) AS DOUBLE)
+      END
+"""
+
+# DuckDB integer membership: point within tau of segment (no float).
+_SQL_WITHIN = f"""
+    CASE WHEN CAST((b.x2-b.x1) AS HUGEINT)*(b.x2-b.x1)
+              + CAST((b.y2-b.y1) AS HUGEINT)*(b.y2-b.y1) = 0
+           OR (b.x2-b.x1)*(a.x-b.x1) + (b.y2-b.y1)*(a.y-b.y1) <= 0
+      THEN CAST((a.x-b.x1) AS HUGEINT)*(a.x-b.x1)
+           + CAST((a.y-b.y1) AS HUGEINT)*(a.y-b.y1)
+           <= {_SK_TAU_U} * CAST({_SK_TAU_U} AS HUGEINT)
+      WHEN (b.x2-b.x1)*(a.x-b.x1) + (b.y2-b.y1)*(a.y-b.y1)
+           >= CAST((b.x2-b.x1) AS HUGEINT)*(b.x2-b.x1)
+              + CAST((b.y2-b.y1) AS HUGEINT)*(b.y2-b.y1)
+      THEN CAST((a.x-b.x2) AS HUGEINT)*(a.x-b.x2)
+           + CAST((a.y-b.y2) AS HUGEINT)*(a.y-b.y2)
+           <= {_SK_TAU_U} * CAST({_SK_TAU_U} AS HUGEINT)
+      ELSE (CAST((b.x2-b.x1) AS HUGEINT)*(a.y-b.y1)
+            - CAST((b.y2-b.y1) AS HUGEINT)*(a.x-b.x1))
+           * (CAST((b.x2-b.x1) AS HUGEINT)*(a.y-b.y1)
+              - CAST((b.y2-b.y1) AS HUGEINT)*(a.x-b.x1))
+           <= ({_SK_TAU_U} * CAST({_SK_TAU_U} AS HUGEINT))
+              * (CAST((b.x2-b.x1) AS HUGEINT)*(b.x2-b.x1)
+                 + CAST((b.y2-b.y1) AS HUGEINT)*(b.y2-b.y1))
+      END
+"""
+
+
+def _pts_int(t: Tables) -> DataFrame:
+    """(user_id, seq, x, y) on the micro-quantized (day, value) plane —
+    the segment family's shared coordinate contract (extras2 pair/range
+    rows use the identical expressions)."""
+    ev = t.events
+    t0 = ev.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    return (
+        t.user_points()
+        .join(F.broadcast(t0))
+        .select(
+            "user_id",
+            "seq",
+            F.expr("(unix_micros(ts) - t0) div 86400").alias("x"),
+            F.round(F.col("value") * 1e6).cast("bigint").alias("y"),
+        )
+    )
+
+
+def _segs_int(p: DataFrame) -> DataFrame:
+    """(user_id, seq, x1, y1, x2, y2): consecutive-sample segments."""
+    w = W.partitionBy("user_id").orderBy("seq")
+    return (
+        p.select(
+            "user_id",
+            "seq",
+            F.col("x").alias("x1"),
+            F.col("y").alias("y1"),
+            F.lead("x").over(w).alias("x2"),
+            F.lead("y").over(w).alias("y2"),
+        )
+        .filter(F.col("x2").isNotNull())
+    )
+
+
+def _seg_cases(
+    px: Column, py: Column
+) -> tuple[Column, Column, Column, Column, Column, Column]:
+    """The exact kernel's building blocks for point (px,py) against the
+    segment columns (x1,y1,x2,y2) of the current row: (ab2, dotp, ap2,
+    bp2, crs) in DECIMAL(38,0) plus the degenerate/endpoint case
+    selector — shared by the d² (kNN) and within-tau (threshold)
+    forms."""
+    x1, y1, x2, y2 = F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")
+    ab2 = (x2 - x1).cast(_DEC) * (x2 - x1) + (y2 - y1).cast(_DEC) * (y2 - y1)
+    dotp = (x2 - x1) * (px - x1) + (y2 - y1) * (py - y1)
+    ap2 = (px - x1).cast(_DEC) * (px - x1) + (py - y1).cast(_DEC) * (py - y1)
+    bp2 = (px - x2).cast(_DEC) * (px - x2) + (py - y2).cast(_DEC) * (py - y2)
+    crs = (x2 - x1).cast(_DEC) * (py - y1) - (y2 - y1).cast(_DEC) * (px - x1)
+    at_a = (ab2 == 0) | (dotp <= 0)
+    return ab2, dotp, ap2, bp2, crs, at_a
+
+
+def _seg_d2(px: Column, py: Column) -> Column:
+    """Exact squared point-to-segment distance as DOUBLE (identical
+    operation order to the pair row / the DuckDB ``_SQL_D2``)."""
+    ab2, dotp, ap2, bp2, crs, at_a = _seg_cases(px, py)
+    return (
+        F.when(at_a, ap2.cast("double"))
+        .when(dotp.cast(_DEC) >= ab2, bp2.cast("double"))
+        .otherwise(crs.cast("double") * crs.cast("double") / ab2.cast("double"))
+    )
+
+
+def _seg_within(px: Column, py: Column, tau_u: int) -> Column:
+    """Integer-exact membership: point within tau of the segment."""
+    ab2, dotp, ap2, bp2, crs, at_a = _seg_cases(px, py)
+    t2 = F.lit(tau_u).cast(_DEC) * F.lit(tau_u)
+    return (
+        F.when(at_a, ap2 <= t2)
+        .when(dotp.cast(_DEC) >= ab2, bp2 <= t2)
+        .otherwise(crs * crs <= t2 * ab2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# traj_hausdorff_segments_threshold_2d
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "traj_hausdorff_segments_threshold_2d",
+    oracle=f"""
+    {_SQL_PTS},
+    qp AS (SELECT x, y, seq FROM p WHERE user_id = {_SK_Q}),
+    qs AS (SELECT * FROM s WHERE user_id = {_SK_Q}),
+    cov AS (
+        SELECT b.user_id, CAST(COUNT(DISTINCT a.seq) AS BIGINT) AS n_cov
+        FROM qp a JOIN s b ON b.user_id <> {_SK_Q} AND ({_SQL_WITHIN})
+        GROUP BY 1
+    ),
+    bad AS (
+        SELECT DISTINCT a.user_id FROM p a
+        WHERE a.user_id <> {_SK_Q}
+          AND NOT EXISTS (SELECT 1 FROM qs b WHERE {_SQL_WITHIN})
+    )
+    SELECT cov.user_id FROM cov
+    WHERE cov.n_cov = (SELECT COUNT(*) FROM qp)
+      AND cov.user_id NOT IN (SELECT user_id FROM bad)
+    """,
+)
+def traj_hausdorff_segments_threshold_2d(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Threshold SEARCH under the 2-D segment-based Hausdorff distance
+    [P §4.4]: every trajectory U with H_seg(Q, U) <= tau, where each
+    point of Q must lie within tau of U's PATH (its segments, not its
+    samples) and vice versa.
+
+    The search never materializes a distance: H_seg <= tau iff every
+    point of one side has SOME segment of the other side within tau, so
+    membership is decided per (point, segment) by the integer-exact
+    kernel (projection cases by cross-multiplied dot products, interior
+    by crs^2 <= tau^2 * |AB|^2 in DECIMAL(38,0)) — no float anywhere,
+    the discipline that makes the oracle hash-match at every SF.
+
+    Plan shape (the 100 TB story): both directions are BROADCAST joins
+    of the bounded query trajectory (66 points / 65 segments) against
+    the corpus — direction 1 probes corpus segments with Q's points,
+    direction 2 anti-joins corpus points against Q's segments; the
+    predicate is pushed into the join condition so non-matches never
+    materialize, work is O(|corpus| * |Q|) with zero shuffle beyond the
+    two per-user aggregations, and direction 2 runs only on direction
+    1's survivors (semi-join pushdown).  Cites reference semantics
+    SURVEY §2.1 R6/R15.
+    """
+    t = Tables(spark, sf_dir)
+    p = _pts_int(t)
+    qp = (
+        p.where(F.col("user_id") == _SK_Q)
+        .select(F.col("seq").alias("qseq"), F.col("x").alias("qx"),
+                F.col("y").alias("qy"))
+    )
+    qs = (
+        _segs_int(p.where(F.col("user_id") == _SK_Q))
+        .select("x1", "y1", "x2", "y2")
+    )
+    n_q = qp.count()
+    segs = _segs_int(p.where(F.col("user_id") != _SK_Q))
+    cov = (
+        segs.join(
+            F.broadcast(qp),
+            _seg_within(F.col("qx"), F.col("qy"), _SK_TAU_U),
+        )
+        .select("user_id", "qseq")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_cov"))
+        .filter(F.col("n_cov") == n_q)
+        .select("user_id")
+    )
+    pts = p.where(F.col("user_id") != _SK_Q).join(
+        F.broadcast(cov), "user_id", "left_semi"
+    )
+    uncovered = pts.join(
+        F.broadcast(qs),
+        _seg_within(F.col("x"), F.col("y"), _SK_TAU_U),
+        "left_anti",
+    ).select("user_id").distinct()
+    return cov.join(uncovered, "user_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# traj_hausdorff_segments_knn_2d
+# ---------------------------------------------------------------------------
+
+
+def _hseg_per_user(t: Tables, ids: DataFrame | None = None) -> DataFrame:
+    """Per-user squared segment-Hausdorff to the query trajectory:
+    (user_id, h2) with h2 = max of both directed max-min d² (double,
+    micro² units).  ``ids`` restricts the exact work to candidate users
+    (semi-join pushed below the distance joins) so the lb prune can gate
+    it.  Users with fewer than 2 points have no segments and are
+    excluded (no path to measure against — mirrored by the oracle's
+    inner join)."""
+    p = _pts_int(t)
+    qp = (
+        p.where(F.col("user_id") == _SK_Q)
+        .select(F.col("seq").alias("qseq"), F.col("x").alias("qx"),
+                F.col("y").alias("qy"))
+    )
+    qs = (
+        _segs_int(p.where(F.col("user_id") == _SK_Q))
+        .select("x1", "y1", "x2", "y2")
+    )
+    pts = p.where(F.col("user_id") != _SK_Q)
+    if ids is not None:
+        pts = pts.join(F.broadcast(ids.select("user_id")), "user_id",
+                       "left_semi")
+    segs = _segs_int(pts)
+    h1 = (
+        segs.join(F.broadcast(qp))
+        .select(
+            "user_id", "qseq",
+            _seg_d2(F.col("qx"), F.col("qy")).alias("d2"),
+        )
+        .groupBy("user_id", "qseq")
+        .agg(F.min("d2").alias("nd"))
+        .groupBy("user_id")
+        .agg(F.max("nd").alias("h1"))
+    )
+    h2 = (
+        pts.join(F.broadcast(qs))
+        .select(
+            "user_id", "seq",
+            _seg_d2(F.col("x"), F.col("y")).alias("d2"),
+        )
+        .groupBy("user_id", "seq")
+        .agg(F.min("d2").alias("nd"))
+        .groupBy("user_id")
+        .agg(F.max("nd").alias("h2d"))
+    )
+    return h1.join(h2, "user_id").select(
+        "user_id", F.greatest("h1", "h2d").alias("h2")
+    )
+
+
+_BIG = 1 << 62
+
+
+def _hseg_lb(t: Tables) -> DataFrame:
+    """Per-user INTEGER lower bound of the 2-D segment-Hausdorff to the
+    query user, by one sort-merge window pass on the y (micro-value)
+    axis — no pair join.
+
+    Projection bound: d_2D(point, seg) >= dist_y(p_y, yspan(seg)), so
+    the 1-D SEGMENT Hausdorff on y lower-bounds the 2-D one.  On a
+    polyline the interval endpoints ARE the sample values, so the 1-D
+    segment distance equals the 1-D point distance ZEROED when the
+    marker falls inside some other-side interval — computed by merging,
+    per user, both sides' point-markers and interval open/close events
+    into one y-sorted stream: flanking other-side markers give the
+    point distance (the ``_hausdorff_lb`` trick, trajectory.py), a
+    running open-interval counter decides coverage.  All integer.
+    O((E + U*|Q|) log) work, one shuffle on user_id."""
+    p = _pts_int(t)
+    qp = p.where(F.col("user_id") == _SK_Q)
+    pts = p.where(F.col("user_id") != _SK_Q)
+    users = pts.select("user_id").distinct()
+
+    def events_of(src: DataFrame, side: int, per_user: bool) -> DataFrame:
+        """marker + interval open/close rows for one side's points.
+        kind: 0=open, 1=marker, 2=close; delta tracks open intervals."""
+        w = W.partitionBy("user_id").orderBy("seq")
+        lo = F.least(F.col("y"), F.lead("y").over(w))
+        hi = F.greatest(F.col("y"), F.lead("y").over(w))
+        base = src.select(
+            "user_id", "seq", "y", lo.alias("lo"), hi.alias("hi")
+        )
+        marker = base.select(
+            "user_id", F.col("y").alias("pos"),
+            F.lit(1).alias("kind"), F.lit(side).alias("side"),
+            F.lit(0).alias("delta"),
+        )
+        opens = base.filter(F.col("lo").isNotNull()).select(
+            "user_id", F.col("lo").alias("pos"),
+            F.lit(0).alias("kind"), F.lit(side).alias("side"),
+            F.lit(1).alias("delta"),
+        )
+        closes = base.filter(F.col("hi").isNotNull()).select(
+            "user_id", F.col("hi").alias("pos"),
+            F.lit(2).alias("kind"), F.lit(side).alias("side"),
+            F.lit(-1).alias("delta"),
+        )
+        out = marker.unionByName(opens).unionByName(closes)
+        if not per_user:
+            # replicate the (bounded) query-side rows into every
+            # corpus user's partition
+            out = users.join(F.broadcast(out.drop("user_id")))
+        return out
+
+    stream = events_of(pts, 0, True).unionByName(events_of(qp, 1, False))
+    # order: opens before markers before closes at equal y, so a marker
+    # exactly on an interval boundary counts as covered (distance 0 —
+    # consistent with the flanking-point distance, which is also 0
+    # there); side is a final determinism tiebreak.
+    w_ord = W.partitionBy("user_id").orderBy("pos", "kind", "side")
+    w_prev = w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_next = w_ord.rowsBetween(W.currentRow, W.unboundedFollowing)
+    # frame aggregates see frame rows, not the current row, so compute
+    # per-side running state and select by the current row's side
+    open_1 = F.sum(
+        F.when(F.col("side") == 1, F.col("delta")).otherwise(0)
+    ).over(w_prev)
+    open_0 = F.sum(
+        F.when(F.col("side") == 0, F.col("delta")).otherwise(0)
+    ).over(w_prev)
+
+    def marker_pos(side: int) -> Column:
+        return F.when(
+            (F.col("kind") == 1) & (F.col("side") == side), F.col("pos")
+        )
+
+    prev_m0 = F.last(marker_pos(0), True).over(w_prev)
+    next_m0 = F.first(marker_pos(0), True).over(w_next)
+    prev_m1 = F.last(marker_pos(1), True).over(w_prev)
+    next_m1 = F.first(marker_pos(1), True).over(w_next)
+    covered = F.when(F.col("side") == 0, open_1 > 0).otherwise(open_0 > 0)
+    flank = F.when(
+        F.col("side") == 0,
+        F.least(
+            F.coalesce(F.col("pos") - prev_m1, F.lit(_BIG)),
+            F.coalesce(next_m1 - F.col("pos"), F.lit(_BIG)),
+        ),
+    ).otherwise(
+        F.least(
+            F.coalesce(F.col("pos") - prev_m0, F.lit(_BIG)),
+            F.coalesce(next_m0 - F.col("pos"), F.lit(_BIG)),
+        )
+    )
+    d = F.when(covered, F.lit(0)).otherwise(flank)
+    markers = stream.withColumn("d", d).filter(F.col("kind") == 1)
+    return markers.groupBy("user_id").agg(
+        F.greatest(
+            F.max(F.when(F.col("side") == 1, F.col("d"))),
+            F.max(F.when(F.col("side") == 0, F.col("d"))),
+        ).alias("lb")
+    )
+
+
+@query(
+    "traj_hausdorff_segments_knn_2d",
+    oracle=f"""
+    {_SQL_PTS},
+    qp AS (SELECT x, y, seq FROM p WHERE user_id = {_SK_Q}),
+    qs AS (SELECT * FROM s WHERE user_id = {_SK_Q}),
+    d1 AS (
+        SELECT b.user_id, a.seq, MIN({_SQL_D2}) AS nd
+        FROM qp a JOIN s b ON b.user_id <> {_SK_Q} GROUP BY 1, 2
+    ),
+    h1 AS (SELECT user_id, MAX(nd) AS h FROM d1 GROUP BY 1),
+    d2 AS (
+        SELECT a.user_id, a.seq, MIN({_SQL_D2}) AS nd
+        FROM (SELECT * FROM p WHERE user_id <> {_SK_Q}) a
+        JOIN qs b ON TRUE GROUP BY 1, 2
+    ),
+    h2 AS (SELECT user_id, MAX(nd) AS h FROM d2 GROUP BY 1)
+    SELECT h1.user_id,
+           ROUND(SQRT(GREATEST(h1.h, h2.h)) / 1e6, 6) AS hseg_2d
+    FROM h1 JOIN h2 ON h1.user_id = h2.user_id
+    ORDER BY GREATEST(h1.h, h2.h), h1.user_id
+    LIMIT {_SK_K}
+    """,
+)
+def traj_hausdorff_segments_knn_2d(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """kNN SEARCH under the 2-D segment-based Hausdorff distance — the
+    reference's flagship query at full fidelity [P §5]: the k corpus
+    trajectories whose PATHS (segments, not samples) are closest to the
+    query trajectory under H_seg = max of both directed max-min
+    point-to-segment distances.
+
+    Two-phase with a cost-based dispatch (the house pattern,
+    trajectory.py ``traj_hausdorff_knn_2d``):
+
+    - below ``SPARK_GRAFT_SEGKNN2D_PRUNE_MIN_EVENTS`` (default 200k)
+      events, the single-pass engine: both directions as broadcast
+      joins of the bounded query side, grouped minima, top-k — one scan,
+      no prune overhead;
+    - above it: (1) an INTEGER 1-D lower bound per user from one
+      sort-merge window pass on the y axis (``_hseg_lb`` — interval
+      coverage zeroes the point-flank distance, so it soundly bounds
+      the SEGMENT distance, which the point-based lb does not); the
+      best c*k candidates get exact H_seg and their k-th value sets
+      tau_k; (2) survivors with lb² <= tau_k get the exact engine;
+      union, global top-k.  One scalar (tau_k) crosses to the driver.
+
+    Exactness: d² doubles are produced from exact integers in identical
+    operation order on both engines (pair-row argument), so the top-k
+    set and the 6-decimal display hash-match.  Both branches pinned
+    equal in pytest (single == pruned == DuckDB brute force)."""
+    t = Tables(spark, sf_dir)
+    cutoff = int(
+        os.environ.get("SPARK_GRAFT_SEGKNN2D_PRUNE_MIN_EVENTS", "200000")
+    )
+    from .trajectory import _events_count
+
+    if _events_count(t, sf_dir) < cutoff:
+        return _segknn_single(t)
+    return _segknn_pruned(t)
+
+
+def _segknn_out(h: DataFrame) -> DataFrame:
+    return (
+        h.orderBy("h2", "user_id")
+        .limit(_SK_K)
+        .select(
+            "user_id",
+            F.round(F.sqrt("h2") / 1e6, 6).alias("hseg_2d"),
+        )
+    )
+
+
+def _segknn_single(t: Tables) -> DataFrame:
+    return _segknn_out(_hseg_per_user(t))
+
+
+def _segknn_pruned(t: Tables) -> DataFrame:
+    lb = _hseg_lb(t).persist()
+    cand_ids = (
+        lb.orderBy("lb", "user_id").limit(_SK_C * _SK_K).select("user_id")
+    )
+    first = _hseg_per_user(t, ids=cand_ids).persist()
+    n_first = first.count()
+    tau_row = first.orderBy("h2").limit(_SK_K).agg(
+        F.max("h2").alias("tau")
+    ).head()
+    tau = tau_row[0] if tau_row else None
+    if tau is None:  # no corpus user besides the query user
+        out = _segknn_out(first).localCheckpoint()
+        first.unpersist()
+        lb.unpersist()
+        return out
+    if n_first < _SK_K:
+        # fewer than k candidates had exact values (e.g. single-point
+        # users in the shortlist): tau would UNDER-estimate the k-th
+        # distance and the prune would be lossy — refine everything.
+        rest_ids = (
+            lb.select("user_id")
+            .join(F.broadcast(cand_ids), "user_id", "left_anti")
+        )
+    else:
+        rest_ids = (
+            lb.filter(
+                F.col("lb").cast("double") * F.col("lb") <= F.lit(tau)
+            )
+            .select("user_id")
+            .join(F.broadcast(cand_ids), "user_id", "left_anti")
+        )
+    rest = _hseg_per_user(t, ids=rest_ids)
+    out = _segknn_out(first.unionByName(rest)).localCheckpoint()
+    first.unpersist()
+    lb.unpersist()
+    return out
