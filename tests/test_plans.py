@@ -239,3 +239,52 @@ def test_stream_layout_ingest_read_prunes_band_partitions(spark, sf_dir):
     plan = explain.physical_plan(df)
     assert "PartitionFilters" in plan and "band" in plan, plan
     assert "PartitionFilters: []" not in plan, plan
+
+
+def test_pagerank_dispatch_broadcast_vs_shuffle(spark, sf_dir, monkeypatch):
+    """The PageRank rank-table join must be cost-dispatched: broadcast
+    hint below the node threshold (map-side Jacobi step), NO broadcast
+    hint above it (src-keyed shuffle join survives where a forced
+    broadcast would OOM at hundreds of millions of nodes). Both
+    branches must produce identical fixed-point bits."""
+    got_b = registry.QUERIES["graph_pagerank"](spark, sf_dir).collect()
+    monkeypatch.setenv("SPARK_GRAFT_PR_BCAST_MAX_NODES", "0")
+    got_s = registry.QUERIES["graph_pagerank"](spark, sf_dir).collect()
+    assert [tuple(r) for r in got_b] == [tuple(r) for r in got_s]
+
+
+def test_segment_knn_2d_pruned_plan_is_gated(spark, sf_dir, monkeypatch):
+    """The pruned branch of the 2-D segment-Hausdorff kNN must gate the
+    exact distance joins behind the candidate semi-join, and the exact
+    engine must broadcast the bounded query side (no unhinted shuffle
+    of the corpus against 66 rows)."""
+    monkeypatch.setenv("SPARK_GRAFT_SEGKNN2D_PRUNE_MIN_EVENTS", "0")
+    from traj_sim_spark_spark.operators.extras3 import (
+        _hseg_lb,
+        _hseg_per_user,
+    )
+    from traj_sim_spark_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    ids = _hseg_lb(t).select("user_id").limit(5)
+    df = _hseg_per_user(t, ids=ids)
+    plan = explain.physical_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        plan
+    )
+    out = registry.QUERIES["traj_hausdorff_segments_knn_2d"](spark, sf_dir)
+    assert out.count() == 10
+
+
+def test_segment_threshold_2d_predicate_in_join(spark, sf_dir):
+    """The segment threshold search must push the within-tau predicate
+    into the broadcast join condition (non-matches never materialize)
+    and carry the direction-2 anti-join."""
+    df = registry.QUERIES["traj_hausdorff_segments_threshold_2d"](
+        spark, sf_dir
+    )
+    plan = explain.physical_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan

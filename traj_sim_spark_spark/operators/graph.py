@@ -20,6 +20,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -226,30 +228,45 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
-        deg = edges.groupBy(F.col("src").alias("node")).agg(
-            F.count("*").alias("d")
+        deg = (
+            edges.groupBy(F.col("src").alias("node"))
+            .agg(F.count("*").alias("d"))
+            .localCheckpoint()  # referenced every Jacobi round
         )
-        n = deg.agg(F.count("*").alias("n"))
-        base = F.expr(f"(15 * CAST({_FP_ONE} AS BIGINT)) DIV (100 * n)")
-        r = (
-            deg.join(F.broadcast(n))
-            .select(
-                "node",
-                "d",
-                "n",
-                F.expr(f"CAST({_FP_ONE} AS BIGINT) DIV n").alias("r"),
-            )
+        # |V| as one driver scalar (deg is materialized; this is a
+        # metadata-cheap count) — it parameterizes BOTH the rank
+        # arithmetic (as a constant-folded literal, replacing two
+        # broadcast joins of the 1-row n table per round) and the
+        # broadcast-vs-shuffle dispatch below.
+        n_nodes = deg.count()
+        base = F.lit((15 * _FP_ONE) // (100 * n_nodes)).cast("bigint")
+        # COST-BASED DISPATCH (the trajectory.py:1072 pattern): an
+        # explicit broadcast HINT never demotes, so at hundreds of
+        # millions of nodes it would OOM the executors where a shuffle
+        # join survives. Broadcast the rank table only while |V| is
+        # bounded; above the threshold leave the join unhinted — the
+        # src-keyed shuffle join co-locates ranks with edges (and AQE
+        # may still locally convert where stats allow). Both branches
+        # produce identical fixed-point bits (partition-invariant
+        # integer arithmetic); both plans pinned in tests/test_plans.py.
+        bcast_max = int(
+            os.environ.get("SPARK_GRAFT_PR_BCAST_MAX_NODES", "10000000")
+        )
+        hint = F.broadcast if n_nodes <= bcast_max else (lambda df: df)
+        r = deg.select(
+            "node",
+            "d",
+            F.lit(_FP_ONE // n_nodes).cast("bigint").alias("r"),
         )
         for _ in range(_PR_ITERS):
-            # rank table is |nodes| rows (tiny vs edges): broadcast it, so
-            # each Jacobi step streams the edge list ONCE map-side with no
-            # edge shuffle — the scatter-gather step's join side asymmetry
-            # is the whole point of rank-table broadcast at scale too
-            # (|V| << |E|); partial aggregation combines inflow per dst
-            # before the single |V|-sized exchange.
+            # rank table is |nodes| rows (tiny vs edges): broadcast (in
+            # the dispatched regime) streams the edge list ONCE map-side
+            # with no edge shuffle — |V| << |E| join-side asymmetry;
+            # partial aggregation combines inflow per dst before the
+            # single |V|-sized exchange.
             contrib = (
                 edges.join(
-                    F.broadcast(
+                    hint(
                         r.select(
                             F.col("node").alias("src"),
                             F.expr("r DIV d").alias("c"),
@@ -261,12 +278,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.sum("c").alias("inflow"))
             )
             r = (
-                deg.join(F.broadcast(n))
-                .join(contrib, "node", "left")
+                deg.join(contrib, "node", "left")
                 .select(
                     "node",
                     "d",
-                    "n",
                     (
                         base
                         + F.expr("(85 * COALESCE(inflow, 0)) DIV 100")
