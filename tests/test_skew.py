@@ -423,3 +423,69 @@ def test_phash_nn_survives_clone_hot_buckets(spark, phash_clone_dir):
     assert len(clones) == 60
     assert (clones.hamming == 0).all()
     assert (clones[clones.doc_id != 0].nn_doc == 0).all()
+
+
+@pytest.fixture(scope="module")
+def hot_customer_dir(tmp_path_factory):
+    """lineitem/orders where 30 customers each buy from ALL 300
+    suppliers — the promiscuous-key corpus that makes the uncapped
+    bipartite projection quadratic (C(300,2)=44850 pairs per customer).
+    Spend decreases with supplier id, so the top-64 cap keeps exactly
+    suppliers 0..63."""
+    d = tmp_path_factory.mktemp("hotcust")
+    li_rows, o_rows = [], []
+    for c in range(30):
+        ok = c + 1
+        o_rows.append(
+            (ok, c, "O", 1000.0, pd.Timestamp("2024-01-05"), "1-URGENT")
+        )
+        for s in range(300):
+            li_rows.append(
+                (
+                    ok, 1, s, s + 1, 1.0,
+                    float(300 - s),  # spend rank = supplier id ascending
+                    0.0, 0.0, "N", "O", pd.Timestamp("2024-01-10"),
+                )
+            )
+    pd.DataFrame(
+        li_rows,
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        ],
+    ).to_parquet(d / "lineitem.parquet", index=False, coerce_timestamps="us")
+    pd.DataFrame(
+        o_rows,
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        ],
+    ).to_parquet(d / "orders.parquet", index=False, coerce_timestamps="us")
+    return str(d)
+
+
+def test_copurchase_fanout_cap_bounds_hot_customer(spark, hot_customer_dir):
+    """The per-customer top-N-by-spend cap must bound the pair work at
+    C(cap,2) per customer (not C(fanout,2)), with the cap mirrored in
+    the oracle so the engines still agree exactly."""
+    from traj_sim_spark_spark.operators.extras2 import _CP_FANOUT_CAP
+
+    got = registry.QUERIES["graph_copurchase"](
+        spark, hot_customer_dir
+    ).toPandas()
+    # capped: exactly C(64,2) supplier pairs (suppliers 0..63), each
+    # shared by all 30 customers; uncapped would be C(300,2) = 44850
+    cap_pairs = _CP_FANOUT_CAP * (_CP_FANOUT_CAP - 1) // 2
+    assert len(got) == cap_pairs, len(got)
+    assert got["s1"].max() < _CP_FANOUT_CAP
+    assert got["s2"].max() < _CP_FANOUT_CAP
+    assert (got["shared_customers"] == 30).all()
+    con = duckdb.connect()
+    for tbl in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {tbl} AS "
+            f"SELECT * FROM read_parquet('{hot_customer_dir}/{tbl}.parquet')"
+        )
+    want = con.execute(registry.ORACLES["graph_copurchase"]).fetchdf()
+    assert _norm(got) == _norm(want)

@@ -1373,14 +1373,25 @@ def rel_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _CP_MIN_SHARED = 20  # keep supplier pairs sharing at least this many buyers
+_CP_FANOUT_CAP = 64  # per-customer top-N suppliers by spend enter the join
 
 
 @query(
     "graph_copurchase",
     oracle=f"""
-    WITH e0 AS (
-        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+    WITH links AS (
+        SELECT o.o_custkey AS c, l.l_suppkey AS s,
+               SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                   AS spend
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ),
+    e0 AS (
+        SELECT c, s FROM (
+            SELECT c, s, ROW_NUMBER() OVER (
+                PARTITION BY c ORDER BY spend DESC, s) AS rn
+            FROM links
+        ) WHERE rn <= {_CP_FANOUT_CAP}
     ),
     deg AS (SELECT s, COUNT(*) AS d FROM e0 GROUP BY s),
     pairs AS (
@@ -1409,23 +1420,40 @@ def graph_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape and its hazard: the pair join keys on the CUSTOMER (one
     row per customer-supplier link, self-joined per customer), so cost
     is Σ_c fanout(c)² — a single promiscuous key explodes
-    quadratically. The mitigations are standard and documented: cap
-    per-customer fanout (top-N suppliers by spend; changes semantics
-    openly), or AQE skew-split (on, handles moderate skew). The
-    projection is then a hash aggregate on the pair key; degrees join
-    back broadcast-sized. Jaccard = shared/(d1+d2−shared) in exact
-    integers, one final float divide for display."""
+    quadratically, and AQE skew-split only re-balances the shuffle, it
+    does not reduce the quadratic work volume. The IN-PLAN cap: each
+    customer contributes only its top-{_CP_FANOUT_CAP} suppliers by
+    spend (integer-cent ranked, supplier-id tie-break — deterministic on
+    both engines), bounding every key's pair work at cap² regardless of
+    corpus (the semantics change is explicit and mirrored in the
+    oracle, the ``text.py`` DF-cap discipline; recommender practice
+    anyway caps basket fanout — a customer buying everything carries no
+    signal). The projection is then a hash aggregate on the pair key;
+    degrees join back broadcast-sized. Jaccard = shared/(d1+d2−shared)
+    in exact integers, one final float divide for display."""
     t = Tables(spark, sf_dir)
-    e0 = (
-        t.lineitem.select("l_orderkey", "l_suppkey")
+    links = (
+        t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice")
         .join(
             F.broadcast(t.orders.select("o_orderkey", "o_custkey")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .select(
+        .groupBy(
             F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
         )
-        .distinct()
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("spend")
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("c").orderBy(F.desc("spend"), "s")
+    )
+    e0 = (
+        links.withColumn("rn", rn)
+        .filter(F.col("rn") <= _CP_FANOUT_CAP)
+        .select("c", "s")
     )
     deg = e0.groupBy("s").agg(F.count("*").alias("d"))
     a, b = e0.alias("a"), e0.alias("b")
