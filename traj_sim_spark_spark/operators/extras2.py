@@ -155,12 +155,14 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _PH_BLOCKS = 64  # hash bits = average-hash blocks
-_PH_BANDS = 8  # LSH bands (8 bits each)
+_PH_BANDS = 8  # LSH bands below the width threshold (8 bits each)
+_PH_BANDS_WIDE = 4  # bands above it (16 bits each: occupancy / 256)
 _PH_MIN_BYTES = 64  # payloads shorter than one byte per block are skipped
+_PH_WIDE_MIN_DOCS = 2000  # corpus size where the wide bands take over
 
 
-def _phash_bands(payload: bytes) -> list[int]:
-    """Block-average hash of a byte stream, split into 8-bit band values.
+def _phash_bands(payload: bytes, n_bands: int) -> list[int]:
+    """Block-average hash of a byte stream, split into band values.
 
     The decode step is the same deterministic STUB as the rest of the
     multimodal family (``multimodal._fake_decode``): the byte stream IS
@@ -178,17 +180,24 @@ def _phash_bands(payload: bytes) -> list[int]:
     bsum = np.bincount(blk, weights=a, minlength=_PH_BLOCKS).astype(np.int64)
     bcnt = np.bincount(blk, minlength=_PH_BLOCKS).astype(np.int64)
     bits = (bsum * n > a.sum() * bcnt).astype(np.int64)
-    width = _PH_BLOCKS // _PH_BANDS
+    width = _PH_BLOCKS // n_bands
     return [
         int((bits[b * width : (b + 1) * width] << np.arange(width)).sum())
-        for b in range(_PH_BANDS)
+        for b in range(n_bands)
     ]
 
 
 @query(
     "mm_phash_nn",
     oracle=f"""
-    WITH b AS (
+    WITH cfg AS (
+        SELECT CASE WHEN (SELECT COUNT(*) FROM documents
+                          WHERE n_chars >= {_PH_MIN_BYTES})
+                         >= {_PH_WIDE_MIN_DOCS}
+               THEN {_PH_BLOCKS // _PH_BANDS_WIDE}
+               ELSE {_PH_BLOCKS // _PH_BANDS} END AS w
+    ),
+    b AS (
         SELECT doc_id, n_chars AS n,
                CAST(((i - 1) * {_PH_BLOCKS}) // n_chars AS INT) AS blk,
                ascii(substring(text, CAST(i AS INT), 1)) AS byte
@@ -202,10 +211,10 @@ def _phash_bands(payload: bytes) -> list[int]:
     ),
     tot AS (SELECT doc_id, SUM(bsum) AS tsum FROM blocks GROUP BY 1),
     bands AS (
-        SELECT blocks.doc_id, blk // {_PH_BLOCKS // _PH_BANDS} AS band,
+        SELECT blocks.doc_id, blk // (SELECT w FROM cfg) AS band,
                CAST(SUM(
                    CASE WHEN bsum * n > tsum * bcnt THEN 1 ELSE 0 END
-                   * (1 << (blk % {_PH_BLOCKS // _PH_BANDS}))
+                   * (1 << (blk % (SELECT w FROM cfg)))
                ) AS INT) AS band_val
         FROM blocks JOIN tot USING (doc_id)
         GROUP BY 1, 2
@@ -244,13 +253,21 @@ def mm_phash_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pipeline shape is the production one: Arrow-batched ``mapInPandas``
     decode+hash (one pass over the binary column, no driver hop), then
     per-band equi-joins on the band value (the LSH bucket join, never
-    an all-pairs), unioned and deduped; Hamming then reads BOTH 8-band
+    an all-pairs), unioned and deduped; Hamming then reads BOTH full
     signatures off the joined pair row itself (wide one-row-per-doc
     signature artifact — no per-band re-join or aggregate) and a
-    per-doc row_number argmin. At corpus scale the band width widens
-    (16+ bits) so bucket occupancy stays bounded; the banding is exact
-    for any neighbor within Hamming 7 (pigeonhole over 8 bands), and
-    beyond that it is the standard recall/width trade.
+    per-doc row_number argmin.
+
+    The band width is CORPUS-DERIVED, not fixed (the round-2 scale
+    finding): expected bucket occupancy is corpus/2^width, so in-bucket
+    candidate pairs grow quadratically with corpus at any fixed width —
+    above ``_PH_WIDE_MIN_DOCS`` filtered docs the 8x8-bit banding
+    switches to 4x16-bit (occupancy /256), mirrored in the oracle's
+    corpus-count CASE so both engines take the same side of the
+    threshold (sf0.01 exercises the narrow side, sf0.1 the wide one).
+    Banding is exact for any neighbor within Hamming bands-1
+    (pigeonhole); beyond that it is the standard recall/width trade,
+    shifted openly at the threshold.
 
     The decode stub interprets utf-8 text bytes as the sample array
     (``multimodal.py`` contract), which is what makes the hash SQL-
@@ -265,13 +282,17 @@ def mm_phash_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.octet_length("payload") >= _PH_MIN_BYTES)
         .repartition(32, "doc_id")  # decode parallelism (1 row group)
     )
-    band_cols = [f"b{i}" for i in range(_PH_BANDS)]
+    n_docs = (
+        t.documents.where(F.col("n_chars") >= _PH_MIN_BYTES).count()
+    )
+    n_bands = _PH_BANDS_WIDE if n_docs >= _PH_WIDE_MIN_DOCS else _PH_BANDS
+    band_cols = [f"b{i}" for i in range(n_bands)]
     schema = "doc_id bigint, " + ", ".join(f"{c} int" for c in band_cols)
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = [
-                (doc_id, *_phash_bands(bytes(payload)))
+                (doc_id, *_phash_bands(bytes(payload), n_bands))
                 for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
             ]
             yield pd.DataFrame(out, columns=["doc_id", *band_cols])
