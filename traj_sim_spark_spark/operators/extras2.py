@@ -123,11 +123,19 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out is exactly 1 — no pair explosion, unlike a doc-doc join) ->
     one per-doc aggregate. Linear in total shingle positions at any
     corpus size; the shingle key is content-hashed by the shuffle, so
-    hot shingles spread by value, not by document."""
+    hot shingles spread by value, not by document. The exploded shingle
+    table is localCheckpoint-ed once (the ``traj_grid_dbscan`` dense-
+    cell move): both sides of the self-referencing aggregate+join read
+    the materialized explode instead of recomputing the dominant stage
+    twice."""
     from .text_ext import _word_shingles
 
     t = Tables(spark, sf_dir)
-    sh = _word_shingles(t.documents, _BP_N).select("doc_id", "lang", "shingle")
+    sh = (
+        _word_shingles(t.documents, _BP_N)
+        .select("doc_id", "lang", "shingle")
+        .localCheckpoint()
+    )
     df = sh.groupBy("shingle").agg(
         F.countDistinct("doc_id").alias("d")
     )
@@ -798,7 +806,11 @@ def pipe_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("shingle").alias("nd"),
         )
     )
-    sh4 = _word_shingles(docs, 4).select("doc_id", "shingle")
+    # materialize the 4-gram explode once: the DF aggregate AND the
+    # join-back side both read it (same move as text_boilerplate)
+    sh4 = (
+        _word_shingles(docs, 4).select("doc_id", "shingle").localCheckpoint()
+    )
     df4 = sh4.groupBy("shingle").agg(F.countDistinct("doc_id").alias("d"))
     bp = (
         sh4.join(df4, "shingle")

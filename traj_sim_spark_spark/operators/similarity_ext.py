@@ -568,12 +568,14 @@ _FILT_K = 10
         FROM embeddings
     ),
     cent AS (
-        SELECT label AS clabel, i, AVG(v) AS mv
+        SELECT label AS clabel, i,
+               CAST(ROUND(AVG(v) * 1e6) AS BIGINT) AS mq
         FROM e GROUP BY label, i
     ),
     adist AS (
         SELECT e.vec_id, c.clabel,
-               SUM((e.v - c.mv) * (e.v - c.mv)) AS d2
+               SUM((CAST(ROUND(e.v * 1e6) AS BIGINT) - c.mq)
+                   * (CAST(ROUND(e.v * 1e6) AS BIGINT) - c.mq)) AS d2
         FROM e JOIN cent c ON e.i = c.i
         GROUP BY e.vec_id, c.clabel
     ),
@@ -632,16 +634,41 @@ def sim_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     row groups inside it (both visible to Catalyst, neither touching
     Python).
 
-    Deterministic end-to-end (centroid means, argmin tie-broken by
-    label, integer predicate), so the filtered ANN path is FULLY
-    oracle-checked like its unfiltered sibling."""
+    Deterministic end-to-end, with the candidate-set boundary decided
+    in INTEGERS (house membership discipline): centroid means are
+    quantized to micro-units on both engines before the d² argmin /
+    probe ranking, so cross-engine summation-order ulps cannot flip an
+    assignment near a tie (the unfiltered IVF rows accept the float
+    boundary and document it; this row upgrades it)."""
     from pyspark.sql import Window as W
 
-    from .similarity import _emb, _ivf_adist, _query_vec, cosine
+    from .similarity import _emb, _query_vec, cosine
 
     t = Tables(spark, sf_dir)
     emb = _emb(t)
-    adist = _ivf_adist(emb)
+    # quantized twin of similarity._ivf_adist: micro-unit integer
+    # centroids and vectors -> integer d2, broadcast codebook join
+    cent = (
+        emb.select("label", F.posexplode("emb").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.round(F.avg("v") * 1e6).cast("bigint").alias("mq"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("i", "mq"))).alias("cvec")
+        )
+        .select(
+            F.col("label").alias("clabel"), F.col("cvec.mq").alias("cemb")
+        )
+    )
+    vq = F.transform(
+        F.col("emb"), lambda x: F.round(x * 1e6).cast("bigint")
+    )
+    d2 = F.aggregate(
+        F.zip_with(vq, F.col("cemb"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    adist = emb.join(F.broadcast(cent)).withColumn("d2", d2)
     rk = F.row_number().over(W.partitionBy("vec_id").orderBy("d2", "clabel"))
     assign = (
         adist.withColumn("rk", rk)

@@ -266,13 +266,14 @@ def stream_layout_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot/cold arrangement: streams append small per-band files,
     compaction consolidates them later; pruning works from the first
     commit because it keys on DIRECTORIES, not file sizes."""
-    import uuid as _uuid
+    import shutil
 
     from ..streaming.streams import events_stream
 
-    out = os.path.join(
-        staging_dir(sf_dir, "stream_layout"), f"run_{_uuid.uuid4().hex[:8]}"
-    )
+    # fixed, delete-and-recreate run dir: repeated invocations (min-of-3
+    # bench, gates) must not accumulate full event copies on disk
+    out = os.path.join(staging_dir(sf_dir, "stream_layout"), "run")
+    shutil.rmtree(out, ignore_errors=True)
     ev = events_stream(spark, sf_dir).select(
         "user_id",
         "value",
