@@ -288,3 +288,18 @@ def test_segment_threshold_2d_predicate_in_join(spark, sf_dir):
     assert "LeftAnti" in plan, plan
     assert "LeftSemi" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_q1_sum_dispatch_branches_agree(spark, sf_dir, monkeypatch):
+    """rel_agg_basic's exact-sum dispatch (bigint micro-units below the
+    overflow-safe row threshold, DECIMAL above) must produce identical
+    displayed values from both branches: both accumulate the same exact
+    <=6-dp rationals, and ROUND(,6) collapses the two double conversion
+    paths onto the same decimal."""
+    from traj_sim_spark_spark.operators import aggregates as agg
+
+    got_big = registry.QUERIES["rel_agg_basic"](spark, sf_dir).collect()
+    monkeypatch.setattr(agg, "_Q1_BIGINT_MAX_ROWS", 0)
+    got_dec = registry.QUERIES["rel_agg_basic"](spark, sf_dir).collect()
+    key = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
+    assert key(got_big) == key(got_dec)

@@ -17,18 +17,42 @@ from ..registry import query
 from ..tables import Tables
 
 
+_Q1_BIGINT_MAX_ROWS = 50_000_000  # micro-unit long sums safe below this
+_LI_COUNT_CACHE: dict[str, int] = {}
+
+
+def _lineitem_count(t: Tables, sf_dir: str) -> int:
+    if sf_dir not in _LI_COUNT_CACHE:
+        _LI_COUNT_CACHE[sf_dir] = t.lineitem.count()
+    return _LI_COUNT_CACHE[sf_dir]
+
+
 @query(
     "rel_agg_basic",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 6) AS sum_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 2)))
-                 AS DOUBLE), 6) AS sum_base_price,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                 AS DECIMAL(18, 4))) AS DOUBLE), 6) AS sum_disc_price,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+           CASE WHEN (SELECT COUNT(*) FROM lineitem)
+                     < {_Q1_BIGINT_MAX_ROWS}
+           THEN ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                      / 100.0, 6)
+           ELSE ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 2)))
+                      AS DOUBLE), 6) END AS sum_base_price,
+           CASE WHEN (SELECT COUNT(*) FROM lineitem)
+                     < {_Q1_BIGINT_MAX_ROWS}
+           THEN ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                     * 10000) AS BIGINT)) / 10000.0, 6)
+           ELSE ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18, 4))) AS DOUBLE), 6)
+           END AS sum_disc_price,
+           CASE WHEN (SELECT COUNT(*) FROM lineitem)
+                     < {_Q1_BIGINT_MAX_ROWS}
+           THEN ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                     * (1 + l_tax) * 1000000) AS BIGINT))
+                      / 1000000.0, 6)
+           ELSE ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
                                * (1 + l_tax) AS DECIMAL(20, 6)))
-                 AS DOUBLE), 6) AS sum_charge,
+                      AS DOUBLE), 6) END AS sum_charge,
            ROUND(AVG(l_quantity), 6) AS avg_qty,
            ROUND(AVG(l_extendedprice), 6) AS avg_price,
            ROUND(AVG(l_discount), 6) AS avg_disc,
@@ -41,24 +65,48 @@ from ..tables import Tables
 def rel_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary: the canonical wide hash aggregate.
 
-    The price sums accumulate in DECIMAL (per-row quantization of the
-    double product, then exact decimal addition): a double SUM over
-    millions of rows is ACCUMULATION-ORDER-DEPENDENT in its last ulps,
-    and cross-engine (and cross-partitioning!) runs disagree at the 6th
-    decimal of a ~1e9 total from sf0.1 upward. The true products have
-    <= 6 decimal digits (2-dec price x 2-dec rates), so the per-row
-    decimal cast is EXACT, and decimal addition is order-independent —
-    the scale-proof formulation of TPC-H Q1. Integral l_quantity and the
-    AVGs (ratios — relative error ~1e-13) stay plain doubles."""
+    A double SUM over millions of rows is ACCUMULATION-ORDER-DEPENDENT
+    in its last ulps — cross-engine (and cross-partitioning!) runs
+    disagree at the 6th decimal of a ~1e9 total from sf0.1 upward — so
+    the price sums accumulate EXACTLY. The true products have <= 6
+    decimal digits (2-dec price x 2-dec rates), so per-row quantization
+    is lossless; exact accumulation then COST-DISPATCHES on corpus
+    size (the round-2 drift finding: DECIMAL accumulators cost ~2x the
+    whole-stage-codegen long path, 0.99 s vs 0.55 s at sf0.1):
+
+    - below ``_Q1_BIGINT_MAX_ROWS``: per-row micro-unit BIGINT
+      quantization, long-sum hash agg (codegen-fast, order-free);
+      the threshold guarantees no group can reach the 9.2e18 long
+      ceiling (max charge < 1.1e11 micro-units/row);
+    - above it: per-row DECIMAL cast, decimal addition (order-free at
+      ANY scale — the 100 TB-safe branch).
+
+    The dispatch is mirrored in the oracle as a COUNT(*) CASE, so both
+    engines take the same branch at every SF. Integral l_quantity and
+    the AVGs (ratios — relative error ~1e-13) stay plain doubles."""
     t = Tables(spark, sf_dir)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        t.lineitem.filter(
-            F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
-        )
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+    charge = disc_price * (1 + F.col("l_tax"))
+    if _lineitem_count(t, sf_dir) < _Q1_BIGINT_MAX_ROWS:
+        sums = [
+            F.round(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                )
+                / 100.0,
+                6,
+            ).alias("sum_base_price"),
+            F.round(
+                F.sum(F.round(disc_price * 10000).cast("bigint")) / 10000.0,
+                6,
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.round(charge * 1000000).cast("bigint")) / 1000000.0,
+                6,
+            ).alias("sum_charge"),
+        ]
+    else:
+        sums = [
             F.round(
                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
                     "double"
@@ -69,11 +117,17 @@ def rel_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(disc_price.cast("decimal(18,4)")).cast("double"), 6
             ).alias("sum_disc_price"),
             F.round(
-                F.sum(
-                    (disc_price * (1 + F.col("l_tax"))).cast("decimal(20,6)")
-                ).cast("double"),
-                6,
+                F.sum(charge.cast("decimal(20,6)")).cast("double"), 6
             ).alias("sum_charge"),
+        ]
+    return (
+        t.lineitem.filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            *sums,
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
