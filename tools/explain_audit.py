@@ -28,133 +28,14 @@ from traj_sim_spark_spark.session import get_session  # noqa: E402
 # streaming queries run to completion inside their builder (memory sink),
 # so their returned DataFrame is the materialized batch table — the
 # streaming plan itself is asserted in tests/test_streaming.py instead.
-AUDIT = [
-    "rel_scan_filter",
-    "rel_scan_project",
-    "rel_agg_basic",
-    "rel_agg_percentile",
-    "rel_join_broadcast",
-    "rel_join_smj",
-    "rel_join_multiway",
-    "rel_join_asof",
-    "rel_join_theta_band",
-    "rel_subquery_scalar",
-    "rel_win_rank",
-    "rel_topk_global",
-    "sim_knn",
-    "sim_threshold_join",
-    "sim_band_join",
-    "sim_knn_ivf",
-    "traj_hausdorff_knn",
-    "traj_hausdorff_knn_2d",
-    "traj_hausdorff_threshold_2d",
-    "traj_frechet_threshold",
-    "traj_range_query_2d",
-    "traj_sample_workload",
-    "traj_segments",
-    "rel_win_distribution",
-    "text_exact_dedup",
-    "text_minhash_neardup",
-    "text_jaccard_neardup",
-    "text_langid",
-    "text_tfidf",
-    "mm_multimodal_join",
-    "pipe_clean_corpus",
-    "pipe_stratified_sample",
-    "pipe_neardup_dedup",
-    "rel_bucketed_join",
-    "sim_range_search",
-    "traj_range_query_2d_pruned",
-    "traj_hausdorff_segments_knn",
-    "text_simhash_neardup",
-    "emb_layout_ivf",
-    "traj_staypoints",
-    "traj_od_flows",
-    "traj_comovement",
-    "traj_resample",
-    "traj_simplify_dp",
-    "text_contamination",
-    "text_repetition",
-    "pipe_mix_sources",
-    "text_pii_scrub",
-    "rel_funnel",
-    "rel_scd2_merge",
-    "emb_kmeans",
-    "rel_rollup_hypertable",
-    "sketch_cms_topk",
-    "traj_hausdorff_knn_2d_batch",
-    "traj_convoy",
-    "rel_win_pattern",
-    "sim_knn_sq8",
-    "rel_join_asof_nearest",
-    "traj_heatmap_density",
-    "rel_join_interval_overlap",
-    "rel_intersect_all",
-    "rel_except_all",
-    "sink_partitioned_roundtrip",
-    "sim_ann_recall",
-    "text_minhash_estimate",
-    # round-2 late additions (loops/eager builders audit their final plan)
-    "traj_cluster_threshold",
-    "sim_knn_ivfpq",
-    "emb_pca",
-    "emb_outliers",
-    "rel_retention",
-    "rel_bloom_prefilter",
-    "graph_triangles",
-    # round-3 curation additions
-    "pipe_pack_chunks",
-    "pipe_token_budget",
-    "text_entropy",
-    "rel_skyline",
-    "graph_common_neighbors",
-    "traj_knn_join",
-    # round-2 continuation: series analytics + graph + LM additions
-    "rel_ewma",
-    "rel_autocorr",
-    "rel_anomaly_mad",
-    "graph_bfs_hops",
-    "graph_cc",
-    "text_bigram_lm",
-    "traj_radius_gyration",
-    "traj_mobility_entropy",
-    "sim_mips",
-    "rel_changepoint",
-    "traj_speed_outliers",
-    "text_winnowing",
-    "traj_hotspot_gi",
-    "sketch_kmv_distinct",
-    "graph_assortativity",
-    "src_schema_evolution",
-    "traj_transition_matrix",
-    "traj_hausdorff_threshold_2d_idx",
-    "mm_audio_energy",
-    "sketch_cms_merge",
-    "emb_drift",
-    "traj_hausdorff_knn_2d_idx",
-    "text_winnowing",
-    "rel_kanonymity",
-    "mm_resize",
-    "pipe_train_split",
-    "text_boilerplate",
-    "mm_phash_nn",
-    "traj_grid_dbscan",
-    "rel_seasonal_anomaly",
-    "graph_modularity",
-    "pipe_quality_prune",
-    "sink_compaction",
-    "sim_knn_filtered",
-    "traj_segment_intersections",
-    "traj_self_intersections",
-    "mm_scene_cuts",
-    "rel_merge_upsert",
-    "sim_knn_mrl",
-    "graph_copurchase",
-    "traj_range_segments_2d",
-    "traj_hausdorff_segments_pair_2d",
-    "traj_hausdorff_segments_knn_2d",
-    "traj_hausdorff_segments_threshold_2d",
-]
+# EVERY registered key is audited (round-3 upgrade from the 120-key
+# headline list): the registry IS the audit scope, so a new operator
+# cannot ship un-audited. Builders execute their driver-scalar phases
+# (tau_k collects, iterative loops) during construction — that is part
+# of the audited surface, and the sf0.01 default keeps it minutes-cheap.
+def audit_keys() -> list[str]:
+    registry.load_all()
+    return list(registry.QUERIES)
 
 
 def flags_for(plan: str) -> list[str]:
@@ -173,10 +54,11 @@ def flags_for(plan: str) -> list[str]:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     registry.load_all()
+    keys = audit_keys()
     spark = get_session("explain_audit")
     sections = []
     failures = []
-    for key in AUDIT:
+    for key in keys:
         df = registry.QUERIES[key](spark, sf_dir)
         buf = io.StringIO()
         with redirect_stdout(buf):
@@ -190,7 +72,7 @@ def main() -> None:
     doc = (
         "# PLANS — physical-plan audit (auto-generated)\n\n"
         f"`python tools/explain_audit.py {sf_dir}` — "
-        f"{len(AUDIT)} headline plans, "
+        f"{len(keys)} plans (every registered key), "
         f"{len(failures)} with red flags.\n\n"
         "Red-flag rules: no CartesianProduct without broadcast, no "
         "row-at-a-time Python UDFs (BatchEvalPython), no >12-column "
@@ -201,7 +83,7 @@ def main() -> None:
         f.write(doc)
     for key, fl in failures:
         print(f"FLAG {key}: {', '.join(fl)}")
-    print(f"== {len(AUDIT)} plans audited, {len(failures)} flagged ==")
+    print(f"== {len(keys)} plans audited, {len(failures)} flagged ==")
     sys.exit(1 if failures else 0)
 
 

@@ -157,7 +157,7 @@ def udtf_segmentize(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin (``traj_segments``'s logic)."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="seq int, v0 double, v1 double")
+    @udtf(returnType="seq int, v0 double, v1 double", useArrow=True)
     class Segmentize:
         def eval(self, vals):  # noqa: ANN001
             if vals is None:
