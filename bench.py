@@ -69,6 +69,19 @@ HEADLINE = [
     "stream_layout_ingest",
     # segment geometry at reference fidelity (R6 point-to-segment)
     "traj_range_segments_2d",
+    # round-3: the flagship search tier — kNN over segment geometry
+    "traj_hausdorff_segments_knn_2d",
+]
+
+# Heavy tier (round-3): the most expensive ops in the repo, invisible in
+# the headline — tracked separately (own totals, fewer reps) so they get
+# round-over-round driver history without drowning the headline signal.
+HEAVY = [
+    "traj_cluster_threshold",
+    "traj_segment_intersections",
+    "sim_knn_ivfpq",
+    "traj_hausdorff_segments_threshold_2d",
+    "mm_phash_nn",
 ]
 
 
@@ -99,6 +112,16 @@ def main() -> None:
         timings[key] = round(samples[0], 3)
         medians[key] = round(samples[len(samples) // 2], 3)
     total = round(sum(timings.values()), 3)
+    heavy_runs = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_RUNS", "2"))
+    heavy: dict[str, float] = {}
+    for key in HEAVY:
+        fn = registry.QUERIES[key]
+        samples = []
+        for _ in range(heavy_runs):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        heavy[key] = round(min(samples), 3)
     print(
         json.dumps(
             {
@@ -107,6 +130,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_median": medians,
+                "heavy": heavy,
+                "heavy_total": round(sum(heavy.values()), 3),
                 "runs": runs,
                 "sf": sf,
             }
