@@ -549,3 +549,68 @@ def test_segment_lb_is_lower_bound(spark, sf_dir):
     for u, h2 in h.items():
         lb = lbs[u]
         assert float(lb) * float(lb) <= h2 + 1e-9, (u, lb, h2)
+
+
+def test_dp_searches_2d_match_duckdb_recursion(spark, sf_dir):
+    """Engine-independent check of the 2-D WEAK DP search rows: the
+    multi-user recursive-CTE brute force runs the full DP grids inside
+    DuckDB with the Euclidean cell metric over the (time-in-days,
+    value) projection — the same float DAG as the NumPy kernel — and
+    must reproduce the engine's pruned two-phase results exactly."""
+    import duckdb
+
+    from traj_sim_spark_spark import registry
+    from traj_sim_spark_spark.operators.trajectory import _dp_search_oracle
+    from traj_sim_spark_spark.operators.trajectory_ext import (
+        _DTW_TAU_2D,
+        _FRECHET_TAU_2D,
+    )
+
+    registry.load_all()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    coords_2d = (
+        "(epoch_us(CAST(ts AS TIMESTAMP)) - "
+        "(SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) FROM events))"
+        " / 86400000000.0, value"
+    )
+    dist_2d = (
+        "SQRT((av.x - bv.x)*(av.x - bv.x) + (av.y - bv.y)*(av.y - bv.y))"
+    )
+
+    def oracle_2d(combine, final):
+        return _dp_search_oracle(
+            combine, final, dist=dist_2d, coords=coords_2d, cols="x, y"
+        )
+
+    cases = {
+        "traj_frechet_knn_2d": oracle_2d(
+            "GREATEST(cells.d, MIN(cur.val))",
+            "SELECT user_id, ROUND(val, 6) AS frechet_2d FROM finals "
+            "ORDER BY ROUND(val, 6), user_id LIMIT 10",
+        ),
+        "traj_dtw_knn_2d": oracle_2d(
+            "cells.d + MIN(cur.val)",
+            "SELECT user_id, ROUND(val, 6) AS dtw_2d FROM finals "
+            "ORDER BY ROUND(val, 6), user_id LIMIT 10",
+        ),
+        "traj_frechet_threshold_2d": oracle_2d(
+            "GREATEST(cells.d, MIN(cur.val))",
+            f"SELECT user_id, ROUND(val, 6) AS frechet_2d FROM finals "
+            f"WHERE ROUND(val, 6) <= {_FRECHET_TAU_2D}",
+        ),
+        "traj_dtw_threshold_2d": oracle_2d(
+            "cells.d + MIN(cur.val)",
+            f"SELECT user_id, ROUND(val, 6) AS dtw_2d FROM finals "
+            f"WHERE ROUND(val, 6) <= {_DTW_TAU_2D}",
+        ),
+    }
+    for key, sql in cases.items():
+        got = sorted(
+            tuple(r) for r in registry.QUERIES[key](spark, sf_dir).collect()
+        )
+        want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        assert got == want, (key, got[:3], want[:3])

@@ -474,10 +474,22 @@ def _dp_threshold(
 
 
 
-def _dp_search_oracle(combine: str, final: str) -> str:
+def _dp_search_oracle(
+    combine: str,
+    final: str,
+    dist: str = "ABS(av.v - bv.v)",
+    coords: str = "value",
+    cols: str = "v",
+) -> str:
     """Multi-user antidiagonal recursion: EVERY candidate user's DP grid
     against the query user advances in lockstep (rows keyed by user) —
     the brute-force DP search truth as ONE recursive CTE.
+
+    ``dist``/``coords``/``cols`` parameterize the per-cell metric: the
+    1-D default is |av.v - bv.v| over ``value``; the 2-D form passes the
+    (time-in-days, value) projection and the Euclidean SQRT — the same
+    float DAG as the engine's NumPy kernel, so the 2-D WEAK search rows
+    get the same cross-engine evidence as the 1-D ones.
 
     NOT registered as the driver oracle: DuckDB materializes every
     layer of every user's grid, measured 37 s at sf0.01 / 245 s at
@@ -488,20 +500,20 @@ def _dp_search_oracle(combine: str, final: str) -> str:
     cross-engine equality without touching the driver gate."""
     return f"""
     WITH RECURSIVE
-    bv(j, v) AS (
-        SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id), value
+    bv(j, {cols}) AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id), {coords}
         FROM events WHERE user_id = 1
     ),
-    av(u, i, v) AS (
+    av(u, i, {cols}) AS (
         SELECT user_id,
                ROW_NUMBER() OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id), value
+                                  ORDER BY ts, event_id), {coords}
         FROM events WHERE user_id <> 1
     ),
     peru AS (SELECT u, MAX(i) AS n FROM av GROUP BY u),
     mdim AS (SELECT MAX(j) AS m FROM bv),
     dp(u, k, i, val, age) AS (
-        SELECT av.u, 2, 1, ABS(av.v - bv.v), 0
+        SELECT av.u, 2, 1, {dist}, 0
         FROM av JOIN bv ON av.i = 1 AND bv.j = 1
         UNION ALL
         (
@@ -509,7 +521,7 @@ def _dp_search_oracle(combine: str, final: str) -> str:
           kk AS (SELECT MAX(k) AS k FROM cur),
           cells AS (
               SELECT (SELECT k FROM kk) + 1 AS k, av.u, av.i,
-                     ABS(av.v - bv.v) AS d
+                     {dist} AS d
               FROM av JOIN bv ON bv.j = (SELECT k FROM kk) + 1 - av.i
           ),
           newcells AS (
