@@ -29,9 +29,14 @@ def _ref_dp(x, y, tol, i, j, keep):
         return
     px, py = x[i + 1 : j], y[i + 1 : j]
     dx, dy = x[j] - x[i], y[j] - y[i]
-    norm = np.hypot(dx, dy)
+    # sqrt(dx*dx+dy*dy), NOT np.hypot: the kernel defines chord
+    # degeneracy through the SQL-matching norm (hypot survives
+    # denormal-squared underflow and would take the other branch,
+    # found by hypothesis with dx ~ 1e-193)
+    norm = np.sqrt(dx * dx + dy * dy)
     if norm == 0.0:
-        d = np.hypot(px - x[i], py - y[i])
+        ex, ey = px - x[i], py - y[i]
+        d = np.sqrt(ex * ex + ey * ey)
     else:
         d = np.abs(dy * (px - x[i]) - dx * (py - y[i])) / norm
     k = int(np.argmax(d))
@@ -46,9 +51,9 @@ def _point_to_chord(x, y, x1, y1, x2, y2):
     """Distance from (x, y) to the chord (x1,y1)-(x2,y2) as used by the
     kernel (infinite-line distance; point distance when degenerate)."""
     dx, dy = x2 - x1, y2 - y1
-    norm = np.hypot(dx, dy)
+    norm = np.sqrt(dx * dx + dy * dy)
     if norm == 0.0:
-        return np.hypot(x - x1, y - y1)
+        return np.sqrt((x - x1) * (x - x1) + (y - y1) * (y - y1))
     return abs(dy * (x - x1) - dx * (y - y1)) / norm
 
 

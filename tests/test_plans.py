@@ -303,3 +303,15 @@ def test_q1_sum_dispatch_branches_agree(spark, sf_dir, monkeypatch):
     got_dec = registry.QUERIES["rel_agg_basic"](spark, sf_dir).collect()
     key = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
     assert key(got_big) == key(got_dec)
+
+
+def test_segment_threshold_idx_prunes_partitions(spark, sf_dir):
+    """The dual-index segment threshold search must read the layout
+    with static PartitionFilters on the cell directories (the global-
+    index prune made persistent)."""
+    df = registry.QUERIES["traj_hausdorff_segments_threshold_2d_idx"](
+        spark, sf_dir
+    )
+    plan = explain.physical_plan(df)
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    assert "PartitionFilters: []" not in plan, plan

@@ -252,7 +252,14 @@ def traj_hausdorff_segments_threshold_2d(
     SURVEY §2.1 R6/R15.
     """
     t = Tables(spark, sf_dir)
-    p = _pts_int(t)
+    return _segthr_core(_pts_int(t))
+
+
+def _segthr_core(p: DataFrame) -> DataFrame:
+    """The threshold search engine over an integer point table
+    (user_id, seq, x, y) — shared by the full-scan row and the
+    dual-index row (which feeds it a manifest-pruned, partition-pruned
+    subset that is provably complete for every possible answer)."""
     qp = (
         p.where(F.col("user_id") == _SK_Q)
         .select(F.col("seq").alias("qseq"), F.col("x").alias("qx"),
@@ -560,3 +567,102 @@ def _segknn_pruned(t: Tables) -> DataFrame:
     first.unpersist()
     lb.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# traj_hausdorff_segments_threshold_2d_idx — the dual-index read path
+# ---------------------------------------------------------------------------
+
+# micro-quantization pad: y = ROUND(value*1e6) can move a point by up to
+# 0.5e-6 value units, so the manifest/cell band is widened by a full
+# micro-unit to stay a NECESSARY condition for the integer predicate
+_SK_PAD = 1e-6
+
+
+@query(
+    "traj_hausdorff_segments_threshold_2d_idx",
+    oracle=f"""
+    {_SQL_PTS},
+    qp AS (SELECT x, y, seq FROM p WHERE user_id = {_SK_Q}),
+    qs AS (SELECT * FROM s WHERE user_id = {_SK_Q}),
+    cov AS (
+        SELECT b.user_id, CAST(COUNT(DISTINCT a.seq) AS BIGINT) AS n_cov
+        FROM qp a JOIN s b ON b.user_id <> {_SK_Q} AND ({_SQL_WITHIN})
+        GROUP BY 1
+    ),
+    bad AS (
+        SELECT DISTINCT a.user_id FROM p a
+        WHERE a.user_id <> {_SK_Q}
+          AND NOT EXISTS (SELECT 1 FROM qs b WHERE {_SQL_WITHIN})
+    )
+    SELECT cov.user_id FROM cov
+    WHERE cov.n_cov = (SELECT COUNT(*) FROM qp)
+      AND cov.user_id NOT IN (SELECT user_id FROM bad)
+    """,
+)
+def traj_hausdorff_segments_threshold_2d_idx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The segment-Hausdorff threshold search answered from the
+    PERSISTENT dual index — the reference's architecture [P §4] applied
+    to its own flagship metric: (a) the GLOBAL index (per-user manifest:
+    point count, value MBR, corpus t0) prunes candidate users, (b) the
+    LOCAL data (cell-partitioned, value-sorted Parquet layout) is read
+    with static PartitionFilters so only the query's value band is
+    scanned, (c) the same integer-exact search engine
+    (``_segthr_core``) refines.
+
+    Prune chain, each step a NECESSARY condition for H_seg <= tau:
+    1. manifest: d(point, path) >= |Δvalue| to the path's value span,
+       and Q's path spans exactly [q_vmin, q_vmax], so any U point
+       outside [q_vmin - tau, q_vmax + tau] puts h(U→Q) > tau — keep
+       only users whose value MBR fits the band (padded one micro-unit
+       for the y-quantization);
+    2. the same band snapped to layout cells selects the partition
+       directories — candidates' and the query's points all lie inside,
+       so the pruned scan is COMPLETE for every survivor;
+    3. the exact integer engine on the pruned scan.
+    Same oracle as the full-scan row (``.._threshold_2d``): the hash
+    proves the indexed path returns the identical answer while reading
+    only the band's directories — at 100 TB the difference between a
+    manifest lookup + a few partitions and a corpus scan."""
+    import math
+
+    from .trajectory import (
+        _layout_path,
+        _write_cell_layout,
+        _write_user_manifest,
+        _LAYOUT_CELL,
+    )
+
+    man_path = _write_user_manifest(spark, sf_dir)
+    lay_path = _layout_path(sf_dir)
+    if not os.path.exists(os.path.join(lay_path, "_SUCCESS")):
+        _write_cell_layout(spark, sf_dir)
+    man = spark.read.parquet(man_path)
+    qrow = man.filter(F.col("user_id") == _SK_Q).head()
+    tau = _SK_TAU_U / 1e6
+    qlo = qrow["vmin"] - tau - _SK_PAD
+    qhi = qrow["vmax"] + tau + _SK_PAD
+    lo_cell = math.floor(qlo / _LAYOUT_CELL)
+    hi_cell = math.floor(qhi / _LAYOUT_CELL)
+    cands = man.filter(
+        (F.col("user_id") == _SK_Q)
+        | ((F.col("vmin") >= qlo) & (F.col("vmax") <= qhi))
+    ).select("user_id")
+    ev = spark.read.parquet(lay_path).filter(
+        (F.col("cell") >= lo_cell) & (F.col("cell") <= hi_cell)
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        ev.join(F.broadcast(cands), "user_id", "left_semi")
+        .select(
+            "user_id",
+            F.row_number().over(w).alias("seq"),
+            F.expr(
+                f"(unix_micros(ts) - {int(qrow['t0'])}) div 86400"
+            ).alias("x"),
+            F.round(F.col("value") * 1e6).cast("bigint").alias("y"),
+        )
+    )
+    return _segthr_core(p)
