@@ -614,3 +614,21 @@ def test_dp_searches_2d_match_duckdb_recursion(spark, sf_dir):
         )
         want = sorted(tuple(r) for r in con.execute(sql).fetchall())
         assert got == want, (key, got[:3], want[:3])
+
+
+def test_segment_knn_2d_idx_matches_brute(spark, sf_dir):
+    """The manifest-lb + partition-pruned kNN must equal the brute-force
+    top-k (MBR bound lossless, pruned layout scan complete per
+    candidate)."""
+    import math
+
+    h = _hseg_brute(_pts_int_by_user(spark, sf_dir))
+    brute = sorted((h2, u) for u, h2 in h.items())[:10]
+    brute = [(u, round(math.sqrt(h2) / 1e6, 6)) for h2, u in brute]
+    got = [
+        (r["user_id"], r["hseg_2d"])
+        for r in registry.QUERIES["traj_hausdorff_segments_knn_2d_idx"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert got == brute, f"idx != brute force:\n{got}\n{brute}"

@@ -300,14 +300,22 @@ def _segthr_core(p: DataFrame) -> DataFrame:
 
 
 def _hseg_per_user(t: Tables, ids: DataFrame | None = None) -> DataFrame:
+    """Per-user squared segment-Hausdorff to the query trajectory over
+    the full scan (see ``_hseg_per_user_from``)."""
+    return _hseg_per_user_from(_pts_int(t), ids)
+
+
+def _hseg_per_user_from(
+    p: DataFrame, ids: DataFrame | None = None
+) -> DataFrame:
     """Per-user squared segment-Hausdorff to the query trajectory:
     (user_id, h2) with h2 = max of both directed max-min d² (double,
-    micro² units).  ``ids`` restricts the exact work to candidate users
-    (semi-join pushed below the distance joins) so the lb prune can gate
-    it.  Users with fewer than 2 points have no segments and are
-    excluded (no path to measure against — mirrored by the oracle's
-    inner join)."""
-    p = _pts_int(t)
+    micro² units), from an integer point table (full scan or the
+    partition-pruned layout).  ``ids`` restricts the exact work to
+    candidate users (semi-join pushed below the distance joins) so a
+    prune can gate it.  Users with fewer than 2 points have no segments
+    and are excluded (no path to measure against — mirrored by the
+    oracle's inner join)."""
     qp = (
         p.where(F.col("user_id") == _SK_Q)
         .select(F.col("seq").alias("qseq"), F.col("x").alias("qx"),
@@ -666,3 +674,144 @@ def traj_hausdorff_segments_threshold_2d_idx(
         )
     )
     return _segthr_core(p)
+
+
+# ---------------------------------------------------------------------------
+# traj_hausdorff_segments_knn_2d_idx — kNN from the global index
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "traj_hausdorff_segments_knn_2d_idx",
+    oracle=f"""
+    {_SQL_PTS},
+    qp AS (SELECT x, y, seq FROM p WHERE user_id = {_SK_Q}),
+    qs AS (SELECT * FROM s WHERE user_id = {_SK_Q}),
+    d1 AS (
+        SELECT b.user_id, a.seq, MIN({_SQL_D2}) AS nd
+        FROM qp a JOIN s b ON b.user_id <> {_SK_Q} GROUP BY 1, 2
+    ),
+    h1 AS (SELECT user_id, MAX(nd) AS h FROM d1 GROUP BY 1),
+    d2 AS (
+        SELECT a.user_id, a.seq, MIN({_SQL_D2}) AS nd
+        FROM (SELECT * FROM p WHERE user_id <> {_SK_Q}) a
+        JOIN qs b ON TRUE GROUP BY 1, 2
+    ),
+    h2 AS (SELECT user_id, MAX(nd) AS h FROM d2 GROUP BY 1)
+    SELECT h1.user_id,
+           ROUND(SQRT(GREATEST(h1.h, h2.h)) / 1e6, 6) AS hseg_2d
+    FROM h1 JOIN h2 ON h1.user_id = h2.user_id
+    ORDER BY GREATEST(h1.h, h2.h), h1.user_id
+    LIMIT {_SK_K}
+    """,
+)
+def traj_hausdorff_segments_knn_2d_idx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Segment-Hausdorff kNN answered from the GLOBAL INDEX — the
+    reference's actual kNN algorithm shape [P §5.2]: rank candidates by
+    an index-only lower bound, refine the best c·k exactly, close the
+    radius with tau_k, and refine only the survivors.
+
+    The lower bound reads NO event data: for user MBRs [uvmin, uvmax]
+    and query span [qvmin, qvmax] (one manifest scan),
+    lb(U) = max(|uvmin − qvmin|, |uvmax − qvmax|) — the extreme point of
+    either side is at least that far (value-axis projection) from the
+    other side's entire path. Exact refinement reads the cell layout
+    restricted by PartitionFilters to the band spanning the candidate
+    MBRs ∪ Q (complete for every candidate), through the shared
+    ``_hseg_per_user_from`` engine. The prune compares in value units
+    padded one micro-unit for the y quantization — conservative, so
+    lossless; pytest pins idx == single-pass == brute force.
+
+    Same oracle as the full-scan kNN: the hash proves the indexed path
+    identical. At 100 TB phase 1 is a manifest scan (bytes per
+    trajectory, not per point) and phase 2 reads only the value bands
+    the shortlist occupies."""
+    import math
+
+    from .trajectory import (
+        _layout_path,
+        _write_cell_layout,
+        _write_user_manifest,
+        _LAYOUT_CELL,
+    )
+
+    man_path = _write_user_manifest(spark, sf_dir)
+    lay_path = _layout_path(sf_dir)
+    if not os.path.exists(os.path.join(lay_path, "_SUCCESS")):
+        _write_cell_layout(spark, sf_dir)
+    man = spark.read.parquet(man_path)
+    qrow = man.filter(F.col("user_id") == _SK_Q).head()
+    t0 = int(qrow["t0"])
+    lb = (
+        man.filter(F.col("user_id") != _SK_Q)
+        .select(
+            "user_id",
+            "vmin",
+            "vmax",
+            F.greatest(
+                F.abs(F.col("vmin") - F.lit(qrow["vmin"])),
+                F.abs(F.col("vmax") - F.lit(qrow["vmax"])),
+            ).alias("lb"),
+        )
+        .persist()
+    )
+
+    def exact_for(ids: DataFrame) -> DataFrame:
+        """Exact H_seg for the id set, from the partition-pruned layout
+        band covering the ids' MBRs and the query span."""
+        band = ids.join(lb, "user_id").agg(
+            F.min("vmin").alias("lo"), F.max("vmax").alias("hi")
+        ).head()
+        if band["lo"] is None:
+            lo, hi = qrow["vmin"], qrow["vmax"]
+        else:
+            lo = min(band["lo"], qrow["vmin"])
+            hi = max(band["hi"], qrow["vmax"])
+        lo_cell = math.floor(lo / _LAYOUT_CELL)
+        hi_cell = math.floor(hi / _LAYOUT_CELL)
+        ev = spark.read.parquet(lay_path).filter(
+            (F.col("cell") >= lo_cell) & (F.col("cell") <= hi_cell)
+        )
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        p = ev.select(
+            "user_id",
+            F.row_number().over(w).alias("seq"),
+            F.expr(f"(unix_micros(ts) - {t0}) div 86400").alias("x"),
+            F.round(F.col("value") * 1e6).cast("bigint").alias("y"),
+        )
+        return _hseg_per_user_from(p, ids=ids)
+
+    cand_ids = lb.orderBy("lb", "user_id").limit(_SK_C * _SK_K).select(
+        "user_id"
+    )
+    first = exact_for(cand_ids).persist()
+    n_first = first.count()
+    tau_row = first.orderBy("h2").limit(_SK_K).agg(
+        F.max("h2").alias("tau")
+    ).head()
+    tau = tau_row[0] if tau_row else None
+    if tau is None:
+        out = _segknn_out(first).localCheckpoint()
+        first.unpersist()
+        lb.unpersist()
+        return out
+    if n_first < _SK_K:
+        rest_ids = lb.select("user_id").join(
+            F.broadcast(cand_ids), "user_id", "left_anti"
+        )
+    else:
+        # lb is in raw value units; tau in micro² — compare in units
+        # with the quantization pad so the cut stays conservative
+        tau_units = math.sqrt(tau) / 1e6 + _SK_PAD
+        rest_ids = (
+            lb.filter(F.col("lb") <= tau_units)
+            .select("user_id")
+            .join(F.broadcast(cand_ids), "user_id", "left_anti")
+        )
+    rest = exact_for(rest_ids)
+    out = _segknn_out(first.unionByName(rest)).localCheckpoint()
+    first.unpersist()
+    lb.unpersist()
+    return out
