@@ -352,3 +352,21 @@ def test_segment_knn_idx_prunes_partitions(spark, sf_dir):
     plan = explain.physical_plan(_hseg_per_user_from(p))
     assert "PartitionFilters" in plan and "cell" in plan, plan
     assert "PartitionFilters: []" not in plan, plan
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """Under the pinned confs, the optimizer must inject the runtime
+    Bloom filter: a bloom_filter_agg over the selective orders slice
+    and a might_contain probe pushed into the lineitem scan side."""
+    from traj_sim_spark_spark.operators.extras3 import (
+        _bloom_confs,
+        _bloom_join,
+    )
+
+    with _bloom_confs(spark):
+        plan = explain.physical_plan(_bloom_join(spark, sf_dir))
+    assert "bloom_filter_agg" in plan, plan
+    assert "might_contain" in plan, plan
+    # and the registered query returns the materialized (1-row) result
+    out = registry.QUERIES["rel_bloom_runtime"](spark, sf_dir)
+    assert out.count() == 1

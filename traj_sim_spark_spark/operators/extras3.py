@@ -815,3 +815,100 @@ def traj_hausdorff_segments_knn_2d_idx(
     first.unpersist()
     lb.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# rel_bloom_runtime — Spark's runtime Bloom-filter join, exercised
+# ---------------------------------------------------------------------------
+
+_BLOOM_CONFS = {
+    # the feature's gate is sized for clusters (application side >10GB);
+    # at fixture scale we drop that floor to 0 and disable broadcast so
+    # the shuffle join actually materializes — the injected plan is the
+    # SAME one a 100 TB run gets for free with default thresholds
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter."
+    "applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+}
+
+
+def _bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join under test: selective orders slice filtering the
+    lineitem fact — the classic star-schema shape where a runtime Bloom
+    filter pushed into the fact scan skips non-qualifying row groups
+    before the shuffle."""
+    t = Tables(spark, sf_dir)
+    o = t.orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = t.lineitem.select("l_orderkey", "l_quantity")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        )
+    )
+
+
+class _bloom_confs:
+    """Save/set/restore the session confs that force the runtime Bloom
+    filter at fixture scale (single-session contract, same pattern as
+    the shuffle-width loops)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.old = {}
+        for k, v in _BLOOM_CONFS.items():
+            try:
+                self.old[k] = self.spark.conf.get(k)
+            except Exception:
+                self.old[k] = None
+            self.spark.conf.set(k, v)
+
+    def __exit__(self, *exc):
+        for k, v in self.old.items():
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
+
+
+@query(
+    "rel_bloom_runtime",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+)
+def rel_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's RUNTIME BLOOM-FILTER JOIN, actually exercised (the
+    round-2 'unshowable at fixture scale' gap): the optimizer builds a
+    bloom_filter_agg over the selective orders slice and injects
+    might_contain(xxhash64(l_orderkey)) into the lineitem SCAN, so fact
+    rows failing the filter die before the shuffle — semi-join
+    reduction without a broadcast, the 100 TB star-join workhorse.
+
+    The feature's gate is sized for clusters (application side > 10 GB
+    scan), so the builder pins the session confs that let the same
+    injected plan materialize at fixture scale (dropped floor, no
+    broadcast), executes the join INSIDE that conf window
+    (localCheckpoint — the returned DataFrame is the materialized
+    result, ~1 row), and restores the session. The oracle is the plain
+    join: the Bloom filter is sound (no false negatives at the join —
+    might_contain only skips rows that cannot match), so the result is
+    bit-identical; the injected bloom_filter_agg/might_contain pair is
+    pinned in tests/test_plans.py. Integer sum — no float anywhere."""
+    with _bloom_confs(spark):
+        out = _bloom_join(spark, sf_dir).localCheckpoint()
+    return out
