@@ -50,6 +50,15 @@ KEYS = [
     # join; CC min-label over the dense-cell graph
     "mm_phash_nn",
     "traj_grid_dbscan",
+    # round-3 additions: the segment search tier (top-k over exact
+    # doubles + integer coverage counts), both index paths, the
+    # runtime-bloom materialized join, the dispatched Q1 sums
+    "traj_hausdorff_segments_knn_2d",
+    "traj_hausdorff_segments_threshold_2d",
+    "traj_hausdorff_segments_knn_2d_idx",
+    "rel_bloom_runtime",
+    "rel_agg_basic",
+    "graph_copurchase",
 ]
 
 
