@@ -260,16 +260,7 @@ def _segthr_core(p: DataFrame) -> DataFrame:
     (user_id, seq, x, y) — shared by the full-scan row and the
     dual-index row (which feeds it a manifest-pruned, partition-pruned
     subset that is provably complete for every possible answer)."""
-    qp = (
-        p.where(F.col("user_id") == _SK_Q)
-        .select(F.col("seq").alias("qseq"), F.col("x").alias("qx"),
-                F.col("y").alias("qy"))
-    )
-    qs = (
-        _segs_int(p.where(F.col("user_id") == _SK_Q))
-        .select("x1", "y1", "x2", "y2")
-    )
-    n_q = qp.count()
+    qp, qs, n_q = _q_side(p)
     segs = _segs_int(p.where(F.col("user_id") != _SK_Q))
     cov = (
         segs.join(
@@ -299,6 +290,23 @@ def _segthr_core(p: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _q_side(p: DataFrame) -> tuple[DataFrame, DataFrame, int]:
+    """(query points, query segments, n_q), materialized ONCE: the
+    query trajectory is bounded (~66 rows), but left lazy its subtree
+    (scan + seq window) would be re-derived for every consumer — a
+    PLANS.md sweep showed the threshold plan re-scanning the corpus 3x
+    for the q side alone.  localCheckpoint collapses that to one pass;
+    the count is then free."""
+    q = p.where(F.col("user_id") == _SK_Q).localCheckpoint()
+    qp = q.select(
+        F.col("seq").alias("qseq"),
+        F.col("x").alias("qx"),
+        F.col("y").alias("qy"),
+    )
+    qs = _segs_int(q).select("x1", "y1", "x2", "y2")
+    return qp, qs, q.count()
+
+
 def _hseg_per_user(t: Tables, ids: DataFrame | None = None) -> DataFrame:
     """Per-user squared segment-Hausdorff to the query trajectory over
     the full scan (see ``_hseg_per_user_from``)."""
@@ -316,15 +324,7 @@ def _hseg_per_user_from(
     prune can gate it.  Users with fewer than 2 points have no segments
     and are excluded (no path to measure against — mirrored by the
     oracle's inner join)."""
-    qp = (
-        p.where(F.col("user_id") == _SK_Q)
-        .select(F.col("seq").alias("qseq"), F.col("x").alias("qx"),
-                F.col("y").alias("qy"))
-    )
-    qs = (
-        _segs_int(p.where(F.col("user_id") == _SK_Q))
-        .select("x1", "y1", "x2", "y2")
-    )
+    qp, qs, _ = _q_side(p)
     pts = p.where(F.col("user_id") != _SK_Q)
     if ids is not None:
         pts = pts.join(F.broadcast(ids.select("user_id")), "user_id",
