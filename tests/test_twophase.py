@@ -632,3 +632,24 @@ def test_segment_knn_2d_idx_matches_brute(spark, sf_dir):
         ).collect()
     ]
     assert got == brute, f"idx != brute force:\n{got}\n{brute}"
+
+
+def test_segment_knn_batch_slice_equals_single_query(spark, sf_dir):
+    """traj_hausdorff_segments_knn_batch_2d's qid=1 slice must equal
+    the single-query traj_hausdorff_segments_knn_2d — batching changes
+    the pass structure, not the answer."""
+    single = sorted(
+        (r["user_id"], r["hseg_2d"])
+        for r in registry.QUERIES["traj_hausdorff_segments_knn_2d"](
+            spark, sf_dir
+        ).collect()
+    )
+    batch = sorted(
+        (r["user_id"], r["hseg_2d"])
+        for r in registry.QUERIES["traj_hausdorff_segments_knn_batch_2d"](
+            spark, sf_dir
+        )
+        .filter("qid = 1")
+        .collect()
+    )
+    assert batch == single
