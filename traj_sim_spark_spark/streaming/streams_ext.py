@@ -698,3 +698,106 @@ def stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = run_to_completion(events, "append")
     return u.join(e, "win_start_us")
+
+
+def _seg_corridor_oracle() -> str:
+    # lazy: composed from extras3's shared segment-geometry SQL
+    from ..operators.extras3 import _SQL_D2, _SQL_PTS
+
+    return f"""
+    {_SQL_PTS},
+    qs AS (SELECT * FROM s WHERE user_id = 1),
+    md AS (
+        SELECT a.user_id, a.seq, MIN({_SQL_D2}) AS md2
+        FROM (SELECT * FROM p WHERE user_id <> 1) a
+        JOIN qs b ON TRUE
+        GROUP BY 1, 2
+    )
+    SELECT user_id, ROUND(SQRT(MAX(md2)) / 1e6, 6) AS h_seg
+    FROM md GROUP BY user_id
+    """
+
+
+@query("stream_seg_corridor", oracle=_seg_corridor_oracle)
+def stream_seg_corridor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stream_traj_distance`` at REFERENCE FIDELITY: the corridor is
+    the query's PATH (its segments), not its samples — the directed
+    segment-Hausdorff h(U -> path(Q)) maintained continuously per user.
+    For sparsely-sampled reference routes this is the semantically
+    right alert ("how far from the route"), where the point form
+    penalizes devices that are between the route's samples.
+
+    Same streaming shape as the point row: the query's ~65 segments
+    ride along as a literal struct array (micro-quantized BIGINT
+    endpoints — the plan-time broadcast-variable pattern), each
+    arriving event folds min-d² over them STATELESSLY with the exact
+    integer kernel (``extras3._seg_cases`` arithmetic inlined over the
+    array struct: projection cases by integer dot products, interior as
+    the single double step), and one update-mode streaming max per user
+    does the rest. State per user = one double; monotone, so the memory
+    sink's per-batch emissions are batching-independent. The oracle is
+    the batch equivalent over the same quantized plane — FULL, like the
+    point row."""
+    from ..operators.extras3 import _pts_int
+
+    t = Tables(spark, sf_dir)
+    t0 = t.events.agg(F.min(F.unix_micros("ts"))).head()[0]
+    q_pts = sorted(
+        (r["seq"], r["x"], r["y"])
+        for r in _pts_int(t).filter(F.col("user_id") == 1).collect()
+    )
+    segs = [
+        (a[1], a[2], b[1], b[2]) for a, b in zip(q_pts, q_pts[1:])
+    ]
+    seg_arr = F.array(
+        *[
+            F.struct(
+                F.lit(x1).cast("bigint").alias("x1"),
+                F.lit(y1).cast("bigint").alias("y1"),
+                F.lit(x2).cast("bigint").alias("x2"),
+                F.lit(y2).cast("bigint").alias("y2"),
+            )
+            for x1, y1, x2, y2 in segs
+        ]
+    )
+
+    def d2_of(s):
+        px, py = F.col("px"), F.col("py")
+        ab2 = (s["x2"] - s["x1"]) * (s["x2"] - s["x1"]) + (
+            s["y2"] - s["y1"]
+        ) * (s["y2"] - s["y1"])
+        dotp = (s["x2"] - s["x1"]) * (px - s["x1"]) + (
+            s["y2"] - s["y1"]
+        ) * (py - s["y1"])
+        ap2 = (px - s["x1"]) * (px - s["x1"]) + (py - s["y1"]) * (
+            py - s["y1"]
+        )
+        bp2 = (px - s["x2"]) * (px - s["x2"]) + (py - s["y2"]) * (
+            py - s["y2"]
+        )
+        crs = (s["x2"] - s["x1"]) * (py - s["y1"]) - (
+            s["y2"] - s["y1"]
+        ) * (px - s["x1"])
+        return (
+            F.when((ab2 == 0) | (dotp <= 0), ap2.cast("double"))
+            .when(dotp >= ab2, bp2.cast("double"))
+            .otherwise(
+                crs.cast("double") * crs.cast("double") / ab2.cast("double")
+            )
+        )
+
+    ev = events_stream(spark, sf_dir).filter(F.col("user_id") != 1)
+    pt = ev.select(
+        "user_id",
+        F.expr(f"(unix_micros(ts) - {int(t0)}) div 86400").alias("px"),
+        F.round(F.col("value") * 1e6).cast("bigint").alias("py"),
+    )
+    md = pt.select(
+        "user_id",
+        F.array_min(F.transform(seg_arr, d2_of)).alias("md2"),
+    )
+    out = md.groupBy("user_id").agg(F.max("md2").alias("h2"))
+    res = run_to_completion(out, "update")
+    return res.groupBy("user_id").agg(
+        F.round(F.sqrt(F.max("h2")) / 1e6, 6).alias("h_seg")
+    )
