@@ -370,3 +370,14 @@ def test_runtime_bloom_filter_injected(spark, sf_dir):
     # and the registered query returns the materialized (1-row) result
     out = registry.QUERIES["rel_bloom_runtime"](spark, sf_dir)
     assert out.count() == 1
+
+
+def test_grid_layout_prunes_both_axes(spark, sf_dir):
+    """The 2-D grid-layout windowed range query must carry static
+    PartitionFilters on BOTH partition dimensions (day and value
+    band)."""
+    df = registry.QUERIES["traj_range_window_2d_idx"](spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "PartitionFilters" in plan, plan
+    assert "dcell" in plan and "vcell" in plan, plan
+    assert "PartitionFilters: []" not in plan, plan

@@ -1013,3 +1013,125 @@ def traj_hausdorff_segments_knn_batch_2d(
             F.round(F.sqrt(h) / 1e6, 6).alias("hseg_2d"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# traj_range_window_2d_idx — 2-D grid layout, both axes pruned
+# ---------------------------------------------------------------------------
+
+_GW_EPS = 2.0  # (day, value)-plane radius, as traj_range_query_2d
+_GW_D_LO = 10.0  # probe time window: relative days [10, 13)
+_GW_D_HI = 13.0
+
+
+def _grid_layout_path(sf_dir: str) -> str:
+    from ..sources.readers import staging_dir
+
+    return os.path.join(staging_dir(sf_dir, "grid_layout"), "events")
+
+
+def _write_grid_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Events as a TWO-dimensional partition grid — (epoch-day, value
+    band) directories, value-sorted within — the reference's 2-D STR
+    leaf layout [P §4.2] where the existing ``_write_cell_layout``
+    partitions the value axis only. Day keys are ABSOLUTE epoch days
+    (no t0 dependence, so the layout is incrementally appendable: a new
+    day of data is a new directory, never a rewrite)."""
+    from ..sources.readers import write_partitioned
+    from .trajectory import _LAYOUT_CELL
+
+    t = Tables(spark, sf_dir)
+    path = _grid_layout_path(sf_dir)
+    write_partitioned(
+        t.events.withColumn(
+            "dcell", F.expr("unix_micros(ts) div 86400000000")
+        ).withColumn(
+            "vcell", F.floor(F.col("value") / F.lit(_LAYOUT_CELL))
+        ),
+        path,
+        ["dcell", "vcell"],
+        sort_cols=["value"],
+    )
+    return path
+
+
+@query(
+    "traj_range_window_2d_idx",
+    oracle=f"""
+    WITH t0 AS (
+        SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0 FROM events
+    ),
+    pts AS (
+        SELECT user_id,
+               (epoch_us(CAST(ts AS TIMESTAMP)) - (SELECT t0 FROM t0))
+               / 86400000000.0 AS x,
+               value AS y
+        FROM events
+    ),
+    q AS (SELECT x AS qx, y AS qy FROM pts
+          WHERE user_id = 1 AND x >= {_GW_D_LO} AND x < {_GW_D_HI})
+    SELECT p.user_id, p.x, p.y, ROUND(MIN(
+               SQRT((p.x-q.qx)*(p.x-q.qx) + (p.y-q.qy)*(p.y-q.qy))
+           ), 6) AS min_dist
+    FROM pts p CROSS JOIN q
+    WHERE p.user_id <> 1
+    GROUP BY p.user_id, p.x, p.y
+    HAVING MIN(SQRT((p.x-q.qx)*(p.x-q.qx) + (p.y-q.qy)*(p.y-q.qy)))
+           <= {_GW_EPS}
+    """,
+)
+def traj_range_window_2d_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOWED circleRange from a TWO-dimensional partition grid: all
+    points of other users within eps of the query trajectory's RECENT
+    window (relative days [10, 13)) — the monitoring probe ("who came
+    near the route in the last N days"), answered with BOTH axes
+    pruned at the directory level.
+
+    The layout partitions on (absolute epoch-day, value band); the
+    probe window ±eps snaps to day directories and the probe's value
+    span ±eps to band directories, so Catalyst's PartitionFilters cut
+    the scan to a time-window × value-band RECTANGLE of the grid — the
+    reference's 2-D global-index pruning [P §4.2] made persistent,
+    where ``traj_range_query_2d_pruned`` prunes the value axis only.
+    Lossless: an answer is within eps (Euclidean) of a probe point, so
+    its day is within the padded window and its value within the padded
+    band. Day keys are absolute, so ingest appends new directories
+    without rewriting (the ``stream_layout_ingest`` compatibility
+    property). Exact refine = the shared ``_range_core`` engine."""
+    import math
+
+    from .trajectory import _LAYOUT_CELL, _range_core
+
+    t = Tables(spark, sf_dir)
+    path = _grid_layout_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _write_grid_layout(spark, sf_dir)
+    t0 = t.events.agg(F.min(F.unix_micros("ts"))).head()[0]
+    band = (
+        t.events.filter(
+            (F.col("user_id") == 1)
+            & (F.unix_micros("ts") >= t0 + int(_GW_D_LO * 86400000000))
+            & (F.unix_micros("ts") < t0 + int(_GW_D_HI * 86400000000))
+        )
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .head()
+    )
+    day0 = t0 // 86400000000
+    d_lo = int(day0 + math.floor(_GW_D_LO - _GW_EPS))
+    d_hi = int(day0 + math.floor(_GW_D_HI + _GW_EPS) + 1)
+    v_lo = math.floor((band["lo"] - _GW_EPS) / _LAYOUT_CELL)
+    v_hi = math.floor((band["hi"] + _GW_EPS) / _LAYOUT_CELL)
+    ev = spark.read.parquet(path).filter(
+        (F.col("dcell") >= d_lo)
+        & (F.col("dcell") <= d_hi)
+        & (F.col("vcell") >= v_lo)
+        & (F.col("vcell") <= v_hi)
+    )
+    pts = ev.select(
+        "user_id",
+        ((F.unix_micros("ts") - F.lit(t0)) / 86400000000.0).alias("x"),
+        F.col("value").alias("y"),
+    )
+    q_window = (F.col("x") >= _GW_D_LO) & (F.col("x") < _GW_D_HI)
+    pts = pts.filter((F.col("user_id") != 1) | q_window)
+    return _range_core(pts, _GW_EPS)
