@@ -496,10 +496,14 @@ def traj_hausdorff_segments_knn_2d(
     Two-phase with a cost-based dispatch (the house pattern,
     trajectory.py ``traj_hausdorff_knn_2d``):
 
-    - below ``SPARK_GRAFT_SEGKNN2D_PRUNE_MIN_EVENTS`` (default 200k)
+    - below ``SPARK_GRAFT_SEGKNN2D_PRUNE_MIN_EVENTS`` (default 10M)
       events, the single-pass engine: both directions as broadcast
       joins of the bounded query side, grouped minima, top-k — one scan,
-      no prune overhead;
+      no prune overhead. The BIGINT kernel streams at codegen speed, so
+      this branch measured 3.7 s vs the pruned branch's 19.6 s even at
+      a 20x clone (2M events): the lb's union+sort window pass costs
+      more than the exact arithmetic it avoids until the corpus (or
+      |Q|) is far larger — hence the high cutoff;
     - above it: (1) an INTEGER 1-D lower bound per user from one
       sort-merge window pass on the y axis (``_hseg_lb`` — interval
       coverage zeroes the point-flank distance, so it soundly bounds
@@ -514,7 +518,7 @@ def traj_hausdorff_segments_knn_2d(
     equal in pytest (single == pruned == DuckDB brute force)."""
     t = Tables(spark, sf_dir)
     cutoff = int(
-        os.environ.get("SPARK_GRAFT_SEGKNN2D_PRUNE_MIN_EVENTS", "200000")
+        os.environ.get("SPARK_GRAFT_SEGKNN2D_PRUNE_MIN_EVENTS", "10000000")
     )
     from .trajectory import _events_count
 
