@@ -1139,3 +1139,63 @@ def traj_range_window_2d_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_window = (F.col("x") >= _GW_D_LO) & (F.col("x") < _GW_D_HI)
     pts = pts.filter((F.col("user_id") != 1) | q_window)
     return _range_core(pts, _GW_EPS)
+
+
+# ---------------------------------------------------------------------------
+# rel_table_stats — ANALYZE TABLE as a first-class query
+# ---------------------------------------------------------------------------
+
+_TS_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_orderkey",
+            "l_suppkey")
+
+
+@query(
+    "rel_table_stats",
+    oracle="SELECT * FROM (" + " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col,
+               COUNT(*) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               ROUND(CAST(MIN({c}) AS DOUBLE), 6) AS col_min,
+               ROUND(CAST(MAX({c}) AS DOUBLE), 6) AS col_max
+        FROM lineitem
+        """
+        for c in _TS_COLS
+    ) + ")",
+)
+def rel_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE as a registered query: per-column row/null/distinct
+    counts and min/max over the fact table — the statistics a cost-based
+    optimizer (and every capacity plan) feeds on. The reference's
+    engine carries per-partition MBR statistics [P §4.1]; this is the
+    relational generalization, and the same job a lakehouse runs as
+    ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS.
+
+    ONE corpus pass: all 5 columns' aggregates ride one hash aggregate
+    (no shuffle per column — Spark computes the distinct counts as
+    expand+aggregate internally), then the wide row unpivots to the
+    long (col, stats) form driver-side free. Exact COUNT(DISTINCT)
+    (not approx — the oracle must hash-match); min/max displayed at 6
+    decimals, values exact."""
+    t = Tables(spark, sf_dir)
+    aggs = []
+    for c in _TS_COLS:
+        aggs += [
+            F.count("*").alias(f"{c}__n"),
+            (F.count("*") - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__dist"),
+            F.round(F.min(c).cast("double"), 6).alias(f"{c}__min"),
+            F.round(F.max(c).cast("double"), 6).alias(f"{c}__max"),
+        ]
+    wide = t.lineitem.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__n, {c}__null, {c}__dist, {c}__min, {c}__max"
+        for c in _TS_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_TS_COLS)}, {stack_expr}) AS "
+            "(col, n_rows, n_null, n_distinct, col_min, col_max)"
+        )
+    )
