@@ -1274,3 +1274,73 @@ def rel_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.round(F.col("c_total") / 100.0, 6).alias("total_spend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_knn_batch — batched vector-query workload
+# ---------------------------------------------------------------------------
+
+_SKV_QIDS = (0, 1, 2)
+_SKV_K = 10
+
+
+@query(
+    "sim_knn_batch",
+    oracle=f"""
+    WITH ev AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, i, v FROM ev
+          WHERE vec_id IN {_SKV_QIDS}),
+    scored AS (
+        SELECT q.q_id, e.vec_id,
+               SUM(e.v * q.v)
+               / (SQRT(SUM(e.v * e.v)) * SQRT(SUM(q.v * q.v))) AS cs
+        FROM ev e JOIN q ON e.i = q.i AND e.vec_id <> q.q_id
+        GROUP BY 1, 2
+    )
+    SELECT q_id, vec_id, ROUND(cs, 6) + 0.0 AS cos_sim
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY cs DESC, vec_id) <= {_SKV_K}
+    """,
+)
+def sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN-benchmark WORKLOAD shape for vectors (the embedding twin
+    of ``traj_hausdorff_segments_knn_batch_2d``): a batch of query
+    vectors answered in ONE corpus pass — the query rows broadcast with
+    a q_id dimension, every (corpus, query) cosine from one JVM-side
+    fold, per-query top-k by rank window. At 100 TB an nq-query batch
+    costs one corpus stream instead of nq; this is how recall/latency
+    sweeps and bulk retrieval (RAG indexing joins) actually run."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vector import cosine
+    from .similarity import _emb
+
+    t = Tables(spark, sf_dir)
+    emb = _emb(t)
+    qs = emb.filter(F.col("vec_id").isin(*_SKV_QIDS)).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    scored = (
+        emb.join(F.broadcast(qs), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(F.col("emb"), F.col("q_emb")).alias("cos_raw"),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), "vec_id")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .where(F.col("rn") <= _SKV_K)
+        .select(
+            "q_id", "vec_id", (F.round("cos_raw", 6) + 0.0).alias("cos_sim")
+        )
+    )
