@@ -1344,3 +1344,84 @@ def sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id", "vec_id", (F.round("cos_raw", 6) + 0.0).alias("cos_sim")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# traj_map_match — nearest-segment assignment to the reference route
+# ---------------------------------------------------------------------------
+
+_MM_TAU_U = 25_000_000  # match radius (micro-units), as the threshold tier
+
+
+@query(
+    "traj_map_match",
+    oracle=f"""
+    {_SQL_PTS},
+    qs AS (SELECT * FROM s WHERE user_id = {_SK_Q}),
+    nearest AS (
+        SELECT a.user_id, a.seq, b.seq AS qseg, {_SQL_D2} AS d2
+        FROM (SELECT * FROM p WHERE user_id <> {_SK_Q}) a
+        JOIN qs b ON TRUE
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY a.user_id, a.seq
+            ORDER BY {_SQL_D2}, b.seq) = 1
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(COUNT(*) FILTER (
+               d2 <= CAST({_MM_TAU_U} AS DOUBLE) * {_MM_TAU_U}
+           ) AS BIGINT) AS n_matched,
+           ROUND(COUNT(*) FILTER (
+               d2 <= CAST({_MM_TAU_U} AS DOUBLE) * {_MM_TAU_U}
+           ) * 1.0 / COUNT(*), 6) AS match_frac,
+           CAST(MIN(qseg) FILTER (
+               d2 <= CAST({_MM_TAU_U} AS DOUBLE) * {_MM_TAU_U}
+           ) AS BIGINT) AS first_seg
+    FROM nearest
+    GROUP BY user_id
+    """,
+)
+def traj_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-MATCHING summary against the reference route: every point of
+    every other trajectory snaps to its nearest SEGMENT of the query
+    path (argmin of the exact point-to-segment d², segment-seq
+    tie-break), and the per-user summary reports how much of the
+    trajectory rides the route — point count, within-tau matched count
+    and fraction, and the first (lowest-seq) matched route segment.
+    The simplified (HMM-free) nearest-segment form is the workhorse
+    first stage of every GPS map-matcher; the full Viterbi layer is a
+    reweighting of exactly these candidate assignments.
+
+    Shape: the route's ~65 segments broadcast; each corpus point
+    produces 65 candidate rows JVM-side, one row_number argmin per
+    point (window on the natural (user, seq) key), one per-user hash
+    agg. Linear in corpus points; no shuffle beyond the window and
+    agg, both on user-keyed partitions. d² doubles are engine-identical
+    (pair-row argument), counts integer-exact, one display divide."""
+    t = Tables(spark, sf_dir)
+    p = _pts_int(t)
+    q = p.where(F.col("user_id") == _SK_Q).localCheckpoint()
+    qs = _segs_int(q).select(
+        F.col("seq").alias("qseg"), "x1", "y1", "x2", "y2"
+    )
+    pts = p.where(F.col("user_id") != _SK_Q)
+    cand = pts.join(F.broadcast(qs)).select(
+        "user_id",
+        "seq",
+        "qseg",
+        _seg_d2(F.col("x"), F.col("y")).alias("d2"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("user_id", "seq").orderBy("d2", "qseg")
+    )
+    nearest = cand.withColumn("rn", rn).where(F.col("rn") == 1)
+    t2 = F.lit(float(_MM_TAU_U)) * _MM_TAU_U
+    matched = F.col("d2") <= t2
+    return nearest.groupBy("user_id").agg(
+        F.count("*").alias("n_points"),
+        F.count(F.when(matched, 1)).alias("n_matched"),
+        F.round(
+            F.count(F.when(matched, 1)) * 1.0 / F.count("*"), 6
+        ).alias("match_frac"),
+        F.min(F.when(matched, F.col("qseg"))).alias("first_seg"),
+    )
