@@ -68,7 +68,19 @@ def _norm(pdf):
 
 
 @pytest.mark.parametrize(
-    "key", ["traj_comovement", "rel_join_interval_overlap", "traj_convoy"]
+    "key",
+    [
+        "traj_comovement",
+        "rel_join_interval_overlap",
+        "traj_convoy",
+        # round-3: the segment search tier under a 150-user one-cell
+        # pile-up — near-identical trajectories make every distance a
+        # knife-edge tie; the integer membership + (d2, user) tie order
+        # must still match DuckDB exactly
+        "traj_hausdorff_segments_threshold_2d",
+        "traj_hausdorff_segments_knn_2d",
+        "traj_map_match",
+    ],
 )
 def test_bucketed_join_survives_hot_bucket(spark, skew_dir, key):
     got = registry.QUERIES[key](spark, skew_dir).toPandas()
