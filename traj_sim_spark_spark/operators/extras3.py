@@ -1123,8 +1123,13 @@ def traj_range_window_2d_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     day0 = t0 // 86400000000
     d_lo = int(day0 + math.floor(_GW_D_LO - _GW_EPS))
     d_hi = int(day0 + math.floor(_GW_D_HI + _GW_EPS) + 1)
-    v_lo = math.floor((band["lo"] - _GW_EPS) / _LAYOUT_CELL)
-    v_hi = math.floor((band["hi"] + _GW_EPS) / _LAYOUT_CELL)
+    if band is None or band["lo"] is None:
+        # no probe points in the window: the answer is empty — keep the
+        # same plan shape with an empty partition range (reads nothing)
+        v_lo, v_hi = 0, -1
+    else:
+        v_lo = math.floor((band["lo"] - _GW_EPS) / _LAYOUT_CELL)
+        v_hi = math.floor((band["hi"] + _GW_EPS) / _LAYOUT_CELL)
     ev = spark.read.parquet(path).filter(
         (F.col("dcell") >= d_lo)
         & (F.col("dcell") <= d_hi)
