@@ -59,6 +59,11 @@ KEYS = [
     "rel_bloom_runtime",
     "rel_agg_basic",
     "graph_copurchase",
+    "traj_hausdorff_segments_knn_batch_2d",
+    "traj_map_match",
+    "sim_knn_batch",
+    "traj_range_window_2d_idx",
+    "rel_view_maintenance",
 ]
 
 
