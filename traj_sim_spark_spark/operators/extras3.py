@@ -1430,3 +1430,50 @@ def traj_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("match_frac"),
         F.min(F.when(matched, F.col("qseg"))).alias("first_seg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# traj_search_report — the flagship surface composed into one row
+# ---------------------------------------------------------------------------
+
+
+def _search_report_oracle() -> str:
+    # lazy (resolved after load_all): composed from the registered
+    # oracles of the three segment-search tiers
+    from ..registry import ORACLES
+
+    knn = ORACLES["traj_hausdorff_segments_knn_2d"]
+    thr = ORACLES["traj_hausdorff_segments_threshold_2d"]
+    rng = ORACLES["traj_range_segments_2d"]
+    return f"""
+    SELECT (SELECT ROUND(MAX(hseg_2d), 6) FROM ({knn}) k) AS knn_radius,
+           (SELECT COUNT(*) FROM ({thr}) t) AS n_within_tau,
+           (SELECT COUNT(*) FROM ({rng}) r) AS n_range_segments
+    """
+
+
+@query("traj_search_report", oracle=_search_report_oracle)
+def traj_search_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The query user's similarity DASHBOARD in one row — the three
+    segment-geometry search tiers composed from their REGISTERED
+    builders (and the oracle from their registered oracle SQL, so the
+    evaluated plans are the shipped plans, the ``sim_ann_recall``
+    discipline): the kNN radius (k-th segment-Hausdorff distance), the
+    population within tau, and the eps-range segment count. This is
+    the summary a monitoring job materializes per query entity; cost =
+    the three underlying searches, each already scale-shaped."""
+    from ..registry import QUERIES
+
+    knn = (
+        QUERIES["traj_hausdorff_segments_knn_2d"](spark, sf_dir)
+        .agg(F.round(F.max("hseg_2d"), 6).alias("knn_radius"))
+    )
+    thr = (
+        QUERIES["traj_hausdorff_segments_threshold_2d"](spark, sf_dir)
+        .agg(F.count("*").alias("n_within_tau"))
+    )
+    rng = (
+        QUERIES["traj_range_segments_2d"](spark, sf_dir)
+        .agg(F.count("*").alias("n_range_segments"))
+    )
+    return knn.join(F.broadcast(thr)).join(F.broadcast(rng))
