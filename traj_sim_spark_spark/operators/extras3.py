@@ -1477,3 +1477,59 @@ def traj_search_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_range_segments"))
     )
     return knn.join(F.broadcast(thr)).join(F.broadcast(rng))
+
+
+# ---------------------------------------------------------------------------
+# sink_csv_roundtrip — the CSV write surface under oracle check
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sink_csv_roundtrip",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CSV WRITE surface under oracle check (the parquet sinks'
+    ``sink_partitioned_roundtrip`` discipline, for the interchange
+    format every export still speaks): a projected lineitem slice is
+    written as headered CSV (prices pre-quantized to integer CENTS so
+    the text round-trip is exact — float→decimal-text→float is the
+    classic CSV corruption vector, integers never lose), read back
+    with an explicit schema (no inferSchema scan), and aggregated; the
+    oracle aggregates the source table, so the hash proves
+    write → parse → aggregate lossless."""
+    import shutil
+
+    from ..sources.readers import staging_dir
+
+    t = Tables(spark, sf_dir)
+    out = os.path.join(staging_dir(sf_dir, "csv_sink"), "lineitem")
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        t.lineitem.select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(out)
+    )
+    back = (
+        spark.read.schema("l_returnflag string, l_linestatus string, "
+                          "cents bigint")
+        .option("header", "true")
+        .csv(out)
+    )
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("cents")
+    )
