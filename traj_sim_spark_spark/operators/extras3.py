@@ -1,13 +1,19 @@
-"""Round-3 operators: the 2-D segment-geometry SEARCH tier.
+"""Round-3 operators.
 
-The reference's flagship query family is similarity SEARCH over segment
-geometry (DFT, Xie/Li/Phillips PVLDB 2017 §4-5): kNN and threshold
-search under the segment-based Hausdorff distance in the plane.  Round 2
-landed the building blocks — the eps-cell scatter range probe
-(``traj_range_segments_2d``, extras2.py) and the integer point-to-segment
-kernel (``traj_hausdorff_segments_pair_2d``, extras2.py); this module
-composes them into the search tier, completing the {pair, range, kNN,
-threshold} matrix at point-to-SEGMENT fidelity (SURVEY §2.1 R6/R15).
+Centerpiece: the 2-D segment-geometry SEARCH tier — the reference's
+flagship query family (DFT, Xie/Li/Phillips PVLDB 2017 §4-5): kNN and
+threshold search under the segment-based Hausdorff distance in the
+plane, composed from round 2's building blocks (the eps-cell range
+probe and the integer point-to-segment kernel in extras2.py) and
+completed here with BOTH dual-index variants, the batched workload,
+nearest-segment map-matching and the composed search report —
+{pair, range, kNN, threshold} x {scan, index, batch} at
+point-to-SEGMENT fidelity (SURVEY §2.1 R6/R15).
+
+Also home to the round-3 relational/engine additions: the exercised
+runtime Bloom-filter join, ANALYZE-style table statistics, signed-delta
+incremental view maintenance, the batched vector kNN, the 2-D
+(day x band) partition-grid range query, and the CSV sink roundtrip.
 
 Exactness discipline (house rules): the plane is micro-quantized
 (x = micro-days by integer div, y = micro-value), the threshold search
