@@ -653,3 +653,39 @@ def test_segment_knn_batch_slice_equals_single_query(spark, sf_dir):
         .collect()
     )
     assert batch == single
+
+
+def test_dp_banded_matches_duckdb_recursion(spark, sf_dir):
+    """Engine-independent check of the LAST unchecked DP row: the
+    Sakoe-Chiba banded DTW kNN against the multi-user recursion with
+    the band as a cell filter (|i-j| <= max(w, |n-m|))."""
+    import duckdb
+
+    from traj_sim_spark_spark import registry
+    from traj_sim_spark_spark.operators.trajectory import _dp_search_oracle
+    from traj_sim_spark_spark.operators.trajectory_ext import _DTW_BAND_W
+
+    registry.load_all()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    band = (
+        f"ABS(av.i - bv.j) <= GREATEST({_DTW_BAND_W}, "
+        f"ABS(peru.n - (SELECT m FROM mdim)))"
+    )
+    sql = _dp_search_oracle(
+        "cells.d + MIN(cur.val)",
+        "SELECT user_id, ROUND(val, 6) AS dtw_banded FROM finals "
+        "ORDER BY ROUND(val, 6), user_id LIMIT 10",
+        cell_filter=band,
+    )
+    got = sorted(
+        tuple(r)
+        for r in registry.QUERIES["traj_dtw_knn_banded"](
+            spark, sf_dir
+        ).collect()
+    )
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want, (got[:3], want[:3])

@@ -480,6 +480,7 @@ def _dp_search_oracle(
     dist: str = "ABS(av.v - bv.v)",
     coords: str = "value",
     cols: str = "v",
+    cell_filter: str = "TRUE",
 ) -> str:
     """Multi-user antidiagonal recursion: EVERY candidate user's DP grid
     against the query user advances in lockstep (rows keyed by user) —
@@ -489,7 +490,9 @@ def _dp_search_oracle(
     1-D default is |av.v - bv.v| over ``value``; the 2-D form passes the
     (time-in-days, value) projection and the Euclidean SQRT — the same
     float DAG as the engine's NumPy kernel, so the 2-D WEAK search rows
-    get the same cross-engine evidence as the 1-D ones.
+    get the same cross-engine evidence as the 1-D ones.  ``cell_filter``
+    restricts the admissible DP cells (may reference av.i, bv.j and
+    peru.n) — the Sakoe-Chiba band form of the banded-DTW row.
 
     NOT registered as the driver oracle: DuckDB materializes every
     layer of every user's grid, measured 37 s at sf0.01 / 245 s at
@@ -523,6 +526,8 @@ def _dp_search_oracle(
               SELECT (SELECT k FROM kk) + 1 AS k, av.u, av.i,
                      {dist} AS d
               FROM av JOIN bv ON bv.j = (SELECT k FROM kk) + 1 - av.i
+              JOIN peru ON peru.u = av.u
+              WHERE {cell_filter}
           ),
           newcells AS (
               SELECT cells.u, cells.k, cells.i,
