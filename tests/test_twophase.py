@@ -689,3 +689,70 @@ def test_dp_banded_matches_duckdb_recursion(spark, sf_dir):
     )
     want = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert got == want, (got[:3], want[:3])
+
+
+def test_dp_banded_2d_matches_duckdb_recursion(spark, sf_dir):
+    """Cross-engine check of the 2-D banded DTW kNN: Euclidean cell
+    metric + Sakoe-Chiba band filter in the recursion."""
+    import duckdb
+
+    from traj_sim_spark_spark import registry
+    from traj_sim_spark_spark.operators.trajectory import _dp_search_oracle
+    from traj_sim_spark_spark.operators.trajectory_ext import _DTW_BAND_W
+
+    registry.load_all()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    coords_2d = (
+        "(epoch_us(CAST(ts AS TIMESTAMP)) - "
+        "(SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) FROM events))"
+        " / 86400000000.0, value"
+    )
+    dist_2d = (
+        "SQRT((av.x - bv.x)*(av.x - bv.x) + (av.y - bv.y)*(av.y - bv.y))"
+    )
+    band = (
+        f"ABS(av.i - bv.j) <= GREATEST({_DTW_BAND_W}, "
+        f"ABS(peru.n - (SELECT m FROM mdim)))"
+    )
+    sql = _dp_search_oracle(
+        "cells.d + MIN(cur.val)",
+        "SELECT user_id, ROUND(val, 6) AS dtw_banded_2d FROM finals "
+        "ORDER BY ROUND(val, 6), user_id LIMIT 10",
+        dist=dist_2d,
+        coords=coords_2d,
+        cols="x, y",
+        cell_filter=band,
+    )
+    got = sorted(
+        tuple(r)
+        for r in registry.QUERIES["traj_dtw_knn_banded_2d"](
+            spark, sf_dir
+        ).collect()
+    )
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want, (got[:3], want[:3])
+
+
+def test_dtw_banded_2d_knn_two_phase_is_exact(spark, sf_dir):
+    """The 2-D banded-DTW kNN must equal brute force under the SAME
+    banded kernel."""
+    from traj_sim_spark_spark.operators.trajectory_ext import _DTW_BAND_W
+
+    arrs = _series_2d_by_user(spark, sf_dir)
+    q = arrs[1]
+    brute = sorted(
+        (round(kernels.dtw_banded(a, q, w=_DTW_BAND_W), 6), u)
+        for u, a in arrs.items()
+        if u != 1
+    )[:10]
+    got = [
+        (r["dtw_banded_2d"], r["user_id"])
+        for r in registry.QUERIES["traj_dtw_knn_banded_2d"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert got == brute, f"two-phase != brute force:\n{got}\n{brute}"

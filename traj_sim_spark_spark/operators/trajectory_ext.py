@@ -594,3 +594,25 @@ def traj_dtw_knn_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         _series_1d,
         "dtw_banded",
     )
+
+
+@query("traj_dtw_knn_banded_2d")  # WEAK: order-sensitive DP kernel
+def traj_dtw_knn_banded_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9 under SAKOE-CHIBA banded DTW in TWO dimensions — the
+    constrained-alignment kNN over the (time-in-days, value) plane,
+    completing the banded family (1-D landed round 2). Same validity
+    chain: banded cost >= exact 2-D DTW >= 2-D Fréchet >= the 2-D SQL
+    lower bound, so the shared lb prune and tau early-abandon apply
+    unchanged; the kernel's band-local gathers keep per-pair work at
+    O(n*w). Cross-engine: the DuckDB multi-user recursion with the
+    band as a cell filter reproduces this row exactly
+    (tests/test_twophase.py::test_dp_banded_2d_matches_duckdb_recursion).
+    """
+    t = Tables(spark, sf_dir)
+    return _dp_knn(
+        _frechet_lb_2d(t, _QUERY_USER),
+        lambda ids: _paired_series_2d(t, _QUERY_USER, ids=ids),
+        _dtw_banded_kernel,
+        _series_2d,
+        "dtw_banded_2d",
+    )
