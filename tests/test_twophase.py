@@ -756,3 +756,51 @@ def test_dtw_banded_2d_knn_two_phase_is_exact(spark, sf_dir):
         ).collect()
     ]
     assert got == brute, f"two-phase != brute force:\n{got}\n{brute}"
+
+
+def test_dtw_banded_threshold_is_exact_and_recursion_checked(
+    spark, sf_dir
+):
+    """The banded-DTW threshold search must return exactly the users
+    whose banded cost is <= tau (NumPy brute force), and match the
+    DuckDB recursion with the band cell filter."""
+    import duckdb
+
+    from traj_sim_spark_spark.operators.trajectory import (
+        _DTW_TAU,
+        _dp_search_oracle,
+    )
+    from traj_sim_spark_spark.operators.trajectory_ext import _DTW_BAND_W
+
+    series = _series_by_user(spark, sf_dir)
+    q = series[1]
+    brute = sorted(
+        (u, round(kernels.dtw_banded(s, q, w=_DTW_BAND_W), 6))
+        for u, s in series.items()
+        if u != 1 and kernels.dtw_banded(s, q, w=_DTW_BAND_W) <= _DTW_TAU
+    )
+    got = sorted(
+        (r["user_id"], r["dtw_banded"])
+        for r in registry.QUERIES["traj_dtw_threshold_banded"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert got == brute, f"threshold != brute force:\n{got}\n{brute}"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    band = (
+        f"ABS(av.i - bv.j) <= GREATEST({_DTW_BAND_W}, "
+        f"ABS(peru.n - (SELECT m FROM mdim)))"
+    )
+    sql = _dp_search_oracle(
+        "cells.d + MIN(cur.val)",
+        f"SELECT user_id, ROUND(val, 6) AS dtw_banded FROM finals "
+        f"WHERE ROUND(val, 6) <= {_DTW_TAU}",
+        cell_filter=band,
+    )
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert sorted(tuple(r) for r in registry.QUERIES[
+        "traj_dtw_threshold_banded"](spark, sf_dir).collect()) == want

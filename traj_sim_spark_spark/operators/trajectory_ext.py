@@ -616,3 +616,29 @@ def traj_dtw_knn_banded_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         _series_2d,
         "dtw_banded_2d",
     )
+
+
+@query("traj_dtw_threshold_banded")  # WEAK: order-sensitive DP kernel
+def traj_dtw_threshold_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8 under Sakoe-Chiba banded DTW: all users whose CONSTRAINED
+    alignment cost is <= tau — the threshold twin of
+    ``traj_dtw_knn_banded``, completing the banded {kNN, threshold}
+    tier. Banded cost >= exact DTW, so the shared declarative lb gate
+    and tau early-abandon remain valid; per-pair work stays O(n*w)."""
+    from .trajectory import (
+        _DTW_TAU,
+        _dp_threshold,
+        _frechet_lb,
+        _paired_series,
+        _series_1d,
+    )
+
+    t = Tables(spark, sf_dir)
+    return _dp_threshold(
+        _frechet_lb(t, _QUERY_USER),
+        lambda ids: _paired_series(t, _QUERY_USER, ids=ids),
+        _dtw_banded_kernel,
+        _series_1d,
+        "dtw_banded",
+        _DTW_TAU,
+    )
