@@ -31,6 +31,7 @@ new ops get driver correctness rows.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -573,10 +574,17 @@ def _segknn_pruned(t: Tables) -> DataFrame:
             .join(F.broadcast(cand_ids), "user_id", "left_anti")
         )
     else:
+        # lb <= tau_k cut in EXACT integer arithmetic: lb is BIGINT
+        # micro-units (up to ~1.2e9, so lb^2 ~1.4e18 > 2^53 would round
+        # in double and could prune a true candidate at an ulp
+        # boundary).  tau is a driver scalar already, so derive the
+        # integer radius isqrt(ceil(tau)) + 1 once: lb^2 <= tau implies
+        # lb <= isqrt(ceil(tau)) + 1, making the cut conservative and
+        # partitioning/engine-independent (house integer-membership
+        # rule; over-includes at most one lb value, refined exactly).
+        lb_cap = math.isqrt(int(math.ceil(tau))) + 1
         rest_ids = (
-            lb.filter(
-                F.col("lb").cast("double") * F.col("lb") <= F.lit(tau)
-            )
+            lb.filter(F.col("lb") <= F.lit(lb_cap))
             .select("user_id")
             .join(F.broadcast(cand_ids), "user_id", "left_anti")
         )
@@ -647,16 +655,13 @@ def traj_hausdorff_segments_threshold_2d_idx(
     import math
 
     from .trajectory import (
-        _layout_path,
         _write_cell_layout,
         _write_user_manifest,
         _LAYOUT_CELL,
     )
 
     man_path = _write_user_manifest(spark, sf_dir)
-    lay_path = _layout_path(sf_dir)
-    if not os.path.exists(os.path.join(lay_path, "_SUCCESS")):
-        _write_cell_layout(spark, sf_dir)
+    lay_path = _write_cell_layout(spark, sf_dir)
     man = spark.read.parquet(man_path)
     qrow = man.filter(F.col("user_id") == _SK_Q).head()
     tau = _SK_TAU_U / 1e6
@@ -741,16 +746,13 @@ def traj_hausdorff_segments_knn_2d_idx(
     import math
 
     from .trajectory import (
-        _layout_path,
         _write_cell_layout,
         _write_user_manifest,
         _LAYOUT_CELL,
     )
 
     man_path = _write_user_manifest(spark, sf_dir)
-    lay_path = _layout_path(sf_dir)
-    if not os.path.exists(os.path.join(lay_path, "_SUCCESS")):
-        _write_cell_layout(spark, sf_dir)
+    lay_path = _write_cell_layout(spark, sf_dir)
     man = spark.read.parquet(man_path)
     qrow = man.filter(F.col("user_id") == _SK_Q).head()
     t0 = int(qrow["t0"])
@@ -1047,11 +1049,17 @@ def _write_grid_layout(spark: SparkSession, sf_dir: str) -> str:
     partitions the value axis only. Day keys are ABSOLUTE epoch days
     (no t0 dependence, so the layout is incrementally appendable: a new
     day of data is a new directory, never a rewrite)."""
-    from ..sources.readers import write_partitioned
+    from ..sources.readers import (
+        layout_current,
+        stamp_layout,
+        write_partitioned,
+    )
     from .trajectory import _LAYOUT_CELL
 
-    t = Tables(spark, sf_dir)
     path = _grid_layout_path(sf_dir)
+    if layout_current(path, sf_dir):
+        return path
+    t = Tables(spark, sf_dir)
     write_partitioned(
         t.events.withColumn(
             "dcell", F.expr("unix_micros(ts) div 86400000000")
@@ -1062,6 +1070,7 @@ def _write_grid_layout(spark: SparkSession, sf_dir: str) -> str:
         ["dcell", "vcell"],
         sort_cols=["value"],
     )
+    stamp_layout(path, sf_dir)
     return path
 
 
@@ -1113,9 +1122,7 @@ def traj_range_window_2d_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .trajectory import _LAYOUT_CELL, _range_core
 
     t = Tables(spark, sf_dir)
-    path = _grid_layout_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        _write_grid_layout(spark, sf_dir)
+    path = _write_grid_layout(spark, sf_dir)
     t0 = t.events.agg(F.min(F.unix_micros("ts"))).head()[0]
     band = (
         t.events.filter(

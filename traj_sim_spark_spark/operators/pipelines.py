@@ -238,7 +238,7 @@ def _neardup_oracle() -> str:
     """
 
 
-@query("pipe_neardup_dedup", oracle=_neardup_oracle())
+@query("pipe_neardup_dedup", oracle=_neardup_oracle)
 def pipe_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB near-dup dedup pipeline END-TO-END, one declarative
     plan: MinHash-LSH candidate generation (``text_minhash_neardup``'s
@@ -330,7 +330,7 @@ def _incremental_oracle() -> str:
     """
 
 
-@query("pipe_incremental_dedup", oracle=_incremental_oracle())
+@query("pipe_incremental_dedup", oracle=_incremental_oracle)
 def pipe_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL near-dup dedup — the daily-ingest shape: a NEW batch
     (odd doc_ids) deduped against the EXISTING corpus (even doc_ids)
@@ -468,7 +468,7 @@ def _dedup_quality_oracle() -> str:
     """
 
 
-@query("pipe_dedup_quality", oracle=_dedup_quality_oracle())
+@query("pipe_dedup_quality", oracle=_dedup_quality_oracle)
 def pipe_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QUALITY-AWARE cluster dedup — keep the BEST document of every
     near-dup cluster, not the lowest-id one (what C4/RefinedWeb

@@ -569,7 +569,9 @@ _FILT_K = 10
     ),
     cent AS (
         SELECT label AS clabel, i,
-               CAST(ROUND(AVG(v) * 1e6) AS BIGINT) AS mq
+               CAST((SUM(CAST(ROUND(v * 1e6) AS BIGINT))
+                     + COUNT(*) * 100000000) // COUNT(*)
+                    AS BIGINT) - 100000000 AS mq
         FROM e GROUP BY label, i
     ),
     adist AS (
@@ -635,11 +637,12 @@ def sim_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python).
 
     Deterministic end-to-end, with the candidate-set boundary decided
-    in INTEGERS (house membership discipline): centroid means are
-    quantized to micro-units on both engines before the d² argmin /
-    probe ranking, so cross-engine summation-order ulps cannot flip an
-    assignment near a tie (the unfiltered IVF rows accept the float
-    boundary and document it; this row upgrades it)."""
+    in INTEGERS (house membership discipline): vector elements are
+    micro-quantized FIRST and the centroid is an exact integer mean of
+    those bigints (shifted floor division — no float AVG anywhere in
+    the membership path), so neither summation order nor a .5-micro
+    AVG boundary can flip an assignment (the unfiltered IVF rows accept
+    the float boundary and document it; this row upgrades it)."""
     from pyspark.sql import Window as W
 
     from .similarity import _emb, _query_vec, cosine
@@ -648,10 +651,22 @@ def sim_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(t)
     # quantized twin of similarity._ivf_adist: micro-unit integer
     # centroids and vectors -> integer d2, broadcast codebook join
+    # Per-element micro-quantize FIRST, then an exact integer mean:
+    # SUM of ROUND(v*1e6) bigints is order-independent (no float AVG in
+    # the membership path), and the mean is floor((sq + n*C)/n) - C with
+    # C = 1e8 micro-units — the +C shift keeps both operands positive so
+    # Spark's truncating `div` and DuckDB's `//` agree (they differ on
+    # negatives).  C bounds |v| <= 100; fixture embeddings are unit-ish.
     cent = (
         emb.select("label", F.posexplode("emb").alias("i", "v"))
         .groupBy("label", "i")
-        .agg(F.round(F.avg("v") * 1e6).cast("bigint").alias("mq"))
+        .agg(
+            F.expr(
+                "(sum(cast(round(v * 1e6) as bigint))"
+                " + count(*) * 100000000L) div count(*)"
+                " - 100000000L"
+            ).alias("mq")
+        )
         .groupBy("label")
         .agg(
             F.array_sort(F.collect_list(F.struct("i", "mq"))).alias("cvec")

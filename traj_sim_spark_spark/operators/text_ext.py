@@ -358,7 +358,7 @@ def _minhash_estimate_oracle() -> str:
     """
 
 
-@query("text_minhash_estimate", oracle=_minhash_estimate_oracle())
+@query("text_minhash_estimate", oracle=_minhash_estimate_oracle)
 def text_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch CALIBRATION for the MinHash path: for every possible
     signature-agreement level (0..8 of 8 components), how many LSH

@@ -1487,9 +1487,17 @@ def _write_cell_layout(spark: SparkSession, sf_dir: str) -> str:
     partition dirs give Catalyst static partition pruning (the driver-
     side global index over partition MBRs [P §4.2]), the within-
     partition sort tightens row-group min/max so residual range
-    predicates skip row groups (the local R-tree)."""
-    t = Tables(spark, sf_dir)
+    predicates skip row groups (the local R-tree).
+
+    Idempotent ensure: reused only while the fixture fingerprint stamp
+    matches the live fixture files (a regenerated fixture under the same
+    sf_dir forces a rebuild — ADVICE round 3)."""
+    from ..sources.readers import layout_current, stamp_layout
+
     path = _layout_path(sf_dir)
+    if layout_current(path, sf_dir):
+        return path
+    t = Tables(spark, sf_dir)
     write_partitioned(
         t.events.withColumn(
             "cell", F.floor(F.col("value") / F.lit(_LAYOUT_CELL))
@@ -1498,6 +1506,7 @@ def _write_cell_layout(spark: SparkSession, sf_dir: str) -> str:
         ["cell"],
         sort_cols=["value"],
     )
+    stamp_layout(path, sf_dir)
     return path
 
 
@@ -1540,9 +1549,7 @@ def traj_range_query_2d_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over the query trajectory (same footprint as the kNNs'
     tau_k scalar)."""
     t = Tables(spark, sf_dir)
-    path = _layout_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        _write_cell_layout(spark, sf_dir)
+    path = _write_cell_layout(spark, sf_dir)
     band = (
         t.events.filter(F.col("user_id") == 1)
         .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
@@ -1806,8 +1813,10 @@ def _write_user_manifest(spark: SparkSession, sf_dir: str) -> str:
     TrajMeta + partition-MBR table (SURVEY.md §1.1 dual store / [P
     §4.1]). Tiny (one row per trajectory), rebuilt only when the layout
     is."""
+    from ..sources.readers import layout_current, stamp_layout
+
     path = _manifest_path(sf_dir)
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
+    if layout_current(path, sf_dir):
         return path
     t = Tables(spark, sf_dir)
     t0 = t.events.agg(F.min(F.unix_micros("ts")).alias("t0"))
@@ -1821,6 +1830,7 @@ def _write_user_manifest(spark: SparkSession, sf_dir: str) -> str:
         .join(F.broadcast(t0))
     )
     man.coalesce(1).write.mode("overwrite").parquet(path)
+    stamp_layout(path, sf_dir)
     return path
 
 
@@ -1883,9 +1893,7 @@ def traj_hausdorff_threshold_2d_idx(
     result identical. The band bounds are one manifest row fetched at
     plan time (the tau_k-scalar footprint)."""
     man_path = _write_user_manifest(spark, sf_dir)
-    lay_path = _layout_path(sf_dir)
-    if not os.path.exists(os.path.join(lay_path, "_SUCCESS")):
-        _write_cell_layout(spark, sf_dir)
+    lay_path = _write_cell_layout(spark, sf_dir)
     man = spark.read.parquet(man_path)
     qrow = man.filter(F.col("user_id") == 1).head()
     qlo, qhi = qrow["vmin"] - _IDX_TAU, qrow["vmax"] + _IDX_TAU
@@ -2039,9 +2047,7 @@ def traj_hausdorff_knn_2d_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     one tau_k scalar). Oracle identical to the unindexed
     ``traj_hausdorff_knn_2d``."""
     man_path = _write_user_manifest(spark, sf_dir)
-    lay_path = _layout_path(sf_dir)
-    if not os.path.exists(os.path.join(lay_path, "_SUCCESS")):
-        _write_cell_layout(spark, sf_dir)
+    lay_path = _write_cell_layout(spark, sf_dir)
     man = spark.read.parquet(man_path)
     qrow = man.filter(F.col("user_id") == 1).head()
     t0_us = qrow["t0"]

@@ -29,38 +29,40 @@ _LAZY_ORACLES: dict[str, Callable[[], str]] = {}
 # Registration order matters: the correctness driver samples the first 50
 # registered queries.
 #
-# ROUND-3 ROTATION (executed): mining(12) + graph(10) + extras2(13) +
-# similarity_ext(8) + series(4) = 47 keys take the front, leaving 3 window
-# slots for extras3 (new round-3 ops — the 2-D segment-Hausdorff searches
-# register first there). These families had only judge-gate greens in
-# round 2; extras2/graph also carry this round's scale fixes (copurchase
-# fanout cap, pHash band dispatch, PageRank broadcast dispatch), so the
-# driver re-verifies their hashes after the change.  similarity_ext's
-# cross-module oracle is now LAZY (registry._LAZY_ORACLES) so importing
-# it no longer drags similarity's 10 keys into the window.
+# ROUND-4 ROTATION (executed): text_ext(8) + analytics(7) + timeseries(7)
+# + curation(7) + extras(9) + pipelines(6) + multimodal(6, of which
+# mm_binary_meta already has a round-2 row) = exactly 50 window slots, 49
+# of them keys with no driver correctness row through round 3.
+# text_minhash_estimate's composed oracle is now LAZY (it was an eager
+# call that imported text.py at decoration time, which would have dragged
+# text's 12 already-verified keys into the window).
 #
-# ROUND-4 ROTATION (do at round-4 start): text_ext(8), analytics(7),
-# timeseries(7), curation(7), sim_range_search, emb_layout_ivf,
-# setops tail (rel_intersect_all/rel_except_all), multimodal tail,
-# plus any extras3 keys past slot 50 — still no driver row.
+# ROUND-5 ROTATION (do at round-5 start): the remaining rowless keys are
+# extras3 tail (10, after its 3 round-3-checked heads), trajectory_ext
+# (11 — NOTE: module-level `from .trajectory import ...` drags
+# trajectory's 25 seen keys; make it lazy first), streams_ext (9 — same:
+# module-level `from .streams import ...` drags 8), readers_ext (7 —
+# drags readers' 2 via `staging_dir`), setops tail (2), similarity tail
+# (2) = 41 + whatever round 4 adds (operators.extras4).
 _MODULES = (
+    "traj_sim_spark_spark.operators.text_ext",
+    "traj_sim_spark_spark.operators.analytics",
+    "traj_sim_spark_spark.operators.timeseries",
+    "traj_sim_spark_spark.operators.curation",
+    "traj_sim_spark_spark.operators.extras",
+    "traj_sim_spark_spark.operators.pipelines",
+    "traj_sim_spark_spark.operators.multimodal",
     "traj_sim_spark_spark.operators.mining",
     "traj_sim_spark_spark.operators.graph",
     "traj_sim_spark_spark.operators.extras2",
     "traj_sim_spark_spark.operators.similarity_ext",
     "traj_sim_spark_spark.operators.series",
     "traj_sim_spark_spark.operators.extras3",
-    "traj_sim_spark_spark.operators.text_ext",
-    "traj_sim_spark_spark.operators.analytics",
-    "traj_sim_spark_spark.operators.timeseries",
-    "traj_sim_spark_spark.operators.curation",
     "traj_sim_spark_spark.operators.trajectory",
     "traj_sim_spark_spark.operators.text",
     "traj_sim_spark_spark.streaming.streams",
     "traj_sim_spark_spark.sources.readers",
     "traj_sim_spark_spark.operators.udfs",
-    "traj_sim_spark_spark.operators.multimodal",
-    "traj_sim_spark_spark.operators.extras",
     "traj_sim_spark_spark.operators.scans",
     "traj_sim_spark_spark.operators.filters",
     "traj_sim_spark_spark.operators.joins",
@@ -70,7 +72,6 @@ _MODULES = (
     "traj_sim_spark_spark.functions.scalars",
     "traj_sim_spark_spark.operators.similarity",
     "traj_sim_spark_spark.operators.trajectory_ext",
-    "traj_sim_spark_spark.operators.pipelines",
     "traj_sim_spark_spark.streaming.streams_ext",
     "traj_sim_spark_spark.sources.readers_ext",
 )

@@ -64,6 +64,47 @@ def staging_dir(sf_dir: str, kind: str) -> str:
     return d
 
 
+def fixture_fingerprint(sf_dir: str, table: str = "events") -> str:
+    """Cheap fingerprint of a fixture table's on-disk state (sorted file
+    names + sizes + mtime_ns). Derived layouts (cell layout, manifest,
+    grid layout) are stamped with this at build time; a reuse check
+    compares the stamp against the live fixture so a regenerated fixture
+    forces a rebuild instead of the layout silently answering stale."""
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    h = hashlib.md5()
+    if os.path.isdir(p):
+        for root, _dirs, files in sorted(os.walk(p)):
+            for fn in sorted(files):
+                st = os.stat(os.path.join(root, fn))
+                rel = os.path.relpath(os.path.join(root, fn), p)
+                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns};".encode())
+    else:
+        st = os.stat(p)
+        h.update(f"{table}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()
+
+
+_FPRINT_FILE = "_FIXTURE_FPRINT"
+
+
+def layout_current(path: str, sf_dir: str, table: str = "events") -> bool:
+    """True iff a reusable derived layout exists at ``path`` AND its
+    fingerprint stamp matches the fixture files currently on disk."""
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return False
+    fp_file = os.path.join(path, _FPRINT_FILE)
+    if not os.path.exists(fp_file):
+        return False
+    with open(fp_file) as f:
+        return f.read().strip() == fixture_fingerprint(sf_dir, table)
+
+
+def stamp_layout(path: str, sf_dir: str, table: str = "events") -> None:
+    """Record the source-fixture fingerprint next to ``_SUCCESS``."""
+    with open(os.path.join(path, _FPRINT_FILE), "w") as f:
+        f.write(fixture_fingerprint(sf_dir, table))
+
+
 @query(
     "src_csv_ingest",
     oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",

@@ -271,7 +271,11 @@ def stream_layout_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.streams import events_stream
 
     # fixed, delete-and-recreate run dir: repeated invocations (min-of-3
-    # bench, gates) must not accumulate full event copies on disk
+    # bench, gates) must not accumulate full event copies on disk.
+    # SINGLE-SESSION CONTRACT (ADVICE round 3): two concurrent processes
+    # sharing this staging dir would rmtree each other mid-write — the
+    # gate/bench/pytest harnesses never overlap per sf_dir; suffix the
+    # dir with a pid/lock if that contract ever changes.
     out = os.path.join(staging_dir(sf_dir, "stream_layout"), "run")
     shutil.rmtree(out, ignore_errors=True)
     ev = events_stream(spark, sf_dir).select(
