@@ -64,6 +64,11 @@ KEYS = [
     "sim_knn_batch",
     "traj_range_window_2d_idx",
     "rel_view_maintenance",
+    # round-4 additions: integer-Hamming shortlist + float rerank,
+    # dual-shortlist RRF fusion, KMV min-hash top-k set algebra
+    "sim_knn_binary",
+    "sim_hybrid_rrf",
+    "sketch_kmv_setops",
 ]
 
 

@@ -1,0 +1,685 @@
+"""Round-4 additions: modern-retrieval and pipeline-hardening operators.
+
+- ``sim_knn_binary``  — 1-BIT binarized ANN: embeddings sign-quantized
+  to 64 bits (two 32-bit BIGINT words), Hamming-distance shortlist via
+  ``bit_count(xor)``, exact cosine rerank — the binary-quantization
+  member of the approximate family (SQ8 shrinks precision to 8 bits,
+  PQ to codebook ids, MRL truncates dims; this is the 64x-compression
+  extreme every modern vector store ships as its cheap first pass);
+- ``sim_hybrid_rrf``  — HYBRID retrieval: lexical token-overlap ranking
+  and vector cosine ranking fused by Reciprocal Rank Fusion
+  (1/(60+r)), the standard BM25+ANN fusion in RAG stacks — composed
+  from the same inverted-index and kNN shapes the engine already
+  ships, with the fusion arithmetic bit-deterministic (small-integer
+  ranks -> exactly-rounded IEEE divisions, identical expression DAG on
+  both engines);
+- ``rel_dq_audit``    — the dbt-style data-quality constraint audit:
+  uniqueness, referential integrity, null-rate, accepted-range and
+  accepted-set checks over the star schema, one verdict row per rule —
+  the gate a 100 TB ingest runs before publishing a partition;
+- ``sketch_kmv_setops`` — KMV sketch SET ALGEBRA: k-minimum-values
+  sketches of two event populations, union/intersection cardinality
+  estimated from the merged sketch (inclusion-exclusion on the union
+  sketch's Jaccard), exact counterparts beside — deterministic md5
+  hashing makes the whole estimator FULL-oracle-checkable
+  (``sketch_kmv_distinct``'s single-set row, completed to the algebra
+  that makes KMV useful: sketches of partitions merge into sketches of
+  unions without rescanning).
+
+Scale notes (100 TB):
+- the binary codes are 16 bytes/vector (vs 256 for float32): the
+  Hamming pass scans 1/16th the bytes, shortlists via TakeOrdered (no
+  global sort), and only the 50-row shortlist touches float vectors;
+- hybrid fusion joins two 50-row shortlists — corpus cost is one
+  token-postings equi-join (query side broadcast) + one vector scan,
+  both linear; the rank windows run over 50-row DataFrames only;
+- the DQ audit is one multi-aggregate pass per table plus key-keyed
+  anti-joins (Bloom/DPP-prunable at scale); every check emits counts,
+  never rows, so the report is O(rules) regardless of table size;
+- KMV sketches are 64-row bounded aggregates; partial sketches merge
+  map-side (min-of-mins), so population sketches cost one scan and the
+  set algebra runs on 128 driver-free rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+
+# ---------------------------------------------------------------------------
+# sim_knn_binary — 1-bit sign-quantized Hamming shortlist + exact rerank
+# ---------------------------------------------------------------------------
+
+_BIN_SHORTLIST = 50
+_BIN_K = 10
+
+# DuckDB: embeddings exploded (1-based i), sign codes packed into two
+# 32-bit words held in BIGINTs (64 sign bits would overflow the signed
+# shift at bit 63).  SUM of distinct powers of two is order-independent
+# and exact — the house integer-membership rule for the approximation
+# boundary.
+_BIN_CODES_SQL = """
+    ev AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    codes AS (
+        SELECT vec_id,
+               SUM(CASE WHEN v >= 0 AND i <= 32
+                        THEN CAST(1 AS BIGINT) << (i - 1)
+                        ELSE 0 END) AS c_lo,
+               SUM(CASE WHEN v >= 0 AND i > 32
+                        THEN CAST(1 AS BIGINT) << (i - 33)
+                        ELSE 0 END) AS c_hi
+        FROM ev GROUP BY vec_id
+    )
+"""
+
+
+@query(
+    "sim_knn_binary",
+    oracle=f"""
+    WITH {_BIN_CODES_SQL},
+    q AS (SELECT c_lo AS q_lo, c_hi AS q_hi FROM codes WHERE vec_id = 0),
+    ham AS (
+        SELECT c.vec_id,
+               CAST(bit_count(xor(c.c_lo, q.q_lo))
+                    + bit_count(xor(c.c_hi, q.q_hi)) AS INTEGER) AS hamming
+        FROM codes c, q WHERE c.vec_id <> 0
+    ),
+    shortlist AS (
+        SELECT vec_id, hamming FROM ham
+        ORDER BY hamming, vec_id LIMIT {_BIN_SHORTLIST}
+    ),
+    qv AS (SELECT i, v FROM ev WHERE vec_id = 0),
+    qn AS (SELECT SQRT(SUM(v * v)) AS n FROM qv),
+    rerank AS (
+        SELECT s.vec_id, s.hamming,
+               SUM(ev.v * qv.v)
+               / (SQRT(SUM(ev.v * ev.v)) * (SELECT n FROM qn)) AS cs
+        FROM shortlist s
+        JOIN ev ON ev.vec_id = s.vec_id
+        JOIN qv ON qv.i = ev.i
+        GROUP BY s.vec_id, s.hamming
+    )
+    SELECT vec_id, hamming, ROUND(cs, 6) + 0.0 AS cos_sim
+    FROM rerank
+    ORDER BY cs DESC, vec_id
+    LIMIT {_BIN_K}
+    """,
+)
+def sim_knn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-quantized ANN — the 1-bit member of the approximate
+    family (beside SQ8 ``sim_knn_sq8``, PQ ``sim_knn_pq``, dimension
+    truncation ``sim_knn_mrl``): every embedding collapses to its 64
+    sign bits packed in two BIGINT words, the query's Hamming distance
+    to every code is two ``bit_count(xor)`` ops, the {_BIN_SHORTLIST}
+    Hamming-nearest codes are shortlisted, and exact full-precision
+    cosine reranks to top-{_BIN_K}.
+
+    Why it matters at 100 TB: the code table is 16 bytes/vector — a
+    1-billion-vector corpus scans 16 GB instead of 256 GB, entirely in
+    codegen'd integer ops, and only {_BIN_SHORTLIST} float vectors are
+    ever touched. The codes build in one pass (a JVM fold per row — sum
+    of distinct powers of two, no shuffle) and at scale persist as a
+    narrow sidecar column the cheap pass scans alone (the
+    ``sim_knn_mrl`` head-column layout argument).
+
+    Exactness: the approximation boundary (which 50 vectors rerank) is
+    decided ENTIRELY by integers (hamming, vec_id) — house membership
+    discipline; cosine appears only in the final rerank with the
+    established identical-DAG float argument (cf. ``sim_knn``)."""
+    from ..functions.vector import cosine, to_double
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", to_double("embedding").alias("emb")
+    )
+    # SQL-expr folds: shiftleft takes a COLUMN shift amount only in SQL
+    # form; sum of distinct powers of two is exact and order-free.
+    c_lo = F.expr(
+        "aggregate(transform(emb, (x, i) ->"
+        " IF(x >= double(0) AND i < 32, shiftleft(1L, i), 0L)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    c_hi = F.expr(
+        "aggregate(transform(emb, (x, i) ->"
+        " IF(x >= double(0) AND i >= 32, shiftleft(1L, i - 32), 0L)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    codes = emb.select(
+        "vec_id", "emb", c_lo.alias("c_lo"), c_hi.alias("c_hi")
+    )
+    q = codes.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("q_emb"),
+        F.col("c_lo").alias("q_lo"),
+        F.col("c_hi").alias("q_hi"),
+    )
+    shortlist = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .withColumn(
+            "hamming",
+            (
+                F.bit_count(F.col("c_lo").bitwiseXOR(F.col("q_lo")))
+                + F.bit_count(F.col("c_hi").bitwiseXOR(F.col("q_hi")))
+            ).cast("int"),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(_BIN_SHORTLIST)
+    )
+    return (
+        shortlist.withColumn(
+            "cos_raw", cosine(F.col("emb"), F.col("q_emb"))
+        )
+        .orderBy(F.col("cos_raw").desc(), "vec_id")
+        .limit(_BIN_K)
+        .select(
+            "vec_id",
+            "hamming",
+            (F.round("cos_raw", 6) + 0.0).alias("cos_sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_hybrid_rrf — lexical + vector retrieval fused by reciprocal rank
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard RRF damping constant
+_RRF_SHORTLIST = 50
+_RRF_TOP = 10
+
+
+@query(
+    "sim_hybrid_rrf",
+    oracle=f"""
+    WITH qtok AS (
+        SELECT DISTINCT t.token
+        FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(token)
+        WHERE d.doc_id = 0
+    ),
+    tok AS (
+        SELECT d.doc_id, t.token
+        FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(token)
+        WHERE d.doc_id <> 0
+    ),
+    lexscore AS (
+        SELECT tok.doc_id,
+               COUNT(DISTINCT tok.token) AS n_terms,
+               COUNT(*) AS n_hits
+        FROM tok JOIN qtok USING (token)
+        GROUP BY tok.doc_id
+    ),
+    lex AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY n_terms DESC, n_hits DESC, doc_id
+               ) AS INTEGER) AS lex_rank
+        FROM (SELECT * FROM lexscore
+              ORDER BY n_terms DESC, n_hits DESC, doc_id
+              LIMIT {_RRF_SHORTLIST})
+    ),
+    ev AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    qv AS (SELECT i, v FROM ev WHERE vec_id = 0),
+    qn AS (SELECT SQRT(SUM(v * v)) AS n FROM qv),
+    dots AS (
+        SELECT ev.vec_id,
+               SUM(ev.v * qv.v)
+               / (SQRT(SUM(ev.v * ev.v)) * (SELECT n FROM qn)) AS cs
+        FROM ev JOIN qv USING (i)
+        WHERE ev.vec_id <> 0
+        GROUP BY ev.vec_id
+    ),
+    vec AS (
+        SELECT vec_id AS doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY cs DESC, vec_id)
+                    AS INTEGER) AS vec_rank
+        FROM (SELECT * FROM dots ORDER BY cs DESC, vec_id
+              LIMIT {_RRF_SHORTLIST})
+    ),
+    fused AS (
+        SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+               lex.lex_rank, vec.vec_rank,
+               COALESCE(1.0 / ({_RRF_K} + lex.lex_rank), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + vec.vec_rank), 0.0) AS rrf
+        FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+    )
+    SELECT doc_id, lex_rank, vec_rank, ROUND(rrf, 6) AS rrf_score
+    FROM fused
+    ORDER BY rrf DESC, doc_id
+    LIMIT {_RRF_TOP}
+    """,
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval with Reciprocal Rank Fusion — the standard RAG
+    stack shape (Elasticsearch/Vespa/Weaviate all ship it): a lexical
+    ranking (query-token overlap: distinct terms matched, then total
+    hits — an inverted-index scan) and a vector ranking (exact cosine
+    kNN, the ``sim_knn`` engine) each shortlist {_RRF_SHORTLIST}, and
+    the lists fuse by RRF: score = sum over lists of 1/({_RRF_K}+rank).
+    Query = document 0's tokens on the lexical side, vector 0 on the
+    dense side (the corpus' linked doc/vec ids).
+
+    Exactness: both RANKINGS are decided by integers or by the
+    established identical-DAG cosine ordering; the fusion arithmetic is
+    1/(60+r) on SMALL-INTEGER ranks — each division is exactly-rounded
+    IEEE with both engines evaluating the same two-term expression, so
+    the fused ordering is bit-deterministic (doc_id tie-break).
+
+    Scale shape: the corpus-side costs are one postings equi-join with
+    a broadcast query-token list and one vector scan with TakeOrdered —
+    both linear, both already the engine's shapes; ranks are assigned
+    on {_RRF_SHORTLIST}-row DataFrames (the single-partition window is
+    over 50 rows, never the corpus), and the fusion is a 50x50 full
+    outer join."""
+    t = Tables(spark, sf_dir)
+    qtok = (
+        t.documents.filter(F.col("doc_id") == 0)
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    tok = (
+        t.documents.filter(F.col("doc_id") != 0)
+        .repartition(32, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    )
+    lex_short = (
+        tok.join(F.broadcast(qtok), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("token").alias("n_terms"),
+            F.count("*").alias("n_hits"),
+        )
+        .orderBy(
+            F.col("n_terms").desc(), F.col("n_hits").desc(), "doc_id"
+        )
+        .limit(_RRF_SHORTLIST)
+    )
+    lex = lex_short.select(
+        "doc_id",
+        F.row_number()
+        .over(
+            W.orderBy(
+                F.col("n_terms").desc(), F.col("n_hits").desc(), "doc_id"
+            )
+        )
+        .cast("int")
+        .alias("lex_rank"),
+    )
+    from ..functions.vector import cosine, to_double
+
+    emb = t.embeddings.select(
+        "vec_id", to_double("embedding").alias("emb")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("q_emb")
+    )
+    vec_short = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .withColumn("cs", cosine(F.col("emb"), F.col("q_emb")))
+        .orderBy(F.col("cs").desc(), "vec_id")
+        .limit(_RRF_SHORTLIST)
+    )
+    vec = vec_short.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(W.orderBy(F.col("cs").desc(), "vec_id"))
+        .cast("int")
+        .alias("vec_rank"),
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank")), F.lit(0.0)
+    )
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .withColumn("rrf", rrf)
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(_RRF_TOP)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            F.round("rrf", 6).alias("rrf_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# rel_dq_audit — dbt-style data-quality constraint audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_dq_audit",
+    oracle="""
+    SELECT rule, n_checked, n_violations FROM (
+        SELECT 'orders_pk_unique' AS rule,
+               COUNT(*) AS n_checked,
+               COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem_fk_orders',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+        UNION ALL
+        SELECT 'orders_fk_customer',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'lineitem_qty_range',
+               COUNT(*),
+               COUNT(*) FILTER (l_quantity < 1 OR l_quantity > 45)
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders_status_domain',
+               COUNT(*),
+               COUNT(*) FILTER (o_orderstatus NOT IN ('O', 'F'))
+        FROM orders
+        UNION ALL
+        SELECT 'customer_acctbal_nonneg',
+               COUNT(*),
+               COUNT(*) FILTER (CAST(ROUND(c_acctbal * 100) AS BIGINT) < 0)
+        FROM customer
+        UNION ALL
+        SELECT 'events_props_key',
+               COUNT(*),
+               COUNT(*) FILTER (json_extract(props, '$.k') IS NULL)
+        FROM events
+    )
+    """,
+)
+def rel_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-QUALITY constraint audit — the dbt-test / Deequ shape: one
+    verdict row per declared rule with the population checked and the
+    violation count. Rules cover the five constraint classes a warehouse
+    actually tests: primary-key uniqueness (orders), referential
+    integrity (lineitem→orders, orders→customer), accepted numeric range
+    (l_quantity in [1, 45] — deliberately tighter than the data so the
+    audit exercises non-zero violations), accepted value set
+    (o_orderstatus in {{O, F}}: pending 'P' rows surface), sign
+    constraints (negative account balances, integer-cent quantized per
+    the house rule so the boundary is float-free), and semi-structured
+    shape (events.props parses and carries key 'k').
+
+    Scale shape: each single-table rule family folds into ONE
+    multi-aggregate pass over its table (conditional counts — map-side
+    combinable, no shuffle beyond the final 1-row agg); the two FK
+    rules are key-keyed anti-join counts (Bloom/DPP-prunable, and the
+    orders→customer probe side broadcasts). The report is O(rules)
+    rows regardless of table size — counts, never row dumps, cross the
+    network. At 100 TB this runs per ingest partition and the verdict
+    rows append to an audit log; a failed rule gates publication."""
+    t = Tables(spark, sf_dir)
+    orders_pass = t.orders.agg(
+        F.count("*").alias("n_checked"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias(
+            "pk_violations"
+        ),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F"), 1).otherwise(0)
+        ).alias("status_violations"),
+    )
+    li_pass = t.lineitem.agg(
+        F.count("*").alias("n_checked"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 45), 1
+            ).otherwise(0)
+        ).alias("range_violations"),
+    )
+    cust_pass = t.customer.agg(
+        F.count("*").alias("n_checked"),
+        F.sum(
+            F.when(
+                F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)") < 0, 1
+            ).otherwise(0)
+        ).alias("neg_violations"),
+    )
+    ev_pass = t.events.agg(
+        F.count("*").alias("n_checked"),
+        F.sum(
+            F.when(
+                F.get_json_object("props", "$.k").isNull(), 1
+            ).otherwise(0)
+        ).alias("json_violations"),
+    )
+    li_orphans = (
+        t.lineitem.join(
+            t.orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        ).agg(F.count("*").alias("n_violations"))
+    )
+    li_total = t.lineitem.agg(F.count("*").alias("n_checked"))
+    ord_orphans = (
+        t.orders.join(
+            F.broadcast(t.customer.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        ).agg(F.count("*").alias("n_violations"))
+    )
+    ord_total = t.orders.agg(F.count("*").alias("n_checked"))
+
+    def row(rule: str, df: DataFrame, v_col: str) -> DataFrame:
+        return df.select(
+            F.lit(rule).alias("rule"),
+            F.col("n_checked").cast("bigint"),
+            F.col(v_col).cast("bigint").alias("n_violations"),
+        )
+
+    return (
+        row("orders_pk_unique", orders_pass, "pk_violations")
+        .unionByName(
+            row(
+                "lineitem_fk_orders",
+                li_total.join(li_orphans),
+                "n_violations",
+            )
+        )
+        .unionByName(
+            row(
+                "orders_fk_customer",
+                ord_total.join(ord_orphans),
+                "n_violations",
+            )
+        )
+        .unionByName(row("lineitem_qty_range", li_pass, "range_violations"))
+        .unionByName(
+            row("orders_status_domain", orders_pass, "status_violations")
+        )
+        .unionByName(
+            row("customer_acctbal_nonneg", cust_pass, "neg_violations")
+        )
+        .unionByName(row("events_props_key", ev_pass, "json_violations"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# sketch_kmv_setops — KMV sketch set algebra (union / intersection)
+# ---------------------------------------------------------------------------
+
+_KSO_K = 64
+_KSO_M = 4503599627370495.0  # 2^52 - 1: the 13-hex-digit hash range
+
+# Two token populations: documents split by doc_id parity (the
+# deterministic halves convention of emb_drift / pipe_incremental_dedup).
+_KSO_HALVES = """
+    ta AS (
+        SELECT DISTINCT t.token
+        FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(token)
+        WHERE d.doc_id % 2 = 0
+    ),
+    tb AS (
+        SELECT DISTINCT t.token
+        FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(token)
+        WHERE d.doc_id % 2 = 1
+    ),
+    ha AS (SELECT CAST(('0x' || substr(md5(token), 1, 13)) AS BIGINT)
+                  AS hv FROM ta),
+    hb AS (SELECT CAST(('0x' || substr(md5(token), 1, 13)) AS BIGINT)
+                  AS hv FROM tb)
+"""
+
+
+@query(
+    "sketch_kmv_setops",
+    oracle=f"""
+    WITH {_KSO_HALVES},
+    ska AS (SELECT hv FROM ha ORDER BY hv LIMIT {_KSO_K}),
+    skb AS (SELECT hv FROM hb ORDER BY hv LIMIT {_KSO_K}),
+    sku AS (SELECT hv FROM (SELECT hv FROM ska UNION SELECT hv FROM skb)
+            ORDER BY hv LIMIT {_KSO_K}),
+    stats AS (
+        SELECT
+            (SELECT MAX(hv) FROM ska) AS kva,
+            (SELECT COUNT(*) FROM ska) AS kna,
+            (SELECT MAX(hv) FROM skb) AS kvb,
+            (SELECT COUNT(*) FROM skb) AS knb,
+            (SELECT MAX(hv) FROM sku) AS kvu,
+            (SELECT COUNT(*) FROM sku) AS knu,
+            (SELECT COUNT(*) FROM sku
+             WHERE hv IN (SELECT hv FROM ska)
+               AND hv IN (SELECT hv FROM skb)) AS n_both,
+            (SELECT COUNT(*) FROM ha) AS exact_a,
+            (SELECT COUNT(*) FROM hb) AS exact_b,
+            (SELECT COUNT(*) FROM (SELECT hv FROM ha UNION SELECT hv
+                                   FROM hb)) AS exact_union,
+            (SELECT COUNT(*) FROM ha
+             WHERE hv IN (SELECT hv FROM hb)) AS exact_inter
+    )
+    SELECT CAST({_KSO_K} AS BIGINT) AS k,
+           CAST(CASE WHEN kna < {_KSO_K} THEN kna
+                     ELSE ROUND(({_KSO_K} - 1) / (kva / {_KSO_M}))
+                END AS BIGINT) AS est_a,
+           CAST(exact_a AS BIGINT) AS exact_a,
+           CAST(CASE WHEN knb < {_KSO_K} THEN knb
+                     ELSE ROUND(({_KSO_K} - 1) / (kvb / {_KSO_M}))
+                END AS BIGINT) AS est_b,
+           CAST(exact_b AS BIGINT) AS exact_b,
+           CAST(CASE WHEN knu < {_KSO_K} THEN knu
+                     ELSE ROUND(({_KSO_K} - 1) / (kvu / {_KSO_M}))
+                END AS BIGINT) AS est_union,
+           CAST(exact_union AS BIGINT) AS exact_union,
+           CAST(CASE WHEN knu < {_KSO_K} THEN n_both
+                     ELSE ROUND((n_both / CAST({_KSO_K} AS DOUBLE))
+                                * ROUND(({_KSO_K} - 1) / (kvu / {_KSO_M})))
+                END AS BIGINT) AS est_inter,
+           CAST(exact_inter AS BIGINT) AS exact_inter
+    FROM stats
+    """,
+)
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA — what makes the k-minimum-values sketch
+    (``sketch_kmv_distinct``) operationally useful at 100 TB: sketches
+    of two populations (token vocabularies of the doc_id-parity halves)
+    combine WITHOUT rescanning either population. The union sketch is
+    the k smallest of the two sketches' union; |A∪B| estimates by the
+    same (k−1)/kth-hash estimator; |A∩B| estimates by
+    Jaccard-from-the-union-sketch (fraction of union-sketch hashes
+    present in both sketches) times the union estimate. Exact
+    counterparts computed beside so the error is visible and pinned.
+
+    Degenerate-corpus soundness: when a sketch holds fewer than k
+    hashes it IS its population's distinct set, so the estimators
+    short-circuit to exact counts (CASE on the sketch fill) — the
+    floor-corpus sweep exercises this.
+
+    Exactness: md5-derived 52-bit hashes make every sketch row
+    bit-identical cross-engine; the estimator divisions are single
+    identical-DAG double expressions rounded once to BIGINT.
+
+    Scale shape: each sketch is a bounded mergeable aggregate (per
+    partition keep k smallest, merge keeps k smallest of the union —
+    here TakeOrdered); the set algebra then runs on <= 3k rows. The
+    corpus-sized work is one explode + distinct per half; everything
+    downstream is driver-free joins of 64-row DataFrames."""
+    t = Tables(spark, sf_dir)
+    tok = t.documents.repartition(32, "doc_id").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    hv = F.conv(F.substring(F.md5("token"), 1, 13), 16, 10).cast("long")
+
+    def half(parity: int) -> DataFrame:
+        return (
+            tok.filter(F.col("doc_id") % 2 == parity)
+            .select(F.col("token"))
+            .distinct()
+            .select(hv.alias("hv"))
+        )
+
+    ha, hb = half(0), half(1)
+    ska = ha.orderBy("hv").limit(_KSO_K)
+    skb = hb.orderBy("hv").limit(_KSO_K)
+    sku = ska.union(skb).distinct().orderBy("hv").limit(_KSO_K)
+    n_both = (
+        sku.join(ska.withColumnRenamed("hv", "hv_a"),
+                 F.col("hv") == F.col("hv_a"), "left_semi")
+        .join(skb.withColumnRenamed("hv", "hv_b"),
+              F.col("hv") == F.col("hv_b"), "left_semi")
+        .agg(F.count("*").alias("n_both"))
+    )
+    exact_inter = (
+        ha.join(hb, "hv", "left_semi").agg(F.count("*").alias("exact_inter"))
+    )
+    exact_union = (
+        ha.union(hb).distinct().agg(F.count("*").alias("exact_union"))
+    )
+
+    def sk_stats(sk: DataFrame, tag: str) -> DataFrame:
+        return sk.agg(
+            F.max("hv").alias(f"kv{tag}"), F.count("*").alias(f"kn{tag}")
+        )
+
+    def est(kv: str, kn: str):
+        return (
+            F.when(F.col(kn) < _KSO_K, F.col(kn))
+            .otherwise(
+                F.round((_KSO_K - 1) / (F.col(kv) / F.lit(_KSO_M)))
+            )
+            .cast("long")
+        )
+
+    stats = (
+        sk_stats(ska, "a")
+        .join(sk_stats(skb, "b"))
+        .join(sk_stats(sku, "u"))
+        .join(n_both)
+        .join(ha.agg(F.count("*").alias("exact_a")))
+        .join(hb.agg(F.count("*").alias("exact_b")))
+        .join(exact_union)
+        .join(exact_inter)
+    )
+    est_u = est("kvu", "knu")
+    return stats.select(
+        F.lit(_KSO_K).cast("long").alias("k"),
+        est("kva", "kna").alias("est_a"),
+        F.col("exact_a").cast("long"),
+        est("kvb", "knb").alias("est_b"),
+        F.col("exact_b").cast("long"),
+        est_u.alias("est_union"),
+        F.col("exact_union").cast("long"),
+        F.when(F.col("knu") < _KSO_K, F.col("n_both"))
+        .otherwise(
+            F.round((F.col("n_both") / F.lit(float(_KSO_K))) * est_u)
+        )
+        .cast("long")
+        .alias("est_inter"),
+        F.col("exact_inter").cast("long"),
+    )

@@ -74,6 +74,9 @@ _MODULES = (
     "traj_sim_spark_spark.operators.trajectory_ext",
     "traj_sim_spark_spark.streaming.streams_ext",
     "traj_sim_spark_spark.sources.readers_ext",
+    # round-4 additions (past the window by design; round-5 rotation
+    # moves them forward together with the other rowless keys)
+    "traj_sim_spark_spark.operators.extras4",
 )
 
 _loaded = False
