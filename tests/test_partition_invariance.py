@@ -69,6 +69,9 @@ KEYS = [
     "sim_knn_binary",
     "sim_hybrid_rrf",
     "sketch_kmv_setops",
+    "graph_label_prop",
+    "traj_zorder_layout",
+    "rel_agg_mode_disc",
 ]
 
 

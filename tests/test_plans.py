@@ -381,3 +381,20 @@ def test_grid_layout_prunes_both_axes(spark, sf_dir):
     assert "PartitionFilters" in plan, plan
     assert "dcell" in plan and "vcell" in plan, plan
     assert "PartitionFilters: []" not in plan, plan
+
+
+def test_zorder_probe_pushes_both_rectangle_predicates(spark, sf_dir):
+    """The Z-order rectangle probe must push BOTH dimension predicates
+    into the Parquet scan (PushedFilters on dcell and vcell) — that is
+    what lets row-group min/max stats skip z-runs outside the
+    rectangle; no directory partitioning exists on this layout by
+    design."""
+    df = registry.QUERIES["traj_zorder_layout"](spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "PushedFilters" in plan, plan
+    assert "dcell" in plan and "vcell" in plan, plan
+    # the probe scan must not fall back to post-scan-only filtering
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("dcell" in p and "vcell" in p for p in pushed), plan

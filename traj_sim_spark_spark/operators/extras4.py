@@ -43,6 +43,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -683,3 +685,413 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("est_inter"),
         F.col("exact_inter").cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# traj_zorder_layout — Z-order (Morton) interleaved layout + rectangle probe
+# ---------------------------------------------------------------------------
+
+_ZO_VCELL = 5.0  # fine value-axis cell for the z key (vs 50.0 dirs)
+_ZO_D_LO, _ZO_D_HI = 5, 19  # probe: absolute day cells day0+[5, 19]
+_ZO_V_LO, _ZO_V_HI = 8, 17  # probe: vcells [8, 17] == value in [40, 90)
+
+
+def _zorder_path(sf_dir: str) -> str:
+    from ..sources.readers import staging_dir
+
+    return os.path.join(staging_dir(sf_dir, "zorder"), "events")
+
+
+def _write_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Events rewritten in Z-ORDER (Morton) of (epoch-day, value-cell):
+    the bits of the two dimensions interleave into one sort key, so ONE
+    within-file sort clusters BOTH axes — the Delta/Iceberg OPTIMIZE
+    ZORDER technique, and the no-directory-explosion alternative to the
+    2-D partition grid (``traj_range_window_2d_idx``): a fine grid as
+    directories would mean day x band tiny partitions; z-sort keeps one
+    file set and lets Parquet ROW-GROUP min/max stats on the plain
+    dcell/vcell columns do the pruning, because z-locality bounds both
+    columns' ranges within any contiguous row run."""
+    from ..sources.readers import layout_current, stamp_layout
+
+    path = _zorder_path(sf_dir)
+    if layout_current(path, sf_dir):
+        return path
+    t = Tables(spark, sf_dir)
+    # 16-bit Morton interleave, JVM-side integer ops only.  The z key
+    # is layout-internal (a sort key, never an output), so it needs no
+    # oracle mirror.
+    terms = []
+    for b in range(16):
+        terms.append(
+            f"shiftleft(shiftright(dlow, {b}) & 1, {2 * b + 1})"
+        )
+        terms.append(f"shiftleft(shiftright(vlow, {b}) & 1, {2 * b})")
+    z = F.expr(" + ".join(terms))
+    ev = (
+        t.events.withColumn(
+            "dcell", F.expr("unix_micros(ts) div 86400000000")
+        )
+        .withColumn(
+            "vcell",
+            F.floor(F.col("value") / F.lit(_ZO_VCELL)).cast("bigint"),
+        )
+        .withColumn("dlow", F.expr("dcell & 65535"))
+        .withColumn("vlow", F.expr("vcell & 65535"))
+        .withColumn("z", z)
+        .drop("dlow", "vlow")
+    )
+    (
+        ev.repartitionByRange(8, "z")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    stamp_layout(path, sf_dir)
+    return path
+
+
+@query(
+    "traj_zorder_layout",
+    oracle=f"""
+    WITH t0 AS (
+        SELECT CAST(FLOOR(MIN(epoch_us(CAST(ts AS TIMESTAMP))) / 86400e6)
+                    AS BIGINT) AS day0
+        FROM events
+    ),
+    cells AS (
+        SELECT user_id,
+               CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                    AS BIGINT) AS dcell,
+               CAST(FLOOR(value / {_ZO_VCELL}) AS BIGINT) AS vcell
+        FROM events
+    )
+    SELECT c.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(COUNT(DISTINCT c.dcell) AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT c.vcell) AS BIGINT) AS n_cells
+    FROM cells c, t0
+    WHERE c.dcell BETWEEN t0.day0 + {_ZO_D_LO} AND t0.day0 + {_ZO_D_HI}
+      AND c.vcell BETWEEN {_ZO_V_LO} AND {_ZO_V_HI}
+    GROUP BY c.user_id
+    """,
+)
+def traj_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER data skipping made a first-class query: the corpus is
+    rewritten once in Morton order of (epoch-day, value-cell) — ONE
+    sort key clustering BOTH axes — and a (time-window x value-band)
+    rectangle probe then reads it with BOTH predicates pushed to the
+    Parquet scan, where row-group min/max stats on dcell/vcell skip
+    every row group whose z-run lies outside the rectangle.
+
+    This is the third and most scale-honest member of the multi-dim
+    layout family: the value-only partition dirs
+    (``traj_layout_cells``), the (day x band) directory grid
+    (``traj_range_window_2d_idx`` — perfect pruning but directory
+    count = grid size), and Z-ORDER — constant file count at ANY grid
+    fineness, pruning by statistics instead of directories, which is
+    exactly how Delta/Iceberg OPTIMIZE ZORDER ships it at 100 TB
+    (directories explode; sorted statistics don't).
+
+    Membership is integer-exact on both engines: the rectangle is
+    decided on the stored integer cells (dcell/vcell), never on raw
+    floats; day0 is one driver scalar (the global-index working-set
+    footprint). The oracle recomputes the same cells from the source
+    table — the hash proves the rewrite+probe loop lossless."""
+    t = Tables(spark, sf_dir)
+    path = _write_zorder_layout(spark, sf_dir)
+    day0 = (
+        t.events.agg(
+            F.expr("min(unix_micros(ts)) div 86400000000").alias("d")
+        ).head()["d"]
+    )
+    ev = spark.read.parquet(path).filter(
+        (F.col("dcell") >= day0 + _ZO_D_LO)
+        & (F.col("dcell") <= day0 + _ZO_D_HI)
+        & (F.col("vcell") >= _ZO_V_LO)
+        & (F.col("vcell") <= _ZO_V_HI)
+    )
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_points"),
+        F.countDistinct("dcell").alias("n_days"),
+        F.countDistinct("vcell").alias("n_cells"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_label_prop — synchronous majority label propagation (3 rounds)
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    # co-movement edge CTEs (the graph family's shared definition),
+    # then _LPA_ROUNDS unrolled synchronous majority updates.
+    ctes = [
+        """
+    b AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400e6)
+                    AS BIGINT) AS dy,
+               MIN(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    e AS MATERIALIZED (
+        SELECT a.user_id u, c.user_id v
+        FROM b a JOIN b c
+          ON a.dy = c.dy AND a.user_id < c.user_id
+         AND ABS(a.v - c.v) <= 1.0
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    und AS (SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e),
+    lbl0 AS (SELECT DISTINCT s AS user_id, s AS lbl FROM und)"""
+    ]
+    for r in range(1, _LPA_ROUNDS + 1):
+        ctes.append(f"""
+    nl{r} AS (
+        SELECT und.s, l.lbl, COUNT(*) AS c
+        FROM und JOIN lbl{r - 1} l ON l.user_id = und.t
+        GROUP BY und.s, l.lbl
+    ),
+    lbl{r} AS (
+        SELECT s AS user_id, lbl FROM (
+            SELECT s, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY s
+                                      ORDER BY c DESC, lbl) AS rk
+            FROM nl{r}
+        ) WHERE rk = 1
+    )""")
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+    SELECT user_id, CAST(lbl AS BIGINT) AS label
+    FROM lbl{_LPA_ROUNDS}
+    """
+    )
+
+
+@query("graph_label_prop", oracle=_lpa_oracle)
+def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL PROPAGATION community detection (Raghavan et al.) over the
+    co-movement graph — the near-linear community extractor beside the
+    structure algorithms (CC finds connected pieces; LPA finds DENSE
+    pieces inside them, which ``graph_modularity`` can then score):
+    every node starts as its own label and, for {rounds} SYNCHRONOUS
+    rounds, adopts the most frequent label among its neighbors.
+
+    Determinism (classic LPA is run-order-dependent — useless for an
+    oracle): updates are SYNCHRONOUS (round r reads only round r-1,
+    the Jacobi convention of ``graph_pagerank``) and ties break to the
+    SMALLEST label — every round is then a pure function of the edge
+    set, identical on any engine/partitioning.
+
+    Scale shape: each round is one edges⋈labels equi-join (labels are
+    node-sized, the PageRank broadcast-vs-shuffle dispatch argument
+    applies) + one (node, label) hash agg + one per-node argmax window
+    partitioned by node — all linear in |E|; lineage localCheckpoint'd
+    per round like every iterative op in the repo.""".format(
+        rounds=_LPA_ROUNDS
+    )
+    from pyspark.sql import Window as W2
+
+    from .mining import comovement_edges
+
+    e = comovement_edges(spark, sf_dir)
+    und = e.select(F.col("u").alias("s"), F.col("v").alias("t")).unionByName(
+        e.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    ).localCheckpoint()
+    lbl = und.select(F.col("s").alias("user_id")).distinct().select(
+        "user_id", F.col("user_id").alias("lbl")
+    )
+    for _ in range(_LPA_ROUNDS):
+        nl = (
+            und.join(
+                lbl.select(
+                    F.col("user_id").alias("t"), F.col("lbl")
+                ),
+                "t",
+            )
+            .groupBy("s", "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        rk = F.row_number().over(
+            W2.partitionBy("s").orderBy(F.col("c").desc(), "lbl")
+        )
+        lbl = (
+            nl.withColumn("rk", rk)
+            .filter(F.col("rk") == 1)
+            .select(F.col("s").alias("user_id"), "lbl")
+            .localCheckpoint()
+        )
+    return lbl.select("user_id", F.col("lbl").cast("bigint").alias("label"))
+
+
+# ---------------------------------------------------------------------------
+# mm_header_parse — fixed-offset binary header fields in pure SQL
+# ---------------------------------------------------------------------------
+
+
+def _hdr_sql(expr_byte) -> dict[str, str]:
+    """Shared fixed-offset header layout over a byte accessor."""
+    magic = " + ".join(
+        f"{expr_byte(j + 1)} * {256 ** (3 - j)}" for j in range(4)
+    )
+    version = f"{expr_byte(5)} * 256 + {expr_byte(6)}"
+    checksum = " + ".join(expr_byte(j + 1) for j in range(16))
+    return {"magic": magic, "version": version, "checksum": checksum}
+
+
+@query(
+    "mm_header_parse",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, rpad(text, 16, ' ') AS buf,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST({_hdr_sql(lambda i: f"ascii(substr(buf, {i}, 1))")["magic"]}
+                AS BIGINT) AS magic,
+           CAST({_hdr_sql(lambda i: f"ascii(substr(buf, {i}, 1))")["version"]}
+                AS INTEGER) AS version,
+           CAST(n_bytes AS BIGINT) AS payload_len,
+           CAST({_hdr_sql(lambda i: f"ascii(substr(buf, {i}, 1))")["checksum"]}
+                AS BIGINT) AS checksum16
+    FROM p
+    """,
+)
+def mm_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-OFFSET binary header parsing in pure SQL — the container
+    sniffing / EXIF-style metadata pass a multimodal pipeline runs
+    before any decode: bytes 1-4 as a big-endian 32-bit "magic" word,
+    bytes 5-6 as a 16-bit version, total payload length, and an
+    additive checksum of the 16-byte header. No UDF: byte access is
+    ``ascii(substr(...))`` (the repo's byte-level SQL mirror — the
+    fixture payload is pure ASCII, so byte == code point), integer
+    shifts are literal multiplications, and short payloads are
+    space-padded so every offset is defined (floor-corpus-sound).
+
+    Why it earns a row: real binary columns are parsed for routing
+    (JPEG vs PNG vs WAV) and integrity (checksums) BEFORE the expensive
+    Arrow decode hop — doing it in codegen'd JVM expressions means the
+    router never leaves the scan stage, and at 100 TB the magic-word
+    filter prunes entire row groups when payloads are format-sorted."""
+    t = Tables(spark, sf_dir)
+    byte = lambda i: f"ascii(substr(buf, {i}, 1))"  # noqa: E731
+    parts = _hdr_sql(byte)
+    return (
+        t.documents.select(
+            "doc_id",
+            F.expr("rpad(text, 16, ' ')").alias("buf"),
+            F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        )
+        .select(
+            "doc_id",
+            F.expr(parts["magic"]).cast("bigint").alias("magic"),
+            F.expr(parts["version"]).cast("int").alias("version"),
+            F.col("n_bytes").cast("bigint").alias("payload_len"),
+            F.expr(parts["checksum"]).cast("bigint").alias("checksum16"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# rel_agg_mode_disc — MODE and discrete percentile per group
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_agg_mode_disc",
+    oracle="""
+    WITH qc AS (
+        SELECT l_returnflag, l_quantity, COUNT(*) AS c
+        FROM lineitem GROUP BY 1, 2
+    ),
+    mode AS (
+        SELECT l_returnflag, l_quantity AS mode_qty, c AS n_mode FROM (
+            SELECT l_returnflag, l_quantity, c,
+                   ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                      ORDER BY c DESC, l_quantity) AS rk
+            FROM qc
+        ) WHERE rk = 1
+    ),
+    ranked AS (
+        SELECT l_returnflag, l_extendedprice,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    ),
+    med AS (
+        SELECT l_returnflag,
+               ROUND(l_extendedprice, 6) AS p50_price_disc
+        FROM ranked
+        WHERE rn = CAST(CEIL(n * 0.5) AS BIGINT)
+    )
+    SELECT mode.l_returnflag, mode.mode_qty, CAST(mode.n_mode AS BIGINT)
+               AS n_mode,
+           med.p50_price_disc
+    FROM mode JOIN med USING (l_returnflag)
+    """,
+)
+def rel_agg_mode_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE and DISCRETE percentile — the two order statistics the D
+    family lacked: ``percentile_disc`` returns an ACTUAL data value
+    (the smallest value whose cumulative share reaches the fraction —
+    required when the quantile must be a real observed price, where
+    ``rel_agg_percentile``'s continuous variant interpolates values
+    that never occurred), and mode is the most frequent value with a
+    smallest-value tie-break.
+
+    Exactness: both are SELECTIONS, not arithmetic — the outputs are
+    stored doubles passed through untouched, so no float operation can
+    diverge; ranks and counts are integers.
+
+    Scale shape: mode = one (group, value) hash agg + one per-group
+    argmax window over the REDUCED table (distinct values, not rows);
+    percentile_disc = one window sort per group — the same shape
+    Spark's own percentile_disc uses, written explicitly so the
+    tie-break and the position formula (ceil(0.5 n)) are pinned."""
+    from pyspark.sql import Window as W2
+
+    t = Tables(spark, sf_dir)
+    qc = t.lineitem.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("c")
+    )
+    mode = (
+        qc.withColumn(
+            "rk",
+            F.row_number().over(
+                W2.partitionBy("l_returnflag").orderBy(
+                    F.col("c").desc(), "l_quantity"
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("c").cast("bigint").alias("n_mode"),
+        )
+    )
+    ranked = t.lineitem.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number()
+        .over(
+            W2.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        )
+        .alias("rn"),
+        F.count("*")
+        .over(W2.partitionBy("l_returnflag"))
+        .alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.ceil(F.col("n") * 0.5).cast("bigint")
+    ).select(
+        "l_returnflag",
+        F.round("l_extendedprice", 6).alias("p50_price_disc"),
+    )
+    return mode.join(med, "l_returnflag")
