@@ -9,7 +9,9 @@ from __future__ import annotations
 import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
+from traj_sim_spark_spark import registry
 from traj_sim_spark_spark.functions.kernels import douglas_peucker
 
 polyline = st.lists(
@@ -148,3 +150,84 @@ def test_kcore_fixpoint_reached(spark, sf_dir):
         .collect()
     )
     assert at_depth == deeper
+
+
+def test_viterbi_prefix_min_equals_naive_dp(spark, sf_dir):
+    """The Viterbi kernel's two-pass min-convolution (distance
+    transform) must equal the naive O(S^2) transition minimum, and the
+    registered query's totals must match a from-scratch naive NumPy
+    Viterbi on the same quantized inputs."""
+    import numpy as np
+
+    from traj_sim_spark_spark.operators.extras3 import _pts_int, _segs_int
+    from traj_sim_spark_spark.operators.extras4 import (
+        _VIT_LAMBDA,
+        _VIT_Q,
+    )
+    from traj_sim_spark_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    pts = _pts_int(t)
+    route = (
+        _segs_int(pts.filter(F.col("user_id") == _VIT_Q))
+        .orderBy("seq")
+        .select("x1", "y1", "x2", "y2")
+        .collect()
+    )
+    x1 = np.array([r["x1"] for r in route], dtype=np.int64)
+    y1 = np.array([r["y1"] for r in route], dtype=np.int64)
+    x2 = np.array([r["x2"] for r in route], dtype=np.int64)
+    y2 = np.array([r["y2"] for r in route], dtype=np.int64)
+    S = len(route)
+    lam = _VIT_LAMBDA
+
+    def d2c_matrix(X, Y):
+        dx, dy = x2 - x1, y2 - y1
+        ab2 = dx * dx + dy * dy
+        axb = X[:, None] - x1[None, :]
+        ayb = Y[:, None] - y1[None, :]
+        dot = dx[None, :] * axb + dy[None, :] * ayb
+        d2_a = (axb * axb + ayb * ayb).astype(np.float64)
+        axe = X[:, None] - x2[None, :]
+        aye = Y[:, None] - y2[None, :]
+        d2_b = (axe * axe + aye * aye).astype(np.float64)
+        cross = dx[None, :] * ayb - dy[None, :] * axb
+        with np.errstate(divide="ignore", invalid="ignore"):
+            d2_i = (
+                cross.astype(np.float64) ** 2
+                / ab2.astype(np.float64)[None, :]
+            )
+        case_a = (ab2[None, :] == 0) | (dot <= 0)
+        case_b = (~case_a) & (dot >= ab2[None, :])
+        d2 = np.where(case_a, d2_a, np.where(case_b, d2_b, d2_i))
+        return np.floor(d2 / 1e12).astype(np.int64)
+
+    rows = (
+        pts.filter(F.col("user_id") != _VIT_Q)
+        .orderBy("user_id", "seq")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["x"], r["y"]))
+
+    naive = {}
+    rr = np.arange(1, S + 1, dtype=np.int64)
+    penalty = lam * np.abs(rr[:, None] - rr[None, :])
+    for uid, pl in by_user.items():
+        X = np.array([p[0] for p in pl], dtype=np.int64)
+        Y = np.array([p[1] for p in pl], dtype=np.int64)
+        D = d2c_matrix(X, Y)
+        c = D[0].copy()
+        for ti in range(1, len(X)):
+            # naive O(S^2): min over all predecessor states
+            c = D[ti] + (c[None, :] + penalty).min(axis=1)
+        naive[uid] = (len(X), int(c.min()), int(rr[c == c.min()].min()))
+
+    got = {
+        r["user_id"]: (r["n_points"], r["total_cost"], r["end_seg"])
+        for r in registry.QUERIES["traj_viterbi_map_match"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == naive

@@ -72,6 +72,7 @@ KEYS = [
     "graph_label_prop",
     "traj_zorder_layout",
     "rel_agg_mode_disc",
+    "traj_viterbi_map_match",
 ]
 
 

@@ -1095,3 +1095,216 @@ def rel_agg_mode_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("l_extendedprice", 6).alias("p50_price_disc"),
     )
     return mode.join(med, "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# traj_viterbi_map_match — HMM (Viterbi) route conformance, FULL oracle
+# ---------------------------------------------------------------------------
+
+_VIT_LAMBDA = 1000  # transition penalty per segment-index step (cost units)
+_VIT_Q = 1  # the route trajectory
+
+
+def _vit_oracle() -> str:
+    """Recursive-CTE Viterbi over observation index t: layer t carries
+    the per-(user, segment) best path cost; the lambda*|dr| transition
+    collapses to two prefix-min window passes (the distance-transform
+    identity min_{r'}(c(r') + L*|r - r'|) = min(fwd, bwd) with
+    fwd = L*r + running_min(c - L*r), bwd mirrored) — so each layer is
+    O(states) with window functions, never an O(states^2) join. The
+    emission cost reuses the segment family's exact integer
+    point-to-segment kernel (extras3._SQL_D2), quantized once by
+    FLOOR(d2 / 1e12) — a deterministic integer on both engines because
+    the d2 double comes from exact integers in an identical DAG."""
+    from .extras3 import _SQL_D2
+
+    lam = _VIT_LAMBDA
+    return f"""
+    WITH RECURSIVE t0 AS (
+        SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0 FROM events
+    ),
+    p AS (
+        SELECT user_id,
+               (epoch_us(CAST(ts AS TIMESTAMP)) - (SELECT t0 FROM t0))
+                   // 86400 AS x,
+               CAST(ROUND(value * 1e6) AS BIGINT) AS y,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS seq
+        FROM events
+    ),
+    s AS (
+        SELECT * FROM (
+            SELECT user_id, seq, x AS x1, y AS y1,
+                   LEAD(x) OVER (PARTITION BY user_id ORDER BY seq) AS x2,
+                   LEAD(y) OVER (PARTITION BY user_id ORDER BY seq) AS y2
+            FROM p
+        ) WHERE x2 IS NOT NULL
+    ),
+    qs AS MATERIALIZED (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY seq) AS BIGINT) AS r,
+               x1, y1, x2, y2
+        FROM s WHERE user_id = {_VIT_Q}
+    ),
+    obs AS MATERIALIZED (
+        SELECT user_id, seq AS t, x, y FROM p WHERE user_id <> {_VIT_Q}
+    ),
+    tmax AS MATERIALIZED (
+        SELECT user_id, MAX(t) AS tm FROM obs GROUP BY 1
+    ),
+    vit(user_id, t, r, c) AS (
+        SELECT a.user_id, 1, b.r,
+               CAST(FLOOR(({_SQL_D2}) / 1e12) AS BIGINT)
+        FROM (SELECT * FROM obs WHERE t = 1) a CROSS JOIN qs b
+        UNION ALL
+        (
+          WITH cur AS (SELECT * FROM vit),
+          fwd AS (
+              SELECT user_id, r,
+                     {lam} * r + MIN(c - {lam} * r) OVER (
+                         PARTITION BY user_id ORDER BY r
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS m
+              FROM cur
+          ),
+          bwd AS (
+              SELECT user_id, r,
+                     -{lam} * r + MIN(c + {lam} * r) OVER (
+                         PARTITION BY user_id ORDER BY r DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS m
+              FROM cur
+          ),
+          trans AS (
+              SELECT fwd.user_id, fwd.r, LEAST(fwd.m, bwd.m) AS m
+              FROM fwd JOIN bwd ON bwd.user_id = fwd.user_id
+                               AND bwd.r = fwd.r
+          )
+          SELECT a.user_id, a.t, b.r,
+                 CAST(FLOOR(({_SQL_D2}) / 1e12) AS BIGINT) + tr.m
+          FROM (SELECT o.* FROM obs o
+                JOIN (SELECT DISTINCT user_id, t + 1 AS nt FROM cur) nx
+                  ON nx.user_id = o.user_id AND nx.nt = o.t) a
+          CROSS JOIN qs b
+          JOIN trans tr ON tr.user_id = a.user_id AND tr.r = b.r
+        )
+    ),
+    fin AS (
+        SELECT v.user_id, v.r, v.c, tm.tm
+        FROM vit v JOIN tmax tm ON tm.user_id = v.user_id
+                               AND v.t = tm.tm
+    ),
+    best AS (SELECT user_id, MIN(c) AS total_cost FROM fin GROUP BY 1)
+    SELECT f.user_id, CAST(f.tm AS BIGINT) AS n_points,
+           b.total_cost,
+           CAST(MIN(f.r) AS BIGINT) AS end_seg
+    FROM fin f JOIN best b ON b.user_id = f.user_id
+                          AND f.c = b.total_cost
+    GROUP BY f.user_id, f.tm, b.total_cost
+    """
+
+
+@query("traj_viterbi_map_match", oracle=_vit_oracle)
+def traj_viterbi_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HMM MAP-MATCHING (Viterbi decode) against the reference route —
+    the second stage of every production GPS map-matcher, upgrading
+    ``traj_map_match``'s independent nearest-segment snaps with the
+    smoothness prior that makes matching robust to noisy fixes: path
+    cost = sum over observations of (exact integer point-to-segment
+    emission cost) + lambda * |segment-index jump| between consecutive
+    observations. Output per corpus user: optimal alignment cost (the
+    route-conformance score), observation count, and the path's end
+    segment (min-cost tie -> smallest index).
+
+    Exactness (a DP row with a FULL oracle — beyond the Fréchet/DTW
+    searches, whose oracles are pytest-side recursions): emissions
+    reuse the segment family's integer d² kernel quantized by
+    FLOOR(d²/1e12) (identical-DAG double from exact integers -> same
+    integer everywhere), transitions are integer, so every DP cell is
+    a BIGINT; the DuckDB oracle runs the IDENTICAL recursion as a
+    recursive CTE, with the lambda*|dr| min-convolution collapsed to
+    two prefix-min passes (distance-transform identity) so each
+    recursion layer is O(states), not O(states^2).
+
+    Scale shape: the route (~66 segments) broadcasts to every
+    executor; the corpus streams ONCE through a per-user Arrow
+    ``applyInPandas`` kernel that is O(T x S) integer NumPy per user
+    with the same two-pass min-convolution — no pairwise joins, no
+    driver loops; the only shuffle is the user_id grouping the
+    trajectory family always pays [P §4.3 dual-store argument]."""
+    import numpy as np
+    import pandas as pd
+
+    from .extras3 import _pts_int, _segs_int
+
+    t = Tables(spark, sf_dir)
+    pts = _pts_int(t)
+    route = (
+        _segs_int(pts.filter(F.col("user_id") == _VIT_Q))
+        .orderBy("seq")
+        .select("x1", "y1", "x2", "y2")
+        .collect()
+    )
+    x1 = np.array([r["x1"] for r in route], dtype=np.int64)
+    y1 = np.array([r["y1"] for r in route], dtype=np.int64)
+    x2 = np.array([r["x2"] for r in route], dtype=np.int64)
+    y2 = np.array([r["y2"] for r in route], dtype=np.int64)
+    n_seg = len(route)
+    lam = _VIT_LAMBDA
+
+    schema = (
+        "user_id long, n_points long, total_cost long, end_seg long"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if n_seg == 0 or len(pdf) == 0:
+            return pd.DataFrame(
+                columns=["user_id", "n_points", "total_cost", "end_seg"]
+            )
+        pdf = pdf.sort_values("seq")
+        X = pdf["x"].to_numpy(dtype=np.int64)
+        Y = pdf["y"].to_numpy(dtype=np.int64)
+        dx, dy = x2 - x1, y2 - y1
+        ab2 = dx * dx + dy * dy
+        axb = X[:, None] - x1[None, :]
+        ayb = Y[:, None] - y1[None, :]
+        dot = dx[None, :] * axb + dy[None, :] * ayb
+        # endpoint cases: exact int64 sums cast to double (same rounding
+        # as DuckDB's CAST(HUGEINT AS DOUBLE)); interior: double cross^2
+        # over double ab2 — the extras3 kernel's DAG, verbatim
+        d2_a = (axb * axb + ayb * ayb).astype(np.float64)
+        axe = X[:, None] - x2[None, :]
+        aye = Y[:, None] - y2[None, :]
+        d2_b = (axe * axe + aye * aye).astype(np.float64)
+        cross = dx[None, :] * ayb - dy[None, :] * axb
+        crossf = cross.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            d2_i = crossf * crossf / ab2.astype(np.float64)[None, :]
+        case_a = (ab2[None, :] == 0) | (dot <= 0)
+        case_b = (~case_a) & (dot >= ab2[None, :])
+        d2 = np.where(case_a, d2_a, np.where(case_b, d2_b, d2_i))
+        d2c = np.floor(d2 / 1e12).astype(np.int64)
+        r = np.arange(1, n_seg + 1, dtype=np.int64)
+        c = d2c[0].copy()
+        for ti in range(1, len(X)):
+            fwd = lam * r + np.minimum.accumulate(c - lam * r)
+            bwd = -lam * r + np.minimum.accumulate(
+                (c + lam * r)[::-1]
+            )[::-1]
+            c = d2c[ti] + np.minimum(fwd, bwd)
+        total = int(c.min())
+        end_seg = int(r[c == total].min())
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_points": [len(X)],
+                "total_cost": [total],
+                "end_seg": [end_seg],
+            }
+        )
+
+    return (
+        pts.filter(F.col("user_id") != _VIT_Q)
+        .repartition(32, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(kernel, schema)
+    )
