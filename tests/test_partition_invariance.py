@@ -73,6 +73,7 @@ KEYS = [
     "traj_zorder_layout",
     "rel_agg_mode_disc",
     "traj_viterbi_map_match",
+    "emb_dedup_threshold_sweep",
 ]
 
 

@@ -440,3 +440,97 @@ def test_stream_layout_ingest_across_batches(spark, stream_dir, tmp_path):
     # band-restricted read touches only its directory
     b0 = spark.read.parquet(out).filter(F.col("band") == 0)
     assert b0.count() == 2
+
+
+def test_cdc_lww_survives_out_of_order_and_tombstones(
+    spark, tmp_path
+):
+    """The CDC register must be batching- and arrival-order-independent:
+    a LATE-arriving older event in batch 2 must NOT displace the newer
+    value carried in state, and a tombstone ('error') must delete the
+    key while later upserts resurrect it."""
+    import os
+    import time
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from traj_sim_spark_spark.streaming.streams_ext import _cdc_advance
+
+    cdc_dir = str(tmp_path / "cdc_src")
+    os.makedirs(cdc_dir, exist_ok=True)
+
+    def _write(rows):
+        pdf = pd.DataFrame(
+            rows,
+            columns=["user_id", "event_id", "event_type", "us", "value"],
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode(
+            "append"
+        ).parquet(cdc_dir)
+        time.sleep(0.05)
+
+    # batch 1: u1 upserted twice (winner us=200); u2 tombstoned last
+    _write(
+        [
+            (1, 1, "view", 100, 10.0),
+            (1, 2, "view", 200, 20.0),
+            (2, 3, "view", 150, 5.0),
+            (2, 4, "error", 250, 0.0),
+        ]
+    )
+    src = (
+        spark.readStream.schema(
+            "user_id long, event_id long, event_type string,"
+            " us long, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(cdc_dir)
+    )
+    out = src.groupBy("user_id").applyInPandasWithState(
+        _cdc_advance,
+        outputStructType=(
+            "user_id bigint, n_ops bigint, last_epoch_s bigint,"
+            " alive int, last_value double"
+        ),
+        stateStructType=(
+            "best_us bigint, best_eid bigint, val double,"
+            " alive int, n bigint"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cdc_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cdc"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        snap = {
+            r["user_id"]: r
+            for r in spark.table("cdc_test").collect()
+        }
+        assert snap[1]["last_value"] == 20.0 and snap[1]["alive"] == 1
+        assert snap[2]["alive"] == 0  # tombstoned
+        # batch 2: a LATE event for u1 (us=50 — must lose), and a
+        # resurrection upsert for u2 (us=300 — must win over tombstone)
+        _write(
+            [
+                (1, 5, "view", 50, 99.0),
+                (2, 6, "view", 300, 7.0),
+            ]
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = {}
+    for r in spark.table("cdc_test").collect():
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_ops"] > cur["n_ops"]:
+            final[r["user_id"]] = r
+    assert final[1]["n_ops"] == 3
+    assert final[1]["last_value"] == 20.0, final[1]  # late row lost LWW
+    assert final[2]["alive"] == 1 and final[2]["last_value"] == 7.0

@@ -1308,3 +1308,112 @@ def traj_viterbi_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(kernel, schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# emb_dedup_threshold_sweep — semantic-dedup calibration table
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_dedup_threshold_sweep",
+    oracle="""
+    WITH ev AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    sig AS (
+        SELECT vec_id,
+               STRING_AGG(CASE WHEN v >= 0 THEN '1' ELSE '0' END, ''
+                          ORDER BY i) AS bucket
+        FROM ev WHERE i <= 4
+        GROUP BY vec_id
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               SUM(ea.v * eb.v)
+               / (SQRT(SUM(ea.v * ea.v)) * SQRT(SUM(eb.v * eb.v))) AS cs
+        FROM sig a
+        JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        JOIN ev ea ON ea.vec_id = a.vec_id
+        JOIN ev eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    banded AS (
+        SELECT CAST(FLOOR(ROUND(cs, 6) * 10) AS BIGINT) AS band,
+               CAST(ROUND(cs * 1e6) AS BIGINT) AS csq,
+               cs
+        FROM pairs
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(MIN(cs), 6) + 0.0 AS min_cos,
+           ROUND(MAX(cs), 6) + 0.0 AS max_cos,
+           ROUND(SUM(csq) / COUNT(*) / 1e6, 6) + 0.0 AS avg_cos
+    FROM banded
+    GROUP BY band
+    """,
+)
+def emb_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC-DEDUP CALIBRATION — the threshold-picking table for the
+    embedding-cosine dedup path (``pipe_dedup_semantic`` ships tau=0.4;
+    this row is how a pipeline CHOOSES that number, the embedding twin
+    of ``text_minhash_estimate``): every LSH-bucketed candidate pair's
+    exact cosine, histogrammed into 0.1-wide similarity bands with
+    count / min / max / mean per band. Reading it down the bands shows
+    where the near-duplicate mass separates from background similarity
+    — the knee picks tau.
+
+    Exactness: band membership is FLOOR over the ALREADY-ROUNDED cosine
+    (identical-DAG double on both engines — no fresh boundary); the
+    per-band mean uses micro-quantized integer sums (house rule: never
+    average raw floats), one display division at the end.
+
+    Scale shape: identical to the dedup path it calibrates — the
+    16-bucket sign-LSH equi-join bounds candidate pairs, one hash agg
+    bands them; the output is <= 20 rows at any corpus size."""
+    from ..functions.vector import cosine, to_double
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", to_double("embedding").alias("emb")
+    )
+    bucket = F.expr(
+        "concat_ws('', transform(slice(emb, 1, 4),"
+        " x -> IF(x >= double(0), '1', '0')))"
+    )
+    sig = emb.select("vec_id", "emb", bucket.alias("bucket"))
+    a = sig.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("emb").alias("ea"),
+        "bucket",
+    )
+    b = sig.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("emb").alias("eb"),
+        "bucket",
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cs", cosine(F.col("ea"), F.col("eb")))
+    )
+    return (
+        pairs.select(
+            F.floor(F.round(F.col("cs"), 6) * 10)
+            .cast("bigint")
+            .alias("band"),
+            F.round(F.col("cs") * 1e6).cast("bigint").alias("csq"),
+            "cs",
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            (F.round(F.min("cs"), 6) + 0.0).alias("min_cos"),
+            (F.round(F.max("cs"), 6) + 0.0).alias("max_cos"),
+            (
+                F.round(F.sum("csq") / F.count("*") / 1e6, 6) + 0.0
+            ).alias("avg_cos"),
+        )
+    )

@@ -801,3 +801,120 @@ def stream_seg_corridor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.groupBy("user_id").agg(
         F.round(F.sqrt(F.max("h2")) / 1e6, 6).alias("h_seg")
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_cdc_apply — streaming last-writer-wins snapshot (CDC apply)
+# ---------------------------------------------------------------------------
+
+
+def _cdc_advance(key, pdfs, state):  # noqa: ANN001
+    """Per-user LWW register: state = (best_us, best_eid, value, alive,
+    n_ops). Every event is an upsert of the user's current value except
+    event_type 'error', which is a DELETE tombstone. The winner is the
+    max (event-time, event_id) pair — a commutative max, so the final
+    snapshot is independent of micro-batch boundaries and arrival
+    order (the CDC out-of-order guarantee). n_ops is monotone and
+    dedupes update-mode emissions. Module-level so the cross-batch
+    pytest drives the production fn."""
+    import pandas as pd
+
+    if state.exists:
+        best_us, best_eid, val, alive, n = state.get
+    else:
+        best_us, best_eid, val, alive, n = -1, -1, 0.0, 1, 0
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    n += len(batch)
+    for row in batch.itertuples(index=False):
+        if (row.us, row.event_id) > (best_us, best_eid):
+            best_us, best_eid = int(row.us), int(row.event_id)
+            val = float(row.value)
+            alive = 0 if row.event_type == "error" else 1
+    state.update((best_us, best_eid, val, alive, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_ops": [n],
+            "last_epoch_s": [best_us // 1_000_000],
+            "alive": [alive],
+            "last_value": [val],
+        }
+    )
+
+
+@query(
+    "stream_cdc_apply",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, value, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_ops,
+           CAST(us // 1000000 AS BIGINT) AS last_epoch_s,
+           ROUND(value, 6) AS last_value
+    FROM r WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC APPLY — the live sibling of the batch MERGE
+    (``rel_merge_upsert``): the event stream is a change feed keyed by
+    user (every event upserts the user's current value; 'error' events
+    are DELETE tombstones), and the operator maintains the
+    LAST-WRITER-WINS current snapshot across micro-batches. State per
+    key is one register (timestamp pair + value + liveness + op count)
+    — the Debezium/Delta-CDF apply shape, where the winner is the max
+    (event_time, event_id): a COMMUTATIVE max, so the snapshot is
+    batching- and arrival-order-independent (asserted cross-batch in
+    pytest) — exactly why real CDC consumers key on LSN, not arrival.
+
+    Deleted keys drop from the final snapshot (tombstone semantics);
+    the batch oracle is the per-user argmax row filtered to survivors.
+
+    Scale shape: state is O(live keys) scalars (no history), emissions
+    dedupe by the monotone op count; at 100 TB this IS the hot-path
+    materialized view an ingest keeps beside the bronze log, with the
+    periodic ``rel_merge_upsert`` compaction reconciling cold storage."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "value",
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _cdc_advance,
+        outputStructType=(
+            "user_id bigint, n_ops bigint, last_epoch_s bigint,"
+            " alive int, last_value double"
+        ),
+        stateStructType=(
+            "best_us bigint, best_eid bigint, val double,"
+            " alive int, n bigint"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = run_to_completion(out, "update")
+    return (
+        res.groupBy("user_id")
+        .agg(
+            F.expr(
+                "max_by(struct(n_ops, last_epoch_s, alive, last_value),"
+                " n_ops)"
+            ).alias("s")
+        )
+        .filter(F.col("s.alive") == 1)
+        .select(
+            "user_id",
+            "s.n_ops",
+            "s.last_epoch_s",
+            F.round("s.last_value", 6).alias("last_value"),
+        )
+    )
