@@ -74,6 +74,7 @@ KEYS = [
     "rel_agg_mode_disc",
     "traj_viterbi_map_match",
     "emb_dedup_threshold_sweep",
+    "text_containment_neardup",
 ]
 
 

@@ -1417,3 +1417,247 @@ def emb_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_cos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_containment_neardup — containment-coefficient near-dup pairs
+# ---------------------------------------------------------------------------
+
+_CONT_NUM, _CONT_DEN = 1, 2  # containment threshold 0.5 as a ratio
+_CONT_SH = 3  # word-shingle width for the containment sets
+
+
+def _containment_oracle() -> str:
+    from .text import _MINHASH_ORACLE_BANDS, _MINHASH_ORACLE_SIG
+
+    return f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents),
+    tok AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(w, i, i + {_CONT_SH - 1}), ' ')
+                   AS token
+        FROM d, LATERAL (SELECT UNNEST(generate_series(
+                             1, LEN(w) - {_CONT_SH - 1})) AS i) g
+    ),
+    sig AS (SELECT doc_id, {_MINHASH_ORACLE_SIG} FROM tok
+            GROUP BY doc_id),
+    bands AS ({_MINHASH_ORACLE_BANDS}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN tok ta ON ta.doc_id = c.id_a
+        JOIN tok tb ON tb.doc_id = c.id_b AND tb.token = ta.token
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           ROUND(i.n_common / CAST(LEAST(sa.n, sb.n) AS DOUBLE), 6)
+               AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE {_CONT_DEN} * i.n_common >= {_CONT_NUM} * LEAST(sa.n, sb.n)
+    """
+
+
+@query("text_containment_neardup", oracle=_containment_oracle)
+def text_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT near-duplication — the asymmetric relation Jaccard
+    misses: containment = |A∩B| / min(|A|, |B|) over distinct 3-word
+    SHINGLE sets flags a document largely EMBEDDED in another
+    (boilerplate-wrapped reposts, quote-heavy derivatives, truncated
+    mirrors) even when size imbalance keeps Jaccard = |∩|/|∪| low —
+    Broder's second resemblance measure, completing the near-dup
+    family (token-Jaccard / MinHash / SimHash ship the |∪|-normalized
+    one). Shingles, not unigrams: over a shared vocabulary every small
+    token SET nests trivially (measured: ~30%% of all pairs at 0.9
+    unigram containment vs 25 true pairs at 0.5 shingle containment),
+    so word n-grams are what make the measure discriminative.
+
+    Candidates come from the SAME MinHash banding discipline as the
+    Jaccard path, built over the shingle sets (sketch recall — a
+    containment-high but Jaccard-low outlier can evade Jaccard-tuned
+    bands; the scale path for that regime is size-stratified banding,
+    noted not needed at fixture skew). Membership is integer-exact:
+    {den}·|∩| ≥ {num}·min cross-multiplied, one display division.
+
+    Scale shape: band equi-join + shortlist-only shingle join — never
+    all-pairs; shingle build is the shared pre-exploded JVM builder."""
+    from .text import _minhash_cols
+
+    t = Tables(spark, sf_dir)
+    toks = F.split("text", " ")
+    n = _CONT_SH
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tok = (
+        t.documents.repartition(32, "doc_id")
+        .select("doc_id", F.explode(shingles).alias("token"))
+        .distinct()
+    )
+    sig = tok.groupBy("doc_id").agg(*_minhash_cols())
+    from .text_ext import _lsh_candidates
+
+    cand = _lsh_candidates(sig)
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(
+            tok.select(F.col("doc_id").alias("id_a"), "token"), "id_a"
+        )
+        .join(
+            tok.select(F.col("doc_id").alias("id_b"), "token"),
+            ["id_b", "token"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    mn = F.least(F.col("na"), F.col("nb"))
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id_a"),
+                         F.col("n").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"),
+                         F.col("n").alias("nb")),
+            "id_b",
+        )
+        .filter(
+            F.lit(_CONT_DEN) * F.col("n_common") >= F.lit(_CONT_NUM) * mn
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_common").cast("bigint"),
+            F.round(F.col("n_common") / mn.cast("double"), 6).alias(
+                "containment"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipe_dedup_funnel — the corpus dedup pipeline as a stage report
+# ---------------------------------------------------------------------------
+
+
+def _dedup_funnel_oracle() -> str:
+    from ..registry import _LAZY_ORACLES, ORACLES
+    from . import pipelines  # noqa: F401  (register pipe_neardup_dedup)
+    from . import text  # noqa: F401  (register text_exact_dedup)
+    from . import text_ext  # noqa: F401  (register pipe_dedup_semantic)
+
+    def _sql(key: str) -> str:
+        # a composed-FROM oracle may itself be lazy and not yet
+        # resolved (load_all drains _LAZY_ORACLES in arbitrary order)
+        return ORACLES[key] if key in ORACLES else _LAZY_ORACLES[key]()
+
+    ex = _sql("text_exact_dedup")
+    nd = _sql("pipe_neardup_dedup")
+    sem = _sql("pipe_dedup_semantic")
+    return f"""
+    WITH tot AS (SELECT COUNT(*) AS n FROM documents),
+    ex AS MATERIALIZED ({ex}),
+    nd AS MATERIALIZED ({nd}),
+    sem AS MATERIALIZED ({sem}),
+    e AS MATERIALIZED (SELECT keep_id AS doc_id FROM ex),
+    m AS MATERIALIZED (SELECT doc_id FROM e
+          WHERE doc_id IN (SELECT doc_id FROM nd WHERE keep = 1)),
+    s AS MATERIALIZED (SELECT doc_id FROM m
+          WHERE doc_id IN (SELECT doc_id FROM sem WHERE kept)),
+    ne AS (SELECT COUNT(*) AS n FROM e),
+    nm AS (SELECT COUNT(*) AS n FROM m),
+    ns AS (SELECT COUNT(*) AS n FROM s)
+    SELECT * FROM (
+        SELECT 'exact' AS stage,
+               CAST((SELECT n FROM tot) AS BIGINT) AS n_in,
+               CAST((SELECT n FROM tot) - (SELECT n FROM ne) AS BIGINT)
+                   AS n_dropped,
+               CAST((SELECT n FROM ne) AS BIGINT) AS n_out
+        UNION ALL
+        SELECT 'minhash',
+               CAST((SELECT n FROM ne) AS BIGINT),
+               CAST((SELECT n FROM ne) - (SELECT n FROM nm) AS BIGINT),
+               CAST((SELECT n FROM nm) AS BIGINT)
+        UNION ALL
+        SELECT 'semantic',
+               CAST((SELECT n FROM nm) AS BIGINT),
+               CAST((SELECT n FROM nm) - (SELECT n FROM ns) AS BIGINT),
+               CAST((SELECT n FROM ns) AS BIGINT)
+    )
+    """
+
+
+@query("pipe_dedup_funnel", oracle=_dedup_funnel_oracle)
+def pipe_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus DEDUP FUNNEL — the three dedup tiers composed into
+    the per-stage attrition report every data-curation run publishes
+    (what fraction did exact dedup remove? what did MinHash add on
+    top? what did semantic dedup catch that lexical methods missed?):
+    exact content hash → MinHash near-dup → embedding semantic dedup,
+    each stage's keep flags from its REGISTERED builder (and the
+    oracle from the registered oracle SQL — the ``sim_ann_recall``
+    discipline: the audited plans are the shipped plans). Stage flags
+    are computed corpus-wide and applied sequentially, so each row's
+    n_dropped attributes documents to the FIRST tier that catches
+    them.
+
+    Scale shape: cost = the three underlying dedup pipelines (each
+    already bucketed/LSH-shaped, never all-pairs) + three semi-joins
+    on doc_id; output is 3 rows at any corpus size."""
+    from ..registry import QUERIES
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id")
+    e_surv = (
+        docs.join(
+            QUERIES["text_exact_dedup"](spark, sf_dir)
+            .select(F.col("keep_id").alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
+        .localCheckpoint()
+    )
+    m_surv = (
+        e_surv.join(
+            QUERIES["pipe_neardup_dedup"](spark, sf_dir)
+            .filter(F.col("keep") == 1)
+            .select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        .localCheckpoint()
+    )
+    s_surv = m_surv.join(
+        QUERIES["pipe_dedup_semantic"](spark, sf_dir)
+        .filter(F.col("kept"))
+        .select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    n0 = t.documents.count()
+    n1 = e_surv.count()
+    n2 = m_surv.count()
+    n3 = s_surv.count()
+    rows = [
+        ("exact", n0, n0 - n1, n1),
+        ("minhash", n1, n1 - n2, n2),
+        ("semantic", n2, n2 - n3, n3),
+    ]
+    return spark.createDataFrame(
+        rows, "stage string, n_in long, n_dropped long, n_out long"
+    )
