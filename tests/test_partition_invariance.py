@@ -75,6 +75,7 @@ KEYS = [
     "traj_viterbi_map_match",
     "emb_dedup_threshold_sweep",
     "text_containment_neardup",
+    "rel_equidepth_hist",
 ]
 
 

@@ -1661,3 +1661,154 @@ def pipe_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "stage string, n_in long, n_dropped long, n_out long"
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_ann_recall_matrix — recall@10 across the whole approximate family
+# ---------------------------------------------------------------------------
+
+_RECALL_METHODS = (
+    ("ivf_centroid", "sim_knn_ivf_centroid"),
+    ("sq8", "sim_knn_sq8"),
+    ("binary", "sim_knn_binary"),
+    ("mrl_prefix", "sim_knn_mrl"),
+)
+
+
+def _recall_matrix_oracle() -> str:
+    from ..registry import _LAZY_ORACLES, ORACLES
+    from . import similarity  # noqa: F401
+    from . import similarity_ext  # noqa: F401
+
+    def _sql(key: str) -> str:
+        return ORACLES[key] if key in ORACLES else _LAZY_ORACLES[key]()
+
+    exact = _sql("sim_knn")
+    parts = []
+    for name, key in _RECALL_METHODS:
+        ann = _sql(key)
+        parts.append(f"""
+        SELECT '{name}' AS method,
+               COUNT(e.vec_id) AS n_exact,
+               CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+               ROUND(COUNT(a.vec_id) / CAST(COUNT(e.vec_id) AS DOUBLE),
+                     6) AS recall
+        FROM ex e LEFT JOIN ({ann}) a ON e.vec_id = a.vec_id""")
+    return (
+        f"WITH ex AS MATERIALIZED ({exact}) SELECT * FROM ("
+        + " UNION ALL ".join(parts)
+        + ")"
+    )
+
+
+@query("sim_ann_recall_matrix", oracle=_recall_matrix_oracle)
+def sim_ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN EVAL MATRIX: recall@10 of EVERY approximate tier the
+    engine ships — IVF-centroid probe, SQ8 scalar quantization, 1-bit
+    binary codes, MRL prefix truncation — against the exact scan, in
+    one report (``sim_ann_recall`` generalized from one method to the
+    family; this is the accuracy/compression frontier table a vector
+    platform publishes per index build). Composed from the REGISTERED
+    builders and their registered oracle SQL, so what is measured is
+    exactly what ships.
+
+    Scale shape: cost = the four underlying kNN queries (each already
+    scale-shaped: broadcast query, TakeOrdered, integer-decided
+    approximation boundaries) + four 10x10 broadcast joins; 4 rows out
+    at any corpus size."""
+    from ..registry import QUERIES
+
+    exact = (
+        QUERIES["sim_knn"](spark, sf_dir).select("vec_id").localCheckpoint()
+    )
+    out = None
+    for name, key in _RECALL_METHODS:
+        ann = QUERIES[key](spark, sf_dir).select(
+            F.col("vec_id").alias("a_vec_id")
+        )
+        row = (
+            exact.join(
+                F.broadcast(ann),
+                exact.vec_id == F.col("a_vec_id"),
+                "left",
+            )
+            .agg(
+                F.lit(name).alias("method"),
+                F.count("vec_id").alias("n_exact"),
+                F.count("a_vec_id").alias("n_hit"),
+                F.round(
+                    F.count("a_vec_id")
+                    / F.count("vec_id").cast("double"),
+                    6,
+                ).alias("recall"),
+            )
+            .select("method", "n_exact", "n_hit", "recall")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# rel_equidepth_hist — equi-depth histogram / range-partition boundaries
+# ---------------------------------------------------------------------------
+
+_EQD_BINS = 16
+
+
+@query(
+    "rel_equidepth_hist",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice,
+               NTILE({_EQD_BINS}) OVER (
+                   PARTITION BY l_returnflag ORDER BY l_extendedprice
+               ) AS bin
+        FROM lineitem
+    )
+    SELECT l_returnflag, CAST(bin AS INTEGER) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(l_extendedprice), 6) AS lo,
+           ROUND(MAX(l_extendedprice), 6) AS hi
+    FROM ranked
+    GROUP BY l_returnflag, bin
+    """,
+)
+def rel_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram per group — the dual of the equi-WIDTH
+    ``sketch_quantile_hist``, and the table behind RANGE PARTITIONING:
+    the bin boundaries ARE the split points ``repartitionByRange``
+    needs (equal row counts per partition regardless of value skew),
+    and the CBO's histogram statistics use exactly this shape.
+
+    Determinism with duplicate values: NTILE's bin SIZES are a pure
+    function of n (floor distribution, first n mod k bins one larger),
+    and although WHICH duplicate of a boundary-straddling value lands
+    in which bin depends on tie order, the per-bin (count, min, max)
+    aggregates are invariant under any such ordering — duplicates are
+    adjacent in sort order, so a straddling value is bin i's max and
+    bin i+1's min either way. Outputs are value SELECTIONS (no float
+    arithmetic).
+
+    Scale shape: one window sort per group — the exact pass a planner
+    runs per partition-candidate column on a SAMPLE; at 100 TB the
+    boundaries come from exactly this query over the sample table
+    (which is how Spark's own RangePartitioner computes them), then
+    binning is a map-side comparison against the broadcast split
+    points."""
+    from pyspark.sql import Window as W2
+
+    t = Tables(spark, sf_dir)
+    ranked = t.lineitem.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.ntile(_EQD_BINS)
+        .over(
+            W2.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        )
+        .alias("bin"),
+    )
+    return ranked.groupBy("l_returnflag", "bin").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.min("l_extendedprice"), 6).alias("lo"),
+        F.round(F.max("l_extendedprice"), 6).alias("hi"),
+    )
