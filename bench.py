@@ -71,6 +71,10 @@ HEADLINE = [
     "traj_range_segments_2d",
     # round-3: the flagship search tier — kNN over segment geometry
     "traj_hausdorff_segments_knn_2d",
+    # round-4: binary-quantized ANN (cheap-pass scan representative)
+    # and the Viterbi route-conformance DP (Arrow kernel family rep)
+    "sim_knn_binary",
+    "traj_viterbi_map_match",
 ]
 
 # Heavy tier (round-3): the most expensive ops in the repo, invisible in
@@ -82,6 +86,9 @@ HEAVY = [
     "sim_knn_ivfpq",
     "traj_hausdorff_segments_threshold_2d",
     "mm_phash_nn",
+    # round-4: the composed three-tier dedup funnel (Spark-side cost of
+    # the full dedup pipeline family)
+    "pipe_dedup_funnel",
 ]
 
 
