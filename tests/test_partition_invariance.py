@@ -76,6 +76,7 @@ KEYS = [
     "emb_dedup_threshold_sweep",
     "text_containment_neardup",
     "rel_equidepth_hist",
+    "src_python_datasource",
 ]
 
 

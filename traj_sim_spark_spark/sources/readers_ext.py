@@ -357,3 +357,159 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 6
         ).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# src_binary_files — whole-file binary ingest (the multimodal raw path)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "src_binary_files",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_hash
+    FROM documents WHERE doc_id < 64
+    """,
+)
+def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHOLE-FILE binary ingest via Spark's ``binaryFile`` source — how
+    images/audio/video actually ENTER a multimodal pipeline (one file
+    per asset; the mm_* operators then decode the payload column): a
+    bounded slice of documents is materialized as one file per doc
+    (the asset store shape), read back as (path, length, content), and
+    verified byte-faithful — doc_id parsed from the file name, size and
+    md5 computed FROM THE INGESTED BYTES, hash-matched against the
+    source rows.
+
+    Scale shape: binaryFile lists and reads files in parallel
+    (maxPartitionBytes-sized tasks); the write side here is a bounded
+    64-file staging set (re-created only when the fixture fingerprint
+    moves). At 100 TB the pattern is unchanged — object-store listing
+    shards by prefix, each asset is one row, and pushdown on path/
+    length prunes before any byte is read."""
+    import shutil
+
+    from .readers import layout_current, stamp_layout, staging_dir
+
+    t = Tables(spark, sf_dir)
+    out = os.path.join(staging_dir(sf_dir, "binfiles"), "assets")
+    if not layout_current(out, sf_dir, table="documents"):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        rows = (
+            t.documents.filter(F.col("doc_id") < 64)
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            with open(
+                os.path.join(out, f"doc_{r['doc_id']:05d}.bin"), "wb"
+            ) as f:
+                f.write(r["text"].encode("utf-8"))
+        with open(os.path.join(out, "_SUCCESS"), "w"):
+            pass
+        stamp_layout(out, sf_dir, table="documents")
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out)
+        .select(
+            F.regexp_extract(
+                F.col("path"), r"doc_(\d+)\.bin", 1
+            )
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("length").cast("bigint").alias("n_bytes"),
+            F.md5("content").alias("content_hash"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# src_python_datasource — Spark 4 custom Python DataSource (extension R1)
+# ---------------------------------------------------------------------------
+
+_GEN_USERS = 32
+_GEN_POINTS = 100
+
+
+@query(
+    "src_python_datasource",
+    oracle=f"""
+    SELECT u.u AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM((u.u * 1000003 + s.s * 7919) % 1000000) AS BIGINT)
+               AS sum_value,
+           CAST(MAX((u.u * 1000003 + s.s * 7919) % 1000000) AS BIGINT)
+               AS max_value
+    FROM (SELECT UNNEST(generate_series(0, {_GEN_USERS - 1})) AS u) u
+    CROSS JOIN (SELECT UNNEST(generate_series(1, {_GEN_POINTS})) AS s) s
+    GROUP BY u.u
+    """,
+)
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM PYTHON DATA SOURCE (Spark 4 ``pyspark.sql.datasource``) —
+    the modern extension answer to R1's hand-parsed inputs: a source
+    the engine itself defines (``trajgen``: a deterministic synthetic
+    trajectory generator, one INPUT PARTITION per user so reads scale
+    across executors exactly like file splits) is registered, read
+    through the ordinary ``spark.read.format(...)`` path, and
+    aggregated. This is the surface a deployment uses to mount feeds
+    Spark has no built-in reader for (proprietary trace formats, REST
+    paginators, device logs) while keeping Catalyst planning and the
+    DataFrame API.
+
+    Exactness: the generated values are a pure integer congruence
+    ((u·1000003 + s·7919) mod 1e6) — the oracle reproduces them with
+    generate_series, so the hash proves the partition-parallel Python
+    reader delivers exactly the declared rows (no loss, no dup across
+    partitions).
+
+    Scale shape: partitions() returns one split per user — the planner
+    schedules them like any scan; per-partition generators stream rows
+    via Arrow batches. A 100 TB feed shards by the same mechanism
+    (partition list = shard manifest)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _TrajGenReader(DataSourceReader):
+        def __init__(self, options):  # noqa: ANN001
+            self.n_users = int(options.get("nusers", _GEN_USERS))
+            self.n_points = int(options.get("npoints", _GEN_POINTS))
+
+        def partitions(self):  # noqa: ANN201
+            return [InputPartition(u) for u in range(self.n_users)]
+
+        def read(self, partition):  # noqa: ANN001, ANN201
+            u = partition.value
+            for s in range(1, self.n_points + 1):
+                yield (u, s, (u * 1000003 + s * 7919) % 1000000)
+
+    class _TrajGenSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "trajgen"
+
+        def schema(self) -> str:
+            return "user_id bigint, seq bigint, value bigint"
+
+        def reader(self, schema):  # noqa: ANN001, ANN201
+            return _TrajGenReader(self.options)
+
+    spark.dataSource.register(_TrajGenSource)
+    gen = (
+        spark.read.format("trajgen")
+        .option("nusers", _GEN_USERS)
+        .option("npoints", _GEN_POINTS)
+        .load()
+    )
+    return gen.groupBy("user_id").agg(
+        F.count("*").alias("n_points"),
+        F.sum("value").cast("bigint").alias("sum_value"),
+        F.max("value").cast("bigint").alias("max_value"),
+    )
