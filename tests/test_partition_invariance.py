@@ -77,6 +77,8 @@ KEYS = [
     "text_containment_neardup",
     "rel_equidepth_hist",
     "src_python_datasource",
+    "pipe_mix_temperature",
+    "text_ngram_novelty",
 ]
 
 

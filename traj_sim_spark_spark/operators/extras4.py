@@ -1812,3 +1812,210 @@ def rel_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("l_extendedprice"), 6).alias("lo"),
         F.round(F.max("l_extendedprice"), 6).alias("hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pipe_mix_temperature — temperature-scaled multilingual mixing quotas
+# ---------------------------------------------------------------------------
+
+_MIXT_BUDGET = 5000  # global token budget across languages
+# alpha = 0.5: weight = sqrt(tokens) — the mT5/XLM-R temperature that
+# upsamples low-resource languages without letting them dominate
+
+
+@query(
+    "pipe_mix_temperature",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang,
+               CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    w AS (
+        SELECT lang, n_tokens,
+               CAST(ROUND(SQRT(n_tokens) * 1e6) AS BIGINT) AS wq
+        FROM counts
+    ),
+    tot AS (SELECT SUM(wq) AS sw FROM w),
+    quota AS (
+        SELECT w.lang, w.n_tokens,
+               CAST(({_MIXT_BUDGET} * w.wq) // (SELECT sw FROM tot)
+                    AS BIGINT) AS quota_tokens
+        FROM w
+    ),
+    d AS (
+        SELECT doc_id, lang,
+               CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               md5(text) AS h
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, lang, n_tok,
+               SUM(n_tok) OVER (PARTITION BY lang
+                                ORDER BY h, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS c
+        FROM d
+    ),
+    taken AS (
+        SELECT cum.lang,
+               COUNT(*) AS n_docs_taken,
+               SUM(cum.n_tok) AS n_tokens_taken
+        FROM cum JOIN quota ON quota.lang = cum.lang
+        WHERE cum.c <= quota.quota_tokens
+        GROUP BY cum.lang
+    )
+    SELECT q.lang, q.n_tokens, q.quota_tokens,
+           CAST(COALESCE(t.n_docs_taken, 0) AS BIGINT) AS n_docs_taken,
+           CAST(COALESCE(t.n_tokens_taken, 0) AS BIGINT)
+               AS n_tokens_taken
+    FROM quota q LEFT JOIN taken t ON t.lang = q.lang
+    """,
+)
+def pipe_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED language mixing — the multilingual data-mix
+    recipe mT5/XLM-R standardized: per-language token budgets
+    proportional to n^alpha with alpha = 0.5, so low-resource
+    languages are upsampled relative to their share without letting
+    the head language starve them (``pipe_token_budget`` fills FIXED
+    quotas; this row COMPUTES the quotas from the corpus itself, then
+    fills them deterministically in content-hash order).
+
+    Exactness (the reason this is hash-checkable at all): the weight
+    sqrt(n) is micro-quantized to a BIGINT immediately (single
+    identical-DAG double -> integer), so the weight SUM is exact
+    integer arithmetic (a raw float sum over languages would be
+    summation-order-dependent), and each quota is an integer floor
+    division of integers. Selection is the token-budget window cumsum
+    with integer membership (cum <= quota).
+
+    Scale shape: one token-count agg, a 5-row quota table broadcast,
+    one per-lang window cumsum over hash order — `pipe_token_budget`'s
+    cost with a computed quota side."""
+    from pyspark.sql import Window as W2
+
+    t = Tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        F.md5("text").alias("h"),
+    )
+    counts = d.groupBy("lang").agg(F.sum("n_tok").alias("n_tokens"))
+    w = counts.select(
+        "lang",
+        "n_tokens",
+        F.round(F.sqrt("n_tokens") * 1e6).cast("bigint").alias("wq"),
+    )
+    tot = w.agg(F.sum("wq").alias("sw"))
+    quota = w.join(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        F.expr(f"({_MIXT_BUDGET} * wq) div sw").alias("quota_tokens"),
+    )
+    cum = d.withColumn(
+        "c",
+        F.sum("n_tok").over(
+            W2.partitionBy("lang")
+            .orderBy("h", "doc_id")
+            .rowsBetween(W2.unboundedPreceding, W2.currentRow)
+        ),
+    )
+    taken = (
+        cum.join(F.broadcast(quota.select("lang", "quota_tokens")), "lang")
+        .filter(F.col("c") <= F.col("quota_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs_taken"),
+            F.sum("n_tok").alias("n_tokens_taken"),
+        )
+    )
+    return quota.join(taken, "lang", "left").select(
+        "lang",
+        "n_tokens",
+        "quota_tokens",
+        F.coalesce("n_docs_taken", F.lit(0)).cast("bigint").alias(
+            "n_docs_taken"
+        ),
+        F.coalesce("n_tokens_taken", F.lit(0)).cast("bigint").alias(
+            "n_tokens_taken"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_ngram_novelty — first-occurrence novelty fraction per document
+# ---------------------------------------------------------------------------
+
+_NOV_SH = 3  # word-shingle width
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents),
+    sh AS (
+        SELECT doc_id,
+               array_to_string(list_slice(w, i, i + {_NOV_SH - 1}), ' ')
+                   AS shingle
+        FROM d, LATERAL (SELECT UNNEST(generate_series(
+                             1, LEN(w) - {_NOV_SH - 1})) AS i) g
+    ),
+    first_doc AS (
+        SELECT shingle, MIN(doc_id) AS fd FROM sh GROUP BY shingle
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) FILTER (f.fd = sh.doc_id) AS BIGINT)
+               AS n_novel,
+           ROUND(COUNT(*) FILTER (f.fd = sh.doc_id)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+    FROM sh JOIN first_doc f ON f.shingle = sh.shingle
+    GROUP BY sh.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM NOVELTY per document — what fraction of a doc's 3-word
+    shingle POSITIONS introduce a shingle the corpus has not seen in
+    any earlier document (doc_id order = ingest order): the dataset
+    diversity curve data teams plot to decide when additional crawl
+    stops adding information, and the per-doc signal that separates
+    generative content from recombined boilerplate
+    (``text_boilerplate`` measures cross-doc repetition mass; this is
+    its complement, attributing each shingle to its FIRST document).
+
+    Exactness: first-occurrence is an integer MIN over doc_id, counts
+    are integers, the ratio is one display division.
+
+    Scale shape: ``text_boilerplate``'s exact join discipline — the
+    shingle table aggregates to (shingle, first_doc) BEFORE joining
+    back (fan-out exactly 1, never a doc-doc pair join); both sides
+    cluster on the shingle key."""
+    t = Tables(spark, sf_dir)
+    toks = F.split("text", " ")
+    n = _NOV_SH
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = t.documents.repartition(32, "doc_id").select(
+        "doc_id", F.explode(shingles).alias("shingle")
+    )
+    first_doc = sh.groupBy("shingle").agg(F.min("doc_id").alias("fd"))
+    novel = (F.col("fd") == F.col("doc_id")).cast("int")
+    return (
+        sh.join(first_doc, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.round(
+                F.sum(novel) / F.count("*").cast("double"), 6
+            ).alias("novelty"),
+        )
+    )
