@@ -79,6 +79,8 @@ KEYS = [
     "src_python_datasource",
     "pipe_mix_temperature",
     "text_ngram_novelty",
+    "rel_join_lateral",
+    "rel_sql_frontend",
 ]
 
 

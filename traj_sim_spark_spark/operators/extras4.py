@@ -2019,3 +2019,118 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_join_lateral — correlated LATERAL subquery join (top-N per row)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_join_lateral",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey,
+           ROUND(o.o_totalprice, 6) AS o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey
+             LIMIT 2) o
+    WHERE c.c_custkey <= 200
+    """,
+)
+def rel_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATED LATERAL join — the remaining join modality (beside
+    equi/theta/semi/anti/as-of/interval): each outer row drives its own
+    correlated subquery ("this customer's top-2 orders by value"), the
+    SQL-standard way to express per-row top-N without first ranking
+    the entire inner table. Spark 4 plans LATERAL subqueries natively
+    (decorrelating to a ranked join under the hood — exactly the
+    `rel_topk_pergroup` window plan, chosen by Catalyst instead of
+    hand-written), and DuckDB executes the identical statement, so the
+    surface AND the semantics are pinned cross-engine.
+
+    Deterministic: total tie-break (o_totalprice DESC, o_orderkey) in
+    the correlated ORDER BY; price is a selection, rounded once on
+    output. Scale shape: the decorrelated plan is a per-key window
+    over the join of the (bounded) outer slice — never a per-row
+    re-scan of orders."""
+    t = Tables(spark, sf_dir)
+    t.customer.createOrReplaceTempView("__lat_cust")
+    t.orders.createOrReplaceTempView("__lat_ord")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey,
+               ROUND(o.o_totalprice, 6) AS o_totalprice
+        FROM __lat_cust c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM __lat_ord
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 LIMIT 2) o
+        WHERE c.c_custkey <= 200
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# rel_sql_frontend — the pure-SQL multi-CTE entry surface
+# ---------------------------------------------------------------------------
+
+_SQLF_STMT = """
+    WITH region_nations AS (
+        SELECT n.n_nationkey, n.n_name
+        FROM __sqlf_nation n
+        JOIN __sqlf_region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = (SELECT MIN(r_name) FROM __sqlf_region)
+    ),
+    revenue AS (
+        SELECT rn.n_name,
+               SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                   AS rev_micro
+        FROM region_nations rn
+        JOIN __sqlf_cust c ON c.c_nationkey = rn.n_nationkey
+        JOIN __sqlf_ord o ON o.o_custkey = c.c_custkey
+        JOIN __sqlf_li l ON l.l_orderkey = o.o_orderkey
+        GROUP BY rn.n_name
+    )
+    SELECT n_name,
+           CAST(rev_micro AS BIGINT) AS rev_micro,
+           CAST(RANK() OVER (ORDER BY rev_micro DESC, n_name)
+                AS INTEGER) AS rev_rank
+    FROM revenue
+"""
+
+
+@query(
+    "rel_sql_frontend",
+    oracle=_SQLF_STMT.replace("__sqlf_nation", "nation")
+    .replace("__sqlf_region", "region")
+    .replace("__sqlf_cust", "customer")
+    .replace("__sqlf_ord", "orders")
+    .replace("__sqlf_li", "lineitem"),
+)
+def rel_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL FRONT-END surface in one statement: tables registered as
+    views, then a single multi-CTE ANSI statement (scalar subquery +
+    4-table star join + grouped aggregation + window rank — the TPC-H
+    Q5 shape) planned entirely by ``spark.sql``. Most registry rows
+    exercise the DataFrame API; this row pins that the textual SQL
+    path — what BI tools and ad-hoc users actually send — resolves,
+    optimizes (predicate pushdown through the CTEs, broadcast of the
+    dimension chain) and executes to the same bit-exact result as
+    DuckDB running the IDENTICAL statement (one string, two engines).
+
+    Exactness: revenue is integer-cent x integer-percent arithmetic
+    (the `rel_agg_basic` discipline) — exact BIGINTs, no float sums.
+
+    Scale shape: Catalyst's own choices — region/nation/customer
+    broadcast down the chain, lineitem scans once with the join filter
+    pushed; the rank window runs over <= 25 rows."""
+    t = Tables(spark, sf_dir)
+    t.nation.createOrReplaceTempView("__sqlf_nation")
+    t.region.createOrReplaceTempView("__sqlf_region")
+    t.customer.createOrReplaceTempView("__sqlf_cust")
+    t.orders.createOrReplaceTempView("__sqlf_ord")
+    t.lineitem.createOrReplaceTempView("__sqlf_li")
+    return spark.sql(_SQLF_STMT)
