@@ -534,3 +534,62 @@ def test_cdc_lww_survives_out_of_order_and_tombstones(
     assert final[1]["n_ops"] == 3
     assert final[1]["last_value"] == 20.0, final[1]  # late row lost LWW
     assert final[2]["alive"] == 1 and final[2]["last_value"] == 7.0
+
+
+def test_stream_parquet_sink_exactly_once_across_restart(
+    spark, tmp_path
+):
+    """The checkpointed parquet sink's exactly-once contract under
+    RESTART: a query writes batch 1, STOPS, a brand-new query object
+    resumes from the same checkpoint over the same source, batch 2
+    arrives — the landed files must contain every row exactly once
+    (no re-emission of batch 1, no loss of batch 2). This is the
+    recovery path sink_stream_parquet / stream_layout_ingest claim."""
+    import os
+    import time
+
+    import pandas as pd
+
+    src = str(tmp_path / "eo_src")
+    data = str(tmp_path / "eo_data")
+    ckpt = str(tmp_path / "eo_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def _write(rows):
+        pdf = pd.DataFrame(rows, columns=["k", "v"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(0.05)
+
+    def _start():
+        return (
+            spark.readStream.schema("k long, v long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", data)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    _write([(1, 10), (2, 20)])
+    q1 = _start()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    first = spark.read.parquet(data).count()
+    assert first == 2, first
+    # restart from the same checkpoint with a NEW query; new data lands
+    _write([(3, 30)])
+    q2 = _start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    rows = sorted(
+        tuple(r) for r in spark.read.parquet(data).collect()
+    )
+    assert rows == [(1, 10), (2, 20), (3, 30)], rows

@@ -899,12 +899,35 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .mining import comovement_edges
 
     e = comovement_edges(spark, sf_dir)
-    und = e.select(F.col("u").alias("s"), F.col("v").alias("t")).unionByName(
-        e.select(F.col("v").alias("s"), F.col("u").alias("t"))
-    ).localCheckpoint()
+    und = e.select(
+        F.col("u").alias("s"), F.col("v").alias("t")
+    ).unionByName(e.select(F.col("v").alias("s"), F.col("u").alias("t")))
+    # Width adaptation in BOTH directions (the connected_components
+    # iteration-economics rule, plus its converse): per-round scheduling
+    # overhead says SHRINK partitions for small graphs, but a dense
+    # graph (the 20x clone probe grows co-movement edges quadratically —
+    # clones co-locate pairwise) must GROW them, or the edge
+    # materialization concentrates one giant in-memory block and OOMs
+    # (found by the round-4 20x probe). One partition per ~1M directed
+    # edges, floor 1, cap 512.
+    n_edges = und.count()
+    parts = max(1, min(512, n_edges // 1_000_000 + 1))
+    und = und.repartition(parts, "s").localCheckpoint()
     lbl = und.select(F.col("s").alias("user_id")).distinct().select(
         "user_id", F.col("user_id").alias("lbl")
     )
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        lbl = _lpa_rounds(und, lbl)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    return lbl.select("user_id", F.col("lbl").cast("bigint").alias("label"))
+
+
+def _lpa_rounds(und: DataFrame, lbl: DataFrame) -> DataFrame:
+    from pyspark.sql import Window as W2
+
     for _ in range(_LPA_ROUNDS):
         nl = (
             und.join(
@@ -925,7 +948,7 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("s").alias("user_id"), "lbl")
             .localCheckpoint()
         )
-    return lbl.select("user_id", F.col("lbl").cast("bigint").alias("label"))
+    return lbl
 
 
 # ---------------------------------------------------------------------------

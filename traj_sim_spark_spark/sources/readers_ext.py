@@ -513,3 +513,94 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value").cast("bigint").alias("sum_value"),
         F.max("value").cast("bigint").alias("max_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sink_versioned_snapshot — time-travel reads over a versioned layout
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sink_versioned_snapshot",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                   AS cents
+        FROM orders WHERE o_orderstatus = 'F'
+    ),
+    v2 AS (
+        SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                   AS cents
+        FROM orders
+    )
+    SELECT CAST(version AS INTEGER) AS version,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(total_cents AS BIGINT) AS total_cents
+    FROM (
+        SELECT 1 AS version, COUNT(*) AS n_rows,
+               SUM(cents) AS total_cents
+        FROM v1
+        UNION ALL
+        SELECT 2, COUNT(*), SUM(cents) FROM v2
+    )
+    """,
+)
+def sink_versioned_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSIONED-TABLE TIME TRAVEL — the lakehouse snapshot contract
+    (Delta/Iceberg `VERSION AS OF`) reproduced with stock Parquet: the
+    table commits as immutable version directories (v1 = the closed 'F'
+    orders, v2 = the full book) plus a tiny manifest of file lists per
+    version; a reader resolves "as of version N" to the manifest's file
+    set — never by directory mtime, never by overwrite. The row reads
+    BOTH versions through the manifest and aggregates each, proving the
+    older snapshot stays byte-stable after later commits (the property
+    audits and reproducible-training-runs depend on).
+
+    Scale shape: version resolution is one manifest read (KB-sized);
+    snapshots share unchanged files in real table formats — here v2 is
+    written whole for fixture simplicity, the manifest mechanism is
+    identical. Append-only commits + manifest swap = the same
+    exactly-once discipline as the streaming sink's file log."""
+    import json as _json
+    import shutil
+
+    from .readers import layout_current, stamp_layout, staging_dir
+
+    t = Tables(spark, sf_dir)
+    root = os.path.join(staging_dir(sf_dir, "versioned"), "orders_tbl")
+    if not layout_current(root, sf_dir, table="orders"):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        cents = F.expr(
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+        ).alias("cents")
+        v1 = t.orders.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", cents
+        )
+        v2 = t.orders.select("o_orderkey", cents)
+        v1.write.mode("overwrite").parquet(os.path.join(root, "v1"))
+        v2.write.mode("overwrite").parquet(os.path.join(root, "v2"))
+        manifest = {}
+        for ver in ("v1", "v2"):
+            d = os.path.join(root, ver)
+            manifest[ver] = sorted(
+                os.path.join(d, f)
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+        with open(os.path.join(root, "_manifest.json"), "w") as f:
+            _json.dump(manifest, f)
+        with open(os.path.join(root, "_SUCCESS"), "w"):
+            pass
+        stamp_layout(root, sf_dir, table="orders")
+    with open(os.path.join(root, "_manifest.json")) as f:
+        manifest = _json.load(f)
+    out = None
+    for i, ver in enumerate(("v1", "v2"), start=1):
+        snap = spark.read.parquet(*manifest[ver]).agg(
+            F.lit(i).cast("int").alias("version"),
+            F.count("*").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        ).select("version", "n_rows", "total_cents")
+        out = snap if out is None else out.unionByName(snap)
+    return out
