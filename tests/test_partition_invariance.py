@@ -81,6 +81,13 @@ KEYS = [
     "text_ngram_novelty",
     "rel_join_lateral",
     "rel_sql_frontend",
+    # extras5 additions: recursive-CTE fold (per-chain total order),
+    # integer-moment regression (decimal Σy² accumulator), salted-join
+    # reducer spread, iterative Bellman-Ford min tableau
+    "rel_recursive_cte",
+    "rel_regr_exact",
+    "rel_join_skew_salted",
+    "graph_sssp",
 ]
 
 

@@ -1,0 +1,584 @@
+"""Round-4 continuation: front-end surfaces and scale-pattern operators.
+
+- ``rel_recursive_cte`` — ``WITH RECURSIVE`` through ``spark.sql``:
+  Spark 4's recursive-CTE execution (UnionLoop) running a genuinely
+  order-dependent FOLD (a zero-clamped running balance, NOT expressible
+  as a plain window sum) over each customer's order chain — the SAME
+  statement text executes on DuckDB. Completes the pure-SQL front-end
+  story `rel_sql_frontend` opened: ad-hoc users get iteration without
+  leaving SQL;
+- ``rel_regr_exact``   — per-group LINEAR REGRESSION (slope/intercept/
+  r², the ``regr_*`` aggregate family) from EXACT integer moment sums:
+  membership-free float math confined to one final 5-row expression
+  evaluated in the identical operation order on both engines (the
+  house display discipline), never a float aggregate;
+- ``ps_frontend``      — the PANDAS API ON SPARK front end: the same
+  grouped aggregation written as ``df.pandas_api().groupby(...)``,
+  compiled by the same Catalyst optimizer to the same hash-aggregate
+  plan as the DataFrame and SQL rows — the third user surface
+  (DataFrame / SQL / pandas) pinned result-equal;
+- ``rel_join_skew_salted`` — the SALTED JOIN skew pattern as a
+  first-class operator: fact rows spread across S deterministic salts,
+  the dimension replicated S-fold, join on (key, salt) — the standard
+  cure when one hot key would otherwise pin a 100 TB shuffle on a
+  single reducer; pinned result-equal to the plain join (the oracle IS
+  the unsalted join).
+
+Scale notes (100 TB):
+- recursive-CTE rounds are each one (chain-frontier ⋈ base) equi-join
+  hash-partitioned on the customer key; the frontier only shrinks, and
+  depth is bounded by the longest order chain (~40 in TPC-H), far
+  under ``spark.sql.cteRecursionLevelLimit`` (100);
+- the regression pass is ONE map-side-combinable hash aggregation of
+  integer products (the sole DECIMAL accumulator is the y² moment,
+  which overflows int64; DuckDB's native HUGEINT sum mirrors it);
+- the salted join trades an S-fold dimension replication (broadcast-
+  sized) for eliminating the per-key reducer ceiling — the documented
+  alternative to AQE skew-split when skew is known ahead of time;
+- the pandas-API row proves surface, not a new engine: one hash agg,
+  no driver collect (``to_spark`` stays a lazy plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+
+# ---------------------------------------------------------------------------
+# rel_recursive_cte — WITH RECURSIVE fold over per-customer order chains
+# ---------------------------------------------------------------------------
+
+# A zero-clamped running balance (bal_i = max(0, bal_{i-1} + d_i)) is a
+# genuine FOLD: the clamp makes it non-associative, so no window frame
+# or prefix sum expresses it — recursion (or a stateful kernel) is
+# required.  d_i = order value in cents minus a fixed 150 000.00
+# replenishment threshold.  Integer cents end to end.
+#
+# The statement is composed from two fragments shared verbatim with the
+# oracle: the base SELECT (chain-position numbering) and the recursion.
+# Spark materializes the base ONCE (localCheckpoint) before entering
+# the loop — without that cut, UnionLoop re-evaluates the window +
+# scan every round (~40 re-scans; measured 11 s -> ~3 s at sf0.1).
+_REC_BASE_SELECT = """
+        SELECT o_custkey AS cust,
+               CAST(ROW_NUMBER() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                   - 15000000 AS d
+        FROM __r5_orders
+"""
+
+_REC_RECURSION = """
+    chain(cust, rn, bal) AS (
+        SELECT cust, rn, GREATEST(CAST(0 AS BIGINT), d)
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.cust, b.rn, GREATEST(CAST(0 AS BIGINT), c.bal + b.d)
+        FROM chain c JOIN base b ON b.cust = c.cust AND b.rn = c.rn + 1
+    )
+    SELECT cust AS o_custkey,
+           CAST(MAX(rn) AS BIGINT) AS n_orders,
+           CAST(MAX_BY(bal, rn) AS BIGINT) AS final_bal_cents
+    FROM chain GROUP BY cust
+"""
+
+
+@query(
+    "rel_recursive_cte",
+    oracle=(
+        "WITH RECURSIVE base AS ("
+        + _REC_BASE_SELECT.replace("__r5_orders", "orders")
+        + "), "
+        + _REC_RECURSION
+    ),
+)
+def rel_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WITH RECURSIVE`` executed by Spark 4's UnionLoop: each
+    customer's orders form a linked list (ROW_NUMBER next-pointers) and
+    the recursion folds a ZERO-CLAMPED running balance down the chain —
+    ``bal_i = GREATEST(0, bal_{i-1} + d_i)``.  The clamp is
+    non-associative, so this is not a window function in disguise: it
+    is the canonical computation SQL needed recursion for, and the
+    IDENTICAL statement text runs on DuckDB (one string, two engines —
+    the `rel_sql_frontend` discipline extended to iteration).
+
+    Exactness: integer cents throughout; the fold, the tie-broken
+    ordering (o_orderdate, o_orderkey) and the MAX_BY final-row pick
+    are all integer decisions.
+
+    Scale shape: every recursion round is one frontier⋈base equi-join
+    hash-partitioned on the customer key; the frontier is monotonically
+    shrinking (chains end), depth is the longest chain (~40 ≪ the
+    engine's recursion limit of 100).  The base is MATERIALIZED once
+    before the loop (localCheckpoint) — UnionLoop would otherwise
+    re-run the window + scan per round; at 100 TB the materialized
+    base is a bucketed table so every round's join is co-located."""
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("__r5_orders")
+    base = spark.sql(_REC_BASE_SELECT).localCheckpoint()
+    base.createOrReplaceTempView("__r5_rec_base")
+    return spark.sql(
+        "WITH RECURSIVE base AS (SELECT * FROM __r5_rec_base), "
+        + _REC_RECURSION
+    )
+
+
+# ---------------------------------------------------------------------------
+# rel_regr_exact — per-group linear regression from exact integer moments
+# ---------------------------------------------------------------------------
+
+# Final display expressions: float math confined to ONE projection over
+# the 3-row aggregate output, written once and evaluated in the
+# identical operation order on both engines.  All inputs are exact
+# integers (n, sx, sy, sxy, sxx fit int64; syy needs 128 bits — Spark
+# sums DECIMAL(38,0), DuckDB's BIGINT sum is natively HUGEINT; both
+# cast the same exact integer to DOUBLE).
+_REGR_FINAL = """
+    l_returnflag,
+    CAST(n AS BIGINT) AS n,
+    ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0
+        AS slope_cents_per_unit,
+    ROUND((CAST(sy AS DOUBLE)
+           - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+             * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) + 0.0
+        AS intercept_cents,
+    ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+          / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0
+        AS r2
+"""
+
+
+@query(
+    "rel_regr_exact",
+    oracle=f"""
+    WITH q AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_quantity) AS BIGINT) AS x,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    m AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+               SUM(y * y) AS syy
+        FROM q GROUP BY l_returnflag
+    )
+    SELECT {_REGR_FINAL} FROM m
+    """,
+)
+def rel_regr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group LINEAR REGRESSION (the SQL-standard ``regr_slope`` /
+    ``regr_intercept`` / ``regr_r2`` family) of extended price (cents)
+    on quantity, per l_returnflag — computed the house way: the
+    aggregation pass sums EXACT INTEGER moments (n, Σx, Σy, Σxy, Σx²,
+    Σy²), and floats appear only in one final 3-row projection whose
+    expression text is shared verbatim with the oracle.  Native
+    ``regr_*`` aggregates accumulate doubles and are order-dependent
+    at the ulp — these moments are partitioning- and engine-exact.
+
+    The only 128-bit moment is Σy² (~6e19 at sf0.1): Spark accumulates
+    DECIMAL(38,0); DuckDB's BIGINT SUM is natively HUGEINT.  Both sides
+    cast the same exact integer to DOUBLE for the display expression.
+
+    Scale shape: ONE map-side-combinable hash aggregation over the
+    fact table (integer adds at codegen speed; the single decimal
+    column is the price of exactness, cf. `rel_agg_basic`'s dispatch);
+    the regression algebra runs on 3 aggregate rows."""
+    t = Tables(spark, sf_dir)
+    q = t.lineitem.selectExpr(
+        "l_returnflag",
+        "CAST(ROUND(l_quantity) AS BIGINT) AS x",
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y",
+    )
+    m = q.groupBy("l_returnflag").agg(
+        F.expr("COUNT(*)").alias("n"),
+        F.expr("SUM(x)").alias("sx"),
+        F.expr("SUM(y)").alias("sy"),
+        F.expr("SUM(x * y)").alias("sxy"),
+        F.expr("SUM(x * x)").alias("sxx"),
+        F.expr("SUM(CAST(y AS DECIMAL(38,0)) * y)").alias("syy"),
+    )
+    return m.selectExpr(*_split_top_level(_REGR_FINAL))
+
+
+def _split_top_level(cols: str) -> list[str]:
+    """Split a SELECT-list fragment on top-level commas (shared between
+    the oracle string and ``selectExpr`` so the float expression order
+    is written exactly once)."""
+    out, depth, cur = [], 0, []
+    for ch in cols:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur and "".join(cur).strip():
+        out.append("".join(cur).strip())
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ps_frontend — the pandas API on Spark as a third user surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ps_frontend",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS max_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def ps_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PANDAS API ON SPARK front end (``pyspark.pandas``): the
+    grouped aggregation a data scientist writes as
+    ``df.groupby(...).agg(...)`` — compiled by the SAME Catalyst
+    optimizer into the same hash-aggregate plan the DataFrame and SQL
+    rows produce.  Completes the three-surface story: DataFrame
+    (most rows), textual SQL (`rel_sql_frontend`), and pandas (this
+    row), all one engine underneath.
+
+    Exactness: cents quantized to BIGINT *before* entering the pandas
+    API, so count/sum/max are integer aggregates.
+
+    Scale shape: ``pandas_api()`` and ``to_spark()`` are metadata-only
+    wrappers — the computation is one map-side-combinable hash agg; no
+    driver materialization anywhere (pandas-on-Spark only collects on
+    ``to_pandas()``, which is never called)."""
+    t = Tables(spark, sf_dir)
+    cents = t.orders.select(
+        "o_orderpriority",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    psdf = cents.pandas_api()
+    g = psdf.groupby("o_orderpriority", as_index=False)["cents"].agg(
+        ["count", "sum", "max"]
+    )
+    return (
+        g.to_spark()
+        .toDF("o_orderpriority", "n_orders", "total_cents", "max_cents")
+        .select(
+            "o_orderpriority",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("total_cents").cast("bigint").alias("total_cents"),
+            F.col("max_cents").cast("bigint").alias("max_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# rel_join_skew_salted — the salted-join skew pattern, pinned to plain join
+# ---------------------------------------------------------------------------
+
+_SALTS = 8
+
+
+@query(
+    "rel_join_skew_salted",
+    oracle="""
+    SELECT s.s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def rel_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SALTED JOIN — the standard hand-applied cure for shuffle-key
+    skew: every fact row gets a DETERMINISTIC salt (``l_orderkey % 8``
+    — no RNG, the house reproducibility rule), the dimension is
+    replicated across all 8 salts, and the join key becomes
+    ``(suppkey, salt)`` so one hot supplier's rows spread over 8
+    reducers instead of pinning one.  The oracle is the PLAIN join —
+    salting must be result-invisible, and the gate proves it.
+
+    Scale shape: at 100 TB this is the ahead-of-time alternative to
+    AQE's reactive skew-split (which only fires on detected partition
+    imbalance): S× replication of a broadcast-sized dimension buys a
+    hard ceiling of fact_rows/S per (key,salt) reducer.  The aggregate
+    after the join is keyed on nation only — the salt never escapes
+    the join."""
+    t = Tables(spark, sf_dir)
+    fact = t.lineitem.select(
+        "l_suppkey",
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias(
+            "cents"
+        ),
+        (F.col("l_orderkey") % _SALTS).cast("int").alias("salt"),
+    )
+    dim = (
+        t.supplier.select("s_suppkey", "s_nationkey")
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALTS - 1)))
+        )
+        .withColumn("salt", F.col("salt").cast("int"))
+    )
+    joined = fact.join(
+        dim,
+        (fact["l_suppkey"] == dim["s_suppkey"])
+        & (fact["salt"] == dim["salt"]),
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_items"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rel_variant_json — Spark 4 VARIANT ingestion with typed extraction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(SUM(user_id) AS BIGINT) AS sum_u
+    FROM events GROUP BY event_type
+    """,
+)
+def rel_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's VARIANT type end-to-end: each event's JSON props are
+    merged with computed fields into one JSON document, parsed ONCE
+    into the binary VARIANT encoding (``parse_json``), then read back
+    with TYPED path extraction (``variant_get`` with a target type —
+    not the stringly ``get_json_object`` of `src_json_props`), and
+    aggregated.  The oracle reads the same numbers straight from the
+    source — the VARIANT round trip must be lossless.
+
+    Scale shape: VARIANT's binary encoding is the lakehouse
+    semi-structured format (Parquet VARIANT shredding): parse cost is
+    paid once at ingest, every later extraction is an O(log fields)
+    binary probe instead of a JSON re-parse — exactly how a 100 TB
+    event table with heterogeneous props should land.  This whole plan
+    is JVM-side codegen; no Python anywhere."""
+    t = Tables(spark, sf_dir)
+    doc = t.events.select(
+        "event_type",
+        F.expr(
+            "parse_json(to_json(named_struct("
+            "  'k', CAST(get_json_object(props, '$.k') AS BIGINT),"
+            "  'u', user_id,"
+            "  't', event_type)))"
+        ).alias("v"),
+    )
+    ext = doc.select(
+        F.expr("variant_get(v, '$.t', 'string')").alias("event_type"),
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+        F.expr("variant_get(v, '$.u', 'bigint')").alias("u"),
+    )
+    return ext.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.sum("u").cast("bigint").alias("sum_u"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# src_xml_ingest — XML round trip through Spark 4's native from_xml
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "src_xml_ingest",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def src_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion via Spark 4's NATIVE XML support (``from_xml``,
+    mainlined from spark-xml in 4.0): every order is serialized to an
+    XML record, parsed back through a typed schema, and the parsed
+    fields aggregated.  The oracle aggregates the source directly —
+    the XML round trip must be lossless, which pins both the writer
+    (element construction) and the reader (typed extraction,
+    whitespace/number handling) at once.
+
+    Scale shape: ``from_xml`` is a JVM-side row expression (StaxXML
+    under the hood) — parsing parallelizes per partition like any
+    projection, no Python; at 100 TB the same expression ingests
+    feed-style XML dumps partition-parallel.  Numeric fields carry
+    integer cents (the house exactness rule) so the round trip has no
+    float formatting hazard."""
+    t = Tables(spark, sf_dir)
+    xml = t.orders.select(
+        F.expr(
+            "concat('<r><k>', CAST(o_orderkey AS STRING),"
+            " '</k><c>', CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+            "            AS STRING),"
+            " '</c><s>', o_orderstatus, '</s></r>')"
+        ).alias("x")
+    )
+    parsed = xml.select(
+        F.expr(
+            "from_xml(x, 'k BIGINT, c BIGINT, s STRING')"
+        ).alias("r")
+    )
+    return parsed.groupBy(F.col("r.s").alias("status")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("r.c").cast("bigint").alias("total_cents"),
+        F.max("r.k").cast("bigint").alias("max_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_sssp — weighted single-source shortest paths (Bellman-Ford rounds)
+# ---------------------------------------------------------------------------
+
+_SSSP_ROUNDS = 4
+_SSSP_SUPP = 1_000_000_000
+
+
+def _sssp_oracle() -> str:
+    ctes = [
+        f"""
+    p AS (
+        SELECT o.o_custkey AS c, l.l_suppkey AS s, COUNT(*) AS cnt
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ),
+    e AS (
+        SELECT c AS src, s + {_SSSP_SUPP} AS dst,
+               8 - LEAST(cnt, CAST(6 AS BIGINT)) AS w
+        FROM p
+        UNION ALL
+        SELECT s + {_SSSP_SUPP}, c, 8 - LEAST(cnt, CAST(6 AS BIGINT))
+        FROM p
+    ),
+    d0 AS (
+        SELECT CAST((SELECT MIN(c) FROM p) AS BIGINT) AS node,
+               CAST(0 AS BIGINT) AS dist
+    )"""
+    ]
+    for r in range(1, _SSSP_ROUNDS + 1):
+        ctes.append(f"""
+    d{r} AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d{r - 1}
+            UNION ALL
+            SELECT e.dst AS node, d{r - 1}.dist + e.w AS dist
+            FROM d{r - 1} JOIN e ON e.src = d{r - 1}.node
+        ) u GROUP BY node
+    )""")
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+    SELECT CASE WHEN node < {_SSSP_SUPP}
+                THEN 'c' || CAST(node AS VARCHAR)
+                ELSE 's' || CAST(node - {_SSSP_SUPP} AS VARCHAR) END
+               AS node,
+           CAST(dist AS BIGINT) AS dist
+    FROM d{_SSSP_ROUNDS}
+    """
+    )
+
+
+@query("graph_sssp", oracle=_sssp_oracle)
+def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SINGLE-SOURCE SHORTEST PATHS ({rounds} Bellman-Ford
+    relaxation rounds) over the customer-supplier trade graph — the
+    weighted completion of the path family (`graph_bfs_hops` counts
+    unweighted hops): edge cost is the inverse trade intensity
+    ``8 - LEAST(cnt, 6)`` (more lineitems between a pair = closer), so
+    distances are exact small integers and every min() is an integer
+    decision — an iterative graph algorithm with a FULL chained-CTE
+    oracle, no floats anywhere.
+
+    Each round is ONE frontier⋈edges equi-join + ONE (node, min)
+    hash aggregate over the union with the previous tableau — the
+    textbook distributed Bellman-Ford; rounds localCheckpoint so round
+    r+1's plan doesn't re-derive rounds 1..r (the CC/PageRank lineage
+    policy).  The relaxation count is fixed ({rounds}), so Spark and
+    DuckDB run the identical tableau evolution.
+
+    Scale shape: the per-round join is src-keyed (pre-partitioning the
+    edge list by src makes it co-located at 100 TB); the distance
+    tableau is |V|-bounded.  Negative edges don't exist, so {rounds}
+    rounds bound 4-hop-optimal distances — the same contract as the
+    BFS row, now with weights."""
+    t = Tables(spark, sf_dir)
+    p = (
+        t.lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            F.broadcast(t.orders.select("o_orderkey", "o_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = (F.lit(8) - F.least(F.col("cnt"), F.lit(6))).cast("bigint")
+    half = p.select(
+        F.col("c").alias("src"),
+        (F.col("s") + _SSSP_SUPP).alias("dst"),
+        w.alias("w"),
+    )
+    edges = half.unionAll(
+        half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    ).localCheckpoint()
+    d = (
+        p.agg(F.min("c").cast("bigint").alias("node"))
+        .withColumn("dist", F.lit(0).cast("bigint"))
+        .localCheckpoint()
+    )
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = (
+            d.join(edges, d["node"] == edges["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        d = (
+            d.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return d.select(
+        F.when(F.col("node") < _SSSP_SUPP, F.concat(F.lit("c"), F.col("node").cast("string")))
+        .otherwise(
+            F.concat(F.lit("s"), (F.col("node") - _SSSP_SUPP).cast("string"))
+        )
+        .alias("node"),
+        F.col("dist").cast("bigint").alias("dist"),
+    )

@@ -31,15 +31,18 @@ _LAZY_ORACLES: dict[str, Callable[[], str]] = {}
 # so module order no longer matters for correctness-row scheduling.
 #
 # ROUND-5 ROTATION (do at round-5 start): replace _WINDOW_FIRST with 50
-# of the remaining rowless keys. After round 4 those are: extras4 (14),
-# stream_cdc_apply, extras3 tail (10: traj_hausdorff_segments_knn_2d_idx,
+# of the remaining rowless keys. After round 4 those are: extras4 (15,
+# incl. sink_versioned_snapshot in readers_ext), extras5 (7:
+# rel_recursive_cte, rel_regr_exact, ps_frontend, rel_join_skew_salted,
+# rel_variant_json, src_xml_ingest, graph_sssp), stream_cdc_apply,
+# extras3 tail (10: traj_hausdorff_segments_knn_2d_idx,
 # rel_bloom_runtime, traj_hausdorff_segments_knn_batch_2d,
 # traj_range_window_2d_idx, rel_table_stats, rel_view_maintenance,
 # sim_knn_batch, traj_map_match, traj_search_report, sink_csv_roundtrip),
 # trajectory_ext (11), streams_ext (9), readers_ext (7), setops tail
 # (rel_intersect_all, rel_except_all), similarity tail (sim_range_search,
-# emb_layout_ivf) = 56 — pick 50, the rest (plus round-5 additions) go
-# in round 6.
+# emb_layout_ivf) = ~64 — pick 50 (prefer extras4/extras5/extras3 tail +
+# streams_ext first), the rest (plus round-5 additions) go in round 6.
 _MODULES = (
     "traj_sim_spark_spark.operators.text_ext",
     "traj_sim_spark_spark.operators.analytics",
@@ -73,6 +76,7 @@ _MODULES = (
     # round-4 additions (past the window by design; round-5 rotation
     # moves them forward together with the other rowless keys)
     "traj_sim_spark_spark.operators.extras4",
+    "traj_sim_spark_spark.operators.extras5",
 )
 
 # Explicit driver-window ordering: after load_all() the first keys of
