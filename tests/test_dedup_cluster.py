@@ -73,3 +73,66 @@ def test_df_cap_bounds_hot_token_pairs(spark, hot_token_docs):
     toks = {r["token"] for r in capped.select("token").distinct().collect()}
     assert "hot" not in toks
     assert len(toks) == 300  # every unique token kept
+
+
+def test_prefix_join_equals_brute_force(spark, sf_dir):
+    """Prefix-filter losslessness (the PPJoin theorem): the pruned
+    candidate generation in text_setsim_prefix_join must yield EXACTLY
+    the pairs a brute-force all-pairs Jaccard >= 0.7 scan yields —
+    compared here at sf0.001 on the per-doc summary contract
+    (n_matches + integer-quantized argmax with id tie-break)."""
+    import duckdb
+
+    from traj_sim_spark_spark.operators.extras5 import (
+        text_setsim_prefix_join,
+    )
+
+    out = {
+        (r["id_a"]): (r["n_matches"], r["best_id_b"], r["best_jaccard"])
+        for r in text_setsim_prefix_join(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    brute = con.execute(
+        """
+        WITH tok AS (
+            SELECT DISTINCT d.doc_id, t.token
+            FROM documents d,
+                 UNNEST(string_split(d.text, ' ')) AS t(token)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   COUNT(*) AS both_n
+            FROM tok a JOIN tok b
+              ON a.token = b.token AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        hits AS (
+            SELECT id_a, id_b, both_n,
+                   sa.n + sb.n - both_n AS un
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE 10 * both_n >= 7 * (sa.n + sb.n - both_n)
+        ),
+        best AS (
+            SELECT id_a, id_b, both_n, un,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY id_a
+                       ORDER BY (both_n * 1000000000) // un DESC, id_b
+                   ) AS rk,
+                   COUNT(*) OVER (PARTITION BY id_a) AS n_matches
+            FROM hits
+        )
+        SELECT id_a, n_matches, id_b,
+               ROUND(both_n * 1.0 / un, 6)
+        FROM best WHERE rk = 1
+        """
+    ).fetchall()
+    brute_map = {r[0]: (r[1], r[2], r[3]) for r in brute}
+    assert out == brute_map
+    assert len(out) > 0

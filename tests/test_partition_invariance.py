@@ -88,6 +88,10 @@ KEYS = [
     "rel_regr_exact",
     "rel_join_skew_salted",
     "graph_sssp",
+    # prefix-filter join (global df rank + quantized argmax), logreg
+    # margins (integer-div features)
+    "text_setsim_prefix_join",
+    "text_quality_logreg",
 ]
 
 

@@ -582,3 +582,380 @@ def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("node"),
         F.col("dist").cast("bigint").alias("dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_setsim_prefix_join — EXACT set-similarity join via prefix filtering
+# ---------------------------------------------------------------------------
+
+_PFX_TAU_NUM, _PFX_TAU_DEN = 7, 10  # Jaccard >= 0.7, exact rational
+
+
+def _pfx_oracle() -> str:
+    return f"""
+    WITH tok AS (
+        SELECT DISTINCT d.doc_id, t.token
+        FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(token)
+    ),
+    df AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
+    ranked AS (
+        SELECT tok.doc_id, tok.token,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tok.doc_id
+                   ORDER BY df.df, tok.token) AS rn,
+               COUNT(*) OVER (PARTITION BY tok.doc_id) AS n
+        FROM tok JOIN df ON df.token = tok.token
+    ),
+    pfx AS (
+        SELECT doc_id, token, n FROM ranked
+        WHERE rn <= n - (({_PFX_TAU_NUM} * n + {_PFX_TAU_DEN} - 1)
+                         // {_PFX_TAU_DEN}) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pfx a JOIN pfx b
+          ON a.token = b.token AND a.doc_id < b.doc_id
+    ),
+    lists AS (
+        SELECT doc_id, list_sort(list(token)) AS toks,
+               COUNT(*) AS n
+        FROM tok GROUP BY doc_id
+    ),
+    verified AS (
+        SELECT c.id_a, c.id_b,
+               len(list_intersect(la.toks, lb.toks)) AS both_n,
+               la.n AS na, lb.n AS nb
+        FROM cand c
+        JOIN lists la ON la.doc_id = c.id_a
+        JOIN lists lb ON lb.doc_id = c.id_b
+    ),
+    hits AS (
+        SELECT id_a, id_b, both_n, na + nb - both_n AS un
+        FROM verified
+        WHERE {_PFX_TAU_DEN} * both_n
+              >= {_PFX_TAU_NUM} * (na + nb - both_n)
+    ),
+    best AS (
+        SELECT id_a, id_b, both_n, un,
+               ROW_NUMBER() OVER (
+                   PARTITION BY id_a
+                   ORDER BY (both_n * 1000000000) // un DESC, id_b
+               ) AS rk,
+               COUNT(*) OVER (PARTITION BY id_a) AS n_matches
+        FROM hits
+    )
+    SELECT id_a, CAST(n_matches AS BIGINT) AS n_matches,
+           id_b AS best_id_b,
+           ROUND(both_n * 1.0 / un, 6) AS best_jaccard
+    FROM best WHERE rk = 1
+    """
+
+
+@query("text_setsim_prefix_join", oracle=_pfx_oracle)
+def text_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join by PREFIX FILTERING (the PPJoin family
+    — Chaudhuri/Ganti/Kaushik ICDE'06, Xiao et al. WWW'08): the
+    scale-correct EXACT algorithm beside the approximate LSH rows.
+    Tokens get a GLOBAL frequency order (df, then token — total, so
+    both engines rank identically); two docs can reach Jaccard ≥ 0.7
+    only if their (n - ⌈0.7n⌉ + 1) RAREST tokens share one element —
+    so candidate pairs come from an equi-join on prefix tokens only,
+    then exact verification by full-set intersection.  Lossless by the
+    prefix-filter theorem: the oracle runs the same pruned plan and
+    the result equals brute-force (pytest pins a brute-force twin).
+
+    Exactness: the threshold decision is integer cross-multiplication
+    (10·|∩| ≥ 7·|∪|); the per-doc argmax is keyed on an integer-
+    quantized jaccard with an id tie-break (total order); jaccard is
+    display-only ROUND 6.
+
+    Output contract is LINEAR: duplicate clusters make the raw pair
+    set quadratic in cluster size (5.1M true pairs at sf0.1 from dup
+    clusters), so the row emits the per-doc summary (match count +
+    best match) — the pair relation stays internal, as a 100 TB dedup
+    job would keep it.
+
+    Scale shape: the candidate join touches only each doc's ~0.3n
+    rarest tokens — hot tokens (stopwords) sort LAST and never enter
+    prefixes, so the skew that forces `text_jaccard_neardup`'s DF cap
+    is avoided BY CONSTRUCTION rather than by truncation; verification
+    cost is per-candidate, and candidates are df-bounded per prefix
+    token.  This is how exact dedup at 100 TB is actually run."""
+    t = Tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    tok = (
+        t.documents.repartition(32, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    df = tok.groupBy("token").agg(F.count("*").alias("df"))
+    ranked = (
+        tok.join(df, "token")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy("df", "token")
+            ),
+        )
+        .withColumn("n", F.count("*").over(W.partitionBy("doc_id")))
+    )
+    pfx = ranked.filter(
+        F.col("rn")
+        <= F.col("n")
+        - F.expr(
+            f"({_PFX_TAU_NUM} * n + {_PFX_TAU_DEN} - 1)"
+            f" div {_PFX_TAU_DEN}"
+        )
+        + 1
+    ).select("doc_id", "token")
+    a = pfx.select(F.col("doc_id").alias("id_a"), "token")
+    b = pfx.select(F.col("doc_id").alias("id_b"), "token")
+    cand = (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    lists = tok.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("token")).alias("toks"),
+        F.count("*").alias("n"),
+    )
+    la = lists.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n").alias("na"),
+    )
+    lb = lists.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n").alias("nb"),
+    )
+    v = (
+        cand.join(la, "id_a")
+        .join(lb, "id_b")
+        .withColumn(
+            "both_n", F.size(F.array_intersect("toks_a", "toks_b"))
+        )
+    )
+    hits = v.filter(
+        F.lit(_PFX_TAU_DEN) * F.col("both_n")
+        >= F.lit(_PFX_TAU_NUM)
+        * (F.col("na") + F.col("nb") - F.col("both_n"))
+    ).select(
+        "id_a",
+        "id_b",
+        "both_n",
+        (F.col("na") + F.col("nb") - F.col("both_n")).alias("un"),
+    )
+    # linear output contract: duplicate CLUSTERS make the raw pair set
+    # quadratic in cluster size (5.1M true pairs at sf0.1), so the row
+    # emits the per-doc summary — match count + argmax match, the
+    # argmax keyed on an exact integer-quantized jaccard with an id
+    # tie-break (total order on both engines)
+    best = hits.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("id_a").orderBy(
+                F.expr(
+                    "(CAST(both_n AS BIGINT) * 1000000000) div un"
+                ).desc(),
+                "id_b",
+            )
+        ),
+    ).withColumn("n_matches", F.count("*").over(W.partitionBy("id_a")))
+    return best.filter(F.col("rk") == 1).select(
+        "id_a",
+        F.col("n_matches").cast("bigint").alias("n_matches"),
+        F.col("id_b").alias("best_id_b"),
+        F.round(F.col("both_n") / F.col("un"), 6).alias("best_jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rel_gdpr_delete — merge-on-read deletion vectors (right-to-be-forgotten)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_gdpr_delete",
+    oracle="""
+    WITH victim AS (SELECT MIN(o_custkey) AS v FROM orders)
+    SELECT o_orderstatus AS status,
+           CAST(SUM(CASE WHEN o_custkey <> (SELECT v FROM victim)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+           CAST(SUM(CASE WHEN o_custkey = (SELECT v FROM victim)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+           CAST(SUM(CASE WHEN o_custkey <> (SELECT v FROM victim)
+                         THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS live_cents
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def rel_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ DELETION VECTORS — the right-to-be-forgotten
+    pattern every lakehouse format ships (Delta deletion vectors,
+    Iceberg positional deletes): deleting one subject's rows from an
+    immutable 100 TB table must NOT rewrite the table.  The base stays
+    as-written; a KB-sized sidecar of deleted keys (here: every order
+    of the lexicographically first customer) lands next to it, and
+    every read applies `base ANTI JOIN sidecar` (broadcast — the
+    deletion vector is small by construction).  The report aggregates
+    the LIVE view and counts what the vector masks; the oracle
+    computes both straight from the source table.
+
+    Scale shape: the delete costs one key-scan + KB write, reads cost
+    one broadcast anti-join (Bloom-prunable at scale); compaction
+    (`sink_compaction`'s job) eventually folds vectors into rewritten
+    files.  Append-only + sidecar = the same manifest discipline as
+    `sink_versioned_snapshot`."""
+    import os
+    import shutil
+
+    from ..sources.readers import (
+        layout_current,
+        staging_dir,
+        stamp_layout,
+    )
+
+    t = Tables(spark, sf_dir)
+    root = os.path.join(staging_dir(sf_dir, "gdpr"), "orders_mor")
+    if not layout_current(root, sf_dir, table="orders"):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        t.orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        ).write.mode("overwrite").parquet(os.path.join(root, "base"))
+        base = spark.read.parquet(os.path.join(root, "base"))
+        victim = base.agg(F.min("o_custkey").alias("v"))
+        dv = base.join(
+            F.broadcast(victim), base["o_custkey"] == victim["v"]
+        ).select("o_orderkey")
+        dv.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(root, "dv")
+        )
+        stamp_layout(root, sf_dir, table="orders")
+    base = spark.read.parquet(os.path.join(root, "base"))
+    dv = spark.read.parquet(os.path.join(root, "dv"))
+    live = base.join(F.broadcast(dv), "o_orderkey", "left_anti")
+    dead = base.join(F.broadcast(dv), "o_orderkey", "left_semi")
+    live_agg = live.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n_live"),
+        F.sum("cents").cast("bigint").alias("live_cents"),
+    )
+    dead_agg = dead.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n_deleted")
+    )
+    return (
+        live_agg.join(dead_agg, "status", "left")
+        .select(
+            "status",
+            "n_live",
+            F.coalesce("n_deleted", F.lit(0)).cast("bigint").alias(
+                "n_deleted"
+            ),
+            "live_cents",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_quality_logreg — linear quality classifier applied at scale
+# ---------------------------------------------------------------------------
+
+# Fixed "published" weights in nano-units (micro x micro features ->
+# the margin is an exact BIGINT in 1e-12 units after the dot product).
+# Features (all exact micro-unit rationals): doc length in tokens
+# (capped), type-token ratio, mean token length, short-token share.
+_LOGREG_W = {
+    "bias": -2_500_000,  # -2.5 in micro
+    "w_len": 5_000,  # per token, micro
+    "w_ttr": 2_000_000,  # x ttr
+    "w_mtl": 300_000,  # x mean token length
+    "w_short": -1_800_000,  # x short-token share
+}
+
+
+@query(
+    "text_quality_logreg",
+    oracle=f"""
+    WITH tok AS (
+        SELECT d.doc_id, t.token
+        FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(token)
+    ),
+    feats AS (
+        SELECT doc_id,
+               LEAST(COUNT(*), CAST(400 AS BIGINT)) AS n_tok,
+               (COUNT(DISTINCT token) * 1000000) // COUNT(*) AS ttr_u,
+               (SUM(LEN(token)) * 1000000) // COUNT(*) AS mtl_u,
+               (SUM(CASE WHEN LEN(token) <= 2 THEN 1 ELSE 0 END)
+                * 1000000) // COUNT(*) AS short_u
+        FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({_LOGREG_W["bias"]} * CAST(1000000 AS BIGINT)
+                + {_LOGREG_W["w_len"]} * n_tok * 1000000
+                + {_LOGREG_W["w_ttr"]} * ttr_u
+                + {_LOGREG_W["w_mtl"]} * mtl_u
+                + {_LOGREG_W["w_short"]} * short_u AS BIGINT)
+               AS margin_pico,
+           CAST(CASE WHEN {_LOGREG_W["bias"]} * CAST(1000000 AS BIGINT)
+                + {_LOGREG_W["w_len"]} * n_tok * 1000000
+                + {_LOGREG_W["w_ttr"]} * ttr_u
+                + {_LOGREG_W["w_mtl"]} * mtl_u
+                + {_LOGREG_W["w_short"]} * short_u >= 0
+                THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM feats
+    """,
+)
+def text_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR QUALITY CLASSIFIER applied at corpus scale — the
+    fastText/logreg "is this document trainable" gate every LLM data
+    pipeline runs (CCNet, Gopher, FineWeb all ship one): fixed
+    published-style weights over cheap structural features (length,
+    type-token ratio, mean token length, short-token share).  The
+    MARGIN (w·x) is computed entirely in integer units — features are
+    micro-unit rationals (integer div), weights micro-unit integers,
+    so the keep/drop DECISION (margin ≥ 0) is bit-exact on every
+    engine and partitioning; the sigmoid is monotone, so ranking and
+    thresholding never need the float probability (engines' EXP
+    implementations differ at the ulp — it stays out of the contract).
+
+    Scale shape: one tokenize-aggregate pass (pre-explode
+    repartition), one projection; weights are constants folded into
+    codegen.  Re-scoring 100 TB with new weights is a projection-only
+    job — no shuffle."""
+    t = Tables(spark, sf_dir)
+    tok = t.documents.repartition(32, "doc_id").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    feats = tok.groupBy("doc_id").agg(
+        F.least(F.count("*"), F.lit(400).cast("bigint")).alias("n_tok"),
+        F.expr("(COUNT(DISTINCT token) * 1000000) div COUNT(*)").alias(
+            "ttr_u"
+        ),
+        F.expr("(SUM(LENGTH(token)) * 1000000) div COUNT(*)").alias(
+            "mtl_u"
+        ),
+        F.expr(
+            "(SUM(CASE WHEN LENGTH(token) <= 2 THEN 1 ELSE 0 END)"
+            " * 1000000) div COUNT(*)"
+        ).alias("short_u"),
+    )
+    margin = (
+        F.lit(_LOGREG_W["bias"]) * F.lit(1_000_000).cast("bigint")
+        + F.lit(_LOGREG_W["w_len"]) * F.col("n_tok") * F.lit(1_000_000)
+        + F.lit(_LOGREG_W["w_ttr"]) * F.col("ttr_u")
+        + F.lit(_LOGREG_W["w_mtl"]) * F.col("mtl_u")
+        + F.lit(_LOGREG_W["w_short"]) * F.col("short_u")
+    )
+    return feats.select(
+        "doc_id",
+        margin.cast("bigint").alias("margin_pico"),
+        F.when(margin >= 0, 1).otherwise(0).cast("int").alias("keep"),
+    )
