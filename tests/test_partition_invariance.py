@@ -92,6 +92,10 @@ KEYS = [
     # margins (integer-div features)
     "text_setsim_prefix_join",
     "text_quality_logreg",
+    # Holt coefficients (integer linear form), dup-span interval union
+    # (LEAD over per-doc starts)
+    "rel_holt_linear",
+    "text_dup_ngram_coverage",
 ]
 
 

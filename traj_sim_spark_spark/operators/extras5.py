@@ -959,3 +959,271 @@ def text_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         margin.cast("bigint").alias("margin_pico"),
         F.when(margin >= 0, 1).otherwise(0).cast("int").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_holt_linear — window-truncated Holt double exponential smoothing
+# ---------------------------------------------------------------------------
+
+_HOLT_W = 12  # window length (days); alpha = beta = 1/2
+
+
+def _holt_coeffs() -> tuple[int, list[int], list[int]]:
+    """Exact integer Holt coefficients: simulate the alpha=beta=1/2
+    recurrence over a W-day restart window (l_0 = y_oldest, b_0 = 0)
+    in exact rational arithmetic, then clear denominators.  Returns
+    (D, level_num[j], trend_num[j]) with j = days-ago lag, so that
+    l_t = sum_j level_num[j] * y_{t-j} / D (and likewise the trend).
+    D = 2^22 for W=12; max |numerator| = 2^21, so si (<= ~1e9 micro)
+    keeps every term and the 12-term sum far inside BIGINT."""
+    from fractions import Fraction
+    from math import lcm
+
+    w = _HOLT_W
+    lv = [Fraction(0)] * w
+    tr = [Fraction(0)] * w
+    lv[0] = Fraction(1)
+    for i in range(1, w):
+        ln = [
+            (Fraction(1 if k == i else 0) + lv[k] + tr[k]) / 2
+            for k in range(w)
+        ]
+        tn = [(ln[k] - lv[k] + tr[k]) / 2 for k in range(w)]
+        lv, tr = ln, tn
+    d = lcm(*[c.denominator for c in lv + tr])
+    nl = [int(lv[w - 1 - j] * d) for j in range(w)]
+    nb = [int(tr[w - 1 - j] * d) for j in range(w)]
+    return d, nl, nb
+
+
+_HOLT_D, _HOLT_NL, _HOLT_NB = _holt_coeffs()
+
+
+def _holt_oracle() -> str:
+    from .series import _GRID_SQL
+
+    w = _HOLT_W
+    nl = ", ".join(str(x) for x in _HOLT_NL)
+    nb = ", ".join(str(x) for x in _HOLT_NB)
+    return f"""
+    WITH {_GRID_SQL},
+    contrib AS (
+        SELECT g.user_id, g.dy + j.j AS dy,
+               g.si * ([{nl}][j.j + 1]) AS lterm,
+               g.si * ([{nb}][j.j + 1]) AS bterm
+        FROM grid g
+        CROSS JOIN (SELECT UNNEST(generate_series(0, {w - 1})) AS j) j
+    ),
+    win AS (
+        SELECT c.user_id, c.dy,
+               CAST(SUM(c.lterm) AS BIGINT) AS lnum,
+               CAST(SUM(c.bterm) AS BIGINT) AS bnum,
+               COUNT(*) AS k
+        FROM contrib c JOIN grid t
+          ON t.user_id = c.user_id AND t.dy = c.dy
+        GROUP BY 1, 2
+        HAVING COUNT(*) = {w}
+    )
+    SELECT user_id, dy,
+           ROUND(CAST(lnum AS DOUBLE) / {_HOLT_D} / 1e6, 6) AS level,
+           ROUND(CAST(bnum AS DOUBLE) / {_HOLT_D} / 1e6, 6) + 0.0
+               AS trend,
+           ROUND(CAST(lnum + bnum AS DOUBLE) / {_HOLT_D} / 1e6, 6) + 0.0
+               AS forecast
+    FROM win
+    """
+
+
+@query("rel_holt_linear", oracle=_holt_oracle)
+def rel_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT DOUBLE EXPONENTIAL SMOOTHING (level + trend) per user over
+    the dense daily grid — the trend-aware upgrade of ``rel_ewma`` and
+    the one-step forecast a monitoring pipeline actually pages on.
+    alpha = beta = 1/2 over a 12-day RESTART WINDOW (l initialized to
+    the window's oldest value, b to 0): truncation turns the unbounded
+    recurrence into a FIXED linear combination of the last 12 days, so
+    the whole statistic is one explode + equi-join + integer sum — the
+    same linear shape as ``rel_ewma``, never a sequential scan.
+
+    Exactness: the recurrence is simulated ONCE in exact rational
+    arithmetic (`fractions`) and cleared to integer numerators over
+    D = 2^22; each day's contribution si * n_j is BIGINT (max |n_j| =
+    2^21, si <= ~1e9 micro at sf0.1 -> terms <= ~2e15, 12-term sums
+    <= ~2.2e16, 400x int64 headroom); level/trend/forecast are single
+    final float expressions with identical operation order on both
+    engines (trend/forecast sign-cross -> `+ 0.0` negative-zero
+    guard).  Restart-window Holt is what sequence-parallel systems
+    ship for exponential smoothing at scale: an untruncated backward
+    recurrence would serialize each user's 100 TB history, while the
+    window form is one shuffle on the (user, day) key the daily rollup
+    already produced, with per-day fan-out exactly W."""
+    from .series import _daily_grid
+
+    w = _HOLT_W
+    t = Tables(spark, sf_dir)
+    grid = _daily_grid(t)
+    nl = F.array(*[F.lit(x).cast("long") for x in _HOLT_NL])
+    nb = F.array(*[F.lit(x).cast("long") for x in _HOLT_NB])
+    contrib = grid.select(
+        "user_id",
+        "dy",
+        "si",
+        F.explode(F.sequence(F.lit(0), F.lit(w - 1))).alias("j"),
+    ).select(
+        "user_id",
+        (F.col("dy") + F.col("j")).alias("dy"),
+        (F.col("si") * F.element_at(nl, F.col("j") + 1)).alias("lterm"),
+        (F.col("si") * F.element_at(nb, F.col("j") + 1)).alias("bterm"),
+    )
+    win = (
+        contrib.join(grid.select("user_id", "dy"), ["user_id", "dy"])
+        .groupBy("user_id", "dy")
+        .agg(
+            F.sum("lterm").alias("lnum"),
+            F.sum("bterm").alias("bnum"),
+            F.count("*").alias("k"),
+        )
+        .filter(F.col("k") == w)
+    )
+    d = float(_HOLT_D)
+    return win.select(
+        "user_id",
+        "dy",
+        F.round(F.col("lnum").cast("double") / d / 1e6, 6).alias(
+            "level"
+        ),
+        (
+            F.round(F.col("bnum").cast("double") / d / 1e6, 6) + 0.0
+        ).alias("trend"),
+        (
+            F.round(
+                (F.col("lnum") + F.col("bnum")).cast("double") / d / 1e6,
+                6,
+            )
+            + 0.0
+        ).alias("forecast"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_dup_ngram_coverage — exact substring-dedup coverage (Lee et al.)
+# ---------------------------------------------------------------------------
+
+_DUPCOV_N = 8  # n-gram (token) run length
+
+
+@query(
+    "text_dup_ngram_coverage",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    starts AS (
+        SELECT t.doc_id, s.i,
+               array_to_string(list_slice(t.l, s.i, s.i + {_DUPCOV_N - 1}),
+                               ' ') AS gram
+        FROM toks t,
+             UNNEST(generate_series(1, len(t.l) - {_DUPCOV_N - 1}))
+                 AS s(i)
+    ),
+    dup AS (
+        SELECT gram FROM starts GROUP BY gram HAVING COUNT(*) >= 2
+    ),
+    ds AS (
+        SELECT s.doc_id, s.i,
+               LEAD(s.i) OVER (PARTITION BY s.doc_id ORDER BY s.i)
+                   AS nxt
+        FROM starts s JOIN dup USING (gram)
+    ),
+    cov AS (
+        SELECT doc_id, COUNT(*) AS n_dup_starts,
+               CAST(SUM(LEAST({_DUPCOV_N},
+                              COALESCE(nxt - i, {_DUPCOV_N})))
+                    AS BIGINT) AS covered_tok
+        FROM ds GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.l) AS BIGINT) AS n_tok,
+           CAST(COALESCE(c.n_dup_starts, 0) AS BIGINT) AS n_dup_starts,
+           COALESCE(c.covered_tok, 0) AS covered_tok,
+           ROUND(COALESCE(c.covered_tok, 0) * 1.0 / len(t.l), 6)
+               AS coverage
+    FROM toks t LEFT JOIN cov c USING (doc_id)
+    """,
+)
+def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SUBSTRING-DEDUP COVERAGE — the corpus statistic behind
+    suffix-array substring deduplication (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL'22): for every
+    document, the fraction of token positions covered by an 8-token
+    run that occurs at least twice in the corpus (anywhere — another
+    doc or a self-repeat).  This is the decision input for substring
+    CUTTING (as opposed to whole-doc dropping): pipelines excise the
+    covered spans and keep the remainder.
+
+    Shape: one shingle pass (doc-parallel), one shingle-count
+    aggregation, one semi-join back, then a per-doc interval-union via
+    LEAD — overlapping dup runs merge exactly with
+    LEAST(n, next_start - start), so `covered_tok` is the true union
+    length of duplicated spans, in integers end to end (the ratio is
+    display-only ROUND 6).  The distributed plan is the practical
+    stand-in for a 100 TB suffix array: shingle counts shard by hash
+    like any aggregation (hot shingles are just big counters), the
+    semi-join clusters on the shingle key, and the interval union is a
+    per-doc window over at most n_tok rows — no global sort, no
+    driver state."""
+    from pyspark.sql import Window as W
+
+    n = _DUPCOV_N
+    t = Tables(spark, sf_dir)
+    toks = t.documents.repartition(32, "doc_id").select(
+        "doc_id", F.split("text", " ").alias("l")
+    )
+    starts = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("l") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("l") - (n - 1)),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.array_join(
+                            F.slice("l", i, n), " "
+                        ).alias("gram"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("s"),
+    ).select("doc_id", F.col("s.i").alias("i"), F.col("s.gram").alias("gram"))
+    dup = (
+        starts.groupBy("gram")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gram")
+    )
+    ds = starts.join(dup, "gram", "left_semi").withColumn(
+        "nxt", F.lead("i").over(W.partitionBy("doc_id").orderBy("i"))
+    )
+    cov = ds.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_starts"),
+        F.sum(
+            F.least(F.lit(n), F.coalesce(F.col("nxt") - F.col("i"), F.lit(n)))
+        )
+        .cast("bigint")
+        .alias("covered_tok"),
+    )
+    return (
+        toks.select("doc_id", F.size("l").cast("bigint").alias("n_tok"))
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce("n_dup_starts", F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_starts"),
+            F.coalesce("covered_tok", F.lit(0)).alias("covered_tok"),
+            F.round(
+                F.coalesce("covered_tok", F.lit(0)) / F.col("n_tok"), 6
+            ).alias("coverage"),
+        )
+    )

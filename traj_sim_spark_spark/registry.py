@@ -32,10 +32,11 @@ _LAZY_ORACLES: dict[str, Callable[[], str]] = {}
 #
 # ROUND-5 ROTATION (do at round-5 start): replace _WINDOW_FIRST with 50
 # of the remaining rowless keys. After round 4 those are: extras4 (15,
-# incl. sink_versioned_snapshot in readers_ext), extras5 (10:
+# incl. sink_versioned_snapshot in readers_ext), extras5 (12:
 # rel_recursive_cte, rel_regr_exact, ps_frontend, rel_join_skew_salted,
 # rel_variant_json, src_xml_ingest, graph_sssp, text_setsim_prefix_join,
-# rel_gdpr_delete, text_quality_logreg), stream_cdc_apply,
+# rel_gdpr_delete, text_quality_logreg, rel_holt_linear,
+# text_dup_ngram_coverage), stream_cdc_apply,
 # extras3 tail (10: traj_hausdorff_segments_knn_2d_idx,
 # rel_bloom_runtime, traj_hausdorff_segments_knn_batch_2d,
 # traj_range_window_2d_idx, rel_table_stats, rel_view_maintenance,
