@@ -75,6 +75,9 @@ HEADLINE = [
     # and the Viterbi route-conformance DP (Arrow kernel family rep)
     "sim_knn_binary",
     "traj_viterbi_map_match",
+    # round-4 continuation: substring-dedup coverage (shingle-count +
+    # interval-union representative of the exact-dedup family)
+    "text_dup_ngram_coverage",
 ]
 
 # Heavy tier (round-3): the most expensive ops in the repo, invisible in
@@ -89,6 +92,10 @@ HEAVY = [
     # round-4: the composed three-tier dedup funnel (Spark-side cost of
     # the full dedup pipeline family)
     "pipe_dedup_funnel",
+    # round-4 continuation: the EXACT set-similarity join (PPJoin
+    # prefix+positional filters + 5.1M-pair array verify — the
+    # exact complement of the LSH tiers)
+    "text_setsim_prefix_join",
 ]
 
 
