@@ -96,6 +96,10 @@ KEYS = [
     # (LEAD over per-doc starts)
     "rel_holt_linear",
     "text_dup_ngram_coverage",
+    # two-phase global rank (range partitions + offsets) must be
+    # partitioning-invariant by construction; PIT validity intervals
+    "pipe_doc_shuffle",
+    "rel_pit_join",
 ]
 
 

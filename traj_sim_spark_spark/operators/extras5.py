@@ -1269,3 +1269,224 @@ def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_pit_join — point-in-time join against SCD2 validity intervals
+# ---------------------------------------------------------------------------
+
+_PIT_PRICE = 200_000  # change-event threshold (mirrors rel_scd2_merge)
+
+
+@query(
+    "rel_pit_join",
+    oracle=f"""
+    WITH chg AS (
+        SELECT o_custkey AS c_custkey,
+               MIN(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS eff_us
+        FROM orders WHERE o_totalprice > {_PIT_PRICE}
+        GROUP BY o_custkey
+    ),
+    dim AS (
+        SELECT c.c_custkey, 1 AS version, c.c_mktsegment,
+               CAST(NULL AS BIGINT) AS valid_from_us,
+               g.eff_us AS valid_to_us
+        FROM customer c LEFT JOIN chg g USING (c_custkey)
+        UNION ALL
+        SELECT c.c_custkey, 2, c.c_mktsegment, g.eff_us,
+               CAST(NULL AS BIGINT)
+        FROM customer c JOIN chg g USING (c_custkey)
+    ),
+    pit AS (
+        SELECT d.version, d.c_mktsegment,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o
+        JOIN dim d ON d.c_custkey = o.o_custkey
+        AND (d.valid_from_us IS NULL
+             OR epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+                >= d.valid_from_us)
+        AND (d.valid_to_us IS NULL
+             OR epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+                < d.valid_to_us)
+    )
+    SELECT version, c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM pit GROUP BY version, c_mktsegment
+    """,
+)
+def rel_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME JOIN — the feature-store / SCD2 lookup: every
+    order joins the dimension VERSION that was valid at order time
+    (version 1 before the customer's first 200k+ order, version 2
+    from that instant on — the same change construction as
+    ``rel_scd2_merge``), then aggregates order count + cents by
+    (version, segment).  This is the train-time "no data leakage"
+    join: features must come from the version valid AT the event, not
+    the latest one.
+
+    Exactness: validity bounds and event times are integer
+    microseconds; the half-open [from, to) convention makes every
+    event match EXACTLY one version (no boundary double-count — an
+    order AT the effective instant belongs to v2).  Sums in integer
+    cents.
+
+    Scale shape: one shuffle on the customer key joins events to
+    their (<= 2, generally few) versions; the validity predicate is a
+    join-side filter, so the pair fan-out is versions-per-key, never
+    a band scan.  At 100 TB this is the bucketed-by-key PIT layout
+    every feature store ships; the change aggregate itself is
+    broadcast-sized."""
+    t = Tables(spark, sf_dir)
+    ts_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    chg = (
+        t.orders.filter(F.col("o_totalprice") > _PIT_PRICE)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.min(ts_us).alias("eff_us"))
+    )
+    cust = t.customer.select("c_custkey", "c_mktsegment")
+    v1 = cust.join(F.broadcast(chg), "c_custkey", "left").select(
+        "c_custkey",
+        F.lit(1).alias("version"),
+        "c_mktsegment",
+        F.lit(None).cast("long").alias("valid_from_us"),
+        F.col("eff_us").alias("valid_to_us"),
+    )
+    v2 = cust.join(F.broadcast(chg), "c_custkey").select(
+        "c_custkey",
+        F.lit(2).alias("version"),
+        "c_mktsegment",
+        F.col("eff_us").alias("valid_from_us"),
+        F.lit(None).cast("long").alias("valid_to_us"),
+    )
+    dim = v1.unionByName(v2)
+    o = t.orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        ts_us.alias("o_us"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    pit = o.join(dim, "c_custkey").filter(
+        (
+            F.col("valid_from_us").isNull()
+            | (F.col("o_us") >= F.col("valid_from_us"))
+        )
+        & (
+            F.col("valid_to_us").isNull()
+            | (F.col("o_us") < F.col("valid_to_us"))
+        )
+    )
+    return pit.groupBy(
+        "version", F.col("c_mktsegment").alias("segment")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipe_doc_shuffle — deterministic global training shuffle + sharding
+# ---------------------------------------------------------------------------
+
+_SHUF_SALT = "ep0"  # epoch salt: changing it reshuffles deterministically
+_SHUF_SHARDS = 8
+
+
+@query(
+    "pipe_doc_shuffle",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '#{_SHUF_SALT}')
+                   AS hk
+        FROM documents
+    ),
+    rk AS (
+        SELECT doc_id, hk,
+               ROW_NUMBER() OVER (ORDER BY hk, doc_id) - 1 AS r
+        FROM h
+    )
+    SELECT doc_id,
+           CAST(r % {_SHUF_SHARDS} AS BIGINT) AS shard,
+           CAST(r // {_SHUF_SHARDS} AS BIGINT) AS pos
+    FROM rk
+    """,
+)
+def pipe_doc_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC GLOBAL TRAINING SHUFFLE — the step between
+    curation and tokenization in every LLM data pipeline: order the
+    corpus by a SEEDED content-independent hash (md5(doc_id # salt) —
+    changing the salt is a new epoch permutation, rerunning the same
+    salt is bit-identical), then deal documents round-robin into
+    training shards, recording (shard, position) for each doc.
+    Round-robin in hash order gives every shard an iid sample AND
+    near-equal cardinality (sizes differ by at most 1 — no
+    hash-bucket skew), which is why dataloader sharding is dealt,
+    not hashed.
+
+    Exactness: the permutation key (hex md5, doc_id) is a total
+    order; shard and pos are integer arithmetic on the dense rank.
+
+    Scale shape: the global rank is TWO-PHASE, never a one-partition
+    window — `repartitionByRange` on the hash key (a distributed
+    range sort), a per-partition row_number, then each partition's
+    rank offset joined in from a partition-count aggregate (32 rows,
+    broadcast): the zipWithIndex pattern expressed declaratively.
+    The result is the exact global dense rank WHEREVER the range
+    boundaries fall, so the plan scales out while staying
+    bit-deterministic.  At 100 TB you'd write shards straight out of
+    the ranked partitions (partitionBy(shard))."""
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    h = t.documents.select(
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(f"#{_SHUF_SALT}")
+            )
+        ).alias("hk"),
+    ).repartitionByRange(32, "hk", "doc_id")
+    # pid is materialized by a localCheckpoint BEFORE the window's
+    # exchange: spark_partition_id() is stage-dependent, and without
+    # the barrier Catalyst may collapse the projection into the
+    # post-exchange stage, where the id no longer names the RANGE
+    # partition the row sorted into
+    pinned = h.withColumn(
+        "pid", F.spark_partition_id()
+    ).localCheckpoint()
+    local = pinned.select(
+        "doc_id",
+        "hk",
+        "pid",
+        (
+            F.row_number().over(
+                W.partitionBy("pid").orderBy("hk", "doc_id")
+            )
+            - 1
+        ).alias("lr"),
+    )
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("cnt").over(
+                    W.orderBy("pid").rowsBetween(
+                        W.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "off")
+    )
+    rk = local.join(F.broadcast(offsets), "pid").withColumn(
+        "r", F.col("off") + F.col("lr")
+    )
+    return rk.select(
+        "doc_id",
+        F.pmod("r", F.lit(_SHUF_SHARDS)).cast("bigint").alias("shard"),
+        F.expr(f"r div {_SHUF_SHARDS}").cast("bigint").alias("pos"),
+    )
