@@ -231,3 +231,68 @@ def test_viterbi_prefix_min_equals_naive_dp(spark, sf_dir):
         ).collect()
     }
     assert got == naive
+
+
+def test_stress_betweenness_matches_bruteforce(spark, sf_dir):
+    """graph_stress_betweenness == a pure-Python Brandes forward pass:
+    BFS with path counting from each pivot, then sigma_sv * sigma_vt
+    summed over pivot pairs with hop_sv + hop_vt = hop_st."""
+    from collections import deque
+
+    from traj_sim_spark_spark.operators.extras5 import (
+        _STRESS_D,
+        _STRESS_K,
+        graph_stress_betweenness,
+    )
+    from traj_sim_spark_spark.operators.mining import comovement_edges
+
+    edges = [
+        (r["u"], r["v"]) for r in comovement_edges(spark, sf_dir).collect()
+    ]
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    pivots = sorted(adj)[:_STRESS_K]
+
+    def bfs(s):
+        hop = {s: 0}
+        sig = {s: 1}
+        q = deque([s])
+        order = [s]
+        while q:
+            x = q.popleft()
+            if hop[x] == _STRESS_D:
+                continue
+            for y in sorted(adj[x]):
+                if y not in hop:
+                    hop[y] = hop[x] + 1
+                    sig[y] = 0
+                    q.append(y)
+                    order.append(y)
+                if hop[y] == hop[x] + 1:
+                    sig[y] += sig[x]
+        return hop, sig
+
+    tab = {s: bfs(s) for s in pivots}
+    expected: dict[int, int] = {}
+    for i, s in enumerate(pivots):
+        for t in pivots[i + 1 :]:
+            hop_s, sig_s = tab[s]
+            hop_t, sig_t = tab[t]
+            if t not in hop_s:
+                continue
+            d = hop_s[t]
+            for v in hop_s:
+                if v in (s, t) or v not in hop_t:
+                    continue
+                if hop_s[v] + hop_t[v] == d:
+                    expected[v] = (
+                        expected.get(v, 0) + sig_s[v] * sig_t[v]
+                    )
+    got = {
+        r["user_id"]: r["stress_paths"]
+        for r in graph_stress_betweenness(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert got  # non-degenerate at sf0.001

@@ -100,6 +100,8 @@ KEYS = [
     # partitioning-invariant by construction; PIT validity intervals
     "pipe_doc_shuffle",
     "rel_pit_join",
+    # multi-source BFS sigma sums + pair-combine joins
+    "graph_stress_betweenness",
 ]
 
 

@@ -1490,3 +1490,165 @@ def pipe_doc_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod("r", F.lit(_SHUF_SHARDS)).cast("bigint").alias("shard"),
         F.expr(f"r div {_SHUF_SHARDS}").cast("bigint").alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_stress_betweenness — exact S-restricted stress centrality
+# ---------------------------------------------------------------------------
+
+_STRESS_K = 4  # pivot sources: the k smallest nodes in the edge set
+_STRESS_D = 4  # BFS horizon (pairs farther apart don't contribute)
+
+
+def _stress_oracle() -> str:
+    ctes = [
+        f"""
+    b AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400e6)
+                    AS BIGINT) AS dy,
+               MIN(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    e AS MATERIALIZED (
+        SELECT a.user_id u, c.user_id v
+        FROM b a JOIN b c
+          ON a.dy = c.dy AND a.user_id < c.user_id
+         AND ABS(a.v - c.v) <= 1.0
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    und AS (SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e),
+    srcs AS (
+        SELECT node FROM (
+            SELECT u AS node FROM e UNION SELECT v FROM e
+        ) n ORDER BY node LIMIT {_STRESS_K}
+    ),
+    f0 AS (SELECT node AS src, node, CAST(1 AS BIGINT) AS sigma
+           FROM srcs),
+    seen0 AS (SELECT src, node FROM f0)"""
+    ]
+    for h in range(1, _STRESS_D + 1):
+        ctes.append(f"""
+    f{h} AS (
+        SELECT f.src, und.t AS node, SUM(f.sigma) AS sigma
+        FROM und JOIN f{h - 1} f ON und.s = f.node
+        WHERE NOT EXISTS (SELECT 1 FROM seen{h - 1} sn
+                          WHERE sn.src = f.src AND sn.node = und.t)
+        GROUP BY 1, 2
+    ),
+    seen{h} AS (SELECT src, node FROM seen{h - 1}
+                UNION ALL SELECT src, node FROM f{h})""")
+    levels = " UNION ALL ".join(
+        f"SELECT src, node, {h} AS hop, sigma FROM f{h}"
+        for h in range(_STRESS_D + 1)
+    )
+    ctes.append(f"bt AS MATERIALIZED (SELECT * FROM ({levels}))")
+    return (
+        "WITH " + ",".join(ctes)
+        + """
+    , st AS (
+        SELECT src AS s, node AS t, hop AS hop_st FROM bt
+        WHERE node IN (SELECT node FROM srcs) AND src < node
+    )
+    SELECT bs.node AS user_id,
+           CAST(SUM(bs.sigma * bt2.sigma) AS BIGINT) AS stress_paths
+    FROM st
+    JOIN bt bs ON bs.src = st.s
+    JOIN bt bt2 ON bt2.src = st.t AND bt2.node = bs.node
+    WHERE bs.hop + bt2.hop = st.hop_st
+      AND bs.node <> st.s AND bs.node <> st.t
+    GROUP BY bs.node
+    """
+    )
+
+
+@query("graph_stress_betweenness", oracle=_stress_oracle)
+def graph_stress_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT STRESS CENTRALITY restricted to the pivot set S (the 4
+    smallest nodes): for every node v, the NUMBER of shortest paths
+    between distinct pivots s<t that pass strictly through v —
+    sigma_st(v) = sigma_sv * sigma_vt whenever hop(s,v) + hop(v,t) =
+    hop(s,t).  This is the integer core of Brandes' betweenness with
+    pivot sampling (Brandes/Pich 2007): the ratio form divides by
+    sigma_st per pair, which floats the result; the PATH-COUNT form is
+    pure BIGINT arithmetic, so the whole centrality — the canonical
+    "is this node a broker" statistic — hash-matches a chained-CTE
+    DuckDB oracle exactly.  The D=4 horizon is self-consistent: any v
+    on a shortest s-t path with hop(s,t) <= D has both legs <= D, so
+    truncation never corrupts a counted pair.
+
+    Scale shape: ALL pivots BFS together (one `src` column — k
+    frontiers in the same joins); each round is one frontier⋈edges
+    equi-join + one (src, node) hash agg summing path counts + one
+    anti-join against the visited set, localCheckpoint'd (the BFS/CC
+    lineage policy).  The pair-combine is two self-joins of the
+    |S|x|V| tableau keyed on node — broadcast-sized pivot tables at
+    any graph scale.  Pivot count is the accuracy/cost dial exactly
+    as in published approximate-betweenness systems."""
+    from .mining import comovement_edges
+
+    e = comovement_edges(spark, sf_dir)
+    und = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    nodes = e.select(F.col("u").alias("node")).unionAll(
+        e.select(F.col("v").alias("node"))
+    ).distinct()
+    srcs = nodes.orderBy("node").limit(_STRESS_K)
+    f = srcs.select(
+        F.col("node").alias("src"),
+        "node",
+        F.lit(1).cast("bigint").alias("sigma"),
+    ).localCheckpoint()
+    bt = f.withColumn("hop", F.lit(0))
+    seen = f.select("src", "node")
+    for h in range(1, _STRESS_D + 1):
+        f = (
+            und.join(f, und["u"] == f["node"])
+            .select("src", F.col("v").alias("node"), "sigma")
+            .groupBy("src", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(seen, ["src", "node"], "left_anti")
+            .localCheckpoint()
+        )
+        bt = bt.unionByName(f.withColumn("hop", F.lit(h)))
+        seen = seen.unionByName(f.select("src", "node")).localCheckpoint()
+    bt = bt.localCheckpoint()
+    src_set = srcs.select(F.col("node").alias("t"))
+    st = (
+        bt.join(src_set, bt["node"] == src_set["t"])
+        .filter(F.col("src") < F.col("node"))
+        .select(
+            F.col("src").alias("s"),
+            F.col("t"),
+            F.col("hop").alias("hop_st"),
+        )
+    )
+    bs = bt.select(
+        F.col("src").alias("s"),
+        F.col("node").alias("v"),
+        F.col("hop").alias("hop_sv"),
+        F.col("sigma").alias("sig_sv"),
+    )
+    btv = bt.select(
+        F.col("src").alias("t"),
+        F.col("node").alias("v"),
+        F.col("hop").alias("hop_tv"),
+        F.col("sigma").alias("sig_tv"),
+    )
+    return (
+        F.broadcast(st)
+        .join(bs, "s")
+        .join(btv, ["t", "v"])
+        .filter(
+            (F.col("hop_sv") + F.col("hop_tv") == F.col("hop_st"))
+            & (F.col("v") != F.col("s"))
+            & (F.col("v") != F.col("t"))
+        )
+        .groupBy(F.col("v").alias("user_id"))
+        .agg(
+            F.sum(F.col("sig_sv") * F.col("sig_tv"))
+            .cast("bigint")
+            .alias("stress_paths")
+        )
+    )
