@@ -296,3 +296,49 @@ def test_stress_betweenness_matches_bruteforce(spark, sf_dir):
     }
     assert got == expected
     assert got  # non-degenerate at sf0.001
+
+
+def test_temporal_reach_matches_bruteforce(spark, sf_dir):
+    """graph_temporal_reach == a pure-Python earliest-arrival
+    relaxation over day-stamped co-location edges."""
+    import duckdb
+
+    from traj_sim_spark_spark.operators.extras5 import (
+        _TR_ROUNDS,
+        _TR_SENTINEL,
+        graph_temporal_reach,
+    )
+
+    con = duckdb.connect()
+    edges = con.execute(f"""
+        WITH b AS (
+            SELECT user_id,
+                   CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400e6)
+                        AS BIGINT) AS dy,
+                   MIN(value) AS v
+            FROM '{sf_dir}/events.parquet' GROUP BY 1, 2
+        )
+        SELECT a.user_id, c.user_id, a.dy
+        FROM b a JOIN b c
+          ON a.dy = c.dy AND a.user_id < c.user_id
+         AND ABS(a.v - c.v) <= 1.0
+    """).fetchall()
+    und = [(u, w, d) for u, w, d in edges] + [
+        (w, u, d) for u, w, d in edges
+    ]
+    seed = min(u for u, _, _ in und)
+    arr = {seed: _TR_SENTINEL}
+    for _ in range(_TR_ROUNDS):
+        nxt = dict(arr)
+        for u, w, d in und:
+            if u in arr and d >= arr[u]:
+                if w not in nxt or d < nxt[w]:
+                    nxt[w] = min(nxt.get(w, d), d)
+        arr = nxt
+    expected = {u: d for u, d in arr.items() if d > _TR_SENTINEL}
+    got = {
+        r["user_id"]: r["arrival_day"]
+        for r in graph_temporal_reach(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert got

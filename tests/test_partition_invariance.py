@@ -102,6 +102,8 @@ KEYS = [
     "rel_pit_join",
     # multi-source BFS sigma sums + pair-combine joins
     "graph_stress_betweenness",
+    # earliest-arrival min-relaxation rounds
+    "graph_temporal_reach",
 ]
 
 

@@ -1652,3 +1652,134 @@ def graph_stress_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stress_paths")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_temporal_reach — time-respecting reachability (earliest arrival)
+# ---------------------------------------------------------------------------
+
+_TR_ROUNDS = 4
+_TR_EPS = "1.0"  # co-location eps (mirrors traj_comovement)
+_TR_SENTINEL = -(2**40)  # "before all time" seed arrival
+
+
+def _treach_oracle() -> str:
+    ctes = [
+        f"""
+    b AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400e6)
+                    AS BIGINT) AS dy,
+               MIN(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    te AS MATERIALIZED (
+        SELECT a.user_id u, c.user_id AS w, a.dy
+        FROM b a JOIN b c
+          ON a.dy = c.dy AND a.user_id < c.user_id
+         AND ABS(a.v - c.v) <= {_TR_EPS}
+    ),
+    und AS (SELECT u, w, dy FROM te UNION ALL SELECT w, u, dy FROM te),
+    a0 AS (
+        SELECT CAST((SELECT MIN(u) FROM te) AS BIGINT) AS node,
+               CAST({_TR_SENTINEL} AS BIGINT) AS arr
+    )"""
+    ]
+    for r in range(1, _TR_ROUNDS + 1):
+        ctes.append(f"""
+    a{r} AS (
+        SELECT node, MIN(arr) AS arr FROM (
+            SELECT node, arr FROM a{r - 1}
+            UNION ALL
+            SELECT und.w AS node, und.dy AS arr
+            FROM und JOIN a{r - 1} ON und.u = a{r - 1}.node
+            WHERE und.dy >= a{r - 1}.arr
+        ) u GROUP BY node
+    )""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"""
+    SELECT node AS user_id, arr AS arrival_day
+    FROM a{_TR_ROUNDS} WHERE arr > {_TR_SENTINEL}
+    """
+    )
+
+
+@query("graph_temporal_reach", oracle=_treach_oracle)
+def graph_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RESPECTING REACHABILITY (temporal graph semantics): which
+    users can an "infection" starting at the seed (smallest user in
+    the co-location relation) reach when each hop must use a contact
+    on a day >= the day the carrier was itself reached — the
+    contact-tracing / information-diffusion query, where STATIC
+    reachability over-counts (a path using yesterday's contact after
+    today's is not a real transmission chain).  Returns each reached
+    user's EARLIEST possible arrival day after 4 relaxation rounds.
+
+    Temporal edges are the per-day co-location pairs (same MIN-value
+    representative + eps-cell equi-join as ``traj_comovement``, WITHOUT
+    the >=3-days support filter — every contact-day is its own edge
+    instant).  Earliest-arrival relaxes like Bellman-Ford under the
+    non-decreasing-day constraint; all labels are integer days (the
+    seed's label is an integer sentinel meaning "before all time"), so
+    every min() is an integer decision and the chained-CTE DuckDB
+    oracle matches bit-for-bit.
+
+    Scale shape: per round ONE frontier⋈edges equi-join on the carrier
+    key (the day constraint is a join-side filter) + ONE (node, min)
+    hash agg, localCheckpoint'd — identical cost to a BFS round; the
+    temporal dimension costs nothing extra because edges carry their
+    instant as data.  At 100 TB the edge relation pre-partitions by
+    carrier exactly like the SSSP row."""
+    t = Tables(spark, sf_dir)
+    b = (
+        t.events.groupBy(
+            "user_id",
+            F.floor(F.unix_micros("ts") / 86400e6).alias("dy"),
+        )
+        .agg(F.min("value").alias("v"))
+        .withColumn("cell", F.floor(F.col("v") / float(_TR_EPS)))
+    )
+    probe = b.withColumn(
+        "cell",
+        F.explode(
+            F.array(F.col("cell") - 1, F.col("cell"), F.col("cell") + 1)
+        ),
+    )
+    a, c = probe.alias("a"), b.alias("c")
+    te = a.join(
+        c,
+        (F.col("a.dy") == F.col("c.dy"))
+        & (F.col("a.cell") == F.col("c.cell"))
+        & (F.col("a.user_id") < F.col("c.user_id"))
+        & (F.abs(F.col("a.v") - F.col("c.v")) <= float(_TR_EPS)),
+    ).select(
+        F.col("a.user_id").alias("u"),
+        F.col("c.user_id").alias("w"),
+        F.col("a.dy").alias("dy"),
+    )
+    und = te.unionAll(
+        te.select(F.col("w").alias("u"), F.col("u").alias("w"), "dy")
+    ).localCheckpoint()
+    arr = (
+        te.agg(F.min("u").alias("node"))
+        .filter(F.col("node").isNotNull())
+        .withColumn("arr", F.lit(_TR_SENTINEL).cast("bigint"))
+        .localCheckpoint()
+    )
+    for _ in range(_TR_ROUNDS):
+        relax = (
+            und.join(arr, und["u"] == arr["node"])
+            .filter(F.col("dy") >= F.col("arr"))
+            .select(F.col("w").alias("node"), F.col("dy").alias("arr"))
+        )
+        arr = (
+            arr.select("node", "arr")
+            .unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("arr").alias("arr"))
+            .localCheckpoint()
+        )
+    return arr.filter(F.col("arr") > _TR_SENTINEL).select(
+        F.col("node").alias("user_id"), F.col("arr").alias("arrival_day")
+    )
