@@ -918,3 +918,87 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("s.last_value", 6).alias("last_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_state_inspect — the State Data Source (ops observability)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_state_inspect",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE-STORE INTROSPECTION — Spark 4's State Data Source
+    (`spark.read.format("statestore")`): run the canonical streaming
+    aggregation (per-event-type count + integer-cents sum) against the
+    event replay ONCE, checkpointed; then answer from the CHECKPOINT'S
+    STATE STORE FILES, not from the query output.  This is the
+    streaming-ops debugging surface every production deployment needs
+    ("what exactly is in partition 13's state right now?") — and
+    reading it back proves the persisted state equals the batch truth,
+    which is the strongest exactly-once evidence there is: the oracle
+    aggregates the SOURCE table, the engine answers from recovered
+    state bytes.
+
+    Exactness: state values are a BIGINT count and a BIGINT cents sum
+    (quantized before aggregation), so state bytes are partitioning-
+    and batching-independent.
+
+    Scale shape: the state read is a parallel scan over the state
+    store's partition files (one per shuffle partition) — the same
+    layout HDFS-backed state uses on a 1000-executor cluster; state
+    build cost is paid once per checkpoint (staged per sf_dir, the
+    layout-manifest discipline), re-reads are file scans."""
+    import os
+
+    from ..sources.readers import (
+        layout_current,
+        staging_dir,
+        stamp_layout,
+    )
+
+    root = os.path.join(staging_dir(sf_dir, "state"), "agg_ckpt")
+    if not layout_current(root, sf_dir, table="events"):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        ckpt = os.path.join(root, "ckpt")
+        src = events_stream(spark, sf_dir)
+        agg = src.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("CAST(ROUND(value*100) AS BIGINT)")).alias(
+                "cents"
+            ),
+        )
+        import uuid
+
+        name = f"stateq_{uuid.uuid4().hex[:10]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        stamp_layout(root, sf_dir, table="events")
+    ss = spark.read.format("statestore").load(
+        os.path.join(root, "ckpt")
+    )
+    return ss.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("bigint").alias("n_events"),
+        F.col("value.sum").cast("bigint").alias("cents"),
+    )
