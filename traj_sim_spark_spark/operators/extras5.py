@@ -1783,3 +1783,71 @@ def graph_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arr.filter(F.col("arr") > _TR_SENTINEL).select(
         F.col("node").alias("user_id"), F.col("arr").alias("arrival_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_observe — the Observation API (in-flight pipeline metrics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_observe",
+    oracle="""
+    SELECT 'orders_scan' AS pipeline_stage,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                AS BIGINT) AS n_filled
+    FROM orders
+    """,
+)
+def rel_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OBSERVATION API (`df.observe`) — in-flight pipeline metrics:
+    named aggregates evaluated as accumulators DURING a pass (here: a
+    noop-sink write of the orders scan), then read from the driver —
+    the data-quality counters every production job publishes without
+    paying a second scan.  The metrics themselves are the result: one
+    row (stage, row count, integer-cents sum, filled-order count).
+
+    Exactness: observed metrics are Spark aggregates — the cents sum
+    is quantized BEFORE summation, so the accumulator is integer and
+    batching/partitioning-independent.
+
+    Scale shape: observe() attaches accumulator expressions to the
+    existing physical plan — zero extra shuffles, zero extra scans; at
+    100 TB the metrics ride the write job.  (The action inside the
+    builder is the point: observation only materializes with the
+    pass.)"""
+    from pyspark.sql import Observation
+
+    t = Tables(spark, sf_dir)
+    obs = Observation("orders_scan")
+    df = t.orders.select(
+        "o_orderkey",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
+            "cents"
+        ),
+        "o_orderstatus",
+    ).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("cents"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias(
+            "n_filled"
+        ),
+    )
+    df.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                "orders_scan",
+                int(m["n_rows"]),
+                int(m["cents"]),
+                int(m["n_filled"]),
+            )
+        ],
+        "pipeline_stage string, n_rows bigint, cents bigint, "
+        "n_filled bigint",
+    )
