@@ -136,3 +136,28 @@ def test_prefix_join_equals_brute_force(spark, sf_dir):
     brute_map = {r[0]: (r[1], r[2], r[3]) for r in brute}
     assert out == brute_map
     assert len(out) > 0
+
+
+def test_cc_driver_and_distributed_branches_agree(spark, sf_dir):
+    """The union-find fast path and the iterative min-label loop must
+    label identically (min node id per component) on the real dedup
+    graph — both branches forced via the dispatch cap."""
+    from traj_sim_spark_spark.operators import text as text_mod
+    from traj_sim_spark_spark.operators.text import text_dedup_cluster
+
+    cap = text_mod._CC_DRIVER_EDGE_CAP
+    try:
+        text_mod._CC_DRIVER_EDGE_CAP = 2_000_000  # force driver
+        fast = {
+            (r["doc_id"], r["cluster_id"], r["cluster_size"])
+            for r in text_dedup_cluster(spark, sf_dir).collect()
+        }
+        text_mod._CC_DRIVER_EDGE_CAP = -1  # force distributed
+        slow = {
+            (r["doc_id"], r["cluster_id"], r["cluster_size"])
+            for r in text_dedup_cluster(spark, sf_dir).collect()
+        }
+    finally:
+        text_mod._CC_DRIVER_EDGE_CAP = cap
+    assert fast == slow
+    assert len(fast) > 0
