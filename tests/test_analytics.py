@@ -207,3 +207,49 @@ def test_emb_pca_matches_numpy_reference(spark):
     for v in exp:
         assert abs(got[v][0] - exp[v][0]) <= 2e-6, (v, got[v], exp[v])
         assert abs(got[v][1] - exp[v][1]) <= 2e-6, (v, got[v], exp[v])
+
+
+def test_kmeans_exact_matches_integer_lloyd(spark):
+    """emb_kmeans_exact == a NumPy integer Lloyd with the identical
+    quantize/argmin/shifted-mean rules."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from traj_sim_spark_spark.operators.extras5 import (
+        _KMX_C,
+        _KMX_ITERS,
+        _KMX_K,
+        emb_kmeans_exact,
+    )
+
+    tb = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(tb["vec_id"])
+    vecs = np.stack([np.asarray(x) for x in tb["embedding"].to_pylist()])
+    order = np.argsort(ids)
+    ids, vecs = ids[order], vecs[order]
+    q = np.round(vecs.astype(np.float64) * 1e6).astype(np.int64)
+    cent = q[ids < _KMX_K][np.argsort(ids[ids < _KMX_K])].copy()
+    assign = None
+    for _ in range(_KMX_ITERS):
+        d2 = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # ties -> lowest cluster id
+        for c in range(_KMX_K):
+            m = q[assign == c]
+            if len(m):
+                cent[c] = (m.sum(axis=0) + len(m) * _KMX_C) // len(
+                    m
+                ) - _KMX_C
+    expected = {
+        c: (
+            int((assign == c).sum()),
+            int(cent[c][0]),
+            int(np.abs(cent[c]).sum()),
+        )
+        for c in range(_KMX_K)
+        if (assign == c).sum() > 0
+    }
+    got = {
+        r["cluster_id"]: (r["n_members"], r["c0_micro"], r["l1_micro"])
+        for r in emb_kmeans_exact(spark, SF).collect()
+    }
+    assert got == expected

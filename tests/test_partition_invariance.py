@@ -104,6 +104,8 @@ KEYS = [
     "graph_stress_betweenness",
     # earliest-arrival min-relaxation rounds
     "graph_temporal_reach",
+    # integer Lloyd rounds (argmin + shifted means)
+    "emb_kmeans_exact",
 ]
 
 

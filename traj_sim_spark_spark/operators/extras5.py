@@ -1851,3 +1851,176 @@ def rel_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pipeline_stage string, n_rows bigint, cents bigint, "
         "n_filled bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# emb_kmeans_exact — integer-quantized Lloyd's k-means, FULL oracle
+# ---------------------------------------------------------------------------
+
+_KMX_K = 8
+_KMX_ITERS = 3
+_KMX_C = 100_000_000  # +C mean shift (bounds |q| <= 100 micro-units)
+
+
+def _kmx_oracle() -> str:
+    k, c = _KMX_K, _KMX_C
+    ctes = [
+        f"""
+    v AS MATERIALIZED (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(ROUND(UNNEST(embedding) * 1e6) AS BIGINT) AS q
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT CAST(vec_id AS INTEGER) AS cl, i, q AS cq
+        FROM v WHERE vec_id < {k}
+    )"""
+    ]
+    for r in range(1, _KMX_ITERS + 1):
+        ctes.append(f"""
+    d{r} AS (
+        SELECT v.vec_id, c.cl,
+               SUM((v.q - c.cq) * (v.q - c.cq)) AS d2
+        FROM v JOIN c{r - 1} c ON c.i = v.i
+        GROUP BY 1, 2
+    ),
+    a{r} AS (
+        SELECT vec_id, cl FROM (
+            SELECT vec_id, cl,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cl) AS rk
+            FROM d{r}
+        ) WHERE rk = 1
+    ),
+    m{r} AS (
+        SELECT a.cl, v.i,
+               CAST((SUM(v.q) + COUNT(*) * {c}) // COUNT(*)
+                    AS BIGINT) - {c} AS cq
+        FROM a{r} a JOIN v ON v.vec_id = a.vec_id
+        GROUP BY 1, 2
+    ),
+    c{r} AS (
+        SELECT p.cl, p.i, COALESCE(m.cq, p.cq) AS cq
+        FROM c{r - 1} p LEFT JOIN m{r} m
+          ON m.cl = p.cl AND m.i = p.i
+    )""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"""
+    SELECT a.cl AS cluster_id,
+           CAST(COUNT(DISTINCT a.vec_id) AS BIGINT) AS n_members,
+           CAST(MAX(CASE WHEN cf.i = 0 THEN cf.cq END) AS BIGINT)
+               AS c0_micro,
+           CAST(SUM(CASE WHEN a.vec_id = (SELECT MIN(vec_id)
+                                          FROM a{_KMX_ITERS} x
+                                          WHERE x.cl = a.cl)
+                         THEN ABS(cf.cq) ELSE 0 END) AS BIGINT)
+               AS l1_micro
+    FROM a{_KMX_ITERS} a
+    JOIN c{_KMX_ITERS} cf ON cf.cl = a.cl
+    GROUP BY a.cl
+    """
+    )
+
+
+@query("emb_kmeans_exact", oracle=_kmx_oracle)
+def emb_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-EXACT Lloyd's k-means (k=8, 3 iterations, init = the k
+    lowest vec_ids) — the WEAK float `emb_kmeans` row upgraded to a
+    bit-reproducible contract: coordinates quantize ONCE to micro-unit
+    BIGINTs, every distance is an integer sum of squares (argmin ties
+    to the lowest cluster id — a total order), and every centroid
+    update is the exact shifted integer mean floor((Σq + n·C)/n) − C
+    (the `sim_knn_filtered` house pattern; +C keeps the numerator
+    positive so Spark's `div` and DuckDB's `//` agree).  The ENTIRE
+    3-round Lloyd evolution — assignment, mean, empty-cluster
+    carry-forward — replays as one unrolled SQL statement in DuckDB
+    and hash-matches: iterative ML made engine-exact, the codebook
+    training loop IVF/PQ quality depends on made auditable.
+
+    Output: per cluster, member count + centroid dim-0 + centroid L1
+    norm (micro) — the checkable fingerprint of the fitted codebook.
+
+    Scale shape: per round one k-row broadcast + one argmin pass + one
+    (cl, dim) hash agg — identical plan family to the float row;
+    quantization changes no asymptotics, only determinism.  d2 <=
+    64·(2e8)² ≈ 2.6e18 < 2^63 bounds the integer products."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(ROUND(x * 1e6) AS BIGINT))"
+        ).alias("q"),
+    )
+    cent = emb.filter(F.col("vec_id") < _KMX_K).select(
+        F.col("vec_id").cast("int").alias("cl"),
+        F.col("q").alias("cq"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    assigned = None
+    for _ in range(_KMX_ITERS):
+        assigned = (
+            emb.join(F.broadcast(cent))
+            .withColumn("d2", d2)
+            .groupBy("vec_id")
+            .agg(
+                F.min_by("cl", F.struct("d2", "cl")).alias("cl"),
+                F.first("q").alias("q"),
+            )
+        )
+        means = (
+            assigned.select("cl", F.posexplode("q").alias("i", "x"))
+            .groupBy("cl", "i")
+            .agg(
+                (
+                    F.expr(
+                        f"(sum(x) + count(*) * {_KMX_C})"
+                        f" div count(*)"
+                    )
+                    - F.lit(_KMX_C)
+                ).alias("cq")
+            )
+        )
+        prev = cent.select(
+            "cl", F.posexplode("cq").alias("i", "pq")
+        )
+        cent = (
+            prev.join(means, ["cl", "i"], "left")
+            .select(
+                "cl", "i", F.coalesce("cq", F.col("pq")).alias("cq")
+            )
+            .groupBy("cl")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("i", "cq"))
+                ).alias("p")
+            )
+            .select(
+                "cl", F.transform("p", lambda s: s["cq"]).alias("cq")
+            )
+        )
+    sizes = assigned.groupBy("cl").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    fp = cent.select(
+        "cl",
+        F.element_at("cq", 1).cast("bigint").alias("c0_micro"),
+        F.aggregate(
+            "cq",
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.abs(x),
+        )
+        .cast("bigint")
+        .alias("l1_micro"),
+    )
+    return sizes.join(fp, "cl").select(
+        F.col("cl").alias("cluster_id"),
+        "n_members",
+        "c0_micro",
+        "l1_micro",
+    )

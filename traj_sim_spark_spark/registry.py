@@ -37,8 +37,8 @@ _LAZY_ORACLES: dict[str, Callable[[], str]] = {}
 # rel_variant_json, src_xml_ingest, graph_sssp, text_setsim_prefix_join,
 # rel_gdpr_delete, text_quality_logreg, rel_holt_linear,
 # text_dup_ngram_coverage, rel_pit_join, pipe_doc_shuffle,
-# graph_stress_betweenness, graph_temporal_reach, rel_observe),
-# stream_cdc_apply,
+# graph_stress_betweenness, graph_temporal_reach, rel_observe,
+# emb_kmeans_exact), stream_cdc_apply,
 # extras3 tail (10: traj_hausdorff_segments_knn_2d_idx,
 # rel_bloom_runtime, traj_hausdorff_segments_knn_batch_2d,
 # traj_range_window_2d_idx, rel_table_stats, rel_view_maintenance,
