@@ -253,3 +253,52 @@ def test_kmeans_exact_matches_integer_lloyd(spark):
         for r in emb_kmeans_exact(spark, SF).collect()
     }
     assert got == expected
+
+
+def test_pq_exact_matches_integer_numpy_pq(spark):
+    """sim_knn_pq_exact == a NumPy integer PQ (train/encode/ADC) with
+    the identical quantize/argmin/shifted-mean/tie rules."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from traj_sim_spark_spark.operators.extras5 import (
+        _KMX_C,
+        _PQX_ITERS,
+        _PQX_K,
+        _PQX_M,
+        _PQX_SUB,
+        _PQX_TOPK,
+        sim_knn_pq_exact,
+    )
+
+    tb = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(tb["vec_id"])
+    vecs = np.stack([np.asarray(x) for x in tb["embedding"].to_pylist()])
+    order = np.argsort(ids)
+    ids, vecs = ids[order], vecs[order]
+    q = np.round(vecs.astype(np.float64) * 1e6).astype(np.int64)
+    adc = np.zeros(len(ids), dtype=np.int64)
+    for m in range(_PQX_M):
+        sub = q[:, m * _PQX_SUB : (m + 1) * _PQX_SUB]
+        cent = sub[ids < _PQX_K][np.argsort(ids[ids < _PQX_K])].copy()
+        for _ in range(_PQX_ITERS):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for cc in range(_PQX_K):
+                mem = sub[assign == cc]
+                if len(mem):
+                    cent[cc] = (
+                        mem.sum(axis=0) + len(mem) * _KMX_C
+                    ) // len(mem) - _KMX_C
+        d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        codes = d2.argmin(axis=1)
+        qd2 = d2[ids == 0][0]  # query's ADC table for this subspace
+        adc += qd2[codes]
+    mask = ids != 0
+    orderk = sorted(zip(adc[mask], ids[mask]))[:_PQX_TOPK]
+    expected = [(int(v), int(a)) for a, v in orderk]
+    got = [
+        (r["vec_id"], r["adc_d2"])
+        for r in sim_knn_pq_exact(spark, SF).collect()
+    ]
+    assert got == expected

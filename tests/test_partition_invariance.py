@@ -106,6 +106,8 @@ KEYS = [
     "graph_temporal_reach",
     # integer Lloyd rounds (argmin + shifted means)
     "emb_kmeans_exact",
+    # per-subspace integer Lloyd + ADC sum
+    "sim_knn_pq_exact",
 ]
 
 

@@ -2024,3 +2024,207 @@ def emb_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c0_micro",
         "l1_micro",
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_knn_pq_exact — engine-exact product quantization (train+encode+ADC)
+# ---------------------------------------------------------------------------
+
+_PQX_M = 8  # subspaces (64 dims -> 8 x 8)
+_PQX_SUB = 8
+_PQX_K = 16  # codewords per subspace
+_PQX_ITERS = 2
+_PQX_TOPK = 10
+
+
+def _pqx_oracle() -> str:
+    c = _KMX_C
+    ctes = [
+        f"""
+    ev AS MATERIALIZED (
+        SELECT vec_id,
+               (generate_subscripts(embedding, 1) - 1) // {_PQX_SUB}
+                   AS m,
+               (generate_subscripts(embedding, 1) - 1) % {_PQX_SUB}
+                   AS i,
+               CAST(ROUND(UNNEST(embedding) * 1e6) AS BIGINT) AS q
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT m, CAST(vec_id AS INTEGER) AS cid, i, q AS cq
+        FROM ev WHERE vec_id < {_PQX_K}
+    )"""
+    ]
+    last = 0
+    for r in range(1, _PQX_ITERS + 1):
+        ctes.append(f"""
+    d{r} AS (
+        SELECT ev.vec_id, ev.m, c.cid,
+               SUM((ev.q - c.cq) * (ev.q - c.cq)) AS d2
+        FROM ev JOIN c{r - 1} c ON c.m = ev.m AND c.i = ev.i
+        GROUP BY 1, 2, 3
+    ),
+    a{r} AS (
+        SELECT vec_id, m, cid FROM (
+            SELECT vec_id, m, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d2, cid) AS rk
+            FROM d{r}
+        ) WHERE rk = 1
+    ),
+    mn{r} AS (
+        SELECT a.m, a.cid, ev.i,
+               CAST((SUM(ev.q) + COUNT(*) * {c}) // COUNT(*)
+                    AS BIGINT) - {c} AS cq
+        FROM a{r} a
+        JOIN ev ON ev.vec_id = a.vec_id AND ev.m = a.m
+        GROUP BY 1, 2, 3
+    ),
+    c{r} AS (
+        SELECT p.m, p.cid, p.i, COALESCE(x.cq, p.cq) AS cq
+        FROM c{r - 1} p LEFT JOIN mn{r} x
+          ON x.m = p.m AND x.cid = p.cid AND x.i = p.i
+    )""")
+        last = r
+    f = last + 1
+    ctes.append(f"""
+    df AS (
+        SELECT ev.vec_id, ev.m, c.cid,
+               SUM((ev.q - c.cq) * (ev.q - c.cq)) AS d2
+        FROM ev JOIN c{last} c ON c.m = ev.m AND c.i = ev.i
+        GROUP BY 1, 2, 3
+    ),
+    codes AS (
+        SELECT vec_id, m, cid FROM (
+            SELECT vec_id, m, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d2, cid) AS rk
+            FROM df
+        ) WHERE rk = 1
+    ),
+    qtab AS (
+        SELECT m, cid, d2 AS qd2 FROM df WHERE vec_id = 0
+    )""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"""
+    SELECT vec_id, CAST(SUM(q.qd2) AS BIGINT) AS adc_d2
+    FROM codes
+    JOIN qtab q USING (m, cid)
+    WHERE vec_id <> 0
+    GROUP BY vec_id
+    ORDER BY adc_d2, vec_id LIMIT {_PQX_TOPK}
+    """
+    )
+
+
+@query("sim_knn_pq_exact", oracle=_pqx_oracle)
+def sim_knn_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-EXACT PRODUCT QUANTIZATION, end to end: subspace split
+    (8x8 over 64 dims), per-subspace 16-codeword codebooks trained by
+    the INTEGER Lloyd of `emb_kmeans_exact` (micro-quantized
+    coordinates, integer argmin with code-id tie-break, shifted
+    integer means, empty-code carry-forward), every vector encoded as
+    8 integer codes, and the query (vec_id 0) answered by ASYMMETRIC
+    DISTANCE COMPUTATION — a 128-row integer lookup table summed per
+    candidate, top-10 by (adc_d2, vec_id).  The WHOLE pipeline —
+    train, encode, search — replays as one unrolled DuckDB statement
+    and hash-matches: the production ANN index (FAISS PQ shape) with
+    a bit-reproducible contract, where the WEAK float `sim_knn_pq`
+    row can only pin a NumPy twin.
+
+    Scale shape identical to the float row: train/encode are offline
+    write-path jobs (k-row broadcast per round); the query path reads
+    only 8-byte codes + a broadcast ADC table — no float vector at
+    query time.  Integer bounds: per-subspace d2 <= 8·(2e8)^2 ≈
+    3.2e17, the 8-term ADC sum <= 2.6e18 < 2^63."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(ROUND(x * 1e6) AS BIGINT))"
+        ).alias("v"),
+    )
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice("v", m * _PQX_SUB + 1, _PQX_SUB).alias("sub"),
+            )
+            for m in range(_PQX_M)
+        ]
+    )
+    subv = emb.select("vec_id", F.explode(subs).alias("s")).select(
+        "vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub")
+    )
+    cent = subv.filter(F.col("vec_id") < _PQX_K).select(
+        "m",
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("sub").alias("c"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("sub", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    for _ in range(_PQX_ITERS):
+        assigned = (
+            subv.join(F.broadcast(cent), "m")
+            .withColumn("d2", d2)
+            .groupBy("vec_id", "m")
+            .agg(
+                F.min_by("cid", F.struct("d2", "cid")).alias("cid"),
+                F.first("sub").alias("sub"),
+            )
+        )
+        means = (
+            assigned.select(
+                "m", "cid", F.posexplode("sub").alias("pos", "x")
+            )
+            .groupBy("m", "cid", "pos")
+            .agg(
+                (
+                    F.expr(
+                        f"(sum(x) + count(*) * {_KMX_C})"
+                        f" div count(*)"
+                    )
+                    - F.lit(_KMX_C)
+                ).alias("mv")
+            )
+        )
+        prev = cent.select(
+            "m", "cid", F.posexplode("c").alias("pos", "pv")
+        )
+        cent = (
+            prev.join(means, ["m", "cid", "pos"], "left")
+            .select(
+                "m",
+                "cid",
+                "pos",
+                F.coalesce("mv", F.col("pv")).alias("mv"),
+            )
+            .groupBy("m", "cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "mv"))
+                ).alias("pm")
+            )
+            .select(
+                "m", "cid", F.transform("pm", lambda s: s["mv"]).alias("c")
+            )
+        )
+    scored = subv.join(F.broadcast(cent), "m").withColumn("d2", d2)
+    codes = scored.groupBy("vec_id", "m").agg(
+        F.min_by("cid", F.struct("d2", "cid")).alias("cid")
+    )
+    qtab = scored.filter(F.col("vec_id") == 0).select(
+        "m", "cid", F.col("d2").alias("qd2")
+    )
+    return (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qtab), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd2").cast("bigint").alias("adc_d2"))
+        .orderBy("adc_d2", "vec_id")
+        .limit(_PQX_TOPK)
+    )
