@@ -881,6 +881,9 @@ def rel_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         dv.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(root, "dv")
         )
+        # root-level _SUCCESS is the reuse marker layout_current checks
+        # (the parquet writers only mark their own subdirs)
+        open(os.path.join(root, "_SUCCESS"), "w").close()
         stamp_layout(root, sf_dir, table="orders")
     base = spark.read.parquet(os.path.join(root, "base"))
     dv = spark.read.parquet(os.path.join(root, "dv"))

@@ -993,7 +993,19 @@ def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
+        # root-level _SUCCESS is the reuse marker layout_current checks
+        # (the checkpoint dir has no parquet _SUCCESS of its own)
+        open(os.path.join(root, "_SUCCESS"), "w").close()
         stamp_layout(root, sf_dir, table="events")
+    # the statestore reader resolves the session's StateStoreCoordinator
+    # RPC endpoint, which streaming creates lazily — a fresh session
+    # that only READS staged state (the reuse path) must create it
+    # explicitly or every task fails with RpcEndpointNotFoundException
+    (
+        spark._jsparkSession.sessionState()
+        .streamingQueryManager()
+        .stateStoreCoordinator()
+    )
     ss = spark.read.format("statestore").load(
         os.path.join(root, "ckpt")
     )
