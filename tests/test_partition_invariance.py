@@ -108,6 +108,8 @@ KEYS = [
     "emb_kmeans_exact",
     # per-subspace integer Lloyd + ADC sum
     "sim_knn_pq_exact",
+    # ordered survivor re-join (md5 of reconstructed string)
+    "text_dedup_cut",
 ]
 
 

@@ -114,3 +114,41 @@ def test_dup_coverage_equals_position_set_union(spark, sf_dir):
     }
     assert out == expected
     assert any(v[2] > 0 for v in out.values())
+
+
+def test_dedup_cut_consistent_with_coverage(spark, sf_dir):
+    """text_dedup_cut and text_dup_ngram_coverage must agree:
+    kept_tok == n_tok - covered_tok for every doc, and the cleaned
+    hash of an untouched doc equals md5 of its original text."""
+    import hashlib
+
+    import duckdb
+
+    from traj_sim_spark_spark.operators.extras5 import (
+        text_dedup_cut,
+        text_dup_ngram_coverage,
+    )
+
+    cov = {
+        r["doc_id"]: (r["n_tok"], r["covered_tok"])
+        for r in text_dup_ngram_coverage(spark, sf_dir).collect()
+    }
+    cut = {
+        r["doc_id"]: (r["n_tok"], r["kept_tok"], r["content_hash"])
+        for r in text_dedup_cut(spark, sf_dir).collect()
+    }
+    assert set(cov) == set(cut)
+    for d, (n, covered) in cov.items():
+        nt, kept, h = cut[d]
+        assert nt == n
+        assert kept == n - covered
+    con = duckdb.connect()
+    texts = dict(
+        con.execute(
+            f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    untouched = [d for d, (n, c) in cov.items() if c == 0]
+    assert untouched
+    for d in untouched[:50]:
+        assert cut[d][2] == hashlib.md5(texts[d].encode()).hexdigest()

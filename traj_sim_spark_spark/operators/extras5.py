@@ -2231,3 +2231,142 @@ def sim_knn_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_d2", "vec_id")
         .limit(_PQX_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# text_dedup_cut — substring-dedup as a TRANSFORMATION (cut the spans)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_dedup_cut",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, UNNEST(generate_series(1, len(l))) AS p,
+               l[UNNEST(generate_series(1, len(l)))] AS tok
+        FROM toks
+    ),
+    starts AS (
+        SELECT t.doc_id, s.i,
+               array_to_string(list_slice(t.l, s.i, s.i + {_DUPCOV_N - 1}),
+                               ' ') AS gram
+        FROM toks t,
+             UNNEST(generate_series(1, len(t.l) - {_DUPCOV_N - 1}))
+                 AS s(i)
+    ),
+    dup AS (
+        SELECT gram FROM starts GROUP BY gram HAVING COUNT(*) >= 2
+    ),
+    covered AS (
+        SELECT DISTINCT s.doc_id,
+               UNNEST(generate_series(s.i, s.i + {_DUPCOV_N - 1})) AS p
+        FROM starts s JOIN dup USING (gram)
+    ),
+    kept AS (
+        SELECT pos.doc_id, pos.p, pos.tok
+        FROM pos LEFT JOIN covered c
+          ON c.doc_id = pos.doc_id AND c.p = pos.p
+        WHERE c.p IS NULL
+    ),
+    cleaned AS (
+        SELECT doc_id,
+               COUNT(*) AS kept_tok,
+               md5(COALESCE(string_agg(tok, ' ' ORDER BY p), ''))
+                   AS content_hash
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.l) AS BIGINT) AS n_tok,
+           CAST(COALESCE(c.kept_tok, 0) AS BIGINT) AS kept_tok,
+           COALESCE(c.content_hash, md5('')) AS content_hash
+    FROM toks t LEFT JOIN cleaned c USING (doc_id)
+    """,
+)
+def text_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING DEDUP AS A TRANSFORMATION — the action
+    `text_dup_ngram_coverage` measures: EXCISE every token lying under
+    a corpus-duplicated 8-token run and keep the remainder (Lee et
+    al.'s substring cutting, the form of dedup that saves partial
+    documents instead of dropping them).  Returns per doc the original
+    and kept token counts plus the md5 of the CLEANED text — the
+    content hash certifies both engines reconstruct the identical
+    surviving string, order included.
+
+    Shape: duplicated starts fan out to their n=8 covered positions
+    (a LINEAR explode — never a position×start range join), distinct,
+    anti-join against the token-position table, then an ordered
+    re-join of survivors.  At 100 TB every stage is a hash
+    shuffle on (doc, position) keys; the corpus-wide gram-count
+    aggregation is shared verbatim with the coverage row."""
+    from pyspark.sql import Window as W  # noqa: F401  (parallel shape)
+
+    n = _DUPCOV_N
+    t = Tables(spark, sf_dir)
+    toks = t.documents.repartition(32, "doc_id").select(
+        "doc_id", F.split("text", " ").alias("l")
+    )
+    pos = toks.select(
+        "doc_id", F.posexplode("l").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    starts = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("l") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("l") - (n - 1)),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.array_join(F.slice("l", i, n), " ").alias(
+                            "gram"
+                        ),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("s"),
+    ).select("doc_id", F.col("s.i").alias("i"), F.col("s.gram").alias("gram"))
+    dup = (
+        starts.groupBy("gram")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gram")
+    )
+    covered = (
+        starts.join(dup, "gram", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + (n - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    kept = pos.join(covered, ["doc_id", "p"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("kept_tok"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("content_hash"),
+    )
+    return (
+        toks.select("doc_id", F.size("l").cast("bigint").alias("n_tok"))
+        .join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce("kept_tok", F.lit(0))
+            .cast("bigint")
+            .alias("kept_tok"),
+            F.coalesce("content_hash", F.md5(F.lit(""))).alias(
+                "content_hash"
+            ),
+        )
+    )
