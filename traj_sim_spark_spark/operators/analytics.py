@@ -188,7 +188,9 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the legitimate broadcast dimension). Output: per-cluster size +
     within-cluster sum of squares. WEAK row (float argmin has no stable
     ANSI-SQL twin); pinned against a NumPy Lloyd reference in
-    ``tests/test_analytics.py``."""
+    ``tests/test_analytics.py``.  `emb_kmeans_exact` is the
+    integer-quantized sibling whose whole Lloyd evolution carries a
+    FULL unrolled DuckDB oracle."""
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")

@@ -244,7 +244,9 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     float vector is read at query time. All joins are broadcasts
     (codebooks, tables); per-iteration assignment reuses the k-means
     min_by pattern. WEAK row (float argmin); pinned against a NumPy PQ
-    reference in tests/test_analytics.py."""
+    reference in tests/test_analytics.py.  `sim_knn_pq_exact` is this
+    pipeline's integer-quantized sibling with a FULL unrolled-rounds
+    DuckDB oracle."""
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
