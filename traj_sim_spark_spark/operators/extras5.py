@@ -2370,3 +2370,112 @@ def text_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_clustering_coeff — local clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_clustering_coeff",
+    oracle="""
+    WITH b AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400e6)
+                    AS BIGINT) AS dy,
+               MIN(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    e AS MATERIALIZED (
+        SELECT a.user_id u, c.user_id v
+        FROM b a JOIN b c
+          ON a.dy = c.dy AND a.user_id < c.user_id
+         AND ABS(a.v - c.v) <= 1.0
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    tri AS (
+        SELECT t.node, COUNT(*) AS n_tri FROM (
+            SELECT e1.u AS node FROM e e1
+            JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+            UNION ALL
+            SELECT e1.v FROM e e1
+            JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+            UNION ALL
+            SELECT e2.v FROM e e1
+            JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        ) t GROUP BY t.node
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v FROM e
+        ) GROUP BY node
+    )
+    SELECT d.node AS user_id,
+           CAST(d.d AS BIGINT) AS degree,
+           CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_triangles,
+           ROUND(COALESCE(t.n_tri, 0) * 2.0 / (d.d * (d.d - 1)), 6)
+               AS clustering
+    FROM deg d LEFT JOIN tri t ON t.node = d.node
+    WHERE d.d >= 2
+    """,
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL CLUSTERING COEFFICIENT — the standard graph metric the
+    triangle kernel exists to feed: per node, 2·triangles /
+    (deg·(deg−1)) over the co-movement graph (how clique-like is each
+    user's neighborhood — the flock-cohesion score).  Completes the
+    metric set around `graph_triangles` (numerator), degree
+    (denominator) and `graph_assortativity`/`graph_modularity`
+    (global structure).
+
+    Exactness: triangle counts and degrees are integers; the
+    coefficient is one final float expression with identical operation
+    order (ROUND 6; value in [0,1], no sign-crossing hazard).  Nodes
+    with degree < 2 are excluded (undefined denominator) — mirrored in
+    the oracle.
+
+    Scale shape: the oriented two-join triangle enumeration (each
+    triangle once, fan-out per key = oriented out-degree) + one degree
+    aggregate + one join — the `graph_triangles` cost plus two cheap
+    hash ops."""
+    from .mining import comovement_edges
+
+    e = comovement_edges(spark, sf_dir).localCheckpoint()
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tnodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(tnodes, "node", "left")
+        .select(
+            F.col("node").alias("user_id"),
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce("n_tri", F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+            F.round(
+                F.coalesce("n_tri", F.lit(0))
+                * 2.0
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("clustering"),
+        )
+    )
