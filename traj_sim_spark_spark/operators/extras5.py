@@ -2479,3 +2479,121 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# emb_cov_topk — exact integer covariance structure of the embedding space
+# ---------------------------------------------------------------------------
+
+_COV_TOPK = 20
+
+
+@query(
+    "emb_cov_topk",
+    oracle=f"""
+    WITH ev AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(ROUND(UNNEST(embedding) * 1e6) AS BIGINT) AS q
+        FROM embeddings
+    ),
+    n AS (SELECT COUNT(*) AS n FROM embeddings),
+    sums AS (SELECT i, SUM(q) AS s FROM ev GROUP BY i),
+    prods AS (
+        SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS sp
+        FROM ev a JOIN ev b
+          ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY 1, 2
+    ),
+    cov AS (
+        SELECT p.i, p.j,
+               CAST((SELECT n FROM n) AS DECIMAL(38, 0))
+                   * CAST(p.sp AS DECIMAL(38, 0))
+                   - CAST(sa.s AS DECIMAL(38, 0))
+                     * CAST(sb.s AS DECIMAL(38, 0)) AS num
+        FROM prods p
+        JOIN sums sa ON sa.i = p.i
+        JOIN sums sb ON sb.i = p.j
+    )
+    SELECT i, j,
+           ROUND(CAST(num AS DOUBLE)
+                 / ((SELECT n FROM n) * CAST((SELECT n FROM n)
+                                             AS DOUBLE)) / 1e12,
+                 6) + 0.0 AS cov
+    FROM cov
+    ORDER BY ABS(num) DESC, i, j LIMIT {_COV_TOPK}
+    """,
+)
+def emb_cov_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT COVARIANCE STRUCTURE of the embedding space: the top-20
+    dimension pairs by |covariance| — the integer-exact sufficient
+    statistics PCA consumes (the WEAK float `emb_pca` row's power
+    iteration cannot be made engine-exact because eigenvector
+    normalization needs sqrt; the covariance MATRIX can, and this row
+    proves it).  cov(i,j) = (n·Σqᵢqⱼ − Σqᵢ·Σqⱼ) / n²: every term is
+    BIGINT over micro-quantized coordinates, so the RANKING — which
+    pairs dominate the spectrum — is an integer decision with an (i,j)
+    tie-break; the displayed value is one final float expression
+    (`+ 0.0` sign guard: covariances cross zero).
+
+    Scale shape: one (vec, dim-pair) self-join restricted to i <= j
+    within the same vector — per-vector fan-out d(d+1)/2 = 2080,
+    corpus-linear, map-side combinable; no centering pass (the
+    two-pass mean-subtracted form is folded into the closed formula,
+    the standard one-pass trick); per-dimension sums/products stay
+    BIGINT, but the closing n·Σqq − Σq·Σq products are DECIMAL(38,0)
+    on BOTH engines — at 20x-clone corpus sizes they pass int64, and
+    Spark would wrap silently where DuckDB errors."""
+    t = Tables(spark, sf_dir)
+    ev = t.embeddings.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                "transform(embedding,"
+                " x -> CAST(ROUND(x * 1e6) AS BIGINT))"
+            )
+        ).alias("i", "q"),
+    )
+    n = t.embeddings.count()
+    sums = ev.groupBy("i").agg(F.sum("q").alias("s"))
+    a = ev.select("vec_id", F.col("i").alias("ia"), F.col("q").alias("qa"))
+    b = ev.select("vec_id", F.col("i").alias("jb"), F.col("q").alias("qb"))
+    prods = (
+        a.join(b, "vec_id")
+        .filter(F.col("ia") <= F.col("jb"))
+        .groupBy(F.col("ia").alias("i"), F.col("jb").alias("j"))
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("sp"))
+    )
+    sa = sums.select(F.col("i"), F.col("s").alias("si"))
+    sb = sums.select(F.col("i").alias("j"), F.col("s").alias("sj"))
+    cov = (
+        prods.join(F.broadcast(sa), "i")
+        .join(F.broadcast(sb), "j")
+        .select(
+            "i",
+            "j",
+            (
+                F.lit(n).cast("decimal(38,0)")
+                * F.col("sp").cast("decimal(38,0)")
+                - F.col("si").cast("decimal(38,0)")
+                * F.col("sj").cast("decimal(38,0)")
+            ).alias("num"),
+        )
+    )
+    return (
+        cov.orderBy(F.abs("num").desc(), "i", "j")
+        .limit(_COV_TOPK)
+        .select(
+            "i",
+            "j",
+            (
+                F.round(
+                    F.col("num").cast("double")
+                    / (float(n) * float(n))
+                    / 1e12,
+                    6,
+                )
+                + 0.0
+            ).alias("cov"),
+        )
+    )
