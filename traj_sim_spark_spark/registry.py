@@ -32,7 +32,7 @@ _LAZY_ORACLES: dict[str, Callable[[], str]] = {}
 #
 # ROUND-5 ROTATION (do at round-5 start): replace _WINDOW_FIRST with 50
 # of the remaining rowless keys. After round 4 those are: extras4 (15,
-# incl. sink_versioned_snapshot in readers_ext), extras5 (12:
+# incl. sink_versioned_snapshot in readers_ext), extras5 (22:
 # rel_recursive_cte, rel_regr_exact, ps_frontend, rel_join_skew_salted,
 # rel_variant_json, src_xml_ingest, graph_sssp, text_setsim_prefix_join,
 # rel_gdpr_delete, text_quality_logreg, rel_holt_linear,
@@ -47,7 +47,7 @@ _LAZY_ORACLES: dict[str, Callable[[], str]] = {}
 # trajectory_ext (11), streams_ext (10, incl. stream_state_inspect),
 # readers_ext (7), setops tail
 # (rel_intersect_all, rel_except_all), similarity tail (sim_range_search,
-# emb_layout_ivf) = ~64 — pick 50 (prefer extras4/extras5/extras3 tail +
+# emb_layout_ivf) = ~75 — pick 50 (prefer extras4/extras5/extras3 tail +
 # streams_ext first), the rest (plus round-5 additions) go in round 6.
 _MODULES = (
     "traj_sim_spark_spark.operators.text_ext",
