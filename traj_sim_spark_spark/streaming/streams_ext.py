@@ -1014,3 +1014,77 @@ def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.count").cast("bigint").alias("n_events"),
         F.col("value.sum").cast("bigint").alias("cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_backfill_union — batch history + streaming tail, one answer
+# ---------------------------------------------------------------------------
+
+_BF_SPLIT_US = 7 * 86400 * 1_000_000  # tail = last 7 days of event time
+
+
+@query(
+    "stream_backfill_union",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+           CAST(COUNT(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                    >= (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP)))
+                        FROM events) - 604800000000
+                    THEN 1 END) AS BIGINT) AS n_tail
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BACKFILL + STREAMING TAIL UNIFIED — the lambda/kappa
+    architecture question ("is the reprocessed history consistent with
+    the live stream?") as a checkable query: history (event time
+    before max(ts) − 7d) aggregates through the BATCH reader, the
+    last-7-days tail replays through the STREAMING path (file-source
+    micro-batches, memory sink), and the two halves merge into one
+    per-event-type report.  The oracle aggregates the whole table in
+    one batch pass — so the gate proves the batch+stream composition
+    is EXACTLY the pure-batch answer (integer counts and pre-quantized
+    cents make the merge order-free).
+
+    The split point is data-derived (max event time − 7d: a scalar
+    aggregate, no wall clock — rerun-deterministic).  Scale shape:
+    this is how real pipelines bootstrap streaming aggregations — a
+    batch job backfills state up to a cutoff, the stream owns
+    everything after; the merge is a k-row unionByName + hash agg."""
+    t = Tables(spark, sf_dir)
+    cut = (
+        t.events.agg(
+            (F.max(F.unix_micros("ts")) - F.lit(_BF_SPLIT_US)).alias("c")
+        ).head()[0]
+    )
+    cents = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    batch_half = (
+        t.events.filter(F.unix_micros("ts") < cut)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents).alias("cents"),
+            F.lit(0).cast("bigint").alias("n_tail"),
+        )
+    )
+    tail = events_stream(spark, sf_dir).filter(
+        F.unix_micros("ts") >= cut
+    )
+    tail_agg = tail.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(cents).alias("cents"),
+        F.count("*").alias("n_tail"),
+    )
+    tail_done = run_to_completion(tail_agg, "complete")
+    return (
+        batch_half.unionByName(tail_done)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("cents"),
+            F.sum("n_tail").cast("bigint").alias("n_tail"),
+        )
+    )
