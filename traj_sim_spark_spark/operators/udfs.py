@@ -7,6 +7,7 @@ against a pure-SQL twin where semantics allow:
 - ``udf_agg_pandas``      — GROUPED_AGG pandas UDAF
 - ``udf_grouped_map``     — applyInPandas grouped-map transform
 - ``udtf_segmentize``     — Python UDTF (lateral table function)
+- ``udf_map_arrow``       — mapInArrow (raw RecordBatches, no pandas)
 
 Row-at-a-time Python UDFs are deliberately absent: the engine's rule is
 Arrow-vectorized or JVM built-in (SURVEY.md §4, O11).
@@ -181,4 +182,71 @@ def udtf_segmentize(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT t.user_id, s.seq, s.v0, s.v1
         FROM __traj_arrays t, LATERAL segmentize(t.vals) s
         """
+    )
+
+
+@query(
+    "udf_map_arrow",
+    oracle="""
+    WITH bytes_ AS (
+        SELECT d.doc_id, LEN(d.text) AS n,
+               ascii(substr(d.text, CAST(i.i AS INT), 1)) AS b
+        FROM documents d,
+             UNNEST(generate_series(1, LEN(d.text))) AS i(i)
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_bytes,
+           CAST(SUM(b) AS BIGINT) AS byte_sum,
+           CAST(SUM(CASE WHEN b = 32 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_spaces
+    FROM bytes_ GROUP BY doc_id
+    """,
+)
+def udf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the LOWEST-overhead Python extension point:
+    the UDF receives raw ``pyarrow.RecordBatch``es (no pandas
+    conversion, no copy for primitive buffers) and yields batches
+    back.  Here: a byte-level document scan (length, byte sum, space
+    count) computed on the Arrow buffers with numpy ``frombuffer`` —
+    zero per-row Python, zero pandas boxing; the fixture text is pure
+    ASCII so the pure-SQL twin replays the same bytes via
+    ``ascii(substr(...))`` (the multimodal stub-mirror discipline).
+
+    Completes the M-row extension-surface matrix: scalar pandas_udf /
+    grouped-agg / grouped-map (pandas) / UDTF / and now the Arrow-raw
+    tier — the one you reach for when even pandas overhead matters
+    (tokenizers, byte-pair scanners, decoders at 100 TB).
+
+    Scale shape: embarrassingly parallel mapPartitions over Arrow
+    batches; output is one row per doc, aggregated batch-side in
+    numpy, never a Python loop per byte."""
+    import pyarrow as pa
+
+    t = Tables(spark, sf_dir)
+
+    def scan(batches):
+        for batch in batches:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            texts = batch.column("text")
+            ns, sums, spaces = [], [], []
+            for s in texts:
+                b = np.frombuffer(
+                    s.as_py().encode("ascii"), dtype=np.uint8
+                )
+                ns.append(len(b))
+                sums.append(int(b.sum(dtype=np.int64)))
+                spaces.append(int((b == 32).sum()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(ns, type=pa.int64()),
+                    pa.array(sums, type=pa.int64()),
+                    pa.array(spaces, type=pa.int64()),
+                ],
+                names=["doc_id", "n_bytes", "byte_sum", "n_spaces"],
+            )
+
+    return t.documents.select("doc_id", "text").mapInArrow(
+        scan,
+        "doc_id bigint, n_bytes bigint, byte_sum bigint, n_spaces bigint",
     )
