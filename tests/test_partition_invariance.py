@@ -110,6 +110,11 @@ KEYS = [
     "sim_knn_pq_exact",
     # ordered survivor re-join (md5 of reconstructed string)
     "text_dedup_cut",
+    # triangle/degree ratios; DECIMAL covariance ranking with tie-break;
+    # Arrow byte-scan
+    "graph_clustering_coeff",
+    "emb_cov_topk",
+    "udf_map_arrow",
 ]
 
 
