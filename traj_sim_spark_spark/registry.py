@@ -46,7 +46,8 @@ _LAZY_ORACLES: dict[str, Callable[[], str]] = {}
 # traj_range_window_2d_idx, rel_table_stats, rel_view_maintenance,
 # sim_knn_batch, traj_map_match, traj_search_report, sink_csv_roundtrip),
 # trajectory_ext (11), streams_ext (12, incl. stream_state_inspect,
-# stream_backfill_union), readers_ext (7), setops tail
+# stream_backfill_union), readers_ext (8, incl. src_csv_malformed),
+# setops tail
 # (rel_intersect_all, rel_except_all), similarity tail (sim_range_search,
 # emb_layout_ivf) = ~75 — pick 50 (prefer extras4/extras5/extras3 tail +
 # streams_ext first), the rest (plus round-5 additions) go in round 6.

@@ -604,3 +604,83 @@ def sink_versioned_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("version", "n_rows", "total_cents")
         out = snap if out is None else out.unionByName(snap)
     return out
+
+
+# ---------------------------------------------------------------------------
+# src_csv_malformed — PERMISSIVE parsing with corrupt-record capture
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "src_csv_malformed",
+    oracle="""
+    WITH src AS (
+        SELECT n_nationkey,
+               CASE WHEN n_nationkey % 5 = 2 THEN NULL
+                    ELSE n_regionkey END AS rk,
+               n_nationkey % 5 = 2 AS corrupt
+        FROM nation
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_corrupt,
+           CAST(SUM(CASE WHEN NOT corrupt THEN rk ELSE 0 END)
+                AS BIGINT) AS region_sum
+    FROM src
+    """,
+)
+def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MALFORMED-INPUT HANDLING — the reader behavior every real
+    ingest needs and demos never show: a CSV where every 5th-ish line
+    (n_nationkey % 5 == 2) carries a non-numeric junk value in an
+    integer column, read in PERMISSIVE mode with a
+    ``_corrupt_record`` capture column.  The report counts total rows,
+    captured corrupt lines, and the integer sum over the CLEAN subset
+    — proving corrupt lines are quarantined, not silently dropped and
+    not poisoning the typed columns.
+
+    Determinism: corruption is injected by key (no randomness); the
+    oracle models the same partition of the key space.  Scale shape:
+    PERMISSIVE parsing is per-row work inside the distributed scan —
+    the quarantine column shuffles nowhere; at 100 TB this is the
+    standard bronze-layer ingest contract (capture, count, route to a
+    dead-letter sink — `sink_csv_roundtrip`'s sibling on the failure
+    path)."""
+    import os
+
+    from .readers import staging_dir
+
+    t = Tables(spark, sf_dir)
+    d = os.path.join(staging_dir(sf_dir, "ingest"), "nation_malformed")
+    # write a csv with injected junk in n_regionkey for key%5==2
+    src = t.nation.select(
+        "n_nationkey",
+        "n_name",
+        F.when(F.col("n_nationkey") % 5 == 2, F.lit("JUNK"))
+        .otherwise(F.col("n_regionkey").cast("string"))
+        .alias("n_regionkey"),
+    )
+    src.write.mode("overwrite").option("header", True).csv(d)
+    schema = (
+        "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT,"
+        " _corrupt_record STRING"
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(d)
+        .cache()  # SPARK-21610: corrupt-record queries need the full parse
+    )
+    return parsed.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("_corrupt_record").cast("bigint").alias("n_corrupt"),
+        F.sum(
+            F.when(
+                F.col("_corrupt_record").isNull(), F.col("n_regionkey")
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("region_sum"),
+    )
