@@ -1646,36 +1646,47 @@ def pipe_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     docs = t.documents.select("doc_id")
-    e_surv = (
-        docs.join(
-            QUERIES["text_exact_dedup"](spark, sf_dir)
-            .select(F.col("keep_id").alias("doc_id")),
-            "doc_id",
-            "left_semi",
-        )
-        .localCheckpoint()
+    # ONE action computes every stage count: each tier contributes a
+    # per-doc keep FLAG (left join + NOT NULL), the funnel's sequential
+    # semantics become flag conjunctions inside a single aggregate —
+    # four serialized count() jobs (each re-waiting on its semi-join)
+    # collapse into one pass over the flag relation
+    e_keep = (
+        QUERIES["text_exact_dedup"](spark, sf_dir)
+        .select(F.col("keep_id").alias("doc_id"))
+        .withColumn("e", F.lit(1))
     )
-    m_surv = (
-        e_surv.join(
-            QUERIES["pipe_neardup_dedup"](spark, sf_dir)
-            .filter(F.col("keep") == 1)
-            .select("doc_id"),
-            "doc_id",
-            "left_semi",
-        )
-        .localCheckpoint()
+    m_keep = (
+        QUERIES["pipe_neardup_dedup"](spark, sf_dir)
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+        .withColumn("m", F.lit(1))
     )
-    s_surv = m_surv.join(
+    s_keep = (
         QUERIES["pipe_dedup_semantic"](spark, sf_dir)
         .filter(F.col("kept"))
-        .select("doc_id"),
-        "doc_id",
-        "left_semi",
+        .select("doc_id")
+        .withColumn("s", F.lit(1))
     )
-    n0 = t.documents.count()
-    n1 = e_surv.count()
-    n2 = m_surv.count()
-    n3 = s_surv.count()
+    flags = (
+        docs.join(e_keep, "doc_id", "left")
+        .join(m_keep, "doc_id", "left")
+        .join(s_keep, "doc_id", "left")
+    )
+    row = flags.agg(
+        F.count("*").alias("n0"),
+        F.count("e").alias("n1"),
+        F.count(F.when(F.col("e").isNotNull() & F.col("m").isNotNull(), 1)).alias("n2"),
+        F.count(
+            F.when(
+                F.col("e").isNotNull()
+                & F.col("m").isNotNull()
+                & F.col("s").isNotNull(),
+                1,
+            )
+        ).alias("n3"),
+    ).head()
+    n0, n1, n2, n3 = row["n0"], row["n1"], row["n2"], row["n3"]
     rows = [
         ("exact", n0, n0 - n1, n1),
         ("minhash", n1, n1 - n2, n2),
