@@ -115,6 +115,8 @@ KEYS = [
     "graph_clustering_coeff",
     "emb_cov_topk",
     "udf_map_arrow",
+    # sign-aware squared bin decisions over a cross join
+    "emb_cosine_hist",
 ]
 
 

@@ -2597,3 +2597,144 @@ def emb_cov_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# emb_cosine_hist — pairwise-cosine histogram (embedding-geometry QA)
+# ---------------------------------------------------------------------------
+
+# 10 bins over cos in [-1, 1]; thresholds t_k = (k-5)/5, k = 0..9.
+# cos >= p/5  is decided WITHOUT the sqrt in cosine's denominator by a
+# sign-aware squared comparison (square preserves order only on matching
+# signs), so bin membership is an exact integer/DECIMAL decision on
+# both engines — no float boundary anywhere.
+_COSH_BINS = 10
+
+
+def _cos_ge(p: int) -> str:
+    """SQL boolean: cos >= p/5 over columns dot (BIGINT), d2 = dot^2
+    and nn = na2*nb2 (both DECIMAL(38,0))."""
+    p2 = p * p
+    if p >= 0:
+        return f"(dot >= 0 AND 25 * d2 >= {p2} * nn)"
+    return f"(dot >= 0 OR 25 * d2 <= {p2} * nn)"
+
+
+_COSH_BIN_EXPR = (
+    "CAST("
+    + " + ".join(
+        f"(CASE WHEN {_cos_ge(k - 5)} THEN 1 ELSE 0 END)"
+        for k in range(_COSH_BINS)
+    )
+    + " - 1 AS INTEGER)"
+)
+
+
+@query(
+    "emb_cosine_hist",
+    oracle=f"""
+    WITH qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> ROUND(CAST(x AS DOUBLE) * 1e6))
+                   AS q
+        FROM embeddings
+    ),
+    nrm AS (
+        SELECT vec_id, q,
+               CAST(list_dot_product(q, q) AS BIGINT) AS n2
+        FROM qv
+    ),
+    pairs AS (
+        SELECT CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
+               CAST(a.n2 AS DECIMAL(38, 0))
+                   * CAST(b.n2 AS DECIMAL(38, 0)) AS nn
+        FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+        WHERE a.n2 > 0 AND b.n2 > 0
+    ),
+    binned AS (
+        SELECT {_COSH_BIN_EXPR} AS bin
+        FROM (SELECT dot,
+                     CAST(dot AS DECIMAL(38, 0))
+                         * CAST(dot AS DECIMAL(38, 0)) AS d2,
+                     nn
+              FROM pairs)
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM binned GROUP BY bin
+    """,
+)
+def emb_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIRWISE-COSINE HISTOGRAM over the whole corpus — the
+    embedding-geometry QA report (anisotropy / collapse detection: a
+    healthy embedding space puts random-pair cosine mass near 0; a
+    collapsed one piles into the top bins — the first diagnostic run
+    on a new encoder before any ANN index is built).  All ~N²/2 pairs
+    binned into 10 cosine buckets of width 0.2.
+
+    Exactness: micro-quantized coordinates make every dot product and
+    norm an exact integer (sums <= 2.6e14, exact even through the
+    oracle's double-typed `list_dot_product`); `cos >= p/5` is decided
+    by sign-aware SQUARED cross-multiplication in DECIMAL(38,0) — the
+    sqrt in cosine's denominator never materializes, so bin edges are
+    bit-exact on both engines.
+
+    Scale shape: the pair enumeration is a broadcast nested-loop on
+    the (vec_id, q, n2) projection — at fixture scale the corpus IS
+    the broadcast side; at 100 TB this becomes the standard sampled
+    variant (deterministic hash-sample of pairs) or rides the LSH
+    bucket structure, same bin arithmetic."""
+    t = Tables(spark, sf_dir)
+    qv = t.embeddings.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(ROUND(x * 1e6) AS BIGINT))"
+        ).alias("q"),
+    )
+    dot_qq = F.aggregate(
+        F.zip_with("q", "q", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    nrm = qv.select("vec_id", "q", dot_qq.alias("n2")).filter(
+        F.col("n2") > 0
+    )
+    a = nrm.select(
+        F.col("vec_id").alias("ida"),
+        F.col("q").alias("qa"),
+        F.col("n2").alias("na2"),
+    )
+    b = nrm.select(
+        F.col("vec_id").alias("idb"),
+        F.col("q").alias("qb"),
+        F.col("n2").alias("nb2"),
+    )
+    dot_ab = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            dot_ab.alias("dot"),
+            (
+                F.col("na2").cast("decimal(38,0)")
+                * F.col("nb2").cast("decimal(38,0)")
+            ).alias("nn"),
+        )
+        .select(
+            "dot",
+            (
+                F.col("dot").cast("decimal(38,0)")
+                * F.col("dot").cast("decimal(38,0)")
+            ).alias("d2"),
+            "nn",
+        )
+    )
+    return (
+        pairs.select(F.expr(_COSH_BIN_EXPR).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
