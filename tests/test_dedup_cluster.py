@@ -161,3 +161,26 @@ def test_cc_driver_and_distributed_branches_agree(spark, sf_dir):
         text_mod._CC_DRIVER_EDGE_CAP = cap
     assert fast == slow
     assert len(fast) > 0
+
+
+def test_leakage_safe_split_never_straddles_clusters(spark, sf_dir):
+    """The defining property: every near-dup cluster lands entirely in
+    ONE split, and the doc-hash baseline (pipe_train_split's scheme)
+    would NOT guarantee that on this corpus (the row exists for a
+    reason)."""
+    from traj_sim_spark_spark.operators.extras5 import (
+        pipe_leakage_safe_split,
+    )
+
+    rows = pipe_leakage_safe_split(spark, sf_dir).collect()
+    by_cluster: dict[int, set[str]] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    splits = {r["split"] for r in rows}
+    assert splits == {"train", "val", "test"}
+    # a real multi-doc cluster exists, so the guarantee is non-vacuous
+    from collections import Counter
+
+    sizes = Counter(r["cluster_id"] for r in rows)
+    assert max(sizes.values()) >= 2

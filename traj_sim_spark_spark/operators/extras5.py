@@ -2738,3 +2738,81 @@ def emb_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.count("*").cast("bigint").alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# pipe_leakage_safe_split — cluster-aware train/val/test assignment
+# ---------------------------------------------------------------------------
+
+_LSS_SALT = "split0"
+
+
+def _lss_oracle() -> str:
+    from ..registry import _LAZY_ORACLES, ORACLES
+    from . import text  # noqa: F401  (register text_dedup_cluster)
+
+    cl = (
+        ORACLES["text_dedup_cluster"]
+        if "text_dedup_cluster" in ORACLES
+        else _LAZY_ORACLES["text_dedup_cluster"]()
+    )
+    # the cluster oracle starts WITH RECURSIVE; splice its CTE list
+    body = cl.strip()
+    assert body.upper().startswith("WITH RECURSIVE")
+    inner = body[len("WITH RECURSIVE") :]
+    # wrap: clusters AS MATERIALIZED (<cluster select>) over shared CTEs
+    i = inner.rfind("SELECT lab.doc_id")
+    ctes, sel = inner[:i].rstrip(), inner[i:]
+    return f"""
+    WITH RECURSIVE {ctes},
+    clusters AS MATERIALIZED ({sel}),
+    hashed AS (
+        SELECT doc_id, cluster_id, cluster_size,
+               CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)
+                                        || '#{_LSS_SALT}'), 1, 6))
+                    AS INTEGER) % 10 AS h
+        FROM clusters
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN h < 8 THEN 'train'
+                WHEN h = 8 THEN 'val' ELSE 'test' END AS split
+    FROM hashed
+    """
+
+
+@query("pipe_leakage_safe_split", oracle=_lss_oracle)
+def pipe_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT — the eval-hygiene rule
+    `pipe_train_split` cannot enforce: hashing DOC ids sprays near-
+    duplicate documents across splits, silently leaking test content
+    into training (the evaluation-contamination failure mode
+    `text_contamination` measures after the fact).  This row prevents
+    it BY CONSTRUCTION: documents are grouped by their dedup CLUSTER
+    (the registered `text_dedup_cluster` connected components), and
+    the 80/10/10 assignment hashes the CLUSTER id — every near-dup
+    clique lands in exactly one split, provably (same cluster -> same
+    hash -> same split).
+
+    Composed from the registered builder and its registered recursive-
+    CTE oracle (the `sim_ann_recall` discipline: what is verified is
+    what ships).  The md5-of-cluster-id split is deterministic,
+    engine-exact, and re-runnable; changing the salt re-deals.
+
+    Scale shape: cost = the dedup clustering itself + one md5
+    projection; the split adds NO shuffle (hash is per-row on the
+    cluster label already attached to each doc)."""
+    from ..registry import QUERIES
+
+    labels = QUERIES["text_dedup_cluster"](spark, sf_dir)
+    h = F.expr(
+        f"CAST(conv(substring(md5(concat(CAST(cluster_id AS STRING),"
+        f" '#{_LSS_SALT}')), 1, 6), 16, 10) AS INT) % 10"
+    )
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.when(h < 8, "train")
+        .when(h == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

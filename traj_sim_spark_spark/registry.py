@@ -39,7 +39,8 @@ _LAZY_ORACLES: dict[str, Callable[[], str]] = {}
 # text_dup_ngram_coverage, rel_pit_join, pipe_doc_shuffle,
 # graph_stress_betweenness, graph_temporal_reach, rel_observe,
 # emb_kmeans_exact, sim_knn_pq_exact, text_dedup_cut,
-# graph_clustering_coeff, emb_cov_topk, emb_cosine_hist),
+# graph_clustering_coeff, emb_cov_topk, emb_cosine_hist,
+# pipe_leakage_safe_split),
 # udf_map_arrow,
 # stream_cdc_apply,
 # extras3 tail (10: traj_hausdorff_segments_knn_2d_idx,
