@@ -2645,12 +2645,21 @@ _COSH_BIN_EXPR = (
                CAST(list_dot_product(q, q) AS BIGINT) AS n2
         FROM qv
     ),
+    srate AS (
+        SELECT GREATEST(1, (COUNT(*) * (COUNT(*) - 1) // 2)
+                           // 2000000) AS s
+        FROM nrm WHERE n2 > 0
+    ),
     pairs AS (
         SELECT CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
                CAST(a.n2 AS DECIMAL(38, 0))
                    * CAST(b.n2 AS DECIMAL(38, 0)) AS nn
         FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
         WHERE a.n2 > 0 AND b.n2 > 0
+          AND CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR) || '#'
+                                       || CAST(b.vec_id AS VARCHAR)),
+                                   1, 6)) AS INTEGER)
+              % CAST((SELECT s FROM srate) AS INTEGER) = 0
     ),
     binned AS (
         SELECT {_COSH_BIN_EXPR} AS bin
@@ -2680,10 +2689,14 @@ def emb_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exact on both engines.
 
     Scale shape: the pair enumeration is a broadcast nested-loop on
-    the (vec_id, q, n2) projection — at fixture scale the corpus IS
-    the broadcast side; at 100 TB this becomes the standard sampled
-    variant (deterministic hash-sample of pairs) or rides the LSH
-    bucket structure, same bin arithmetic."""
+    the (vec_id, q, n2) projection; above ~2M true pairs a
+    DETERMINISTIC md5 hash-sample of the pair space engages (rate
+    1/S, S = pairs div 2M — a result-changing dispatch, mirrored in
+    the oracle; the 20x clone probe exercises the sampled branch).
+    The sample predicate still evaluates per enumerated pair — the
+    production refinement is bucket-PAIR sampling (hash each vec into
+    K buckets, equi-join only the sampled (ua, ub) bucket blocks),
+    which cuts enumeration itself by S; same bin arithmetic."""
     t = Tables(spark, sf_dir)
     qv = t.embeddings.select(
         "vec_id",
@@ -2714,9 +2727,23 @@ def emb_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
+    # sampling DISPATCH (mirrored in the oracle): above ~2M true pairs
+    # the histogram switches to a deterministic md5 hash-sample of the
+    # pair space with rate 1/S, S = pairs div 2M — same bin
+    # arithmetic, bounded work, identical both engines (S = 1, i.e.
+    # all pairs, at every fixture scale; the 20x clone crosses it)
+    n_live = nrm.count()
+    samp = max(1, (n_live * (n_live - 1) // 2) // 2_000_000)
     pairs = (
         a.crossJoin(F.broadcast(b))
         .filter(F.col("ida") < F.col("idb"))
+        .filter(
+            F.expr(
+                "CAST(conv(substring(md5(concat(CAST(ida AS STRING),"
+                " '#', CAST(idb AS STRING))), 1, 6), 16, 10) AS INT)"
+                f" % {samp} = 0"
+            )
+        )
         .select(
             dot_ab.alias("dot"),
             (
