@@ -30,29 +30,27 @@ _LAZY_ORACLES: dict[str, Callable[[], str]] = {}
 # pinned declaratively by _WINDOW_FIRST below (load_all reorders QUERIES),
 # so module order no longer matters for correctness-row scheduling.
 #
-# ROUND-5 ROTATION (do at round-5 start): replace _WINDOW_FIRST with 50
-# of the remaining rowless keys. After round 4 those are: extras4 (15,
-# incl. sink_versioned_snapshot in readers_ext), extras5 (22:
-# rel_recursive_cte, rel_regr_exact, ps_frontend, rel_join_skew_salted,
-# rel_variant_json, src_xml_ingest, graph_sssp, text_setsim_prefix_join,
-# rel_gdpr_delete, text_quality_logreg, rel_holt_linear,
-# text_dup_ngram_coverage, rel_pit_join, pipe_doc_shuffle,
-# graph_stress_betweenness, graph_temporal_reach, rel_observe,
-# emb_kmeans_exact, sim_knn_pq_exact, text_dedup_cut,
-# graph_clustering_coeff, emb_cov_topk, emb_cosine_hist,
-# pipe_leakage_safe_split),
-# udf_map_arrow,
-# stream_cdc_apply,
-# extras3 tail (10: traj_hausdorff_segments_knn_2d_idx,
-# rel_bloom_runtime, traj_hausdorff_segments_knn_batch_2d,
-# traj_range_window_2d_idx, rel_table_stats, rel_view_maintenance,
-# sim_knn_batch, traj_map_match, traj_search_report, sink_csv_roundtrip),
-# trajectory_ext (11), streams_ext (12, incl. stream_state_inspect,
-# stream_backfill_union), readers_ext (8, incl. src_csv_malformed),
-# setops tail
-# (rel_intersect_all, rel_except_all), similarity tail (sim_range_search,
-# emb_layout_ivf) = ~75 — pick 50 (prefer extras4/extras5/extras3 tail +
-# streams_ext first), the rest (plus round-5 additions) go in round 6.
+# ROUND-6 ROTATION (do at round-6 start): after the round-5 window below
+# executes, the remaining driver-rowless keys are exactly these 41 —
+# trajectory_ext (11: traj_frechet_threshold_2d, traj_dtw_knn_2d,
+# traj_dtw_threshold_2d, traj_dtw_pair_2d, traj_hausdorff_segments_knn,
+# traj_hausdorff_segments_threshold, traj_hausdorff_knn_batch,
+# traj_hausdorff_knn_2d_batch, traj_dtw_knn_banded,
+# traj_dtw_knn_banded_2d, traj_dtw_threshold_banded — 6 of them WEAK
+# rows-only by design),
+# readers_ext (11: src_text_ingest, src_orc_ingest,
+# sink_partitioned_roundtrip, src_schema_evolution, sink_stream_parquet,
+# stream_layout_ingest, sink_compaction, src_binary_files,
+# src_python_datasource, sink_versioned_snapshot, src_csv_malformed),
+# streams_ext tail (8: stream_traj_distance, stream_cms,
+# stream_quantile_hist, stream_funnel, stream_anomaly,
+# stream_pack_chunks, stream_ewma, stream_distinct_users),
+# extras3 tail (6: traj_hausdorff_segments_knn_2d_idx,
+# traj_hausdorff_segments_knn_batch_2d, traj_range_window_2d_idx,
+# rel_table_stats, rel_view_maintenance, sink_csv_roundtrip),
+# setops tail (rel_intersect_all, rel_except_all), similarity tail
+# (sim_range_search, emb_layout_ivf), udf_map_arrow = 41, all of which
+# fit one 50-key window together with up to 9 round-5/6 additions.
 _MODULES = (
     "traj_sim_spark_spark.operators.text_ext",
     "traj_sim_spark_spark.operators.analytics",
@@ -99,60 +97,65 @@ _MODULES = (
 # their registration order after it. Unknown names are skipped, so the
 # list can be staged before its keys exist.
 #
-# ROUND-4 WINDOW (executed): 49 keys with no driver row through round 3
-# + mm_binary_meta (round-2-checked; its module position makes it slot
-# 45 — harmless re-check).
+# ROUND-5 WINDOW (executed this round): 50 keys with no driver row
+# through round 4 — all of extras5 (24) + all of extras4 (18) + the 4
+# riskiest extras3-tail keys + 4 streams_ext keys. The remaining 41
+# rowless keys are enumerated in the ROUND-6 ROTATION comment above.
 _WINDOW_FIRST: tuple[str, ...] = (
-    "text_contamination",
-    "text_repetition",
-    "pipe_mix_sources",
-    "text_pii_scrub",
-    "text_minhash_estimate",
-    "pipe_dedup_semantic",
-    "text_bigram_lm",
-    "text_winnowing",
-    "rel_funnel",
-    "rel_scd2_merge",
-    "emb_kmeans",
-    "rel_win_pattern",
-    "emb_pca",
-    "rel_retention",
-    "emb_outliers",
-    "rel_rollup_hypertable",
-    "sketch_cms_topk",
-    "sketch_quantile_hist",
-    "rel_gapfill",
-    "traj_profile_knn",
-    "sketch_kmv_distinct",
-    "sketch_cms_merge",
-    "pipe_pack_chunks",
-    "pipe_token_budget",
-    "text_entropy",
-    "rel_skyline",
-    "graph_common_neighbors",
-    "rel_kanonymity",
-    "pipe_train_split",
-    "text_simhash",
-    "text_simhash_neardup",
-    "text_ngram_jaccard",
-    "emb_neardup_lsh",
-    "rel_pivot",
-    "rel_unpivot",
-    "rel_agg_grouping_sets",
-    "rel_subquery_scalar",
-    "rel_bloom_prefilter",
-    "pipe_clean_corpus",
-    "pipe_stratified_sample",
-    "rel_bucketed_join",
-    "pipe_neardup_dedup",
-    "pipe_incremental_dedup",
-    "pipe_dedup_quality",
-    "mm_binary_meta",
-    "mm_decode_features",
-    "mm_frame_sample",
-    "mm_feature_knn",
-    "mm_audio_energy",
-    "mm_resize",
+    # extras5 (24)
+    "rel_recursive_cte",
+    "rel_regr_exact",
+    "ps_frontend",
+    "rel_join_skew_salted",
+    "rel_variant_json",
+    "src_xml_ingest",
+    "graph_sssp",
+    "text_setsim_prefix_join",
+    "rel_gdpr_delete",
+    "text_quality_logreg",
+    "rel_holt_linear",
+    "text_dup_ngram_coverage",
+    "rel_pit_join",
+    "pipe_doc_shuffle",
+    "graph_stress_betweenness",
+    "graph_temporal_reach",
+    "rel_observe",
+    "emb_kmeans_exact",
+    "sim_knn_pq_exact",
+    "text_dedup_cut",
+    "graph_clustering_coeff",
+    "emb_cov_topk",
+    "emb_cosine_hist",
+    "pipe_leakage_safe_split",
+    # extras4 (18)
+    "sim_knn_binary",
+    "sim_hybrid_rrf",
+    "rel_dq_audit",
+    "sketch_kmv_setops",
+    "traj_zorder_layout",
+    "graph_label_prop",
+    "mm_header_parse",
+    "rel_agg_mode_disc",
+    "traj_viterbi_map_match",
+    "emb_dedup_threshold_sweep",
+    "text_containment_neardup",
+    "pipe_dedup_funnel",
+    "sim_ann_recall_matrix",
+    "rel_equidepth_hist",
+    "pipe_mix_temperature",
+    "text_ngram_novelty",
+    "rel_join_lateral",
+    "rel_sql_frontend",
+    # extras3 tail (4)
+    "rel_bloom_runtime",
+    "sim_knn_batch",
+    "traj_map_match",
+    "traj_search_report",
+    # streams_ext (4)
+    "stream_state_inspect",
+    "stream_cdc_apply",
+    "stream_backfill_union",
+    "stream_seg_corridor",
 )
 
 _loaded = False
