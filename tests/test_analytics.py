@@ -302,3 +302,60 @@ def test_pq_exact_matches_integer_numpy_pq(spark):
         for r in sim_knn_pq_exact(spark, SF).collect()
     ]
     assert got == expected
+
+
+def test_cosine_hist_sampling_rate_sql_matches_python_isqrt():
+    """emb_cosine_hist's vertex-sample rate R = ceil_isqrt(S) is
+    computed in Python (math.isqrt) on the Spark side but in SQL
+    (float-sqrt candidate, +-1 integer correction) inside the DuckDB
+    oracle — the two must agree for every reachable S, else the
+    sampled branch diverges engine-to-engine."""
+    import math
+
+    import duckdb
+
+    svals = list(range(1, 2000)) + [
+        10**4, 10**4 + 1, 10**6 - 1, 10**6, 10**6 + 1,
+        (10**6 + 7) ** 2 - 1, (10**6 + 7) ** 2, (10**6 + 7) ** 2 + 1,
+        10**12 + 39,
+    ]
+    con = duckdb.connect()
+    rows = con.execute(
+        """
+        SELECT s,
+               CASE WHEN (c - 1) * (c - 1) >= s THEN c - 1
+                    WHEN c * c >= s THEN c
+                    ELSE c + 1 END AS r
+        FROM (SELECT CAST(x AS BIGINT) AS s,
+                     CAST(SQRT(CAST(x AS DOUBLE)) AS BIGINT) AS c
+              FROM (SELECT UNNEST(?) AS x))
+        ORDER BY s
+        """,
+        [svals],
+    ).fetchall()
+    for s, r_sql in rows:
+        r_py = 1 if s == 1 else math.isqrt(s - 1) + 1
+        assert r_sql == r_py, (s, r_sql, r_py)
+        assert r_sql * r_sql >= s > (r_sql - 1) * (r_sql - 1)
+
+
+def test_cosine_hist_unit_rate_filter_is_identity(spark):
+    """R = 1 must mean the sampled branch is byte-identical to
+    all-pairs: the md5 % 1 = 0 predicate keeps every vector (pinned
+    on the real fixture ids), so skipping the filter (the shipped
+    fast path) is a pure-plan optimization."""
+    from pyspark.sql import functions as F
+
+    from traj_sim_spark_spark.tables import Tables
+
+    t = Tables(spark, SF)
+    total = t.embeddings.count()
+    kept = (
+        t.embeddings.filter(
+            F.expr(
+                "CAST(conv(substring(md5(CAST(vec_id AS STRING)),"
+                " 1, 6), 16, 10) AS INT) % 1 = 0"
+            )
+        ).count()
+    )
+    assert kept == total

@@ -41,6 +41,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2650,16 +2652,29 @@ _COSH_BIN_EXPR = (
                            // 2000000) AS s
         FROM nrm WHERE n2 > 0
     ),
+    rrate AS (
+        -- exact ceil-isqrt(s): float sqrt candidate corrected by +-1
+        -- with integer comparisons (engine round-vs-trunc safe)
+        SELECT CASE WHEN (c - 1) * (c - 1) >= s THEN c - 1
+                    WHEN c * c >= s THEN c
+                    ELSE c + 1 END AS r
+        FROM (SELECT CAST(s AS BIGINT) AS s,
+                     CAST(SQRT(CAST(s AS DOUBLE)) AS BIGINT) AS c
+              FROM srate)
+    ),
+    samp AS (
+        SELECT vec_id, q, n2
+        FROM nrm
+        WHERE n2 > 0
+          AND CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                   1, 6)) AS INTEGER)
+              % CAST((SELECT r FROM rrate) AS INTEGER) = 0
+    ),
     pairs AS (
         SELECT CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
                CAST(a.n2 AS DECIMAL(38, 0))
                    * CAST(b.n2 AS DECIMAL(38, 0)) AS nn
-        FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
-        WHERE a.n2 > 0 AND b.n2 > 0
-          AND CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR) || '#'
-                                       || CAST(b.vec_id AS VARCHAR)),
-                                   1, 6)) AS INTEGER)
-              % CAST((SELECT s FROM srate) AS INTEGER) = 0
+        FROM samp a JOIN samp b ON a.vec_id < b.vec_id
     ),
     binned AS (
         SELECT {_COSH_BIN_EXPR} AS bin
@@ -2688,15 +2703,22 @@ def emb_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt in cosine's denominator never materializes, so bin edges are
     bit-exact on both engines.
 
-    Scale shape: the pair enumeration is a broadcast nested-loop on
-    the (vec_id, q, n2) projection; above ~2M true pairs a
-    DETERMINISTIC md5 hash-sample of the pair space engages (rate
-    1/S, S = pairs div 2M — a result-changing dispatch, mirrored in
-    the oracle; the 20x clone probe exercises the sampled branch).
-    The sample predicate still evaluates per enumerated pair — the
-    production refinement is bucket-PAIR sampling (hash each vec into
-    K buckets, equi-join only the sampled (ua, ub) bucket blocks),
-    which cuts enumeration itself by S; same bin arithmetic."""
+    Scale shape: above ~2M true pairs a DETERMINISTIC md5
+    VERTEX-sample engages — keep vectors with md5(vec_id) % R == 0,
+    R = ceil_isqrt(S), S = pairs div 2M — then enumerate ALL pairs
+    among survivors.  Pair volume drops by R^2 ~= S, and BOTH the
+    enumeration and the broadcast side are bounded by construction
+    at every scale: survivors ~= n/R ~= sqrt(4M) ~= 2-3k vectors, so
+    the broadcast is a few MB and the nested loop ~4M pairs whether
+    the corpus is 10k or 10^9 vectors.  (A bucket-PAIR block-sample
+    was considered and rejected: with a fixed K x K grid the sampled
+    block count K(K+1)/2/S hits zero once S exceeds the block count,
+    i.e. it stops working exactly when sampling matters most.
+    Vertex sampling has no such cliff.)  Result-changing dispatch,
+    mirrored in the oracle via an identical md5 % R predicate and an
+    exact SQL ceil-isqrt; R = 1 (all pairs, byte-identical to the
+    unsampled histogram) at every shipped fixture scale — the 20x
+    clone probe crosses into the sampled branch."""
     t = Tables(spark, sf_dir)
     qv = t.embeddings.select(
         "vec_id",
@@ -2712,7 +2734,26 @@ def emb_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = qv.select("vec_id", "q", dot_qq.alias("n2")).filter(
         F.col("n2") > 0
     )
-    a = nrm.select(
+    # sampling DISPATCH (mirrored in the oracle): above ~2M true pairs
+    # keep only vectors with md5(vec_id) % R == 0, R = ceil_isqrt(S),
+    # S = pairs div 2M — survivors ~n/R, so the all-pairs enumeration
+    # below shrinks by R^2 ~= S and its broadcast side is bounded
+    # (~2-3k vectors) at every corpus size.  R = 1 (no-op filter
+    # skipped entirely) at every shipped fixture scale.
+    n_live = nrm.count()
+    samp = max(1, (n_live * (n_live - 1) // 2) // 2_000_000)
+    rr = 1 if samp == 1 else math.isqrt(samp - 1) + 1
+    if rr > 1:
+        nrm = nrm.filter(
+            F.expr(
+                "CAST(conv(substring(md5(CAST(vec_id AS STRING)),"
+                f" 1, 6), 16, 10) AS INT) % {rr} = 0"
+            )
+        )
+    # fan the streamed side out to full parallelism — the (possibly
+    # sampled) projection of a single-file fixture otherwise carries
+    # its 1-3 input splits through the broadcast nested loop
+    a = nrm.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("vec_id").alias("ida"),
         F.col("q").alias("qa"),
         F.col("n2").alias("na2"),
@@ -2727,23 +2768,9 @@ def emb_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    # sampling DISPATCH (mirrored in the oracle): above ~2M true pairs
-    # the histogram switches to a deterministic md5 hash-sample of the
-    # pair space with rate 1/S, S = pairs div 2M — same bin
-    # arithmetic, bounded work, identical both engines (S = 1, i.e.
-    # all pairs, at every fixture scale; the 20x clone crosses it)
-    n_live = nrm.count()
-    samp = max(1, (n_live * (n_live - 1) // 2) // 2_000_000)
     pairs = (
         a.crossJoin(F.broadcast(b))
         .filter(F.col("ida") < F.col("idb"))
-        .filter(
-            F.expr(
-                "CAST(conv(substring(md5(concat(CAST(ida AS STRING),"
-                " '#', CAST(idb AS STRING))), 1, 6), 16, 10) AS INT)"
-                f" % {samp} = 0"
-            )
-        )
         .select(
             dot_ab.alias("dot"),
             (
