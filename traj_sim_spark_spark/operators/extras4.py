@@ -1341,7 +1341,14 @@ def traj_viterbi_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "emb_dedup_threshold_sweep",
     oracle="""
-    WITH ev AS (
+    WITH cfg AS (
+        SELECT CASE WHEN n < 2000 THEN 4
+                    WHEN n < 50000 THEN 8
+                    WHEN n < 1600000 THEN 12
+                    ELSE 16 END AS w
+        FROM (SELECT COUNT(*) AS n FROM embeddings)
+    ),
+    ev AS (
         SELECT vec_id, generate_subscripts(embedding, 1) AS i,
                CAST(unnest(embedding) AS DOUBLE) AS v
         FROM embeddings
@@ -1350,7 +1357,7 @@ def traj_viterbi_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id,
                STRING_AGG(CASE WHEN v >= 0 THEN '1' ELSE '0' END, ''
                           ORDER BY i) AS bucket
-        FROM ev WHERE i <= 4
+        FROM ev WHERE i <= (SELECT w FROM cfg)
         GROUP BY vec_id
     ),
     pairs AS (
@@ -1393,17 +1400,35 @@ def emb_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-band mean uses micro-quantized integer sums (house rule: never
     average raw floats), one display division at the end.
 
-    Scale shape: identical to the dedup path it calibrates — the
-    16-bucket sign-LSH equi-join bounds candidate pairs, one hash agg
-    bands them; the output is <= 20 rows at any corpus size."""
+    Scale shape: the sign-LSH bucket WIDTH is corpus-derived, not
+    fixed (the mm_phash_nn occupancy discipline): expected bucket
+    occupancy is corpus/2^W, so at any fixed W in-bucket candidate
+    pairs grow quadratically with the corpus — the width ladder
+    (W = 4 below 2000 vectors, 8 below 50k, 12 below 1.6M, 16 beyond)
+    keeps occupancy, and with it per-bucket pair volume, bounded at
+    every rung, mirrored in the oracle's corpus-count CASE so both
+    engines take the same side (sf0.01 exercises W=4, sf0.1 W=8, the
+    20x clone probe W=8 at 40k vectors). Candidate recall shifts
+    openly at each rung — the standard LSH width trade, and this row
+    is a calibration HISTOGRAM, not a dedup verdict. Output is <= 20
+    rows at any corpus size."""
     from ..functions.vector import cosine, to_double
 
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select(
         "vec_id", to_double("embedding").alias("emb")
     )
+    n_vec = t.embeddings.count()
+    if n_vec < 2000:
+        width = 4
+    elif n_vec < 50000:
+        width = 8
+    elif n_vec < 1600000:
+        width = 12
+    else:
+        width = 16
     bucket = F.expr(
-        "concat_ws('', transform(slice(emb, 1, 4),"
+        f"concat_ws('', transform(slice(emb, 1, {width}),"
         " x -> IF(x >= double(0), '1', '0')))"
     )
     sig = emb.select("vec_id", "emb", bucket.alias("bucket"))
