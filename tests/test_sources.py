@@ -33,6 +33,8 @@ def test_optional_formats_probe_gracefully(spark):
 
 
 def test_approx_count_distinct_within_5pct(spark, sf_dir):
+    """The KMV estimate must sit within 5% of the row's own exact twin
+    column, and that twin must equal an independent countDistinct."""
     t = Tables(spark, sf_dir)
     exact = {
         r["l_returnflag"]: r["nd"]
@@ -40,12 +42,12 @@ def test_approx_count_distinct_within_5pct(spark, sf_dir):
         .agg(F.countDistinct("l_partkey").alias("nd"))
         .collect()
     }
-    approx = {
-        r["l_returnflag"]: r["apx_parts"]
-        for r in registry.QUERIES["rel_agg_approx"](spark, sf_dir).collect()
-    }
-    for flag, nd in exact.items():
-        assert abs(approx[flag] - nd) / nd <= 0.05, (flag, approx[flag], nd)
+    rows = registry.QUERIES["rel_agg_approx"](spark, sf_dir).collect()
+    for r in rows:
+        flag = r["l_returnflag"]
+        assert r["nd_exact"] == exact[flag], (flag, r["nd_exact"])
+        err = abs(r["apx_parts"] - exact[flag]) / exact[flag]
+        assert err <= 0.05, (flag, r["apx_parts"], exact[flag])
 
 
 def test_compaction_collapses_per_band_files(spark, sf_dir):

@@ -1669,15 +1669,11 @@ _TR_SENTINEL = -(2**40)  # "before all time" seed arrival
 
 
 def _treach_oracle() -> str:
+    from .mining import CAPPED_BASE_SQL
+
     ctes = [
         f"""
-    b AS (
-        SELECT user_id,
-               CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400e6)
-                    AS BIGINT) AS dy,
-               MIN(value) AS v
-        FROM events GROUP BY 1, 2
-    ),
+    b AS ({CAPPED_BASE_SQL}),
     te AS MATERIALIZED (
         SELECT a.user_id u, c.user_id AS w, a.dy
         FROM b a JOIN b c
@@ -1735,16 +1731,15 @@ def graph_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash agg, localCheckpoint'd — identical cost to a BFS round; the
     temporal dimension costs nothing extra because edges carry their
     instant as data.  At 100 TB the edge relation pre-partitions by
-    carrier exactly like the SSSP row."""
-    t = Tables(spark, sf_dir)
-    b = (
-        t.events.groupBy(
-            "user_id",
-            F.floor(F.unix_micros("ts") / 86400e6).alias("dy"),
-        )
-        .agg(F.min("value").alias("v"))
-        .withColumn("cell", F.floor(F.col("v") / float(_TR_EPS)))
-    )
+    carrier exactly like the SSSP row.  The contact base is the CAPPED
+    per-(day, eps-cell) variant (``mining.comovement_base_capped``,
+    top-64 user_ids per bucket, mirrored in the oracle): contact-day
+    edge volume in a dense cell is quadratic in occupancy, and the cap
+    bounds it by construction — the same dense-regime discipline as
+    ``graph_clustering_coeff``."""
+    from .mining import comovement_base_capped
+
+    b = comovement_base_capped(spark, sf_dir)
     probe = b.withColumn(
         "cell",
         F.explode(
@@ -2379,16 +2374,11 @@ def text_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "graph_clustering_coeff",
-    oracle="""
-    WITH b AS (
-        SELECT user_id,
-               CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400e6)
-                    AS BIGINT) AS dy,
-               MIN(value) AS v
-        FROM events GROUP BY 1, 2
-    ),
+def _gcc_oracle() -> str:
+    from .mining import CAPPED_BASE_SQL
+
+    return f"""
+    WITH b AS ({CAPPED_BASE_SQL}),
     e AS MATERIALIZED (
         SELECT a.user_id u, c.user_id v
         FROM b a JOIN b c
@@ -2423,8 +2413,10 @@ def text_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS clustering
     FROM deg d LEFT JOIN tri t ON t.node = d.node
     WHERE d.d >= 2
-    """,
-)
+    """
+
+
+@query("graph_clustering_coeff", oracle=_gcc_oracle)
 def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOCAL CLUSTERING COEFFICIENT — the standard graph metric the
     triangle kernel exists to feed: per node, 2·triangles /
@@ -2443,10 +2435,17 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the oriented two-join triangle enumeration (each
     triangle once, fan-out per key = oriented out-degree) + one degree
     aggregate + one join — the `graph_triangles` cost plus two cheap
-    hash ops."""
-    from .mining import comovement_edges
+    hash ops.  The edge input is the CAPPED co-movement variant
+    (``mining.comovement_edges_capped``): in any one (day, eps-cell)
+    bucket only the 64 lowest user_ids participate, so per-node degree
+    — and with it the wedge fan-out Σdeg² that is this query's true
+    cost — is bounded by construction in the dense-city regime where
+    the uncapped graph degenerates to per-cell cliques (the 20x clone
+    grew edges 403x and shuffle-spilled the box).  Result-changing cap,
+    mirrored exactly in the oracle's ROW_NUMBER predicate."""
+    from .mining import comovement_edges_capped
 
-    e = comovement_edges(spark, sf_dir).localCheckpoint()
+    e = comovement_edges_capped(spark, sf_dir)
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))

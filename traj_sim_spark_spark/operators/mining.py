@@ -1106,3 +1106,93 @@ def comovement_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return _EDGE_CACHE[sf_dir]
+
+
+# Dense-regime participant cap for the CAPPED edge variant below: in
+# any one (day, eps-cell) bucket only the _DENSE_CELL_CAP lowest
+# user_ids participate in pairing.  An eps-cell is a physical
+# co-location bucket, so a bucket with thousands of users is the
+# degenerate "whole city in one cell" regime where co-movement pairs
+# grow quadratically and carry no per-pair information; the cap bounds
+# per-bucket pair volume by construction (the graph_copurchase top-64
+# discipline).  Result-changing, therefore mirrored EXACTLY in the
+# consuming oracles via the same ROW_NUMBER() OVER (dy, cell ORDER BY
+# user_id) predicate.
+_DENSE_CELL_CAP = 64
+
+_EDGE_CAPPED_CACHE: dict[str, DataFrame] = {}
+
+
+def comovement_base_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, day) MIN-value representatives with the per-(day,
+    eps-cell) participant cap applied — the bounded-degree base both
+    dense-regime graph consumers (``graph_clustering_coeff``,
+    ``graph_temporal_reach``) pair from."""
+    t = Tables(spark, sf_dir)
+    b = (
+        t.events.groupBy(
+            "user_id",
+            F.floor(F.unix_micros("ts") / 86400e6).alias("dy"),
+        )
+        .agg(F.min("value").alias("v"))
+        .withColumn("cell", F.floor(F.col("v") / _CO_EPS))
+    )
+    w = W.partitionBy("dy", "cell").orderBy("user_id")
+    return (
+        b.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _DENSE_CELL_CAP)
+        .drop("rn")
+    )
+
+
+def comovement_edges_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``comovement_edges`` built from the capped base (session-shared
+    artifact, same contract): identical result wherever no (day, cell)
+    bucket exceeds the cap, bounded-degree by construction where one
+    does."""
+    if sf_dir not in _EDGE_CAPPED_CACHE:
+        b = comovement_base_capped(spark, sf_dir)
+        probe = b.withColumn(
+            "cell",
+            F.explode(
+                F.array(
+                    F.col("cell") - 1, F.col("cell"), F.col("cell") + 1
+                )
+            ),
+        )
+        a, c = probe.alias("a"), b.alias("c")
+        _EDGE_CAPPED_CACHE[sf_dir] = (
+            a.join(
+                c,
+                (F.col("a.dy") == F.col("c.dy"))
+                & (F.col("a.cell") == F.col("c.cell"))
+                & (F.col("a.user_id") < F.col("c.user_id"))
+                & (F.abs(F.col("a.v") - F.col("c.v")) <= _CO_EPS),
+            )
+            .groupBy(
+                F.col("a.user_id").alias("u"),
+                F.col("c.user_id").alias("v"),
+            )
+            .agg(F.count("*").alias("n_days"))
+            .filter(F.col("n_days") >= _CO_MIN_DAYS)
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    return _EDGE_CAPPED_CACHE[sf_dir]
+
+
+# SQL fragment mirroring comovement_base_capped for consuming oracles:
+# expects an `events` view; yields (user_id, dy, v).
+CAPPED_BASE_SQL = f"""
+        SELECT user_id, dy, v FROM (
+            SELECT user_id, dy, v,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY dy, CAST(FLOOR(v / {_CO_EPS}) AS BIGINT)
+                       ORDER BY user_id) AS rn
+            FROM (SELECT user_id,
+                         CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP))
+                                    / 86400e6) AS BIGINT) AS dy,
+                         MIN(value) AS v
+                  FROM events GROUP BY 1, 2)
+        ) WHERE rn <= {_DENSE_CELL_CAP}
+"""
