@@ -649,10 +649,13 @@ def text_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_CHECKPOINT_EVERY = 2
 
 #: edge-count ceiling for the driver union-find fast path.  Below it,
-#: collecting the EDGE LIST (never the node table) is a bounded driver
-#: fetch — 2M edges ~= 32 MB — and a single union-find pass replaces
-#: 5+ distributed label-propagation rounds whose per-round scheduling
-#: overhead dominates small graphs (~7.6 s -> ~1 s for the 1.5k-node
+#: fetching the EDGE LIST (never the node table) is a bounded driver
+#: transfer — 2M (u, v) int64 pairs are 32 MB on the wire and land as
+#: two NumPy arrays of the same size via Arrow toPandas (collecting
+#: pyspark Rows instead would pay ~10x that in Python object
+#: overhead) — and a single union-find pass replaces 5+ distributed
+#: label-propagation rounds whose per-round scheduling overhead
+#: dominates small graphs (~7.6 s -> ~1 s for the 1.5k-node
 #: trajectory cluster graph).  Above it, the iterative path runs
 #: unchanged; the same cost-dispatch discipline as graph_pagerank's
 #: broadcast-vs-shuffle switch.  Labels are IDENTICAL either way (min
@@ -701,8 +704,9 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
                 parent[x], x = root, parent[x]
             return root
 
-        for r in edges.collect():
-            ru, rv = find(r["u"]), find(r["v"])
+        pdf = edges.select("u", "v").toPandas()  # Arrow: 2 int64 arrays
+        for u, v in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
+            ru, rv = find(int(u)), find(int(v))
             if ru != rv:
                 # union by MIN so the final root is the component min
                 if ru < rv:

@@ -86,23 +86,53 @@ def fixture_fingerprint(sf_dir: str, table: str = "events") -> str:
 
 _FPRINT_FILE = "_FIXTURE_FPRINT"
 
+# fingerprint captured by the most recent layout_current() guard, per
+# (path, sf_dir, table) — the PRE-build fixture state stamp_layout()
+# records (see its docstring for the TOCTOU this closes)
+_GUARD_FPRINT: dict[tuple[str, str, str], str] = {}
+
 
 def layout_current(path: str, sf_dir: str, table: str = "events") -> bool:
     """True iff a reusable derived layout exists at ``path`` AND its
-    fingerprint stamp matches the fixture files currently on disk."""
+    fingerprint stamp matches the fixture files currently on disk.
+
+    Always captures the live fingerprint (even on a False early
+    return) so a following ``stamp_layout`` records the PRE-build
+    fixture state."""
+    fp = fixture_fingerprint(sf_dir, table)
+    _GUARD_FPRINT[(path, sf_dir, table)] = fp
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         return False
     fp_file = os.path.join(path, _FPRINT_FILE)
     if not os.path.exists(fp_file):
         return False
     with open(fp_file) as f:
-        return f.read().strip() == fixture_fingerprint(sf_dir, table)
+        return f.read().strip() == fp
 
 
-def stamp_layout(path: str, sf_dir: str, table: str = "events") -> None:
-    """Record the source-fixture fingerprint next to ``_SUCCESS``."""
+def stamp_layout(
+    path: str,
+    sf_dir: str,
+    table: str = "events",
+    fingerprint: str | None = None,
+) -> None:
+    """Record the source-fixture fingerprint next to ``_SUCCESS``.
+
+    The stamped value must be the fixture state from BEFORE the
+    derived-layout build started: stamping a fingerprint read AFTER
+    the build would mark a layout built from the OLD fixture as
+    current against a fixture regenerated mid-build (TOCTOU in the
+    reuse check) and the stale layout would be reused indefinitely.
+    Every build site guards with ``layout_current`` immediately before
+    building, so the default is that guard-time capture; an explicit
+    ``fingerprint`` overrides, and only an unguarded build (no capture
+    recorded) falls back to the live state."""
+    if fingerprint is None:
+        fingerprint = _GUARD_FPRINT.get(
+            (path, sf_dir, table)
+        ) or fixture_fingerprint(sf_dir, table)
     with open(os.path.join(path, _FPRINT_FILE), "w") as f:
-        f.write(fixture_fingerprint(sf_dir, table))
+        f.write(fingerprint)
 
 
 @query(

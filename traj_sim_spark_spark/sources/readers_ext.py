@@ -648,19 +648,23 @@ def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     path)."""
     import os
 
-    from .readers import staging_dir
+    from .readers import layout_current, staging_dir, stamp_layout
 
     t = Tables(spark, sf_dir)
     d = os.path.join(staging_dir(sf_dir, "ingest"), "nation_malformed")
-    # write a csv with injected junk in n_regionkey for key%5==2
-    src = t.nation.select(
-        "n_nationkey",
-        "n_name",
-        F.when(F.col("n_nationkey") % 5 == 2, F.lit("JUNK"))
-        .otherwise(F.col("n_regionkey").cast("string"))
-        .alias("n_regionkey"),
-    )
-    src.write.mode("overwrite").option("header", True).csv(d)
+    # write a csv with injected junk in n_regionkey for key%5==2 —
+    # fingerprint-guarded like the other staged inputs so repeated
+    # invocations (gate sweeps, bench) reuse it instead of rewriting
+    if not layout_current(d, sf_dir, table="nation"):
+        src = t.nation.select(
+            "n_nationkey",
+            "n_name",
+            F.when(F.col("n_nationkey") % 5 == 2, F.lit("JUNK"))
+            .otherwise(F.col("n_regionkey").cast("string"))
+            .alias("n_regionkey"),
+        )
+        src.write.mode("overwrite").option("header", True).csv(d)
+        stamp_layout(d, sf_dir, table="nation")
     schema = (
         "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT,"
         " _corrupt_record STRING"
@@ -673,14 +677,23 @@ def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(d)
         .cache()  # SPARK-21610: corrupt-record queries need the full parse
     )
-    return parsed.agg(
-        F.count("*").cast("bigint").alias("n_rows"),
-        F.count("_corrupt_record").cast("bigint").alias("n_corrupt"),
-        F.sum(
-            F.when(
-                F.col("_corrupt_record").isNull(), F.col("n_regionkey")
-            ).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("region_sum"),
+    try:
+        # one eager action while cached, then release — a lazy return
+        # would leak the cached partitions across a 288-key run
+        row = parsed.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.count("_corrupt_record").cast("bigint").alias("n_corrupt"),
+            F.sum(
+                F.when(
+                    F.col("_corrupt_record").isNull(),
+                    F.col("n_regionkey"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("region_sum"),
+        ).collect()[0]
+    finally:
+        parsed.unpersist()
+    return spark.createDataFrame(
+        [row], "n_rows bigint, n_corrupt bigint, region_sum bigint"
     )
