@@ -64,3 +64,61 @@ def test_query_matches_oracle(key, spark, sf_dir, oracle_con):
     assert scols == dcols, f"{key}: column mismatch {scols} vs {dcols}"
     assert len(srows) == len(drows), f"{key}: rowcount {len(srows)} vs {len(drows)}"
     assert srows == drows, f"{key}: value mismatch"
+
+
+# ---------------------------------------------------------------------------
+# Driver-scale tier for keys the driver has never checked
+# ---------------------------------------------------------------------------
+#
+# The correctness driver samples a 50-key window per round, so some keys
+# wait rounds for a hard external row. Until each key's row lands, this
+# tier runs the SAME comparison at the driver's own scale (sf0.01 — the
+# fast tier above runs sf0.001): the set is derived from the recorded
+# CORRECTNESS_r*.json files, so it shrinks automatically as the window
+# rotates and disappears once every key has driver evidence.
+
+import glob as _glob
+import json as _json
+import os as _os
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+_DRIVER_SEEN: set[str] = set()
+for _p in sorted(_glob.glob(_os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+    try:
+        with open(_p) as _f:
+            _DRIVER_SEEN |= set(_json.load(_f))
+    except (OSError, ValueError):
+        pass
+
+ROWLESS_KEYS = sorted(k for k in registry.QUERIES if k not in _DRIVER_SEEN)
+SF_DRIVER = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def oracle_con_driver_scale():
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{SF_DRIVER}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("key", ROWLESS_KEYS)
+def test_rowless_key_matches_oracle_at_driver_scale(
+    key, spark, oracle_con_driver_scale
+):
+    sdf = registry.QUERIES[key](spark, SF_DRIVER).toPandas()
+    oracle = registry.ORACLES.get(key)
+    if oracle is None:
+        assert len(sdf) >= 0 and len(sdf.columns) > 0
+        return
+    ddf = oracle_con_driver_scale.execute(oracle).fetchdf()
+    scols, srows = _normalize(sdf)
+    dcols, drows = _normalize(ddf)
+    assert scols == dcols, f"{key}: column mismatch {scols} vs {dcols}"
+    assert len(srows) == len(drows), (
+        f"{key}: rowcount {len(srows)} vs {len(drows)}"
+    )
+    assert srows == drows, f"{key}: value mismatch"
