@@ -1,0 +1,61 @@
+"""The codec-dispatching decoder (multimodal._decode): the REAL wav
+path must decode PCM exactly (stdlib ``wave`` is always available), the
+image path must fall back to the stub when PIL is absent, and
+non-container payloads (the fixtures' utf-8 text) must be byte-stub
+identical — which is what keeps the mm_* oracles FULL here."""
+
+from __future__ import annotations
+
+import io
+import wave
+
+import numpy as np
+
+from traj_sim_spark_spark.operators.multimodal import _decode, _fake_decode
+
+
+def _wav_bytes(samples: np.ndarray, width: int) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(width)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def test_wav_8bit_pcm_decodes_exactly():
+    s = np.arange(256, dtype=np.uint8)
+    out = _decode(_wav_bytes(s, 1))
+    assert out.dtype == np.uint8
+    assert np.array_equal(out, s)
+
+
+def test_wav_16bit_pcm_maps_to_uint8_domain():
+    s = np.array([-32768, -1, 0, 1, 32767], dtype="<i2")
+    out = _decode(_wav_bytes(s, 2))
+    assert out.dtype == np.uint8
+    # (s + 32768) >> 8, deterministic and monotone
+    assert out.tolist() == [0, 127, 128, 128, 255]
+
+
+def test_text_payload_falls_through_to_stub():
+    payload = "the quick brown fox".encode("utf-8")
+    assert np.array_equal(_decode(payload), _fake_decode(payload))
+
+
+def test_png_magic_without_pil_falls_through_to_stub():
+    payload = b"\x89PNG\r\n\x1a\n" + bytes(range(32))
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if not have_pil:
+        assert np.array_equal(_decode(payload), _fake_decode(payload))
+
+
+def test_riff_non_wave_is_not_misdetected():
+    payload = b"RIFF" + b"\x00" * 4 + b"AVI " + bytes(range(16))
+    assert np.array_equal(_decode(payload), _fake_decode(payload))

@@ -2,11 +2,14 @@
 
 Image/audio/video content is modeled as opaque ``binary`` columns with
 typed metadata, processed by Arrow-batched ``mapInPandas`` stages. The
-container has no decode libraries (PIL/librosa/av), so the DECODE step is
-a clearly marked deterministic STUB — but everything Spark-side is real
-and tested: schema, binary encoding, partitioned batch iteration, UDF
-signatures, and output shapes. Swapping the stub for a real decoder is a
-one-function change.
+DECODE step is a codec-dispatching function (``_decode``): REAL wav/PCM
+decode through stdlib ``wave``, REAL image decode through PIL behind a
+guarded import (PIL is absent in this container, so that path falls
+through), and a clearly marked deterministic byte STUB for everything
+else — including the utf-8 text payloads the fixtures derive, which is
+what keeps these rows FULL-oracle here. Everything Spark-side is real
+and tested either way: schema, binary encoding, partitioned batch
+iteration, UDF signatures, and output shapes.
 
 The fixtures carry no binary table, so bytes are derived from
 ``documents.text`` (utf-8) — structurally identical to reading a BLOB
@@ -36,6 +39,49 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     byte stream as uint8 samples. A real deployment replaces exactly this
     function with e.g. ``PIL.Image.open(io.BytesIO(payload))``."""
     return np.frombuffer(payload, dtype=np.uint8)
+
+
+def _decode(payload: bytes) -> np.ndarray:
+    """Codec-dispatching decoder: sniff the container header and run a
+    REAL decoder when one is available, else fall back to the stub.
+
+    - ``RIFF..WAVE``: stdlib ``wave`` PCM decode (always available).
+      8-bit PCM is already the uint8 sample domain; 16-bit PCM is
+      mapped deterministically onto it (``(s + 32768) >> 8``) so every
+      downstream stage keeps the one 0..255 contract.
+    - PNG / JPEG magic: PIL grayscale decode behind a guarded import —
+      activates where PIL exists, falls through to the stub here.
+    - anything else (incl. the utf-8 text payloads the fixtures
+      derive): the deterministic byte stub, which is what keeps these
+      rows FULL-oracle in this container.
+
+    Every path returns a flat uint8-domain array, so the downstream
+    contract (histogram buckets, energy sums, resize pooling) is
+    codec-independent."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload)) as w:
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        if width == 1:
+            return np.frombuffer(raw, dtype=np.uint8)
+        if width == 2:
+            s = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+            return ((s + 32768) >> 8).astype(np.uint8)
+        return np.frombuffer(raw, dtype=np.uint8)  # exotic widths: raw
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:3] == b"\xff\xd8\xff":
+        try:
+            import io
+
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(payload)).convert("L")
+            return np.asarray(img, dtype=np.uint8).reshape(-1)
+        except ImportError:
+            pass  # no PIL in this container — stub keeps the contract
+    return _fake_decode(payload)
 
 
 @query(
@@ -101,7 +147,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                s = _fake_decode(bytes(payload))
+                s = _decode(bytes(payload))
                 rows.append(
                     (
                         doc_id,
@@ -155,7 +201,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, idxs, means = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                s = _fake_decode(bytes(payload))
+                s = _decode(bytes(payload))
                 n_frames = len(s) // _FRAME_BYTES
                 for f in range(0, n_frames, 4):
                     frame = s[f * _FRAME_BYTES : (f + 1) * _FRAME_BYTES]
@@ -229,7 +275,7 @@ def mm_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                     [
                         int(x)
                         for x in np.bincount(
-                            _fake_decode(bytes(payload)) >> 5, minlength=8
+                            _decode(bytes(payload)) >> 5, minlength=8
                         )[:8]
                     ],
                 )
@@ -314,7 +360,7 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, nf, pf, pr = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                s = _fake_decode(bytes(payload)).astype(np.int64)
+                s = _decode(bytes(payload)).astype(np.int64)
                 n_frames = len(s) // _AUDIO_FRAME
                 if n_frames == 0:
                     continue
@@ -401,7 +447,7 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, ws, mn, mx, me = [], [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                s = _fake_decode(bytes(payload)).astype(np.int64)
+                s = _decode(bytes(payload)).astype(np.int64)
                 n = len(s)
                 if n < _RESIZE_W:
                     continue
