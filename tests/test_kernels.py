@@ -245,3 +245,45 @@ def test_proper_crossing_matches_rational_solver(
     got = engine_proper_crossing(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2)
     want = ref_proper_crossing(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2)
     assert got == want, (ax1, ay1, ax2, ay2, bx1, by1, bx2, by2)
+
+
+def test_lcss_edr_match_quadratic_reference():
+    """The antidiagonal-vectorized LCSS/EDR kernels must equal the
+    textbook O(n*m) loop recurrences on random series (the same
+    independent-twin discipline as the DTW/Fréchet pins)."""
+    import numpy as np
+
+    from traj_sim_spark_spark.functions import kernels
+
+    def lcss_ref(a, b, eps):
+        n, m = len(a), len(b)
+        L = np.zeros((n + 1, m + 1), dtype=int)
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                if abs(a[i - 1] - b[j - 1]) <= eps:
+                    L[i, j] = L[i - 1, j - 1] + 1
+                else:
+                    L[i, j] = max(L[i - 1, j], L[i, j - 1])
+        return L[n, m]
+
+    def edr_ref(a, b, eps):
+        n, m = len(a), len(b)
+        E = np.zeros((n + 1, m + 1), dtype=int)
+        E[:, 0] = np.arange(n + 1)
+        E[0, :] = np.arange(m + 1)
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                sub = 0 if abs(a[i - 1] - b[j - 1]) <= eps else 1
+                E[i, j] = min(
+                    E[i - 1, j - 1] + sub, E[i - 1, j] + 1, E[i, j - 1] + 1
+                )
+        return E[n, m]
+
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        n, m = rng.integers(1, 20), rng.integers(1, 20)
+        a = rng.normal(0, 2, n)
+        b = rng.normal(0, 2, m)
+        eps = float(rng.uniform(0.1, 3))
+        assert kernels.lcss(a, b, eps) == lcss_ref(a, b, eps)
+        assert kernels.edr(a, b, eps) == edr_ref(a, b, eps)

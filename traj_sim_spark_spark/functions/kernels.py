@@ -211,3 +211,79 @@ def dtw_banded(
         cur[idx + 1] = vals
         prev2, prev1 = prev1, cur
     return float(prev1[n])
+
+
+def lcss(a: np.ndarray, b: np.ndarray, eps: float) -> int:
+    """Longest common subsequence length under eps-matching
+    (LCSS_{eps}, the third classic trajectory measure after Fréchet
+    and DTW): L(i,j) = L(i-1,j-1)+1 if d(a_i,b_j) <= eps else
+    max(L(i-1,j), L(i,j-1)).  Integer-valued, so exact by
+    construction; the similarity display is LCSS/min(n,m).
+
+    Antidiagonal-vectorized like ``_antidiagonal_dp``, using the
+    equivalent monotone form L(i,j) = max(L(i-1,j-1)+m_ij, L(i-1,j),
+    L(i,j-1)) (valid because L grows by at most 1 per added element,
+    so the NW+1 candidate dominates on a match and never wins
+    spuriously otherwise)."""
+    d = pairwise_dist(a, b)
+    match = (d <= eps).astype(np.int64)
+    n, m = match.shape
+    prev2 = np.full(n + 1, -1, dtype=np.int64)  # k-2 diag; p = i+1
+    prev1 = np.full(n + 1, -1, dtype=np.int64)  # k-1 diag
+    prev1[1] = match[0, 0]
+    if n == 1 and m == 1:
+        return int(match[0, 0])
+    for k in range(1, n + m - 1):
+        lo = max(0, k - m + 1)
+        hi = min(k, n - 1)
+        idx = np.arange(lo, hi + 1)
+        mk = match[idx, k - idx]
+        # virtual zero row/col: boundary cells see NW = 0
+        nw = np.where(prev2[idx] < 0, 0, prev2[idx])
+        best = np.maximum(
+            np.maximum(prev1[idx], prev1[idx + 1]), nw + mk
+        )
+        cur = np.full(n + 1, -1, dtype=np.int64)
+        cur[idx + 1] = best
+        prev2, prev1 = prev1, cur
+    return int(prev1[n])
+
+
+def edr(a: np.ndarray, b: np.ndarray, eps: float) -> int:
+    """Edit Distance on Real sequences (EDR_{eps}): E(i,j) =
+    min(E(i-1,j-1) + (0 if d(a_i,b_j) <= eps else 1), E(i-1,j) + 1,
+    E(i,j-1) + 1) with E(i,0)=i, E(0,j)=j.  Integer-valued — exact by
+    construction.  Antidiagonal-vectorized with virtual boundary
+    candidates (row 0 / col 0 are arithmetic, never materialized)."""
+    d = pairwise_dist(a, b)
+    sub = (d > eps).astype(np.int64)
+    n, m = sub.shape
+    big = np.int64(1 << 40)
+    prev2 = np.full(n + 1, big, dtype=np.int64)
+    prev1 = np.full(n + 1, big, dtype=np.int64)
+    prev1[1] = sub[0, 0]  # E(1,1) = min(0+sub, 1+1, 1+1) = sub
+    if n == 1 and m == 1:
+        return int(sub[0, 0])
+    for k in range(1, n + m - 1):
+        lo = max(0, k - m + 1)
+        hi = min(k, n - 1)
+        idx = np.arange(lo, hi + 1)  # i-1 (0-based row)
+        sk = sub[idx, k - idx]
+        jdx = k - idx  # j-1 (0-based col)
+        nw = prev2[idx].copy()
+        nn = prev1[idx].copy()
+        ww = prev1[idx + 1].copy()
+        # virtual boundaries (1-based i = idx+1, j = jdx+1):
+        # i == 1: NW = E(0, j-1) = j-1, N = E(0, j) = j
+        first_row = idx == 0
+        nw[first_row] = jdx[first_row]
+        nn[first_row] = jdx[first_row] + 1
+        # j == 1: NW = E(i-1, 0) = i-1, W = E(i, 0) = i
+        first_col = jdx == 0
+        nw[first_col] = idx[first_col]
+        ww[first_col] = idx[first_col] + 1
+        best = np.minimum(np.minimum(nn + 1, ww + 1), nw + sk)
+        cur = np.full(n + 1, big, dtype=np.int64)
+        cur[idx + 1] = best
+        prev2, prev1 = prev1, cur
+    return int(prev1[n])

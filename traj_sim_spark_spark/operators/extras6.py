@@ -1,0 +1,484 @@
+"""Round-5 additions (SURVEY.md §2.2 — extras6).
+
+- ``traj_lcss_pair`` / ``traj_edr_pair`` — the remaining two classic
+  trajectory similarity measures (LCSS and EDR join Hausdorff /
+  Fréchet / DTW; both are eps-matching EDIT formulations, integer-
+  valued DPs and therefore exact by construction), FULL recursive-CTE
+  oracles via the ``trajectory._dp_layers_sql`` antidiagonal template.
+- ``sim_diversify_mmr`` — Maximal-Marginal-Relevance diversified
+  top-k over the embedding corpus (the standard retrieval reranker),
+  integer-exact on quantized squared distances, unrolled-rounds FULL
+  oracle (the ``emb_kmeans_exact`` discipline).
+- ``rel_gaps_islands`` — the gaps-and-islands pattern (maximal runs of
+  consecutive active days per user).
+- ``rel_agg_filtered`` — FILTER-clause conditional aggregation.
+- ``text_langid_confusion`` — language-ID confusion matrix (labeled
+  lang x predicted lang), composed from ``text_langid``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+
+# ---------------------------------------------------------------------------
+# traj_lcss_pair / traj_edr_pair — eps-matching edit-style DP measures
+# ---------------------------------------------------------------------------
+
+_LCSS_EPS = "10.0"  # eps-matching tolerance (value units; ~5% of range)
+
+
+def _lcss_edr_series_sql() -> str:
+    """Shared av/bv series CTEs (same ordering as the DTW pair row)."""
+    return """
+    av(i, v) AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id), value
+        FROM events WHERE user_id = 2
+    ),
+    bv(j, v) AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id), value
+        FROM events WHERE user_id = 1
+    )"""
+
+
+def _lcss_pair_oracle() -> str:
+    from .trajectory import _dp_layers_sql
+
+    # match(i,j) in {0,1}; L(i,j) = max(W, N, NW + match) with a
+    # virtual zero row/col (boundary cells take GREATEST with the bare
+    # match value).  Monotone-equivalent to the textbook recurrence:
+    # L grows by at most 1 per added element, so NW+1 dominates on a
+    # match and never wins spuriously otherwise.
+    combine = (
+        "GREATEST("
+        "MAX(CASE WHEN cur.age = 1 THEN cur.val + cells.d"
+        "         ELSE cur.val END), "
+        "MAX(CASE WHEN cells.i = 1 OR cells.k - cells.i = 1"
+        "         THEN cells.d ELSE 0 END))"
+    )
+    cost = (
+        f"CASE WHEN ABS(av.v - bv.v) <= {_LCSS_EPS} THEN 1 ELSE 0 END"
+    )
+    dp = _dp_layers_sql("lcss_dp", combine, cost)
+    return f"""
+    WITH RECURSIVE
+    {_lcss_edr_series_sql()},
+    {dp},
+    nm AS (SELECT (SELECT MAX(i) FROM av) AS n,
+                  (SELECT MAX(j) FROM bv) AS m)
+    SELECT CAST(2 AS BIGINT) AS user_id,
+           CAST((SELECT val FROM lcss_dp
+                 WHERE age = 0 AND k = (SELECT n + m FROM nm)
+                   AND i = (SELECT n FROM nm)) AS BIGINT) AS lcss_len,
+           ROUND(CAST((SELECT val FROM lcss_dp
+                       WHERE age = 0 AND k = (SELECT n + m FROM nm)
+                         AND i = (SELECT n FROM nm)) AS DOUBLE)
+                 / (SELECT LEAST(n, m) FROM nm), 6) AS lcss_sim
+    """
+
+
+def _edr_pair_oracle() -> str:
+    from .trajectory import _dp_layers_sql
+
+    # sub(i,j) in {0,1}; E(i,j) = min(NW + sub, N + 1, W + 1) with
+    # E(i,0) = i, E(0,j) = j supplied as VIRTUAL boundary candidates
+    # (j = k - i inside the layer): i = 1 sees NW = j-1, N = j;
+    # j = 1 sees NW = i-1, W = i.
+    combine = (
+        "LEAST("
+        "MIN(CASE WHEN cur.age = 1 THEN cur.val + cells.d"
+        "         ELSE cur.val + 1 END), "
+        "MIN(CASE WHEN cells.i = 1"
+        "         THEN LEAST(cells.k - cells.i - 1 + cells.d,"
+        "                    cells.k - cells.i + 1)"
+        "         ELSE 1099511627776 END), "
+        "MIN(CASE WHEN cells.k - cells.i = 1"
+        "         THEN LEAST(cells.i - 1 + cells.d, cells.i + 1)"
+        "         ELSE 1099511627776 END))"
+    )
+    cost = (
+        f"CASE WHEN ABS(av.v - bv.v) <= {_LCSS_EPS} THEN 0 ELSE 1 END"
+    )
+    dp = _dp_layers_sql("edr_dp", combine, cost)
+    return f"""
+    WITH RECURSIVE
+    {_lcss_edr_series_sql()},
+    {dp},
+    nm AS (SELECT (SELECT MAX(i) FROM av) AS n,
+                  (SELECT MAX(j) FROM bv) AS m)
+    SELECT CAST(2 AS BIGINT) AS user_id,
+           CAST((SELECT val FROM edr_dp
+                 WHERE age = 0 AND k = (SELECT n + m FROM nm)
+                   AND i = (SELECT n FROM nm)) AS BIGINT) AS edr,
+           ROUND(CAST((SELECT val FROM edr_dp
+                       WHERE age = 0 AND k = (SELECT n + m FROM nm)
+                         AND i = (SELECT n FROM nm)) AS DOUBLE)
+                 / (SELECT GREATEST(n, m) FROM nm), 6) AS edr_norm
+    """
+
+
+@query("traj_lcss_pair", oracle=_lcss_pair_oracle)
+def traj_lcss_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LCSS similarity between users 1 and 2 — the eps-matching
+    longest-common-subsequence trajectory measure (robust to noise and
+    outlier points where DTW is not: an outlier simply never matches).
+    Completes the classic measure family {Hausdorff, Fréchet, DTW,
+    LCSS, EDR} on the pair shape.
+
+    Exactness: the DP is INTEGER-valued (match decisions are float
+    comparisons against eps on identical doubles, then pure integer
+    max/+1), so Spark's NumPy kernel and DuckDB's antidiagonal
+    recursive CTE agree exactly; the similarity LCSS/min(n,m) is the
+    one final display float.
+
+    Scale shape: identical to ``traj_dtw_pair`` — assemble two series,
+    one Arrow ``applyInPandas`` group, O(n·m) inside the kernel."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import kernels
+    from .trajectory import _QUERY_USER, _paired_series
+
+    t = Tables(spark, sf_dir)
+    paired = _paired_series(t, _QUERY_USER).filter(F.col("user_id") == 2)
+    eps = float(_LCSS_EPS)
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in pdf.iterrows():
+            a = np.asarray(row["vals"], dtype=np.float64)
+            b = np.asarray(row["q_vals"], dtype=np.float64)
+            ln = kernels.lcss(a, b, eps)
+            out.append(
+                (row["user_id"], ln, round(ln / min(len(a), len(b)), 6))
+            )
+        return pd.DataFrame(out, columns=["user_id", "lcss_len", "lcss_sim"])
+
+    return paired.groupBy("user_id").applyInPandas(
+        per_user, schema="user_id bigint, lcss_len bigint, lcss_sim double"
+    )
+
+
+@query("traj_edr_pair", oracle=_edr_pair_oracle)
+def traj_edr_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDR (Edit Distance on Real sequences) between users 1 and 2:
+    eps-matching edit distance — substitution costs 1 unless the
+    points eps-match, insert/delete cost 1; boundary E(i,0)=i.
+    The noise-robust edit twin of LCSS (counts mismatches instead of
+    matches), also integer-valued and therefore exact; same
+    antidiagonal recursive-CTE oracle with virtual boundary
+    candidates.  Display: EDR and EDR/max(n,m)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import kernels
+    from .trajectory import _QUERY_USER, _paired_series
+
+    t = Tables(spark, sf_dir)
+    paired = _paired_series(t, _QUERY_USER).filter(F.col("user_id") == 2)
+    eps = float(_LCSS_EPS)
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in pdf.iterrows():
+            a = np.asarray(row["vals"], dtype=np.float64)
+            b = np.asarray(row["q_vals"], dtype=np.float64)
+            e = kernels.edr(a, b, eps)
+            out.append(
+                (row["user_id"], e, round(e / max(len(a), len(b)), 6))
+            )
+        return pd.DataFrame(out, columns=["user_id", "edr", "edr_norm"])
+
+    return paired.groupBy("user_id").applyInPandas(
+        per_user, schema="user_id bigint, edr bigint, edr_norm double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_diversify_mmr — Maximal-Marginal-Relevance diversified top-k
+# ---------------------------------------------------------------------------
+
+_MMR_SHORTLIST = 32  # relevance shortlist fed to the reranker
+_MMR_K = 5  # diversified picks (unrolled in the oracle)
+
+
+def _mmr_oracle() -> str:
+    # integer d2 between quantized vectors via explicit unnest + BIGINT
+    # sum (list_dot_product would be double; diffs^2 sums can graze
+    # 2^53) — qv/d2 CTEs shared, then _MMR_K unrolled selection rounds:
+    # pick argmin of 2*d2(q, c) - min_{s in S} d2(c, s) (lambda = 1/2
+    # scaled x2 — all integer), ties to the smallest vec_id; round 0 is
+    # pure relevance.  Selection happens INSIDE the 32-candidate
+    # relevance shortlist, the standard rerank contract.
+    rounds = []
+    sel_union = "SELECT vec_id FROM s0"
+    for r in range(1, _MMR_K):
+        rounds.append(f"""
+    s{r} AS (
+        SELECT c.vec_id
+        FROM short c
+        WHERE c.vec_id NOT IN ({sel_union})
+        ORDER BY 2 * c.d2q - (
+            SELECT MIN(p.d2) FROM pair p
+            WHERE p.ida = c.vec_id
+              AND p.idb IN ({sel_union})
+        ), c.vec_id
+        LIMIT 1
+    )""")
+        sel_union += f" UNION ALL SELECT vec_id FROM s{r}"
+    ranked = " UNION ALL ".join(
+        f"SELECT {r} AS rank, vec_id FROM s{r}" for r in range(_MMR_K)
+    )
+    return f"""
+    WITH qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(ROUND(x * 1e6) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    qq AS (SELECT q FROM qv WHERE vec_id = (SELECT MIN(vec_id) FROM qv)),
+    cand AS (
+        SELECT v.vec_id,
+               (SELECT SUM((a - b) * (a - b)) FROM (
+                    SELECT UNNEST(v.q) AS a, UNNEST((SELECT q FROM qq)) AS b
+                )) AS d2q
+        FROM qv v
+        WHERE v.vec_id > (SELECT MIN(vec_id) FROM qv)
+    ),
+    short AS (
+        SELECT vec_id, CAST(d2q AS BIGINT) AS d2q
+        FROM cand ORDER BY d2q, vec_id LIMIT {_MMR_SHORTLIST}
+    ),
+    pair AS (
+        SELECT a.vec_id AS ida, b.vec_id AS idb,
+               CAST((SELECT SUM((x - y) * (x - y)) FROM (
+                    SELECT UNNEST(va.q) AS x, UNNEST(vb.q) AS y
+               )) AS BIGINT) AS d2
+        FROM short a
+        JOIN short b ON a.vec_id <> b.vec_id
+        JOIN qv va ON va.vec_id = a.vec_id
+        JOIN qv vb ON vb.vec_id = b.vec_id
+    ),
+    s0 AS (SELECT vec_id FROM short ORDER BY d2q, vec_id LIMIT 1),
+    {",".join(rounds)}
+    SELECT CAST(r.rank AS BIGINT) AS rank, r.vec_id,
+           s.d2q AS rel_d2
+    FROM ({ranked}) r JOIN short s ON s.vec_id = r.vec_id
+    """
+
+
+@query("sim_diversify_mmr", oracle=_mmr_oracle)
+def sim_diversify_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE diversified top-k — the standard
+    retrieval reranker (near-duplicate results waste a RAG context
+    window; MMR trades relevance against redundancy): greedily pick
+    the candidate minimizing 2·d2(query, c) − min_{s∈S} d2(c, s)
+    (λ = 1/2, integer-scaled ×2) from a 32-candidate relevance
+    shortlist, k = 5 picks, ties to the smallest vec_id.
+
+    Exactness: squared distances between micro-quantized vectors are
+    exact BIGINTs on both engines (explicit unnest + integer sum in
+    the oracle — ``list_dot_product`` doubles could graze 2^53), and
+    the greedy argmin is an integer decision chain, so the whole
+    selection is bit-exact; mirrored as unrolled selection-round CTEs
+    (the ``emb_kmeans_exact`` discipline).
+
+    Scale shape: the corpus-sized work is the relevance scan (one
+    column-pruned pass + global top-32, TakeOrderedAndProject); the
+    rerank then touches only the 32-row shortlist — its 32x32 pair
+    matrix and 5 greedy rounds are a BOUNDED driver artifact (~1k
+    integers, the route/manifest-row discipline), so the operator's
+    distributed footprint is exactly one scan regardless of corpus
+    size."""
+    import numpy as np
+
+    t = Tables(spark, sf_dir)
+    qv = t.embeddings.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(ROUND(x * 1e6) AS BIGINT))"
+        ).alias("q"),
+    )
+    qmin = qv.agg(F.min("vec_id").alias("qid"))
+    qrow = qv.join(F.broadcast(qmin), qv["vec_id"] == qmin["qid"]).select(
+        F.col("q").alias("qq")
+    )
+    d2q = F.aggregate(
+        F.zip_with("q", "qq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    shortlist = (
+        qv.join(F.broadcast(qmin))
+        .filter(F.col("vec_id") > F.col("qid"))
+        .crossJoin(F.broadcast(qrow))
+        .select("vec_id", "q", d2q.alias("d2q"))
+        .orderBy("d2q", "vec_id")
+        .limit(_MMR_SHORTLIST)
+    )
+    rows = shortlist.collect()  # bounded: 32 (vec_id, q, d2q) rows
+    ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
+    vecs = np.asarray([r["q"] for r in rows], dtype=np.int64)
+    rel = np.asarray([r["d2q"] for r in rows], dtype=np.int64)
+    diff = vecs[:, None, :] - vecs[None, :, :]
+    pair_d2 = (diff * diff).sum(axis=2)  # int64 exact
+    order = np.lexsort((ids, rel))  # relevance, ties by id
+    picked = [int(order[0])]
+    while len(picked) < min(_MMR_K, len(ids)):
+        best = None
+        for c in range(len(ids)):
+            if c in picked:
+                continue
+            div = int(min(pair_d2[c, s] for s in picked))
+            key = (2 * int(rel[c]) - div, int(ids[c]))
+            if best is None or key < best[0]:
+                best = (key, c)
+        picked.append(best[1])
+    out = [
+        (r, int(ids[c]), int(rel[c])) for r, c in enumerate(picked)
+    ]
+    return spark.createDataFrame(
+        out, "rank bigint, vec_id bigint, rel_d2 bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# rel_gaps_islands — maximal runs of consecutive active days
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_gaps_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400e6)
+                    AS BIGINT) AS dy
+        FROM events
+    ),
+    grp AS (
+        SELECT user_id, dy,
+               dy - ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY dy) AS island
+        FROM days
+    )
+    SELECT user_id,
+           MIN(dy) AS start_dy,
+           MAX(dy) AS end_dy,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM grp
+    GROUP BY user_id, island
+    """,
+)
+def rel_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAPS-AND-ISLANDS: per user, the maximal runs of consecutive
+    active days (the canonical sequential-SQL pattern — streaks,
+    uptime windows, contiguous coverage): island id = day −
+    row_number(day), one integer subtraction that is constant exactly
+    within a consecutive run.  One distinct-days aggregate, one
+    window, one group — all integer; partition-count independent.
+
+    Scale shape: both shuffles key on user_id (the window and the
+    final group co-partition), active-days per user bounds every
+    window partition, and nothing is driver-sided."""
+    t = Tables(spark, sf_dir)
+    days = t.events.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / 86400e6).alias("dy"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("dy")
+    grp = days.withColumn(
+        "island", F.col("dy") - F.row_number().over(w)
+    )
+    return grp.groupBy("user_id", "island").agg(
+        F.min("dy").alias("start_dy"),
+        F.max("dy").alias("end_dy"),
+        F.count("*").cast("bigint").alias("n_days"),
+    ).drop("island")
+
+
+# ---------------------------------------------------------------------------
+# rel_agg_filtered — FILTER-clause conditional aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_agg_filtered",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) FILTER (WHERE l_quantity > 25)
+                AS BIGINT) AS n_bulk,
+           CAST(COUNT(*) FILTER (WHERE l_discount >= 0.05)
+                AS BIGINT) AS n_discounted,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                FILTER (WHERE l_quantity > 25) AS BIGINT) AS bulk_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def rel_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause conditional aggregation — several differently-
+    filtered aggregates in ONE pass over the table (the alternative is
+    N scans or N self-joins): counts and an integer-cents sum, each
+    under its own predicate, plus the unconditional total.
+
+    Spark expresses FILTER with when()-guarded aggregates (count_if /
+    sum(when)) — Catalyst folds them into a single hash aggregate with
+    map-side partials, so the plan is one scan + one shuffle no matter
+    how many conditions ride along.  All outputs integer (house cents
+    rule), so the row hash-matches with no float anywhere."""
+    t = Tables(spark, sf_dir)
+    cents = F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")
+    bulk = F.col("l_quantity") > 25
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.count(F.when(bulk, 1)).cast("bigint").alias("n_bulk"),
+        F.count(F.when(F.col("l_discount") >= 0.05, 1))
+        .cast("bigint")
+        .alias("n_discounted"),
+        F.sum(F.when(bulk, cents)).cast("bigint").alias("bulk_cents"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_langid_confusion — language-ID confusion matrix
+# ---------------------------------------------------------------------------
+
+
+def _langid_confusion_oracle() -> str:
+    from ..registry import ORACLES
+    from . import text  # noqa: F401  (registers text_langid)
+
+    inner = ORACLES["text_langid"].rstrip()
+    return f"""
+    WITH pred AS ({inner})
+    SELECT lang, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred
+    GROUP BY lang, pred_lang
+    """
+
+
+@query("text_langid_confusion", oracle=_langid_confusion_oracle)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LANGUAGE-ID CONFUSION MATRIX: labeled lang x predicted lang with
+    document counts — the evaluation table for the n-gram language
+    identifier (``text_langid``); off-diagonal mass is exactly the
+    misclassification a corpus-quality pipeline alerts on.
+
+    Composed operator: the per-doc prediction is the registered
+    ``text_langid`` plan (one broadcast marker join + two aggregates),
+    this row adds one more hash aggregate on (lang, pred_lang) — the
+    oracle wraps the registered ``text_langid`` SQL as a CTE, so the
+    two rows can never drift apart."""
+    from .text import text_langid
+
+    return (
+        text_langid(spark, sf_dir)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )

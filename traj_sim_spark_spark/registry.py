@@ -85,6 +85,8 @@ _MODULES = (
     # moves them forward together with the other rowless keys)
     "traj_sim_spark_spark.operators.extras4",
     "traj_sim_spark_spark.operators.extras5",
+    # round-5 additions (queued for the round-6 window)
+    "traj_sim_spark_spark.operators.extras6",
 )
 
 # Explicit driver-window ordering: after load_all() the first keys of
