@@ -804,3 +804,144 @@ def test_dtw_banded_threshold_is_exact_and_recursion_checked(
     want = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert sorted(tuple(r) for r in registry.QUERIES[
         "traj_dtw_threshold_banded"](spark, sf_dir).collect()) == want
+
+
+def test_lcss_threshold_two_phase_is_exact(spark, sf_dir):
+    """The envelope-bound-gated banded-LCSS threshold must equal the
+    unpruned brute force (refine every user, integer membership)."""
+    from traj_sim_spark_spark.operators.extras6 import (
+        _LCSS_DELTA,
+        _LCSS_TAU_DEN,
+        _LCSS_TAU_NUM,
+        _SEARCH_EPS,
+    )
+
+    series = _series_by_user(spark, sf_dir)
+    q = series[1]
+    brute = sorted(
+        (u, kernels.lcss(s, q, _SEARCH_EPS, _LCSS_DELTA))
+        for u, s in series.items()
+        if u != 1
+        and kernels.lcss(s, q, _SEARCH_EPS, _LCSS_DELTA) * _LCSS_TAU_DEN
+        >= min(len(s), len(q)) * _LCSS_TAU_NUM
+    )
+    got = sorted(
+        (r["user_id"], r["lcss_len"])
+        for r in registry.QUERIES["traj_lcss_threshold"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert got == brute, f"{got}\n{brute}"
+
+
+def test_lcss_knn_matches_brute_force(spark, sf_dir):
+    from traj_sim_spark_spark.operators.extras6 import (
+        _LCSS_DELTA,
+        _SEARCH_EPS,
+        _SEARCH_K,
+    )
+
+    series = _series_by_user(spark, sf_dir)
+    q = series[1]
+    scored = []
+    for u, s in series.items():
+        if u == 1:
+            continue
+        ln = kernels.lcss(s, q, _SEARCH_EPS, _LCSS_DELTA)
+        scored.append((-(ln / min(len(s), len(q))), u, ln))
+    brute = [(u, ln) for _, u, ln in sorted(scored)[:_SEARCH_K]]
+    got = [
+        (r["user_id"], r["lcss_len"])
+        for r in registry.QUERIES["traj_lcss_knn"](spark, sf_dir).collect()
+    ]
+    assert got == brute, f"{got}\n{brute}"
+
+
+def test_edr_threshold_two_phase_is_exact(spark, sf_dir):
+    from traj_sim_spark_spark.operators.extras6 import (
+        _EDR_TAU_DEN,
+        _EDR_TAU_NUM,
+        _SEARCH_EPS,
+    )
+
+    series = _series_by_user(spark, sf_dir)
+    q = series[1]
+    brute = sorted(
+        (u, kernels.edr(s, q, _SEARCH_EPS))
+        for u, s in series.items()
+        if u != 1
+        and kernels.edr(s, q, _SEARCH_EPS) * _EDR_TAU_DEN
+        <= max(len(s), len(q)) * _EDR_TAU_NUM
+    )
+    got = sorted(
+        (r["user_id"], r["edr"])
+        for r in registry.QUERIES["traj_edr_threshold"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert got == brute, f"{got}\n{brute}"
+
+
+def test_edr_knn_matches_brute_force(spark, sf_dir):
+    from traj_sim_spark_spark.operators.extras6 import (
+        _SEARCH_EPS,
+        _SEARCH_K,
+    )
+
+    series = _series_by_user(spark, sf_dir)
+    q = series[1]
+    scored = []
+    for u, s in series.items():
+        if u == 1:
+            continue
+        e = kernels.edr(s, q, _SEARCH_EPS)
+        scored.append((e / max(len(s), len(q)), u, e))
+    brute = [(u, e) for _, u, e in sorted(scored)[:_SEARCH_K]]
+    got = [
+        (r["user_id"], r["edr"])
+        for r in registry.QUERIES["traj_edr_knn"](spark, sf_dir).collect()
+    ]
+    assert got == brute, f"{got}\n{brute}"
+
+
+def test_lcss_envelope_bound_is_admissible(spark, sf_dir):
+    """ub >= true banded LCSS for EVERY candidate (losslessness of the
+    threshold prune, certified on the real fixture)."""
+    from traj_sim_spark_spark.operators.extras6 import (
+        _LCSS_DELTA,
+        _SEARCH_EPS,
+        _lcss_candidates,
+    )
+    from traj_sim_spark_spark.tables import Tables
+
+    series = _series_by_user(spark, sf_dir)
+    q = series[1]
+    t = Tables(spark, sf_dir)
+    ubs = {
+        r["user_id"]: r["ub"]
+        for r in _lcss_candidates(spark, t).collect()
+    }
+    for u, s in series.items():
+        if u == 1:
+            continue
+        assert ubs[u] >= kernels.lcss(s, q, _SEARCH_EPS, _LCSS_DELTA), u
+
+
+def test_edr_lower_bound_is_admissible(spark, sf_dir):
+    from traj_sim_spark_spark.operators.extras6 import (
+        _SEARCH_EPS,
+        _edr_candidates,
+    )
+    from traj_sim_spark_spark.tables import Tables
+
+    series = _series_by_user(spark, sf_dir)
+    q = series[1]
+    t = Tables(spark, sf_dir)
+    lbs = {
+        r["user_id"]: r["lb"]
+        for r in _edr_candidates(spark, t).collect()
+    }
+    for u, s in series.items():
+        if u == 1:
+            continue
+        assert lbs[u] <= kernels.edr(s, q, _SEARCH_EPS), u

@@ -213,7 +213,9 @@ def dtw_banded(
     return float(prev1[n])
 
 
-def lcss(a: np.ndarray, b: np.ndarray, eps: float) -> int:
+def lcss(
+    a: np.ndarray, b: np.ndarray, eps: float, delta: int | None = None
+) -> int:
     """Longest common subsequence length under eps-matching
     (LCSS_{eps}, the third classic trajectory measure after Fréchet
     and DTW): L(i,j) = L(i-1,j-1)+1 if d(a_i,b_j) <= eps else
@@ -224,9 +226,19 @@ def lcss(a: np.ndarray, b: np.ndarray, eps: float) -> int:
     equivalent monotone form L(i,j) = max(L(i-1,j-1)+m_ij, L(i-1,j),
     L(i,j-1)) (valid because L grows by at most 1 per added element,
     so the NW+1 candidate dominates on a match and never wins
-    spuriously otherwise)."""
+    spuriously otherwise).
+
+    ``delta`` adds the Vlachos time-window constraint (LCSS_{d,e}):
+    a match additionally requires |i - j| <= delta; gap moves stay
+    unrestricted, so the constrained measure is the plain recurrence
+    over a band-masked match matrix."""
     d = pairwise_dist(a, b)
     match = (d <= eps).astype(np.int64)
+    if delta is not None:
+        n_, m_ = match.shape
+        ii = np.arange(n_)[:, None]
+        jj = np.arange(m_)[None, :]
+        match &= (np.abs(ii - jj) <= delta).astype(np.int64)
     n, m = match.shape
     prev2 = np.full(n + 1, -1, dtype=np.int64)  # k-2 diag; p = i+1
     prev1 = np.full(n + 1, -1, dtype=np.int64)  # k-1 diag

@@ -482,3 +482,268 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "pred_lang")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# LCSS / EDR search tier (threshold + kNN) — WEAK rows, brute-pinned
+# ---------------------------------------------------------------------------
+
+_SEARCH_EPS = 10.0  # eps-matching tolerance (shared with the pair rows)
+_LCSS_DELTA = 8  # Vlachos time-window (search rows use LCSS_{d,e})
+_LCSS_TAU_NUM, _LCSS_TAU_DEN = 11, 20  # similarity threshold 0.55
+_EDR_TAU_NUM, _EDR_TAU_DEN = 3, 5  # normalized-EDR threshold 0.6
+_SEARCH_K = 10
+
+
+def _user_positions(t: Tables) -> DataFrame:
+    """(user_id, i, v): each user's series with 1-based positions."""
+    w = Window.partitionBy("user_id").orderBy("seq")
+    return t.user_points().select(
+        "user_id",
+        F.row_number().over(w).alias("i"),
+        F.col("value").alias("v"),
+    )
+
+
+def _lcss_candidates(spark: SparkSession, t: Tables) -> DataFrame:
+    """Per-candidate envelope UPPER BOUND on banded LCSS vs the query
+    user: a_i can match only inside the time window [i-d, i+d], so
+    ub = #{i : a_i within eps of the query's [min,max] envelope at i}
+    >= #matchable points >= LCSS (LB_Keogh's necessary condition,
+    applied as a counting bound).  LOSSLESS by construction; its
+    measured selectivity on THIS corpus is ~zero (envelope spread ~=
+    value spread at eps=10 — the dense regime), so it ships as the
+    cheap guard it is, documented, not as the load-bearing phase; in a
+    sparse-eps regime the same bound is the standard LCSS prune.
+    Returns (user_id, n, ub)."""
+    pos = _user_positions(t)
+    q = pos.filter(F.col("user_id") == 1)
+    env = (
+        q.withColumn(
+            "p",
+            F.explode(
+                F.sequence(
+                    F.col("i") - _LCSS_DELTA, F.col("i") + _LCSS_DELTA
+                )
+            ),
+        )
+        .filter(F.col("p") >= 1)
+        .groupBy("p")
+        .agg(F.min("v").alias("qlo"), F.max("v").alias("qhi"))
+    )
+    cand = pos.filter(F.col("user_id") != 1)
+    return (
+        cand.join(F.broadcast(env), cand["i"] == env["p"], "left")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("qlo").isNotNull()
+                    & (F.col("v") >= F.col("qlo") - _SEARCH_EPS)
+                    & (F.col("v") <= F.col("qhi") + _SEARCH_EPS),
+                    1,
+                ).otherwise(0)
+            ).alias("ub"),
+        )
+    )
+
+
+def _edr_candidates(spark: SparkSession, t: Tables) -> DataFrame:
+    """Per-candidate LOWER BOUND on (unbanded) EDR vs the query user:
+    EDR >= max(n, m) - LCSS >= max(n, m) - #matchable points (each
+    zero-cost substitution consumes one matchable candidate point;
+    everything else costs >= 1), and EDR >= |n - m|.  Matchability is
+    an eps-cell semi-join against the broadcast query values (probe
+    the 3 adjacent cells).  Lossless; same dense-regime selectivity
+    note as the LCSS bound.  Returns (user_id, n, lb)."""
+    pos = _user_positions(t)
+    q = pos.filter(F.col("user_id") == 1)
+    m = q.count()
+    qcells = (
+        q.withColumn("cell", F.floor(F.col("v") / _SEARCH_EPS))
+        .withColumn(
+            "cell",
+            F.explode(
+                F.array(
+                    F.col("cell") - 1, F.col("cell"), F.col("cell") + 1
+                )
+            ),
+        )
+        .select("cell", F.col("v").alias("qv"))
+    )
+    cand = pos.filter(F.col("user_id") != 1).withColumn(
+        "cell", F.floor(F.col("v") / _SEARCH_EPS)
+    )
+    matchable = (
+        cand.join(F.broadcast(qcells), "cell")
+        .filter(F.abs(F.col("v") - F.col("qv")) <= _SEARCH_EPS)
+        .select("user_id", "i")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("matchable"))
+    )
+    return (
+        cand.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .join(matchable, "user_id", "left")
+        .select(
+            "user_id",
+            "n",
+            F.greatest(
+                F.abs(F.col("n") - F.lit(m)),
+                F.greatest(F.col("n"), F.lit(m))
+                - F.coalesce("matchable", F.lit(0)),
+            ).alias("lb"),
+        )
+    )
+
+
+def _lcss_refine(t: Tables, ids: DataFrame) -> DataFrame:
+    """Exact banded-LCSS kernel over the candidate id set; returns
+    (user_id, lcss_len, min_len, lcss_sim)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import kernels
+    from .trajectory import _QUERY_USER, _paired_series
+
+    paired = _paired_series(t, _QUERY_USER, ids=ids)
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in pdf.iterrows():
+            a = np.asarray(row["vals"], dtype=np.float64)
+            b = np.asarray(row["q_vals"], dtype=np.float64)
+            ln = kernels.lcss(a, b, _SEARCH_EPS, _LCSS_DELTA)
+            ml = min(len(a), len(b))
+            out.append((row["user_id"], ln, ml, round(ln / ml, 6)))
+        return pd.DataFrame(
+            out, columns=["user_id", "lcss_len", "min_len", "lcss_sim"]
+        )
+
+    return paired.groupBy("user_id").applyInPandas(
+        per_user,
+        schema="user_id bigint, lcss_len bigint, min_len bigint,"
+        " lcss_sim double",
+    )
+
+
+def _edr_refine(t: Tables, ids: DataFrame) -> DataFrame:
+    """Exact EDR kernel over the candidate id set; returns
+    (user_id, edr, max_len, edr_norm)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import kernels
+    from .trajectory import _QUERY_USER, _paired_series
+
+    paired = _paired_series(t, _QUERY_USER, ids=ids)
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in pdf.iterrows():
+            a = np.asarray(row["vals"], dtype=np.float64)
+            b = np.asarray(row["q_vals"], dtype=np.float64)
+            e = kernels.edr(a, b, _SEARCH_EPS)
+            ml = max(len(a), len(b))
+            out.append((row["user_id"], e, ml, round(e / ml, 6)))
+        return pd.DataFrame(
+            out, columns=["user_id", "edr", "max_len", "edr_norm"]
+        )
+
+    return paired.groupBy("user_id").applyInPandas(
+        per_user,
+        schema="user_id bigint, edr bigint, max_len bigint,"
+        " edr_norm double",
+    )
+
+
+@query("traj_lcss_threshold")  # WEAK: order-sensitive DP kernel
+def traj_lcss_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All users with banded-LCSS similarity >= 0.55 vs the query user
+    (LCSS_{d,e}, d=8, e=10 — the Vlachos time-window form, which is
+    what gives the envelope bound meaning).  Two-phase: the LOSSLESS
+    envelope upper bound gates the kernel (20·ub < 11·min(n,m) cannot
+    qualify), survivors refine through the Arrow kernel, and the final
+    membership decision is the exact INTEGER cross-multiplication
+    20·lcss >= 11·min(n,m) — no float at the boundary.  Brute-force
+    equality pinned in tests/test_twophase.py."""
+    t = Tables(spark, sf_dir)
+    m = t.user_points().filter(F.col("user_id") == 1).count()
+    cand = _lcss_candidates(spark, t).filter(
+        F.col("ub") * _LCSS_TAU_DEN
+        >= F.least(F.col("n"), F.lit(m)) * _LCSS_TAU_NUM
+    )
+    return (
+        _lcss_refine(t, cand)
+        .filter(
+            F.col("lcss_len") * _LCSS_TAU_DEN
+            >= F.col("min_len") * _LCSS_TAU_NUM
+        )
+        .select("user_id", "lcss_len", "lcss_sim")
+    )
+
+
+@query("traj_lcss_knn")  # WEAK: order-sensitive DP kernel
+def traj_lcss_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by banded-LCSS similarity vs the query user
+    (similarity DESC, user_id ASC ties).  The envelope bound orders
+    nothing useful in the dense-eps regime (documented in
+    ``_lcss_candidates``), so the kNN refines every candidate and
+    takes the global top-k — the honest plan when no discriminative
+    admissible bound exists for LCSS (unlike Fréchet/DTW, whose
+    Hausdorff bound the 1-D kNN rows exploit); the sort key
+    lcss_len/min_len is a small-integer rational, identical on every
+    engine.  Brute-force equality pinned in tests/test_twophase.py."""
+    t = Tables(spark, sf_dir)
+    cand = _lcss_candidates(spark, t).select("user_id")
+    return (
+        _lcss_refine(t, cand)
+        .orderBy(
+            (F.col("lcss_len") / F.col("min_len")).desc(), "user_id"
+        )
+        .limit(_SEARCH_K)
+        .select("user_id", "lcss_len", "lcss_sim")
+    )
+
+
+@query("traj_edr_threshold")  # WEAK: order-sensitive DP kernel
+def traj_edr_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All users with normalized EDR <= 0.6 vs the query user.
+    Two-phase: the LOSSLESS lower bound max(|n-m|, max(n,m) -
+    matchable) gates the kernel (5·lb > 3·max(n,m) cannot qualify),
+    survivors refine exactly; membership is the integer
+    cross-multiplication 5·edr <= 3·max(n,m).  Brute-force equality
+    pinned in tests/test_twophase.py."""
+    t = Tables(spark, sf_dir)
+    m = t.user_points().filter(F.col("user_id") == 1).count()
+    cand = _edr_candidates(spark, t).filter(
+        F.col("lb") * _EDR_TAU_DEN
+        <= F.greatest(F.col("n"), F.lit(m)) * _EDR_TAU_NUM
+    )
+    return (
+        _edr_refine(t, cand)
+        .filter(
+            F.col("edr") * _EDR_TAU_DEN
+            <= F.col("max_len") * _EDR_TAU_NUM
+        )
+        .select("user_id", "edr", "edr_norm")
+    )
+
+
+@query("traj_edr_knn")  # WEAK: order-sensitive DP kernel
+def traj_edr_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by smallest normalized EDR vs the query user
+    (edr/max_len ASC, user_id ties) — refine-all + global top-k, the
+    same honest-plan note as ``traj_lcss_knn`` (the |n-m| / matchable
+    lower bounds are lossless but non-discriminative at this eps
+    density).  Brute-force equality pinned in tests/test_twophase.py."""
+    t = Tables(spark, sf_dir)
+    cand = _edr_candidates(spark, t).select("user_id")
+    return (
+        _edr_refine(t, cand)
+        .orderBy(F.col("edr") / F.col("max_len"), "user_id")
+        .limit(_SEARCH_K)
+        .select("user_id", "edr", "edr_norm")
+    )
