@@ -287,3 +287,32 @@ def test_lcss_edr_match_quadratic_reference():
         eps = float(rng.uniform(0.1, 3))
         assert kernels.lcss(a, b, eps) == lcss_ref(a, b, eps)
         assert kernels.edr(a, b, eps) == edr_ref(a, b, eps)
+
+
+def test_erp_matches_quadratic_reference():
+    """The antidiagonal ERP kernel (integer micro-units) must equal the
+    textbook O(n*m) loop with prefix-sum boundaries."""
+    import numpy as np
+
+    from traj_sim_spark_spark.functions import kernels
+
+    def erp_ref(a, b):
+        n, m = len(a), len(b)
+        E = np.zeros((n + 1, m + 1), dtype=np.int64)
+        E[1:, 0] = np.cumsum(np.abs(a))
+        E[0, 1:] = np.cumsum(np.abs(b))
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                E[i, j] = min(
+                    E[i - 1, j - 1] + abs(a[i - 1] - b[j - 1]),
+                    E[i - 1, j] + abs(a[i - 1]),
+                    E[i, j - 1] + abs(b[j - 1]),
+                )
+        return E[n, m]
+
+    rng = np.random.default_rng(13)
+    for _ in range(200):
+        n, m = rng.integers(1, 20), rng.integers(1, 20)
+        a = rng.integers(-1000, 1000, n)
+        b = rng.integers(-1000, 1000, m)
+        assert kernels.erp(a, b) == erp_ref(a, b)

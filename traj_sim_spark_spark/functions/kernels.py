@@ -299,3 +299,53 @@ def edr(a: np.ndarray, b: np.ndarray, eps: float) -> int:
         cur[idx + 1] = best
         prev2, prev1 = prev1, cur
     return int(prev1[n])
+
+
+def erp(a: np.ndarray, b: np.ndarray) -> int:
+    """ERP (Edit distance with Real Penalty, gap g = 0) over INTEGER
+    (micro-quantized) series: E(i,j) = min(E(i-1,j-1) + |a_i - b_j|,
+    E(i-1,j) + |a_i|, E(i,j-1) + |b_j|) with E(i,0) = prefix|a|,
+    E(0,j) = prefix|b|.  Unlike DTW, ERP is a METRIC (triangle
+    inequality holds) — the property the quantized-integer form
+    preserves exactly.  Integer in, integer out: no float anywhere, so
+    the antidiagonal NumPy evaluation and the DuckDB recursive CTE
+    agree bit-for-bit (and DuckDB's windowed-sum combine order cannot
+    matter for the boundary prefixes)."""
+    a = np.asarray(a, dtype=np.int64)
+    b = np.asarray(b, dtype=np.int64)
+    d = np.abs(a[:, None] - b[None, :])
+    ca, cb = np.abs(a), np.abs(b)
+    pa, pb = np.cumsum(ca), np.cumsum(cb)
+    n, m = d.shape
+    big = np.int64(1 << 60)
+    prev2 = np.full(n + 1, big, dtype=np.int64)
+    prev1 = np.full(n + 1, big, dtype=np.int64)
+    prev1[1] = min(int(d[0, 0]), int(ca[0] + cb[0]))
+    if n == 1 and m == 1:
+        return int(prev1[1])
+    for k in range(1, n + m - 1):
+        lo = max(0, k - m + 1)
+        hi = min(k, n - 1)
+        idx = np.arange(lo, hi + 1)  # 0-based row i-1
+        jdx = k - idx  # 0-based col j-1
+        dk = d[idx, jdx]
+        nw = prev2[idx].copy()
+        nn = prev1[idx].copy()
+        ww = prev1[idx + 1].copy()
+        first_row = idx == 0
+        if first_row.any():
+            jj = jdx[first_row]
+            nw[first_row] = np.where(jj > 0, pb[jj - 1], 0)
+            nn[first_row] = pb[jj]
+        first_col = jdx == 0
+        if first_col.any():
+            ii = idx[first_col]
+            nw[first_col] = np.where(ii > 0, pa[ii - 1], 0)
+            ww[first_col] = pa[ii]
+        best = np.minimum(
+            np.minimum(nn + ca[idx], ww + cb[jdx]), nw + dk
+        )
+        cur = np.full(n + 1, big, dtype=np.int64)
+        cur[idx + 1] = best
+        prev2, prev1 = prev1, cur
+    return int(prev1[n])

@@ -747,3 +747,162 @@ def traj_edr_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_SEARCH_K)
         .select("user_id", "edr", "edr_norm")
     )
+
+
+# ---------------------------------------------------------------------------
+# traj_erp_pair — ERP (Edit distance with Real Penalty), micro-integer
+# ---------------------------------------------------------------------------
+
+
+def _erp_pair_oracle() -> str:
+    # E(i,j) = min(NW + |qa-qb|, N + |qa|, W + |qb|) over MICRO-QUANTIZED
+    # integer values (gap g = 0); boundaries E(i,0)/E(0,j) are integer
+    # prefix sums carried on the cells row (pa/pb CTEs with LAG), so
+    # DuckDB's windowed-sum combine order cannot matter.  Custom layers
+    # recursion (the _dp_layers_sql template carries one cost column;
+    # ERP needs five), same antidiagonal age-carry scheme.
+    big = 1 << 60
+    return f"""
+    WITH RECURSIVE
+    av(i, q) AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id),
+               CAST(ROUND(value * 1e6) AS BIGINT)
+        FROM events WHERE user_id = 2
+    ),
+    bv(j, q) AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id),
+               CAST(ROUND(value * 1e6) AS BIGINT)
+        FROM events WHERE user_id = 1
+    ),
+    pa AS (
+        SELECT i, SUM(ABS(q)) OVER (ORDER BY i) AS p,
+               COALESCE(SUM(ABS(q)) OVER (ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS pprev
+        FROM av
+    ),
+    pb AS (
+        SELECT j, SUM(ABS(q)) OVER (ORDER BY j) AS p,
+               COALESCE(SUM(ABS(q)) OVER (ORDER BY j
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS pprev
+        FROM bv
+    ),
+    erp_dp(k, i, val, age) AS (
+        SELECT 2, 1,
+               (SELECT LEAST(ABS(av.q - bv.q), ABS(av.q) + ABS(bv.q))
+                FROM av, bv WHERE av.i = 1 AND bv.j = 1), 0
+        UNION ALL
+        (
+          WITH cur AS (SELECT * FROM erp_dp),
+          kk AS (SELECT MAX(k) AS k FROM cur),
+          cells AS (
+              SELECT (SELECT k FROM kk) + 1 AS k, av.i AS i,
+                     ABS(av.q - bv.q) AS d,
+                     ABS(av.q) AS ca, ABS(bv.q) AS cb,
+                     pa.p AS pap, pa.pprev AS papp,
+                     pb.p AS pbp, pb.pprev AS pbpp
+              FROM av
+              JOIN bv ON bv.j = (SELECT k FROM kk) + 1 - av.i
+              JOIN pa ON pa.i = av.i
+              JOIN pb ON pb.j = bv.j
+          ),
+          newcells AS (
+              SELECT cells.k, cells.i,
+                     LEAST(
+                       MIN(CASE WHEN cur.age = 1
+                                THEN cur.val + cells.d
+                                WHEN cur.i = cells.i
+                                THEN cur.val + cells.cb
+                                ELSE cur.val + cells.ca END),
+                       MIN(CASE WHEN cells.i = 1
+                            THEN LEAST(cells.pbpp + cells.d,
+                                       cells.pbp + cells.ca)
+                            ELSE {big} END),
+                       MIN(CASE WHEN cells.k - cells.i = 1
+                            THEN LEAST(cells.papp + cells.d,
+                                       cells.pap + cells.cb)
+                            ELSE {big} END)
+                     ) AS val, 0 AS age
+              FROM cells JOIN cur
+                ON (cur.age = 0 AND cur.i IN (cells.i - 1, cells.i))
+                OR (cur.age = 1 AND cur.i = cells.i - 1)
+              GROUP BY cells.k, cells.i, cells.d, cells.ca, cells.cb,
+                       cells.pap, cells.papp, cells.pbp, cells.pbpp
+          ),
+          carry AS (
+              SELECT k + 1 AS k, i, val, 1 AS age FROM cur WHERE age = 0
+          )
+          SELECT k, i, val, age FROM newcells
+          UNION ALL
+          SELECT k, i, val, age FROM carry
+          WHERE (SELECT k FROM kk)
+                < (SELECT MAX(i) FROM av) + (SELECT MAX(j) FROM bv)
+        )
+    )
+    SELECT CAST(2 AS BIGINT) AS user_id,
+           CAST((SELECT val FROM erp_dp
+                 WHERE age = 0
+                   AND k = (SELECT MAX(i) FROM av)
+                         + (SELECT MAX(j) FROM bv)
+                   AND i = (SELECT MAX(i) FROM av)) AS BIGINT)
+               AS erp_micro,
+           ROUND((SELECT val FROM erp_dp
+                  WHERE age = 0
+                    AND k = (SELECT MAX(i) FROM av)
+                          + (SELECT MAX(j) FROM bv)
+                    AND i = (SELECT MAX(i) FROM av)) / 1e6, 6) AS erp
+    """
+
+
+@query("traj_erp_pair", oracle=_erp_pair_oracle)
+def traj_erp_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERP (Edit distance with Real Penalty, gap g=0) between users 1
+    and 2 — the sixth and last classic trajectory measure ({Hausdorff,
+    Fréchet, DTW, LCSS, EDR, ERP} now ALL ship on the pair shape) and
+    the only edit-style one that is a true METRIC (triangle inequality
+    holds, so it admits metric indexing).
+
+    Exactness: values are micro-quantized (SQL ROUND, JVM-side —
+    engines' half-rounding agrees) so every DP cell, INCLUDING the
+    boundary prefix sums, is a BIGINT — the one float is the final
+    /1e6 display.  The oracle is a custom antidiagonal recursion
+    (_dp_layers_sql carries one cost column; ERP needs the cell cost
+    plus both gap costs and both boundary prefixes) with the virtual
+    row-0/col-0 candidates carried on the cells row.
+
+    Scale shape: identical to the other pair rows — two series
+    assemblies, one Arrow group, O(n·m) integer kernel."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import kernels
+    from .trajectory import _QUERY_USER, _paired_series
+
+    t = Tables(spark, sf_dir)
+    paired = (
+        _paired_series(t, _QUERY_USER)
+        .filter(F.col("user_id") == 2)
+        .select(
+            "user_id",
+            F.expr(
+                "transform(vals, x -> CAST(ROUND(x * 1e6) AS BIGINT))"
+            ).alias("qa"),
+            F.expr(
+                "transform(q_vals, x -> CAST(ROUND(x * 1e6) AS BIGINT))"
+            ).alias("qb"),
+        )
+    )
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in pdf.iterrows():
+            a = np.asarray(row["qa"], dtype=np.int64)
+            b = np.asarray(row["qb"], dtype=np.int64)
+            e = kernels.erp(a, b)
+            out.append((row["user_id"], e, round(e / 1e6, 6)))
+        return pd.DataFrame(out, columns=["user_id", "erp_micro", "erp"])
+
+    return paired.groupBy("user_id").applyInPandas(
+        per_user, schema="user_id bigint, erp_micro bigint, erp double"
+    )

@@ -49,8 +49,14 @@ _LAZY_ORACLES: dict[str, Callable[[], str]] = {}
 # traj_hausdorff_segments_knn_batch_2d, traj_range_window_2d_idx,
 # rel_table_stats, rel_view_maintenance, sink_csv_roundtrip),
 # setops tail (rel_intersect_all, rel_except_all), similarity tail
-# (sim_range_search, emb_layout_ivf), udf_map_arrow = 41, all of which
-# fit one 50-key window together with up to 9 round-5/6 additions.
+# (sim_range_search, emb_layout_ivf), udf_map_arrow = 41, plus the 10
+# round-5 extras6 additions (traj_lcss_pair, traj_edr_pair,
+# sim_diversify_mmr, rel_gaps_islands, rel_agg_filtered,
+# text_langid_confusion, and the 4 WEAK LCSS/EDR search rows) = 51 —
+# one key over the window; drop one of the 6 trajectory_ext WEAK
+# rows-only keys to round 7 (their NumPy/recursion pytest pins carry
+# the evidence) or re-window rel_agg_approx (its round-1 row predates
+# the round-5 KMV twin-column rewrite).
 _MODULES = (
     "traj_sim_spark_spark.operators.text_ext",
     "traj_sim_spark_spark.operators.analytics",
