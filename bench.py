@@ -96,6 +96,11 @@ HEAVY = [
     # prefix+positional filters + 5.1M-pair array verify — the
     # exact complement of the LSH tiers)
     "text_setsim_prefix_join",
+    # round-5: the two re-shaped scale ops — pinned here so a
+    # regression back to the quadratic regimes (pair enumeration /
+    # bucket occupancy) shows up in driver history
+    "emb_cosine_hist",
+    "emb_dedup_threshold_sweep",
 ]
 
 
