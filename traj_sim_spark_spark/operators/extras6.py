@@ -906,3 +906,261 @@ def traj_erp_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paired.groupBy("user_id").applyInPandas(
         per_user, schema="user_id bigint, erp_micro bigint, erp double"
     )
+
+
+# ---------------------------------------------------------------------------
+# pipe_span_corruption — T5/UL2-style span-corruption mask statistics
+# ---------------------------------------------------------------------------
+
+_SPAN_RATE = 20  # 1-in-20 token positions start a span (~5% starts)
+_SPAN_LEN_MIN = 2  # span length in {2,3,4} (mean 3 => ~15% masked)
+
+
+@query(
+    "pipe_span_corruption",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, LEN(w) AS n_tok,
+               UNNEST(generate_series(1, LEN(w))) AS p
+        FROM d
+    ),
+    starts AS (
+        SELECT doc_id, n_tok, p,
+               {_SPAN_LEN_MIN}
+               + CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+                                          || CAST(p AS VARCHAR) || '#L'),
+                                      1, 6)) AS INTEGER) % 3 AS len
+        FROM tok
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+                                       || CAST(p AS VARCHAR)),
+                                   1, 6)) AS INTEGER)
+              % {_SPAN_RATE} = 0
+    ),
+    masked AS (
+        SELECT DISTINCT s.doc_id, g.q AS pos
+        FROM starts s,
+             LATERAL (SELECT UNNEST(generate_series(
+                          s.p, LEAST(s.p + s.len - 1, s.n_tok))) AS q) g
+    ),
+    runs AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS island
+        FROM masked
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_masked,
+               CAST(COUNT(DISTINCT island) AS BIGINT) AS n_spans
+        FROM runs GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(MAX(t.n_tok) AS BIGINT) AS n_tok,
+           COALESCE(MAX(a.n_masked), 0) AS n_masked,
+           COALESCE(MAX(a.n_spans), 0) AS n_spans,
+           ROUND(COALESCE(MAX(a.n_masked), 0) * 1.0 / MAX(t.n_tok), 6)
+               AS mask_ratio
+    FROM tok t LEFT JOIN agg a ON a.doc_id = t.doc_id
+    GROUP BY t.doc_id
+    """,
+)
+def pipe_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-CORRUPTION MASK STATISTICS (the T5/UL2 denoising-objective
+    preprocessing step): deterministic seeded span selection — a token
+    position starts a span iff md5(doc#pos) % 20 == 0 (~5% starts),
+    span length 2 + md5(doc#pos#L) % 3 (mean 3, so ~15% of tokens
+    masked), overlapping spans UNION into maximal runs — per doc the
+    token count, masked-token count, merged-span count and mask ratio.
+    What a training pipeline audits before materializing a denoising
+    dataset: actual corruption rate and span-length geometry after
+    overlap merging, not the nominal knobs.
+
+    Exactness: selection and lengths are md5-derived integers
+    (identical conv/'0x' evaluation both engines — the emb_cosine_hist
+    discipline); span union is the gaps-and-islands integer trick
+    (`rel_gaps_islands`); the ratio is the one display float.
+
+    Scale shape: one token explode (repartitioned off the single-file
+    fixture), a ~5% start subset fans out x3 positions, one distinct +
+    one window + one group — all keyed on doc_id, corpus-linear."""
+    t = Tables(spark, sf_dir)
+    tok = (
+        t.documents.repartition(32, "doc_id")
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("p0", "w"),
+            F.size(F.split("text", " ")).alias("n_tok"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("p"), "n_tok")
+    )
+    starts = tok.filter(
+        F.expr(
+            "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING),"
+            f" '#', CAST(p AS STRING))), 1, 6), 16, 10) AS INT)"
+            f" % {_SPAN_RATE} = 0"
+        )
+    ).withColumn(
+        "len",
+        F.expr(
+            f"{_SPAN_LEN_MIN} + CAST(conv(substring(md5(concat("
+            "CAST(doc_id AS STRING), '#', CAST(p AS STRING), '#L')),"
+            " 1, 6), 16, 10) AS INT) % 3"
+        ),
+    )
+    masked = (
+        starts.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("p"),
+                    F.least(F.col("p") + F.col("len") - 1, F.col("n_tok")),
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    agg = (
+        masked.withColumn("island", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_masked"),
+            F.countDistinct("island").cast("bigint").alias("n_spans"),
+        )
+    )
+    base = tok.groupBy("doc_id").agg(F.max("n_tok").alias("n_tok"))
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tok").cast("bigint"),
+        F.coalesce("n_masked", F.lit(0)).cast("bigint").alias("n_masked"),
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.round(
+            F.coalesce("n_masked", F.lit(0)) * 1.0 / F.col("n_tok"), 6
+        ).alias("mask_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# emb_norm_hist — squared-norm histogram (embedding QA)
+# ---------------------------------------------------------------------------
+
+_NORMH_W2 = 10_000_000_000_000  # squared-norm bin width (micro^2 units)
+
+
+@query(
+    "emb_norm_hist",
+    oracle=f"""
+    WITH qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> ROUND(CAST(x AS DOUBLE) * 1e6)) AS q
+        FROM embeddings
+    ),
+    n2 AS (
+        SELECT vec_id,
+               CAST(list_dot_product(q, q) AS BIGINT) AS n2
+        FROM qv
+    )
+    SELECT n2 // {_NORMH_W2} AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(n2) AS BIGINT) AS min_n2,
+           CAST(MAX(n2) AS BIGINT) AS max_n2
+    FROM n2 GROUP BY 1
+    """,
+)
+def emb_norm_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQUARED-NORM HISTOGRAM of the embedding corpus — the second
+    geometry QA report beside `emb_cosine_hist`: un-normalized
+    encoders drift in norm (norm correlates with token frequency /
+    sequence length), and a bimodal or heavy-tailed norm distribution
+    breaks dot-product retrieval before cosine ever would.  Binning on
+    the SQUARED norm in integer micro^2 units keeps every boundary an
+    integer decision (no sqrt anywhere); min/max per bin are exact
+    BIGINTs.
+
+    Scale shape: one column-pruned scan + one hash aggregate — the
+    cheapest possible corpus pass, map-side combinable."""
+    t = Tables(spark, sf_dir)
+    qv = t.embeddings.select(
+        F.expr(
+            "transform(embedding, x -> CAST(ROUND(x * 1e6) AS BIGINT))"
+        ).alias("q")
+    )
+    n2 = qv.select(
+        F.aggregate(
+            F.zip_with("q", "q", lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("n2")
+    )
+    return n2.groupBy(
+        F.expr(f"n2 div {_NORMH_W2}").alias("bin")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.min("n2").cast("bigint").alias("min_n2"),
+        F.max("n2").cast("bigint").alias("max_n2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rel_try_arithmetic — ANSI-safe (try_*) arithmetic surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_try_arithmetic",
+    oracle="""
+    WITH r AS (
+        SELECT l_returnflag,
+               CASE WHEN l_quantity = 25 THEN NULL
+                    ELSE FLOOR(CAST(ROUND(l_extendedprice * 100)
+                               AS BIGINT) / (l_quantity - 25))
+               END AS safe_ratio
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN safe_ratio IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_div,
+           CAST(SUM(CAST(safe_ratio AS BIGINT)) AS BIGINT)
+               AS sum_floor_ratio
+    FROM r GROUP BY l_returnflag
+    """,
+)
+def rel_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-SAFE ARITHMETIC (`try_divide`) — the error-handling
+    surface ANSI mode makes mandatory: cents / (quantity − 25) where
+    the divisor hits zero on real rows; `try_divide` yields NULL
+    instead of aborting the job, NULLs are counted (the data-quality
+    signal) and excluded from the aggregate.  FLOOR of the IEEE
+    division makes the summed value integer-exact (single-op division
+    is bit-identical cross-engine; summing raw doubles would be
+    order-dependent); DuckDB's x/0 = NULL semantics mirror try_divide
+    directly, with an explicit CASE guard so the oracle never relies
+    on that default.
+
+    Scale shape: pure per-row projection + one hash aggregate."""
+    t = Tables(spark, sf_dir)
+    cents = F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")
+    ratio = F.floor(
+        F.expr(
+            "try_divide(CAST(ROUND(l_extendedprice * 100) AS BIGINT),"
+            " l_quantity - 25)"
+        )
+    )
+    return (
+        t.lineitem.select("l_returnflag", ratio.alias("safe_ratio"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(
+                F.when(F.col("safe_ratio").isNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_null_div"),
+            F.sum("safe_ratio").cast("bigint").alias("sum_floor_ratio"),
+        )
+    )
