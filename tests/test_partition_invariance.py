@@ -117,6 +117,18 @@ KEYS = [
     "udf_map_arrow",
     # sign-aware squared bin decisions over a cross join
     "emb_cosine_hist",
+    # round-5: integer DP pair measures, greedy MMR selection chain,
+    # md5-seeded span union, top-k with rational sort keys
+    "traj_lcss_pair",
+    "traj_edr_pair",
+    "traj_erp_pair",
+    "sim_diversify_mmr",
+    "pipe_span_corruption",
+    "traj_lcss_knn",
+    "traj_edr_knn",
+    "traj_lcss_threshold",
+    "traj_edr_threshold",
+    "rel_gaps_islands",
 ]
 
 
