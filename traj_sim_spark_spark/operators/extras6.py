@@ -1164,3 +1164,140 @@ def rel_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("safe_ratio").cast("bigint").alias("sum_floor_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pipe_chunk_overlap — sliding-window document chunking (RAG prep)
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOK = 64  # tokens per chunk
+_CHUNK_STRIDE = 48  # stride (64 - 48 = 16-token overlap)
+
+
+@query(
+    "pipe_chunk_overlap",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST((s.s - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+               array_to_string(
+                   list_slice(w, s.s,
+                              LEAST(s.s + {_CHUNK_TOK} - 1, LEN(w))),
+                   ' ') AS chunk,
+               LEAST(s.s + {_CHUNK_TOK} - 1, LEN(w)) - s.s + 1 AS n_tok
+        FROM d, LATERAL (
+            SELECT UNNEST(generate_series(
+                1, GREATEST(LEN(w) - {_CHUNK_TOK} + {_CHUNK_STRIDE}, 1),
+                {_CHUNK_STRIDE})) AS s) s
+    )
+    SELECT doc_id, chunk_id, CAST(n_tok AS BIGINT) AS n_tok,
+           md5(chunk) AS chunk_hash
+    FROM chunks
+    """,
+)
+def pipe_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-WINDOW DOCUMENT CHUNKING — the RAG/embedding-ingest
+    preprocessing step: 64-token chunks at stride 48 (16-token overlap
+    so no sentence is orphaned at a boundary), last partial chunk
+    kept.  Emits (doc_id, chunk_id, n_tok, md5-of-chunk-text): the
+    hash column is the downstream dedup/caching key, and forcing BOTH
+    engines to reconstruct the exact chunk STRING (joins, spacing,
+    boundary clamps included) is what makes this row a strong oracle
+    — any off-by-one in the window arithmetic flips the hash.
+
+    Scale shape: chunk starts generate per doc via ``sequence()`` —
+    chunks are born distributed on the doc's partition (the
+    traj_resample discipline: no calendar/driver involvement), one
+    slice+concat projection each, zero shuffles beyond the scan."""
+    t = Tables(spark, sf_dir)
+    d = t.documents.repartition(32, "doc_id").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    starts = d.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(
+                    F.size("w") - _CHUNK_TOK + _CHUNK_STRIDE, F.lit(1)
+                ),
+                F.lit(_CHUNK_STRIDE),
+            )
+        ).alias("s"),
+    )
+    return starts.select(
+        "doc_id",
+        F.expr(f"CAST((s - 1) div {_CHUNK_STRIDE} AS BIGINT)").alias(
+            "chunk_id"
+        ),
+        (
+            F.least(
+                F.col("s") + _CHUNK_TOK - 1, F.size("w")
+            )
+            - F.col("s")
+            + 1
+        )
+        .cast("bigint")
+        .alias("n_tok"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    f"slice(w, s, LEAST(s + {_CHUNK_TOK} - 1, size(w))"
+                    " - s + 1)"
+                ),
+            )
+        ).alias("chunk_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rel_grouping_id — GROUPING() disambiguation over CUBE
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def rel_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING_ID over CUBE — the disambiguation surface every
+    rollup/cube consumer eventually needs: a NULL in a grouping column
+    is ambiguous between "subtotal row" and "group whose key IS NULL";
+    GROUPING() is the bitmask that tells them apart (the classic
+    silent-bug source in BI extracts).  Emits the 2-bit gid alongside
+    the cube aggregate; integer cents keep the row hash-exact.
+
+    Scale shape: one expand + hash aggregate — the `rel_agg_cube` plan
+    with one extra literal-derived column, no added shuffle."""
+    t = Tables(spark, sf_dir)
+    cents = F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")
+    return (
+        t.lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(cents).cast("bigint").alias("cents"),
+            (
+                F.grouping("l_returnflag") * 2
+                + F.grouping("l_linestatus")
+            )
+            .cast("bigint")
+            .alias("gid"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "gid", "n_rows", "cents"
+        )
+    )
