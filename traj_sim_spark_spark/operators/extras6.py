@@ -601,29 +601,39 @@ def _edr_candidates(spark: SparkSession, t: Tables) -> DataFrame:
 
 def _lcss_refine(t: Tables, ids: DataFrame) -> DataFrame:
     """Exact banded-LCSS kernel over the candidate id set; returns
-    (user_id, lcss_len, min_len, lcss_sim)."""
+    (user_id, lcss_len, min_len, lcss_sim).  mapInPandas, not a
+    per-user applyInPandas: paired rows are already one-per-user, so
+    grouping would shuffle and pay one Python call per user (the
+    _dp_refine discipline)."""
     import numpy as np
     import pandas as pd
 
     from ..functions import kernels
     from .trajectory import _QUERY_USER, _paired_series
 
-    paired = _paired_series(t, _QUERY_USER, ids=ids)
+    # fan the assembled pairs out to full parallelism: AQE coalesces
+    # the 1500-row assembly shuffle to ~2 partitions, which would run
+    # the whole DP workload on 2 cores (house single-file-fixture trap)
+    paired = _paired_series(t, _QUERY_USER, ids=ids).repartition(
+        t.spark.sparkContext.defaultParallelism
+    )
 
-    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, row in pdf.iterrows():
-            a = np.asarray(row["vals"], dtype=np.float64)
-            b = np.asarray(row["q_vals"], dtype=np.float64)
-            ln = kernels.lcss(a, b, _SEARCH_EPS, _LCSS_DELTA)
-            ml = min(len(a), len(b))
-            out.append((row["user_id"], ln, ml, round(ln / ml, 6)))
-        return pd.DataFrame(
-            out, columns=["user_id", "lcss_len", "min_len", "lcss_sim"]
-        )
+    def refine(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                a = np.asarray(row.vals, dtype=np.float64)
+                b = np.asarray(row.q_vals, dtype=np.float64)
+                ln = kernels.lcss(a, b, _SEARCH_EPS, _LCSS_DELTA)
+                ml = min(len(a), len(b))
+                out.append((row.user_id, ln, ml, round(ln / ml, 6)))
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "lcss_len", "min_len", "lcss_sim"],
+            )
 
-    return paired.groupBy("user_id").applyInPandas(
-        per_user,
+    return paired.mapInPandas(
+        refine,
         schema="user_id bigint, lcss_len bigint, min_len bigint,"
         " lcss_sim double",
     )
@@ -631,29 +641,33 @@ def _lcss_refine(t: Tables, ids: DataFrame) -> DataFrame:
 
 def _edr_refine(t: Tables, ids: DataFrame) -> DataFrame:
     """Exact EDR kernel over the candidate id set; returns
-    (user_id, edr, max_len, edr_norm)."""
+    (user_id, edr, max_len, edr_norm).  Same mapInPandas discipline as
+    ``_lcss_refine``."""
     import numpy as np
     import pandas as pd
 
     from ..functions import kernels
     from .trajectory import _QUERY_USER, _paired_series
 
-    paired = _paired_series(t, _QUERY_USER, ids=ids)
+    paired = _paired_series(t, _QUERY_USER, ids=ids).repartition(
+        t.spark.sparkContext.defaultParallelism
+    )  # same fan-out note as _lcss_refine
 
-    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, row in pdf.iterrows():
-            a = np.asarray(row["vals"], dtype=np.float64)
-            b = np.asarray(row["q_vals"], dtype=np.float64)
-            e = kernels.edr(a, b, _SEARCH_EPS)
-            ml = max(len(a), len(b))
-            out.append((row["user_id"], e, ml, round(e / ml, 6)))
-        return pd.DataFrame(
-            out, columns=["user_id", "edr", "max_len", "edr_norm"]
-        )
+    def refine(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                a = np.asarray(row.vals, dtype=np.float64)
+                b = np.asarray(row.q_vals, dtype=np.float64)
+                e = kernels.edr(a, b, _SEARCH_EPS)
+                ml = max(len(a), len(b))
+                out.append((row.user_id, e, ml, round(e / ml, 6)))
+            yield pd.DataFrame(
+                out, columns=["user_id", "edr", "max_len", "edr_norm"]
+            )
 
-    return paired.groupBy("user_id").applyInPandas(
-        per_user,
+    return paired.mapInPandas(
+        refine,
         schema="user_id bigint, edr bigint, max_len bigint,"
         " edr_norm double",
     )
