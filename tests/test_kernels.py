@@ -316,3 +316,52 @@ def test_erp_matches_quadratic_reference():
         a = rng.integers(-1000, 1000, n)
         b = rng.integers(-1000, 1000, m)
         assert kernels.erp(a, b) == erp_ref(a, b)
+
+
+def test_lcss_edr_int2d_match_quadratic_reference():
+    """The integer-2D LCSS/EDR kernels (squared-distance match, no
+    sqrt) must equal textbook loop recurrences."""
+    import numpy as np
+
+    from traj_sim_spark_spark.functions import kernels
+
+    def lcss2_ref(A, B, e2):
+        n, m = len(A), len(B)
+        L = np.zeros((n + 1, m + 1), dtype=int)
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                d2 = (A[i - 1, 0] - B[j - 1, 0]) ** 2 + (
+                    A[i - 1, 1] - B[j - 1, 1]
+                ) ** 2
+                L[i, j] = max(
+                    L[i - 1, j - 1] + (1 if d2 <= e2 else 0),
+                    L[i - 1, j],
+                    L[i, j - 1],
+                )
+        return L[n, m]
+
+    def edr2_ref(A, B, e2):
+        n, m = len(A), len(B)
+        E = np.zeros((n + 1, m + 1), dtype=int)
+        E[:, 0] = np.arange(n + 1)
+        E[0, :] = np.arange(m + 1)
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                d2 = (A[i - 1, 0] - B[j - 1, 0]) ** 2 + (
+                    A[i - 1, 1] - B[j - 1, 1]
+                ) ** 2
+                E[i, j] = min(
+                    E[i - 1, j - 1] + (0 if d2 <= e2 else 1),
+                    E[i - 1, j] + 1,
+                    E[i, j - 1] + 1,
+                )
+        return E[n, m]
+
+    rng = np.random.default_rng(17)
+    for _ in range(150):
+        n, m = rng.integers(1, 15), rng.integers(1, 15)
+        A = rng.integers(-50, 50, (n, 2))
+        B = rng.integers(-50, 50, (m, 2))
+        e2 = int(rng.integers(1, 2000))
+        assert kernels.lcss_int2d(A, B, e2) == lcss2_ref(A, B, e2)
+        assert kernels.edr_int2d(A, B, e2) == edr2_ref(A, B, e2)

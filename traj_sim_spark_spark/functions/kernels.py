@@ -235,10 +235,36 @@ def lcss(
     d = pairwise_dist(a, b)
     match = (d <= eps).astype(np.int64)
     if delta is not None:
-        n_, m_ = match.shape
-        ii = np.arange(n_)[:, None]
-        jj = np.arange(m_)[None, :]
-        match &= (np.abs(ii - jj) <= delta).astype(np.int64)
+        match = _band_mask(match, delta)
+    return _lcss_dp(match)
+
+
+def _band_mask(match: np.ndarray, delta: int) -> np.ndarray:
+    """Zero out match cells outside the |i - j| <= delta time window."""
+    n_, m_ = match.shape
+    ii = np.arange(n_)[:, None]
+    jj = np.arange(m_)[None, :]
+    return match & (np.abs(ii - jj) <= delta).astype(np.int64)
+
+
+def lcss_int2d(
+    aq: np.ndarray, bq: np.ndarray, e2: int, delta: int | None = None
+) -> int:
+    """LCSS over 2-D INTEGER (micro-quantized) points: the match
+    decision is the exact integer comparison (ax-bx)^2 + (ay-by)^2 <=
+    e2 — no sqrt, no float anywhere, so the 2-D row's oracle mirrors
+    it verbatim.  ``aq``/``bq`` are (n, 2) int64 arrays."""
+    aq = np.asarray(aq, dtype=np.int64)
+    bq = np.asarray(bq, dtype=np.int64)
+    diff = aq[:, None, :] - bq[None, :, :]
+    d2 = (diff * diff).sum(axis=2)
+    match = (d2 <= e2).astype(np.int64)
+    if delta is not None:
+        match = _band_mask(match, delta)
+    return _lcss_dp(match)
+
+
+def _lcss_dp(match: np.ndarray) -> int:
     n, m = match.shape
     prev2 = np.full(n + 1, -1, dtype=np.int64)  # k-2 diag; p = i+1
     prev1 = np.full(n + 1, -1, dtype=np.int64)  # k-1 diag
@@ -268,7 +294,21 @@ def edr(a: np.ndarray, b: np.ndarray, eps: float) -> int:
     construction.  Antidiagonal-vectorized with virtual boundary
     candidates (row 0 / col 0 are arithmetic, never materialized)."""
     d = pairwise_dist(a, b)
-    sub = (d > eps).astype(np.int64)
+    return _edr_dp((d > eps).astype(np.int64))
+
+
+def edr_int2d(aq: np.ndarray, bq: np.ndarray, e2: int) -> int:
+    """EDR over 2-D INTEGER (micro-quantized) points: substitution is
+    free iff (ax-bx)^2 + (ay-by)^2 <= e2 — the exact integer decision
+    the 2-D oracle mirrors verbatim."""
+    aq = np.asarray(aq, dtype=np.int64)
+    bq = np.asarray(bq, dtype=np.int64)
+    diff = aq[:, None, :] - bq[None, :, :]
+    d2 = (diff * diff).sum(axis=2)
+    return _edr_dp((d2 > e2).astype(np.int64))
+
+
+def _edr_dp(sub: np.ndarray) -> int:
     n, m = sub.shape
     big = np.int64(1 << 40)
     prev2 = np.full(n + 1, big, dtype=np.int64)

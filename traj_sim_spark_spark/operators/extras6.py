@@ -1315,3 +1315,218 @@ def rel_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag", "l_linestatus", "gid", "n_rows", "cents"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# traj_lcss_pair_2d / traj_edr_pair_2d — 2-D eps-matching, integer-exact
+# ---------------------------------------------------------------------------
+
+_EPS2_MICRO2 = 10_000_000 ** 2  # eps = 10.0 plane units, in micro^2
+
+
+def _series_2d_q_sql() -> str:
+    """Micro-quantized 2-D series CTEs in the (time-in-days, value)
+    plane — quantization AFTER the same float projection the engine
+    computes, so the BIGINT coordinates agree bit-for-bit."""
+    return """
+    t0 AS (SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0
+           FROM events),
+    av(i, qx, qy) AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id),
+               CAST(ROUND((epoch_us(CAST(ts AS TIMESTAMP))
+                           - (SELECT t0 FROM t0)) / 86400000000.0 * 1e6)
+                    AS BIGINT),
+               CAST(ROUND(value * 1e6) AS BIGINT)
+        FROM events WHERE user_id = 2
+    ),
+    bv(j, qx, qy) AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id),
+               CAST(ROUND((epoch_us(CAST(ts AS TIMESTAMP))
+                           - (SELECT t0 FROM t0)) / 86400000000.0 * 1e6)
+                    AS BIGINT),
+               CAST(ROUND(value * 1e6) AS BIGINT)
+        FROM events WHERE user_id = 1
+    )"""
+
+
+def _lcss_pair_2d_oracle() -> str:
+    from .trajectory import _dp_layers_sql
+
+    combine = (
+        "GREATEST("
+        "MAX(CASE WHEN cur.age = 1 THEN cur.val + cells.d"
+        "         ELSE cur.val END), "
+        "MAX(CASE WHEN cells.i = 1 OR cells.k - cells.i = 1"
+        "         THEN cells.d ELSE 0 END))"
+    )
+    cost = (
+        "CASE WHEN (av.qx - bv.qx) * (av.qx - bv.qx)"
+        " + (av.qy - bv.qy) * (av.qy - bv.qy)"
+        f" <= {_EPS2_MICRO2} THEN 1 ELSE 0 END"
+    )
+    dp = _dp_layers_sql("lcss2_dp", combine, cost)
+    return f"""
+    WITH RECURSIVE
+    {_series_2d_q_sql()},
+    {dp},
+    nm AS (SELECT (SELECT MAX(i) FROM av) AS n,
+                  (SELECT MAX(j) FROM bv) AS m)
+    SELECT CAST(2 AS BIGINT) AS user_id,
+           CAST((SELECT val FROM lcss2_dp
+                 WHERE age = 0 AND k = (SELECT n + m FROM nm)
+                   AND i = (SELECT n FROM nm)) AS BIGINT) AS lcss_len,
+           ROUND(CAST((SELECT val FROM lcss2_dp
+                       WHERE age = 0 AND k = (SELECT n + m FROM nm)
+                         AND i = (SELECT n FROM nm)) AS DOUBLE)
+                 / (SELECT LEAST(n, m) FROM nm), 6) AS lcss_sim
+    """
+
+
+def _edr_pair_2d_oracle() -> str:
+    from .trajectory import _dp_layers_sql
+
+    combine = (
+        "LEAST("
+        "MIN(CASE WHEN cur.age = 1 THEN cur.val + cells.d"
+        "         ELSE cur.val + 1 END), "
+        "MIN(CASE WHEN cells.i = 1"
+        "         THEN LEAST(cells.k - cells.i - 1 + cells.d,"
+        "                    cells.k - cells.i + 1)"
+        "         ELSE 1099511627776 END), "
+        "MIN(CASE WHEN cells.k - cells.i = 1"
+        "         THEN LEAST(cells.i - 1 + cells.d, cells.i + 1)"
+        "         ELSE 1099511627776 END))"
+    )
+    cost = (
+        "CASE WHEN (av.qx - bv.qx) * (av.qx - bv.qx)"
+        " + (av.qy - bv.qy) * (av.qy - bv.qy)"
+        f" <= {_EPS2_MICRO2} THEN 0 ELSE 1 END"
+    )
+    dp = _dp_layers_sql("edr2_dp", combine, cost)
+    return f"""
+    WITH RECURSIVE
+    {_series_2d_q_sql()},
+    {dp},
+    nm AS (SELECT (SELECT MAX(i) FROM av) AS n,
+                  (SELECT MAX(j) FROM bv) AS m)
+    SELECT CAST(2 AS BIGINT) AS user_id,
+           CAST((SELECT val FROM edr2_dp
+                 WHERE age = 0 AND k = (SELECT n + m FROM nm)
+                   AND i = (SELECT n FROM nm)) AS BIGINT) AS edr,
+           ROUND(CAST((SELECT val FROM edr2_dp
+                       WHERE age = 0 AND k = (SELECT n + m FROM nm)
+                         AND i = (SELECT n FROM nm)) AS DOUBLE)
+                 / (SELECT GREATEST(n, m) FROM nm), 6) AS edr_norm
+    """
+
+
+def _paired_2d_quantized(t: Tables):
+    """User-2 row of ``_paired_series_2d`` with micro-quantized
+    coordinate arrays (SQL ROUND, JVM-side — same doubles, same
+    half-rounding as the oracle)."""
+    from .trajectory import _QUERY_USER, _paired_series_2d
+
+    q = "transform({0}, x -> CAST(ROUND(x * 1e6) AS BIGINT))"
+    return (
+        _paired_series_2d(t, _QUERY_USER)
+        .filter(F.col("user_id") == 2)
+        .select(
+            "user_id",
+            F.expr(q.format("xs")).alias("qxa"),
+            F.expr(q.format("ys")).alias("qya"),
+            F.expr(q.format("qxs")).alias("qxb"),
+            F.expr(q.format("qys")).alias("qyb"),
+        )
+    )
+
+
+@query("traj_lcss_pair_2d", oracle=_lcss_pair_2d_oracle)
+def traj_lcss_pair_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LCSS between users 1 and 2 in the (time-in-days, value) PLANE —
+    the 2-D completion of the eps-matching tier.  Stronger-than-1-D
+    exactness: the Euclidean match decision is the INTEGER comparison
+    (dx^2 + dy^2 <= eps^2) on micro-quantized coordinates — the sqrt
+    in the 2-D metric never materializes anywhere, unlike the 2-D
+    Fréchet/DTW rows whose cells carry float SQRT values."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import kernels
+
+    t = Tables(spark, sf_dir)
+    paired = _paired_2d_quantized(t)
+
+    def refine(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                a = np.stack(
+                    [
+                        np.asarray(row.qxa, dtype=np.int64),
+                        np.asarray(row.qya, dtype=np.int64),
+                    ],
+                    axis=1,
+                )
+                b = np.stack(
+                    [
+                        np.asarray(row.qxb, dtype=np.int64),
+                        np.asarray(row.qyb, dtype=np.int64),
+                    ],
+                    axis=1,
+                )
+                ln = kernels.lcss_int2d(a, b, _EPS2_MICRO2)
+                ml = min(len(a), len(b))
+                out.append((row.user_id, ln, round(ln / ml, 6)))
+            yield pd.DataFrame(
+                out, columns=["user_id", "lcss_len", "lcss_sim"]
+            )
+
+    return paired.mapInPandas(
+        refine,
+        schema="user_id bigint, lcss_len bigint, lcss_sim double",
+    )
+
+
+@query("traj_edr_pair_2d", oracle=_edr_pair_2d_oracle)
+def traj_edr_pair_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDR between users 1 and 2 in the plane — same integer-exact
+    Euclidean match decision as ``traj_lcss_pair_2d`` (no sqrt
+    anywhere), same virtual-boundary recursive-CTE oracle as the 1-D
+    EDR row."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import kernels
+
+    t = Tables(spark, sf_dir)
+    paired = _paired_2d_quantized(t)
+
+    def refine(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                a = np.stack(
+                    [
+                        np.asarray(row.qxa, dtype=np.int64),
+                        np.asarray(row.qya, dtype=np.int64),
+                    ],
+                    axis=1,
+                )
+                b = np.stack(
+                    [
+                        np.asarray(row.qxb, dtype=np.int64),
+                        np.asarray(row.qyb, dtype=np.int64),
+                    ],
+                    axis=1,
+                )
+                e = kernels.edr_int2d(a, b, _EPS2_MICRO2)
+                ml = max(len(a), len(b))
+                out.append((row.user_id, e, round(e / ml, 6)))
+            yield pd.DataFrame(
+                out, columns=["user_id", "edr", "edr_norm"]
+            )
+
+    return paired.mapInPandas(
+        refine,
+        schema="user_id bigint, edr bigint, edr_norm double",
+    )
