@@ -945,3 +945,137 @@ def test_edr_lower_bound_is_admissible(spark, sf_dir):
         if u == 1:
             continue
         assert lbs[u] <= kernels.edr(s, q, _SEARCH_EPS), u
+
+
+def _series_2d_q_by_user(spark, sf_dir):
+    """Micro-quantized (time-in-days, value) integer series per user,
+    ordered like the engine's assemblies."""
+    from pyspark.sql import functions as F
+
+    from traj_sim_spark_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    t0 = t.events.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    rows = (
+        t.user_points()
+        .join(F.broadcast(t0))
+        .select(
+            "user_id",
+            "seq",
+            F.expr(
+                "CAST(ROUND((unix_micros(ts) - t0) / 86400000000.0"
+                " * 1e6) AS BIGINT)"
+            ).alias("qx"),
+            F.expr("CAST(ROUND(value * 1e6) AS BIGINT)").alias("qy"),
+        )
+        .collect()
+    )
+    out: dict[int, list[tuple[int, int, int]]] = {}
+    for r in rows:
+        out.setdefault(r["user_id"], []).append((r["seq"], r["qx"], r["qy"]))
+    return {
+        u: np.asarray(
+            [(x, y) for _, x, y in sorted(pts)], dtype=np.int64
+        )
+        for u, pts in out.items()
+    }
+
+
+def test_lcss_edr_2d_search_match_brute_force(spark, sf_dir):
+    from traj_sim_spark_spark.operators.extras6 import (
+        _EPS2_MICRO2,
+        _EDR_TAU_DEN,
+        _EDR_TAU_NUM,
+        _LCSS_TAU_DEN,
+        _LCSS_TAU_NUM,
+        _SEARCH_K,
+    )
+
+    series = _series_2d_q_by_user(spark, sf_dir)
+    q = series[1]
+    lcss_all, edr_all = {}, {}
+    for u, s in series.items():
+        if u == 1:
+            continue
+        lcss_all[u] = kernels.lcss_int2d(s, q, _EPS2_MICRO2)
+        edr_all[u] = kernels.edr_int2d(s, q, _EPS2_MICRO2)
+
+    brute_lt = sorted(
+        (u, ln)
+        for u, ln in lcss_all.items()
+        if ln * _LCSS_TAU_DEN
+        >= min(len(series[u]), len(q)) * _LCSS_TAU_NUM
+    )
+    got_lt = sorted(
+        (r["user_id"], r["lcss_len"])
+        for r in registry.QUERIES["traj_lcss_threshold_2d"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert got_lt == brute_lt
+
+    scored = sorted(
+        (-(ln / min(len(series[u]), len(q))), u, ln)
+        for u, ln in lcss_all.items()
+    )
+    brute_lk = [(u, ln) for _, u, ln in scored[:_SEARCH_K]]
+    got_lk = [
+        (r["user_id"], r["lcss_len"])
+        for r in registry.QUERIES["traj_lcss_knn_2d"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert got_lk == brute_lk
+
+    brute_et = sorted(
+        (u, e)
+        for u, e in edr_all.items()
+        if e * _EDR_TAU_DEN
+        <= max(len(series[u]), len(q)) * _EDR_TAU_NUM
+    )
+    got_et = sorted(
+        (r["user_id"], r["edr"])
+        for r in registry.QUERIES["traj_edr_threshold_2d"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert got_et == brute_et
+
+    scored_e = sorted(
+        (e / max(len(series[u]), len(q)), u, e)
+        for u, e in edr_all.items()
+    )
+    brute_ek = [(u, e) for _, u, e in scored_e[:_SEARCH_K]]
+    got_ek = [
+        (r["user_id"], r["edr"])
+        for r in registry.QUERIES["traj_edr_knn_2d"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert got_ek == brute_ek
+
+
+def test_matchable_2d_bound_is_admissible(spark, sf_dir):
+    """matchable >= LCSS_2d and max(n,m) - matchable <= EDR_2d for
+    every candidate (losslessness of the 2-D search prunes)."""
+    from traj_sim_spark_spark.operators.extras6 import (
+        _EPS2_MICRO2,
+        _matchable_2d,
+    )
+    from traj_sim_spark_spark.tables import Tables
+
+    series = _series_2d_q_by_user(spark, sf_dir)
+    q = series[1]
+    t = Tables(spark, sf_dir)
+    rows = {
+        r["user_id"]: (r["n"], r["matchable"])
+        for r in _matchable_2d(t).collect()
+    }
+    for u, s in series.items():
+        if u == 1:
+            continue
+        n, mt = rows[u]
+        assert mt >= kernels.lcss_int2d(s, q, _EPS2_MICRO2), u
+        assert max(n, len(q)) - mt <= kernels.edr_int2d(
+            s, q, _EPS2_MICRO2
+        ), u

@@ -1420,16 +1420,19 @@ def _edr_pair_2d_oracle() -> str:
     """
 
 
-def _paired_2d_quantized(t: Tables):
-    """User-2 row of ``_paired_series_2d`` with micro-quantized
-    coordinate arrays (SQL ROUND, JVM-side — same doubles, same
-    half-rounding as the oracle)."""
+def _paired_2d_quantized(t: Tables, ids: DataFrame | None = None):
+    """``_paired_series_2d`` rows with micro-quantized coordinate
+    arrays (SQL ROUND, JVM-side — same doubles, same half-rounding as
+    the oracle).  Without ``ids``: the user-2 pair row; with ``ids``:
+    the candidate set (search tier)."""
     from .trajectory import _QUERY_USER, _paired_series_2d
 
     q = "transform({0}, x -> CAST(ROUND(x * 1e6) AS BIGINT))"
+    base = _paired_series_2d(t, _QUERY_USER, ids=ids)
+    if ids is None:
+        base = base.filter(F.col("user_id") == 2)
     return (
-        _paired_series_2d(t, _QUERY_USER)
-        .filter(F.col("user_id") == 2)
+        base
         .select(
             "user_id",
             F.expr(q.format("xs")).alias("qxa"),
@@ -1529,4 +1532,239 @@ def traj_edr_pair_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paired.mapInPandas(
         refine,
         schema="user_id bigint, edr bigint, edr_norm double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2-D LCSS / EDR search tier (threshold + kNN) — WEAK rows, brute-pinned
+# ---------------------------------------------------------------------------
+
+_EPSM = 10_000_000  # eps in micro units (10.0 plane units)
+
+
+def _pts_2d_q(t: Tables) -> DataFrame:
+    """(user_id, i, qx, qy): micro-quantized plane points with 1-based
+    per-user positions (same ordering as the 2-D assemblies)."""
+    ev = t.user_points()
+    t0 = t.events.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    w = Window.partitionBy("user_id").orderBy("seq")
+    return (
+        ev.join(F.broadcast(t0))
+        .select(
+            "user_id",
+            F.row_number().over(w).alias("i"),
+            F.expr(
+                "CAST(ROUND((unix_micros(ts) - t0) / 86400000000.0"
+                " * 1e6) AS BIGINT)"
+            ).alias("qx"),
+            F.expr("CAST(ROUND(value * 1e6) AS BIGINT)").alias("qy"),
+        )
+    )
+
+
+def _matchable_2d(t: Tables) -> DataFrame:
+    """Per-candidate count of points with SOME query point within eps
+    (2-D eps-grid: probe the query side's 9 neighbor cells, verify the
+    exact integer squared distance).  LCSS_2d <= matchable (each match
+    consumes one matchable point) and EDR_2d >= max(n,m) - matchable —
+    both LOSSLESS; same dense-regime selectivity caveat as the 1-D
+    bounds.  Returns (user_id, n, matchable)."""
+    pts = _pts_2d_q(t)
+    q = pts.filter(F.col("user_id") == 1)
+    qcells = (
+        q.select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(-1, 1), dx ->"
+                    f" transform(sequence(-1, 1), dy ->"
+                    f" struct((qx div {_EPSM}) + dx AS cx,"
+                    f" (qy div {_EPSM}) + dy AS cy))))"
+                )
+            ).alias("c"),
+            F.col("qx").alias("bx"),
+            F.col("qy").alias("by"),
+        )
+        .select("c.cx", "c.cy", "bx", "by")
+    )
+    cand = pts.filter(F.col("user_id") != 1).select(
+        "user_id",
+        "i",
+        "qx",
+        "qy",
+        F.expr(f"qx div {_EPSM}").alias("cx"),
+        F.expr(f"qy div {_EPSM}").alias("cy"),
+    )
+    matchable = (
+        cand.join(F.broadcast(qcells), ["cx", "cy"])
+        .filter(
+            (F.col("qx") - F.col("bx")) * (F.col("qx") - F.col("bx"))
+            + (F.col("qy") - F.col("by")) * (F.col("qy") - F.col("by"))
+            <= _EPSM * _EPSM
+        )
+        .select("user_id", "i")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("matchable"))
+    )
+    return (
+        cand.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .join(matchable, "user_id", "left")
+        .select(
+            "user_id",
+            "n",
+            F.coalesce("matchable", F.lit(0)).alias("matchable"),
+        )
+    )
+
+
+def _lcss2d_refine(t: Tables, ids: DataFrame) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import kernels
+
+    paired = _paired_2d_quantized(t, ids=ids).repartition(
+        t.spark.sparkContext.defaultParallelism
+    )
+
+    def refine(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                a = np.stack(
+                    [np.asarray(row.qxa, dtype=np.int64),
+                     np.asarray(row.qya, dtype=np.int64)], axis=1)
+                b = np.stack(
+                    [np.asarray(row.qxb, dtype=np.int64),
+                     np.asarray(row.qyb, dtype=np.int64)], axis=1)
+                ln = kernels.lcss_int2d(a, b, _EPS2_MICRO2)
+                ml = min(len(a), len(b))
+                out.append((row.user_id, ln, ml, round(ln / ml, 6)))
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "lcss_len", "min_len", "lcss_sim"],
+            )
+
+    return paired.mapInPandas(
+        refine,
+        schema="user_id bigint, lcss_len bigint, min_len bigint,"
+        " lcss_sim double",
+    )
+
+
+def _edr2d_refine(t: Tables, ids: DataFrame) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import kernels
+
+    paired = _paired_2d_quantized(t, ids=ids).repartition(
+        t.spark.sparkContext.defaultParallelism
+    )
+
+    def refine(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                a = np.stack(
+                    [np.asarray(row.qxa, dtype=np.int64),
+                     np.asarray(row.qya, dtype=np.int64)], axis=1)
+                b = np.stack(
+                    [np.asarray(row.qxb, dtype=np.int64),
+                     np.asarray(row.qyb, dtype=np.int64)], axis=1)
+                e = kernels.edr_int2d(a, b, _EPS2_MICRO2)
+                ml = max(len(a), len(b))
+                out.append((row.user_id, e, ml, round(e / ml, 6)))
+            yield pd.DataFrame(
+                out, columns=["user_id", "edr", "max_len", "edr_norm"]
+            )
+
+    return paired.mapInPandas(
+        refine,
+        schema="user_id bigint, edr bigint, max_len bigint,"
+        " edr_norm double",
+    )
+
+
+@query("traj_lcss_threshold_2d")  # WEAK: order-sensitive DP kernel
+def traj_lcss_threshold_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All users with plane-LCSS similarity >= 0.55 vs the query user —
+    the 2-D completion of the LCSS search tier (unbanded: the plane's
+    time AXIS already carries the temporal constraint the 1-D banded
+    form imposes by index).  Lossless matchable-count bound gates the
+    kernel; exact integer membership 20·lcss >= 11·min(n,m); brute
+    equality pinned in tests/test_twophase.py."""
+    t = Tables(spark, sf_dir)
+    m = t.user_points().filter(F.col("user_id") == 1).count()
+    cand = _matchable_2d(t).filter(
+        F.col("matchable") * _LCSS_TAU_DEN
+        >= F.least(F.col("n"), F.lit(m)) * _LCSS_TAU_NUM
+    )
+    return (
+        _lcss2d_refine(t, cand)
+        .filter(
+            F.col("lcss_len") * _LCSS_TAU_DEN
+            >= F.col("min_len") * _LCSS_TAU_NUM
+        )
+        .select("user_id", "lcss_len", "lcss_sim")
+    )
+
+
+@query("traj_lcss_knn_2d")  # WEAK: order-sensitive DP kernel
+def traj_lcss_knn_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by plane-LCSS similarity (DESC, id ties) —
+    refine-all + global top-k, the 1-D kNN's honest-plan note
+    applies unchanged."""
+    t = Tables(spark, sf_dir)
+    cand = _matchable_2d(t).select("user_id")
+    return (
+        _lcss2d_refine(t, cand)
+        .orderBy(
+            (F.col("lcss_len") / F.col("min_len")).desc(), "user_id"
+        )
+        .limit(_SEARCH_K)
+        .select("user_id", "lcss_len", "lcss_sim")
+    )
+
+
+@query("traj_edr_threshold_2d")  # WEAK: order-sensitive DP kernel
+def traj_edr_threshold_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All users with normalized plane-EDR <= 0.6 vs the query user;
+    lossless lower bound max(|n-m|, max(n,m) - matchable) gates the
+    kernel, integer membership 5·edr <= 3·max(n,m); brute pinned."""
+    t = Tables(spark, sf_dir)
+    m = t.user_points().filter(F.col("user_id") == 1).count()
+    cand = _matchable_2d(t).select(
+        "user_id",
+        "n",
+        F.greatest(
+            F.abs(F.col("n") - F.lit(m)),
+            F.greatest(F.col("n"), F.lit(m)) - F.col("matchable"),
+        ).alias("lb"),
+    ).filter(
+        F.col("lb") * _EDR_TAU_DEN
+        <= F.greatest(F.col("n"), F.lit(m)) * _EDR_TAU_NUM
+    )
+    return (
+        _edr2d_refine(t, cand)
+        .filter(
+            F.col("edr") * _EDR_TAU_DEN
+            <= F.col("max_len") * _EDR_TAU_NUM
+        )
+        .select("user_id", "edr", "edr_norm")
+    )
+
+
+@query("traj_edr_knn_2d")  # WEAK: order-sensitive DP kernel
+def traj_edr_knn_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by smallest normalized plane-EDR (ASC, id ties) —
+    refine-all + global top-k."""
+    t = Tables(spark, sf_dir)
+    cand = _matchable_2d(t).select("user_id")
+    return (
+        _edr2d_refine(t, cand)
+        .orderBy(F.col("edr") / F.col("max_len"), "user_id")
+        .limit(_SEARCH_K)
+        .select("user_id", "edr", "edr_norm")
     )
