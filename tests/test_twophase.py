@@ -1079,3 +1079,80 @@ def test_matchable_2d_bound_is_admissible(spark, sf_dir):
         assert max(n, len(q)) - mt <= kernels.edr_int2d(
             s, q, _EPS2_MICRO2
         ), u
+
+
+def _series_q_by_user(spark, sf_dir):
+    """Micro-quantized 1-D integer series per user (SQL ROUND)."""
+    from pyspark.sql import functions as F
+
+    from traj_sim_spark_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    rows = (
+        t.user_points()
+        .select(
+            "user_id",
+            "seq",
+            F.expr("CAST(ROUND(value * 1e6) AS BIGINT)").alias("qv"),
+        )
+        .collect()
+    )
+    out: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        out.setdefault(r["user_id"], []).append((r["seq"], r["qv"]))
+    return {
+        u: np.asarray([v for _, v in sorted(pts)], dtype=np.int64)
+        for u, pts in out.items()
+    }
+
+
+def test_erp_search_matches_brute_force(spark, sf_dir):
+    from traj_sim_spark_spark.operators.extras6 import (
+        _ERP_TAU_MICRO,
+        _SEARCH_K,
+    )
+
+    series = _series_q_by_user(spark, sf_dir)
+    q = series[1]
+    erps = {
+        u: kernels.erp(s, q) for u, s in series.items() if u != 1
+    }
+    brute_t = sorted(
+        (u, e) for u, e in erps.items() if e <= _ERP_TAU_MICRO
+    )
+    got_t = sorted(
+        (r["user_id"], r["erp_micro"])
+        for r in registry.QUERIES["traj_erp_threshold"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert got_t == brute_t
+
+    brute_k = [
+        (u, e)
+        for e, u in sorted((e, u) for u, e in erps.items())[:_SEARCH_K]
+    ]
+    got_k = [
+        (r["user_id"], r["erp_micro"])
+        for r in registry.QUERIES["traj_erp_knn"](spark, sf_dir).collect()
+    ]
+    assert got_k == brute_k
+
+
+def test_erp_norm_bound_is_admissible(spark, sf_dir):
+    """|L1(a) - L1(q)| <= ERP(a, q) for every candidate (the triangle
+    inequality through the empty series — ERP's metric property,
+    certified on the fixture)."""
+    from traj_sim_spark_spark.operators.extras6 import _erp_norms
+    from traj_sim_spark_spark.tables import Tables
+
+    series = _series_q_by_user(spark, sf_dir)
+    q = series[1]
+    t = Tables(spark, sf_dir)
+    lbs = {
+        r["user_id"]: r["lb"] for r in _erp_norms(t).collect()
+    }
+    for u, s in series.items():
+        if u == 1:
+            continue
+        assert lbs[u] <= kernels.erp(s, q), u

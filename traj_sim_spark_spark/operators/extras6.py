@@ -1768,3 +1768,139 @@ def traj_edr_knn_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_SEARCH_K)
         .select("user_id", "edr", "edr_norm")
     )
+
+
+# ---------------------------------------------------------------------------
+# ERP search tier (threshold + kNN) — metric norm-bound two-phase
+# ---------------------------------------------------------------------------
+
+_ERP_TAU_MICRO = 1_600_000_000  # 1600.0 value units in micro
+_ERP_CK = 30  # phase-1 refine width for the kNN
+
+
+def _erp_norms(t: Tables) -> DataFrame:
+    """Per-candidate Chen&Ng ERP lower bound: ERP(a, b) >=
+    |sum|a| - sum|b|| (ERP to the empty series IS the L1 mass, and ERP
+    is a true metric, so the triangle inequality applies — the
+    canonical published ERP prune).  Integer micro units end to end.
+    Measured on THIS corpus the bound is weak (series carry similar
+    total mass: lb/erp median 0.25, ~1/149 pruned at useful taus) —
+    it ships as the lossless guard it is; on corpora where lengths or
+    magnitudes vary it is the standard discriminative phase.
+    Returns (user_id, lb)."""
+    pts = t.user_points().select(
+        "user_id",
+        F.expr("ABS(CAST(ROUND(value * 1e6) AS BIGINT))").alias("av"),
+    )
+    sums = pts.groupBy("user_id").agg(F.sum("av").alias("sn"))
+    qn = (
+        sums.filter(F.col("user_id") == 1)
+        .select(F.col("sn").alias("qn"))
+    )
+    return (
+        sums.filter(F.col("user_id") != 1)
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "user_id",
+            F.abs(F.col("sn") - F.col("qn")).alias("lb"),
+        )
+    )
+
+
+def _erp_refine(t: Tables, ids: DataFrame) -> DataFrame:
+    """Exact integer-ERP kernel over the candidate id set; returns
+    (user_id, erp_micro, erp)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import kernels
+    from .trajectory import _QUERY_USER, _paired_series
+
+    qz = "transform({0}, x -> CAST(ROUND(x * 1e6) AS BIGINT))"
+    paired = (
+        _paired_series(t, _QUERY_USER, ids=ids)
+        .select(
+            "user_id",
+            F.expr(qz.format("vals")).alias("qa"),
+            F.expr(qz.format("q_vals")).alias("qb"),
+        )
+        .repartition(t.spark.sparkContext.defaultParallelism)
+    )
+
+    def refine(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                a = np.asarray(row.qa, dtype=np.int64)
+                b = np.asarray(row.qb, dtype=np.int64)
+                e = kernels.erp(a, b)
+                out.append((row.user_id, e, round(e / 1e6, 6)))
+            yield pd.DataFrame(
+                out, columns=["user_id", "erp_micro", "erp"]
+            )
+
+    return paired.mapInPandas(
+        refine, schema="user_id bigint, erp_micro bigint, erp double"
+    )
+
+
+@query("traj_erp_threshold")  # WEAK: order-sensitive DP kernel
+def traj_erp_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All users with ERP <= 1600.0 vs the query user — the metric
+    member of the search matrix: the LOSSLESS triangle-inequality
+    norm bound (|L1(a) - L1(q)| <= ERP, Chen & Ng) gates the kernel,
+    survivors refine exactly, membership is the integer comparison
+    erp_micro <= tau_micro.  Brute equality + bound admissibility
+    pinned in tests/test_twophase.py."""
+    t = Tables(spark, sf_dir)
+    cand = _erp_norms(t).filter(F.col("lb") <= _ERP_TAU_MICRO)
+    return (
+        _erp_refine(t, cand)
+        .filter(F.col("erp_micro") <= _ERP_TAU_MICRO)
+        .select("user_id", "erp_micro", "erp")
+    )
+
+
+@query("traj_erp_knn")  # WEAK: order-sensitive DP kernel
+def traj_erp_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by ERP — the reference's two-phase kNN shape on
+    the metric measure: refine the 30 best-bounded candidates, take
+    the 10th exact distance as tau_k, refine every remaining user
+    whose norm bound <= tau_k (any user with lb > tau_k has
+    ERP >= lb > tau_k and cannot enter the top 10), merge, global
+    top-10 by (erp_micro, user_id) — all integer decisions; only the
+    scalar tau_k crosses to the driver (the AQE-stats footprint).
+    Brute equality pinned in tests/test_twophase.py."""
+    t = Tables(spark, sf_dir)
+    lb = _erp_norms(t).localCheckpoint()
+    first_ids = lb.orderBy("lb", "user_id").limit(_ERP_CK)
+    first = _erp_refine(t, first_ids).localCheckpoint()
+    tau_row = (
+        first.orderBy("erp_micro", "user_id")
+        .limit(_SEARCH_K)
+        .agg(F.max("erp_micro").alias("tau"))
+        .head()
+    )
+    tau = tau_row[0] if tau_row and tau_row[0] is not None else None
+    if tau is None:
+        rest_ids = lb.join(
+            F.broadcast(first_ids.select("user_id")),
+            "user_id",
+            "left_anti",
+        )
+    else:
+        rest_ids = (
+            lb.filter(F.col("lb") <= tau)
+            .join(
+                F.broadcast(first_ids.select("user_id")),
+                "user_id",
+                "left_anti",
+            )
+        )
+    rest = _erp_refine(t, rest_ids)
+    return (
+        first.unionByName(rest)
+        .orderBy("erp_micro", "user_id")
+        .limit(_SEARCH_K)
+        .select("user_id", "erp_micro", "erp")
+    )
