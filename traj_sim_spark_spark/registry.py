@@ -49,14 +49,14 @@ _LAZY_ORACLES: dict[str, Callable[[], str]] = {}
 # traj_hausdorff_segments_knn_batch_2d, traj_range_window_2d_idx,
 # rel_table_stats, rel_view_maintenance, sink_csv_roundtrip),
 # setops tail (rel_intersect_all, rel_except_all), similarity tail
-# (sim_range_search, emb_layout_ivf), udf_map_arrow = 41, plus the 22
+# (sim_range_search, emb_layout_ivf), udf_map_arrow = 41, plus the 24
 # round-5 extras6 additions (14 FULL: lcss/edr/erp pair rows in 1-D
 # and 2-D, sim_diversify_mmr, rel_gaps_islands, rel_agg_filtered,
 # text_langid_confusion, pipe_span_corruption, emb_norm_hist,
-# rel_try_arithmetic, pipe_chunk_overlap, rel_grouping_id; 8 WEAK:
-# the LCSS/EDR search tiers) = 63 for a 50-key window.  Prefer the
+# rel_try_arithmetic, pipe_chunk_overlap, rel_grouping_id; 10 WEAK:
+# the LCSS/EDR/ERP search tiers) = 65 for a 50-key window.  Prefer the
 # FULL rows + readers_ext/streams_ext/extras3 tails first; spill the
-# 8 WEAK search rows and the 6 trajectory_ext WEAK rows to round 7
+# 10 WEAK search rows and the 6 trajectory_ext WEAK rows to round 7
 # (their brute/recursion pytest pins already carry the evidence), and
 # re-window rel_agg_approx (its round-1 rows-only row predates the
 # round-5 KMV twin-column FULL rewrite).
