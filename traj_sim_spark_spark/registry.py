@@ -30,36 +30,15 @@ _LAZY_ORACLES: dict[str, Callable[[], str]] = {}
 # pinned declaratively by _WINDOW_FIRST below (load_all reorders QUERIES),
 # so module order no longer matters for correctness-row scheduling.
 #
-# ROUND-6 ROTATION (do at round-6 start): after the round-5 window below
-# executes, the remaining driver-rowless keys are exactly these 41 —
-# trajectory_ext (11: traj_frechet_threshold_2d, traj_dtw_knn_2d,
-# traj_dtw_threshold_2d, traj_dtw_pair_2d, traj_hausdorff_segments_knn,
-# traj_hausdorff_segments_threshold, traj_hausdorff_knn_batch,
-# traj_hausdorff_knn_2d_batch, traj_dtw_knn_banded,
-# traj_dtw_knn_banded_2d, traj_dtw_threshold_banded — 6 of them WEAK
-# rows-only by design),
-# readers_ext (11: src_text_ingest, src_orc_ingest,
-# sink_partitioned_roundtrip, src_schema_evolution, sink_stream_parquet,
-# stream_layout_ingest, sink_compaction, src_binary_files,
-# src_python_datasource, sink_versioned_snapshot, src_csv_malformed),
-# streams_ext tail (8: stream_traj_distance, stream_cms,
-# stream_quantile_hist, stream_funnel, stream_anomaly,
-# stream_pack_chunks, stream_ewma, stream_distinct_users),
-# extras3 tail (6: traj_hausdorff_segments_knn_2d_idx,
-# traj_hausdorff_segments_knn_batch_2d, traj_range_window_2d_idx,
-# rel_table_stats, rel_view_maintenance, sink_csv_roundtrip),
-# setops tail (rel_intersect_all, rel_except_all), similarity tail
-# (sim_range_search, emb_layout_ivf), udf_map_arrow = 41, plus the 24
-# round-5 extras6 additions (14 FULL: lcss/edr/erp pair rows in 1-D
-# and 2-D, sim_diversify_mmr, rel_gaps_islands, rel_agg_filtered,
-# text_langid_confusion, pipe_span_corruption, emb_norm_hist,
-# rel_try_arithmetic, pipe_chunk_overlap, rel_grouping_id; 10 WEAK:
-# the LCSS/EDR/ERP search tiers) = 65 for a 50-key window.  Prefer the
-# FULL rows + readers_ext/streams_ext/extras3 tails first; spill the
-# 10 WEAK search rows and the 6 trajectory_ext WEAK rows to round 7
-# (their brute/recursion pytest pins already carry the evidence), and
-# re-window rel_agg_approx (its round-1 rows-only row predates the
-# round-5 KMV twin-column FULL rewrite).
+# ROUND-6 ROTATION: EXECUTED — see _WINDOW_FIRST below (49 FULL
+# rowless keys + re-windowed rel_agg_approx). ROUND-7 plan: the 16
+# remaining driver-rowless keys are all WEAK rows-only by design —
+# trajectory_ext (6: traj_frechet_threshold_2d, traj_dtw_knn_2d,
+# traj_dtw_threshold_2d, traj_dtw_knn_banded, traj_dtw_knn_banded_2d,
+# traj_dtw_threshold_banded) and the extras6 LCSS/EDR/ERP search tiers
+# (10: traj_{lcss,edr}_{threshold,knn} in 1-D and 2-D, plus
+# traj_erp_threshold / traj_erp_knn) — plus any round-6 additions.
+# They fit a 50-key window with ~34 slots to spare for new keys.
 _MODULES = (
     "traj_sim_spark_spark.operators.text_ext",
     "traj_sim_spark_spark.operators.analytics",
@@ -108,65 +87,73 @@ _MODULES = (
 # their registration order after it. Unknown names are skipped, so the
 # list can be staged before its keys exist.
 #
-# ROUND-5 WINDOW (executed this round): 50 keys with no driver row
-# through round 4 — all of extras5 (24) + all of extras4 (18) + the 4
-# riskiest extras3-tail keys + 4 streams_ext keys. The remaining 41
-# rowless keys are enumerated in the ROUND-6 ROTATION comment above.
+# ROUND-6 WINDOW (executed this round): the 49 FULL keys that had no
+# driver row through round 5 (readers_ext 11, streams_ext tail 8,
+# extras3 tail 6, setops/similarity tails + udf_map_arrow 5,
+# trajectory_ext FULL rows 5, the 14 FULL extras6 additions) plus
+# rel_agg_approx re-windowed (its only driver row was the round-1
+# rows-only record, predating the round-5 KMV FULL rewrite) = exactly
+# 50. The 16 WEAK rowless keys (LCSS/EDR/ERP search tiers + the 6
+# trajectory_ext WEAK rows) spill to the ROUND-7 window by design —
+# their brute/recursion pytest pins carry the evidence meanwhile.
 _WINDOW_FIRST: tuple[str, ...] = (
-    # extras5 (24)
-    "rel_recursive_cte",
-    "rel_regr_exact",
-    "ps_frontend",
-    "rel_join_skew_salted",
-    "rel_variant_json",
-    "src_xml_ingest",
-    "graph_sssp",
-    "text_setsim_prefix_join",
-    "rel_gdpr_delete",
-    "text_quality_logreg",
-    "rel_holt_linear",
-    "text_dup_ngram_coverage",
-    "rel_pit_join",
-    "pipe_doc_shuffle",
-    "graph_stress_betweenness",
-    "graph_temporal_reach",
-    "rel_observe",
-    "emb_kmeans_exact",
-    "sim_knn_pq_exact",
-    "text_dedup_cut",
-    "graph_clustering_coeff",
-    "emb_cov_topk",
-    "emb_cosine_hist",
-    "pipe_leakage_safe_split",
-    # extras4 (18)
-    "sim_knn_binary",
-    "sim_hybrid_rrf",
-    "rel_dq_audit",
-    "sketch_kmv_setops",
-    "traj_zorder_layout",
-    "graph_label_prop",
-    "mm_header_parse",
-    "rel_agg_mode_disc",
-    "traj_viterbi_map_match",
-    "emb_dedup_threshold_sweep",
-    "text_containment_neardup",
-    "pipe_dedup_funnel",
-    "sim_ann_recall_matrix",
-    "rel_equidepth_hist",
-    "pipe_mix_temperature",
-    "text_ngram_novelty",
-    "rel_join_lateral",
-    "rel_sql_frontend",
-    # extras3 tail (4)
-    "rel_bloom_runtime",
-    "sim_knn_batch",
-    "traj_map_match",
-    "traj_search_report",
-    # streams_ext (4)
-    "stream_state_inspect",
-    "stream_cdc_apply",
-    "stream_backfill_union",
-    "stream_seg_corridor",
+    # readers_ext (11) — all five sink_* keys had zero driver rows ever
+    "src_text_ingest",
+    "src_orc_ingest",
+    "sink_partitioned_roundtrip",
+    "src_schema_evolution",
+    "sink_stream_parquet",
+    "stream_layout_ingest",
+    "sink_compaction",
+    "src_binary_files",
+    "src_python_datasource",
+    "sink_versioned_snapshot",
+    "src_csv_malformed",
+    # streams_ext tail (8)
+    "stream_traj_distance",
+    "stream_cms",
+    "stream_quantile_hist",
+    "stream_funnel",
+    "stream_anomaly",
+    "stream_pack_chunks",
+    "stream_ewma",
+    "stream_distinct_users",
+    # extras3 tail (6)
+    "traj_hausdorff_segments_knn_2d_idx",
+    "traj_hausdorff_segments_knn_batch_2d",
+    "traj_range_window_2d_idx",
+    "rel_table_stats",
+    "rel_view_maintenance",
+    "sink_csv_roundtrip",
+    # setops / similarity tails + udf_map_arrow (5)
+    "rel_intersect_all",
+    "rel_except_all",
+    "sim_range_search",
+    "emb_layout_ivf",
+    "udf_map_arrow",
+    # trajectory_ext FULL rows (5)
+    "traj_dtw_pair_2d",
+    "traj_hausdorff_segments_knn",
+    "traj_hausdorff_segments_threshold",
+    "traj_hausdorff_knn_batch",
+    "traj_hausdorff_knn_2d_batch",
+    # extras6 FULL rows (14)
+    "traj_lcss_pair",
+    "traj_edr_pair",
+    "traj_erp_pair",
+    "traj_lcss_pair_2d",
+    "traj_edr_pair_2d",
+    "sim_diversify_mmr",
+    "rel_gaps_islands",
+    "rel_agg_filtered",
+    "text_langid_confusion",
+    "pipe_span_corruption",
+    "emb_norm_hist",
+    "rel_try_arithmetic",
+    "pipe_chunk_overlap",
+    "rel_grouping_id",
+    # re-windowed: KMV FULL rewrite postdates its only (rows-only) row
+    "rel_agg_approx",
 )
 
 _loaded = False
