@@ -365,3 +365,69 @@ def test_lcss_edr_int2d_match_quadratic_reference():
         e2 = int(rng.integers(1, 2000))
         assert kernels.lcss_int2d(A, B, e2) == lcss2_ref(A, B, e2)
         assert kernels.edr_int2d(A, B, e2) == edr2_ref(A, B, e2)
+
+
+def test_isqrt_i64_exact_full_domain():
+    """isqrt_i64 == math.isqrt across magnitudes incl. the int64-edge
+    squares where the float candidate needs the +-1 correction."""
+    import math
+
+    rng = np.random.default_rng(23)
+    cap = 3_037_000_499  # isqrt(2^63 - 1)
+    xs = np.concatenate(
+        [
+            rng.integers(0, 2**63 - 1, 50_000, dtype=np.int64),
+            np.array(
+                [0, 1, 2, 3, 4, 8, 9, 15, 16, 24, 25,
+                 cap * cap - 1, cap * cap, 2**63 - 1],
+                dtype=np.int64,
+            ),
+            # perfect squares and their neighbors
+            (np.arange(1, 2000, dtype=np.int64) ** 2),
+            (np.arange(1, 2000, dtype=np.int64) ** 2) - 1,
+        ]
+    )
+    got = kernels.isqrt_i64(xs)
+    exp = np.array([math.isqrt(int(v)) for v in xs], dtype=np.int64)
+    assert (got == exp).all()
+
+
+def test_erp_int2d_matches_reference_dp():
+    """erp_int2d == the naive O(n*m) floored-cost ERP recursion."""
+    import math
+
+    def erp2_ref(A, B):
+        def nrm(p):
+            return math.isqrt(int(p[0]) ** 2 + int(p[1]) ** 2)
+
+        def dist(p, q):
+            return math.isqrt(
+                (int(p[0]) - int(q[0])) ** 2
+                + (int(p[1]) - int(q[1])) ** 2
+            )
+
+        n, m = len(A), len(B)
+        E = np.zeros((n + 1, m + 1), dtype=np.int64)
+        for i in range(1, n + 1):
+            E[i, 0] = E[i - 1, 0] + nrm(A[i - 1])
+        for j in range(1, m + 1):
+            E[0, j] = E[0, j - 1] + nrm(B[j - 1])
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                E[i, j] = min(
+                    E[i - 1, j - 1] + dist(A[i - 1], B[j - 1]),
+                    E[i - 1, j] + nrm(A[i - 1]),
+                    E[i, j - 1] + nrm(B[j - 1]),
+                )
+        return int(E[n, m])
+
+    rng = np.random.default_rng(29)
+    for _ in range(120):
+        n, m = rng.integers(1, 15), rng.integers(1, 15)
+        A = rng.integers(-600_000_000, 600_000_000, (n, 2)).astype(
+            np.int64
+        )
+        B = rng.integers(-600_000_000, 600_000_000, (m, 2)).astype(
+            np.int64
+        )
+        assert kernels.erp_int2d(A, B) == erp2_ref(A, B)

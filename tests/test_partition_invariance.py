@@ -129,6 +129,10 @@ KEYS = [
     "traj_lcss_threshold",
     "traj_edr_threshold",
     "rel_gaps_islands",
+    # round-6: plane-ERP (isqrt integer costs) pair + search tier
+    "traj_erp_pair_2d",
+    "traj_erp_threshold_2d",
+    "traj_erp_knn_2d",
 ]
 
 

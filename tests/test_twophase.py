@@ -1156,3 +1156,59 @@ def test_erp_norm_bound_is_admissible(spark, sf_dir):
         if u == 1:
             continue
         assert lbs[u] <= kernels.erp(s, q), u
+
+
+def test_erp_2d_search_matches_brute_force(spark, sf_dir):
+    from traj_sim_spark_spark.operators.extras6 import (
+        _ERP2D_TAU_MICRO,
+        _SEARCH_K,
+    )
+
+    series = _series_2d_q_by_user(spark, sf_dir)
+    q = series[1]
+    erps = {
+        u: kernels.erp_int2d(s, q)
+        for u, s in series.items()
+        if u != 1
+    }
+    brute_t = sorted(
+        (u, e) for u, e in erps.items() if e <= _ERP2D_TAU_MICRO
+    )
+    got_t = sorted(
+        (r["user_id"], r["erp_micro"])
+        for r in registry.QUERIES["traj_erp_threshold_2d"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert got_t == brute_t
+
+    brute_k = [
+        (u, e)
+        for e, u in sorted((e, u) for u, e in erps.items())[:_SEARCH_K]
+    ]
+    got_k = [
+        (r["user_id"], r["erp_micro"])
+        for r in registry.QUERIES["traj_erp_knn_2d"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert got_k == brute_k
+
+
+def test_erp_2d_norm_bound_is_admissible(spark, sf_dir):
+    """_erp2d_norms.lb <= floored plane-ERP for every candidate (the
+    Chen&Ng norm bound with the floor-slack correction stays
+    lossless)."""
+    from traj_sim_spark_spark.operators.extras6 import _erp2d_norms
+    from traj_sim_spark_spark.tables import Tables
+
+    series = _series_2d_q_by_user(spark, sf_dir)
+    q = series[1]
+    t = Tables(spark, sf_dir)
+    lbs = {
+        r["user_id"]: r["lb"] for r in _erp2d_norms(t).collect()
+    }
+    for u, s in series.items():
+        if u == 1:
+            continue
+        assert lbs[u] <= kernels.erp_int2d(s, q), u

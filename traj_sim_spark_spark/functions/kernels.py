@@ -341,6 +341,19 @@ def _edr_dp(sub: np.ndarray) -> int:
     return int(prev1[n])
 
 
+def isqrt_i64(x: np.ndarray) -> np.ndarray:
+    """Exact integer floor-sqrt of non-negative int64 values: float
+    sqrt candidate corrected by +-1 with EXACT integer comparisons
+    (the SQL-mirrorable form — float sqrt of x <= 2^63 errs by < 1, so
+    one correction step suffices on both engines)."""
+    x = np.asarray(x, dtype=np.int64)
+    cap = 3_037_000_499  # isqrt(2^63 - 1): keeps every square in int64
+    s = np.clip(np.sqrt(x.astype(np.float64)).astype(np.int64), 0, cap)
+    sp = np.where(s < cap, s + 1, s)
+    s = np.where(sp * sp <= x, sp, s)
+    return np.where((s > 0) & (s * s > x), s - 1, s)
+
+
 def erp(a: np.ndarray, b: np.ndarray) -> int:
     """ERP (Edit distance with Real Penalty, gap g = 0) over INTEGER
     (micro-quantized) series: E(i,j) = min(E(i-1,j-1) + |a_i - b_j|,
@@ -354,7 +367,27 @@ def erp(a: np.ndarray, b: np.ndarray) -> int:
     a = np.asarray(a, dtype=np.int64)
     b = np.asarray(b, dtype=np.int64)
     d = np.abs(a[:, None] - b[None, :])
-    ca, cb = np.abs(a), np.abs(b)
+    return _erp_dp(d, np.abs(a), np.abs(b))
+
+
+def erp_int2d(aq: np.ndarray, bq: np.ndarray) -> int:
+    """ERP over 2-D INTEGER (micro-quantized) points, gap g = origin:
+    match cost isqrt(dx^2 + dy^2), gap cost isqrt(px^2 + py^2) — the
+    floor-sqrt keeps every DP cell a BIGINT, so the custom cells CTE
+    mirrors it exactly (same +-1-corrected isqrt in SQL).  ``aq``/``bq``
+    are (n, 2) int64 arrays."""
+    aq = np.asarray(aq, dtype=np.int64)
+    bq = np.asarray(bq, dtype=np.int64)
+    diff = aq[:, None, :] - bq[None, :, :]
+    d = isqrt_i64((diff * diff).sum(axis=2))
+    ca = isqrt_i64((aq * aq).sum(axis=1))
+    cb = isqrt_i64((bq * bq).sum(axis=1))
+    return _erp_dp(d, ca, cb)
+
+
+def _erp_dp(d: np.ndarray, ca: np.ndarray, cb: np.ndarray) -> int:
+    """Shared antidiagonal ERP recursion: ``d`` the (n, m) match-cost
+    matrix, ``ca``/``cb`` the per-point gap costs (all int64)."""
     pa, pb = np.cumsum(ca), np.cumsum(cb)
     n, m = d.shape
     big = np.int64(1 << 60)

@@ -18,6 +18,8 @@
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -599,6 +601,69 @@ def _edr_candidates(spark: SparkSession, t: Tables) -> DataFrame:
     )
 
 
+_TAU_CK = 30  # phase-1 refine width shared by the tau_k kNN rows
+
+
+def _tau_knn(
+    bound: DataFrame,
+    refine: Callable[[DataFrame], DataFrame],
+    num: str,
+    den: str | None,
+    desc: bool,
+    k: int = _SEARCH_K,
+    ck: int = _TAU_CK,
+) -> DataFrame:
+    """Shared tau_k two-phase kNN harness (the ERP-kNN shape from
+    ``traj_erp_knn``, generalized to ratio-valued sort keys).
+
+    ``bound`` carries (user_id, bnum[, bden]) where bnum/bden is an
+    ADMISSIBLE bound on the exact sort ratio num/den — an UPPER bound
+    when ``desc`` (similarity search), a LOWER bound otherwise
+    (distance search).  Phase 1 refines the ``ck`` best-bounded
+    candidates; tau_k = the k-th best exact ratio, collected as its
+    integer (num, den) pair — a <=k-row driver shortlist, the
+    house-bounded artifact.  Phase 2 refines only candidates whose
+    bound can still reach the top-k, decided by exact integer
+    cross-multiplication (bnum*den_k vs num_k*bden — no float at the
+    pruning boundary).  LOSSLESS: a pruned candidate's exact ratio is
+    strictly worse than tau_k, so it ranks after all k phase-1 rows
+    under the (ratio, user_id) final order regardless of id ties;
+    candidates tied with tau_k are kept.  Returns phase-1 ∪ phase-2
+    refined rows — the caller applies the same global order/limit as
+    the refine-all plan, so the brute pins stay binding bit-for-bit."""
+    lbdf = bound.localCheckpoint()
+    br = F.col("bnum") / F.col("bden") if den else F.col("bnum")
+    first_ids = lbdf.orderBy(
+        br.desc() if desc else br.asc(), "user_id"
+    ).limit(ck)
+    first = refine(first_ids).localCheckpoint()
+    xr = F.col(num) / F.col(den) if den else F.col(num)
+    shortlist = (
+        first.orderBy(xr.desc() if desc else xr.asc(), "user_id")
+        .limit(k)
+        .select(num, *([den] if den else []))
+        .collect()
+    )
+
+    def anti(df: DataFrame) -> DataFrame:
+        return df.join(
+            F.broadcast(first_ids.select("user_id")),
+            "user_id",
+            "left_anti",
+        )
+
+    if len(shortlist) < k:
+        rest_ids = anti(lbdf)
+    else:
+        nk = shortlist[-1][0]
+        dk = shortlist[-1][1] if den else 1
+        lhs, rhs = F.col("bnum") * F.lit(dk), F.lit(nk) * (
+            F.col("bden") if den else F.lit(1)
+        )
+        rest_ids = anti(lbdf.filter(lhs >= rhs if desc else lhs <= rhs))
+    return first.unionByName(refine(rest_ids))
+
+
 def _lcss_refine(t: Tables, ids: DataFrame) -> DataFrame:
     """Exact banded-LCSS kernel over the candidate id set; returns
     (user_id, lcss_len, min_len, lcss_sim).  mapInPandas, not a
@@ -702,19 +767,34 @@ def traj_lcss_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("traj_lcss_knn")  # WEAK: order-sensitive DP kernel
 def traj_lcss_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 users by banded-LCSS similarity vs the query user
-    (similarity DESC, user_id ASC ties).  The envelope bound orders
-    nothing useful in the dense-eps regime (documented in
-    ``_lcss_candidates``), so the kNN refines every candidate and
-    takes the global top-k — the honest plan when no discriminative
-    admissible bound exists for LCSS (unlike Fréchet/DTW, whose
-    Hausdorff bound the 1-D kNN rows exploit); the sort key
-    lcss_len/min_len is a small-integer rational, identical on every
-    engine.  Brute-force equality pinned in tests/test_twophase.py."""
+    (similarity DESC, user_id ASC ties) — the reference's two-phase
+    kNN shape via the shared ``_tau_knn`` harness: refine the 30
+    best-envelope candidates, take the 10th exact similarity as tau_k
+    (an integer lcss_len/min_len pair), refine only the remaining
+    users whose LOSSLESS envelope upper bound can still reach tau_k
+    (ub·min_k >= lcss_k·min(n,m), exact cross-multiplication).  The
+    envelope is non-discriminative in this dense-eps regime
+    (documented in ``_lcss_candidates``; measured selectivity in
+    BASELINE.md), so phase 2 may refine nearly everything — but the
+    gate can only prune and the result is bit-identical to refine-all.
+    Driver artifacts: the query-length scalar and the <=10-row tau
+    shortlist.  Brute-force equality pinned in tests/test_twophase.py."""
     t = Tables(spark, sf_dir)
-    cand = _lcss_candidates(spark, t).select("user_id")
+    m = t.user_points().filter(F.col("user_id") == 1).count()
+    bound = _lcss_candidates(spark, t).select(
+        "user_id",
+        F.col("ub").alias("bnum"),
+        F.least(F.col("n"), F.lit(m)).alias("bden"),
+    )
+    res = _tau_knn(
+        bound,
+        lambda ids: _lcss_refine(t, ids),
+        num="lcss_len",
+        den="min_len",
+        desc=True,
+    )
     return (
-        _lcss_refine(t, cand)
-        .orderBy(
+        res.orderBy(
             (F.col("lcss_len") / F.col("min_len")).desc(), "user_id"
         )
         .limit(_SEARCH_K)
@@ -749,15 +829,30 @@ def traj_edr_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("traj_edr_knn")  # WEAK: order-sensitive DP kernel
 def traj_edr_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 users by smallest normalized EDR vs the query user
-    (edr/max_len ASC, user_id ties) — refine-all + global top-k, the
-    same honest-plan note as ``traj_lcss_knn`` (the |n-m| / matchable
-    lower bounds are lossless but non-discriminative at this eps
-    density).  Brute-force equality pinned in tests/test_twophase.py."""
+    (edr/max_len ASC, user_id ties) — tau_k two-phase via ``_tau_knn``:
+    refine the 30 best-bounded candidates, tau_k = 10th exact
+    edr/max_len, phase 2 refines only users whose LOSSLESS lower
+    bound max(|n-m|, max(n,m) - matchable) can still beat it
+    (lb·max_k <= edr_k·max(n,m), exact cross-multiplication).  Same
+    dense-regime selectivity caveat and bit-identical-to-refine-all
+    guarantee as ``traj_lcss_knn``.  Brute pinned in
+    tests/test_twophase.py."""
     t = Tables(spark, sf_dir)
-    cand = _edr_candidates(spark, t).select("user_id")
+    m = t.user_points().filter(F.col("user_id") == 1).count()
+    bound = _edr_candidates(spark, t).select(
+        "user_id",
+        F.col("lb").alias("bnum"),
+        F.greatest(F.col("n"), F.lit(m)).alias("bden"),
+    )
+    res = _tau_knn(
+        bound,
+        lambda ids: _edr_refine(t, ids),
+        num="edr",
+        den="max_len",
+        desc=False,
+    )
     return (
-        _edr_refine(t, cand)
-        .orderBy(F.col("edr") / F.col("max_len"), "user_id")
+        res.orderBy(F.col("edr") / F.col("max_len"), "user_id")
         .limit(_SEARCH_K)
         .select("user_id", "edr", "edr_norm")
     )
@@ -1713,14 +1808,26 @@ def traj_lcss_threshold_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("traj_lcss_knn_2d")  # WEAK: order-sensitive DP kernel
 def traj_lcss_knn_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 users by plane-LCSS similarity (DESC, id ties) —
-    refine-all + global top-k, the 1-D kNN's honest-plan note
-    applies unchanged."""
+    """Top-10 users by plane-LCSS similarity (DESC, id ties) — tau_k
+    two-phase via ``_tau_knn`` with the LOSSLESS matchable-count upper
+    bound (matchable >= LCSS_2d); bit-identical to refine-all, brute
+    pinned in tests/test_twophase.py."""
     t = Tables(spark, sf_dir)
-    cand = _matchable_2d(t).select("user_id")
+    m = t.user_points().filter(F.col("user_id") == 1).count()
+    bound = _matchable_2d(t).select(
+        "user_id",
+        F.col("matchable").alias("bnum"),
+        F.least(F.col("n"), F.lit(m)).alias("bden"),
+    )
+    res = _tau_knn(
+        bound,
+        lambda ids: _lcss2d_refine(t, ids),
+        num="lcss_len",
+        den="min_len",
+        desc=True,
+    )
     return (
-        _lcss2d_refine(t, cand)
-        .orderBy(
+        res.orderBy(
             (F.col("lcss_len") / F.col("min_len")).desc(), "user_id"
         )
         .limit(_SEARCH_K)
@@ -1759,12 +1866,28 @@ def traj_edr_threshold_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("traj_edr_knn_2d")  # WEAK: order-sensitive DP kernel
 def traj_edr_knn_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 users by smallest normalized plane-EDR (ASC, id ties) —
-    refine-all + global top-k."""
+    tau_k two-phase via ``_tau_knn`` with the LOSSLESS lower bound
+    max(|n-m|, max(n,m) - matchable); bit-identical to refine-all,
+    brute pinned in tests/test_twophase.py."""
     t = Tables(spark, sf_dir)
-    cand = _matchable_2d(t).select("user_id")
+    m = t.user_points().filter(F.col("user_id") == 1).count()
+    bound = _matchable_2d(t).select(
+        "user_id",
+        F.greatest(
+            F.abs(F.col("n") - F.lit(m)),
+            F.greatest(F.col("n"), F.lit(m)) - F.col("matchable"),
+        ).alias("bnum"),
+        F.greatest(F.col("n"), F.lit(m)).alias("bden"),
+    )
+    res = _tau_knn(
+        bound,
+        lambda ids: _edr2d_refine(t, ids),
+        num="edr",
+        den="max_len",
+        desc=False,
+    )
     return (
-        _edr2d_refine(t, cand)
-        .orderBy(F.col("edr") / F.col("max_len"), "user_id")
+        res.orderBy(F.col("edr") / F.col("max_len"), "user_id")
         .limit(_SEARCH_K)
         .select("user_id", "edr", "edr_norm")
     )
@@ -1901,6 +2024,308 @@ def traj_erp_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         first.unionByName(rest)
         .orderBy("erp_micro", "user_id")
+        .limit(_SEARCH_K)
+        .select("user_id", "erp_micro", "erp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ERP in the plane: traj_erp_pair_2d (FULL) + threshold/kNN (WEAK)
+# ---------------------------------------------------------------------------
+
+
+def _sql_isqrt(d2: str) -> str:
+    """Exact integer floor-sqrt of a non-negative BIGINT SQL expression:
+    float-sqrt candidate corrected by +-1 with exact integer compares
+    (kernels.isqrt_i64's SQL mirror; identical text runs on Spark SQL
+    and DuckDB).  Valid for d2 < 2^62 — the plane coordinates are
+    micro-quantized (time-in-days, value), |q| <= ~6e8, so squared
+    sums stay < 2^60."""
+    s0 = f"CAST(FLOOR(SQRT(CAST(({d2}) AS DOUBLE))) AS BIGINT)"
+    return (
+        f"(CASE WHEN ({s0} + 1) * ({s0} + 1) <= ({d2}) THEN {s0} + 1"
+        f" WHEN {s0} * {s0} > ({d2}) THEN {s0} - 1 ELSE {s0} END)"
+    )
+
+
+def _erp_pair_2d_oracle() -> str:
+    # The 1-D _erp_pair_oracle recursion with 2-D costs: match cost
+    # isqrt(dx^2 + dy^2), gap cost isqrt(px^2 + py^2) (gap g = the
+    # plane origin) — the floor-sqrt keeps every DP cell, INCLUDING
+    # the boundary prefix sums, a BIGINT, so the float sqrt that
+    # SURVEY flagged as the 2-D ERP blocker never reaches a membership
+    # or accumulation decision on either engine.
+    big = 1 << 60
+    d_expr = _sql_isqrt(
+        "(an.qx - bn.qx) * (an.qx - bn.qx)"
+        " + (an.qy - bn.qy) * (an.qy - bn.qy)"
+    )
+    return f"""
+    WITH RECURSIVE
+    {_series_2d_q_sql()},
+    an AS (SELECT i, qx, qy,
+                  {_sql_isqrt("qx * qx + qy * qy")} AS nrm FROM av),
+    bn AS (SELECT j, qx, qy,
+                  {_sql_isqrt("qx * qx + qy * qy")} AS nrm FROM bv),
+    pa AS (
+        SELECT i, SUM(nrm) OVER (ORDER BY i) AS p,
+               COALESCE(SUM(nrm) OVER (ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS pprev
+        FROM an
+    ),
+    pb AS (
+        SELECT j, SUM(nrm) OVER (ORDER BY j) AS p,
+               COALESCE(SUM(nrm) OVER (ORDER BY j
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS pprev
+        FROM bn
+    ),
+    erp2_dp(k, i, val, age) AS (
+        SELECT 2, 1,
+               (SELECT LEAST({d_expr}, an.nrm + bn.nrm)
+                FROM an, bn WHERE an.i = 1 AND bn.j = 1), 0
+        UNION ALL
+        (
+          WITH cur AS (SELECT * FROM erp2_dp),
+          kk AS (SELECT MAX(k) AS k FROM cur),
+          cells AS (
+              SELECT (SELECT k FROM kk) + 1 AS k, an.i AS i,
+                     {d_expr} AS d,
+                     an.nrm AS ca, bn.nrm AS cb,
+                     pa.p AS pap, pa.pprev AS papp,
+                     pb.p AS pbp, pb.pprev AS pbpp
+              FROM an
+              JOIN bn ON bn.j = (SELECT k FROM kk) + 1 - an.i
+              JOIN pa ON pa.i = an.i
+              JOIN pb ON pb.j = bn.j
+          ),
+          newcells AS (
+              SELECT cells.k, cells.i,
+                     LEAST(
+                       MIN(CASE WHEN cur.age = 1
+                                THEN cur.val + cells.d
+                                WHEN cur.i = cells.i
+                                THEN cur.val + cells.cb
+                                ELSE cur.val + cells.ca END),
+                       MIN(CASE WHEN cells.i = 1
+                            THEN LEAST(cells.pbpp + cells.d,
+                                       cells.pbp + cells.ca)
+                            ELSE {big} END),
+                       MIN(CASE WHEN cells.k - cells.i = 1
+                            THEN LEAST(cells.papp + cells.d,
+                                       cells.pap + cells.cb)
+                            ELSE {big} END)
+                     ) AS val, 0 AS age
+              FROM cells JOIN cur
+                ON (cur.age = 0 AND cur.i IN (cells.i - 1, cells.i))
+                OR (cur.age = 1 AND cur.i = cells.i - 1)
+              GROUP BY cells.k, cells.i, cells.d, cells.ca, cells.cb,
+                       cells.pap, cells.papp, cells.pbp, cells.pbpp
+          ),
+          carry AS (
+              SELECT k + 1 AS k, i, val, 1 AS age FROM cur WHERE age = 0
+          )
+          SELECT k, i, val, age FROM newcells
+          UNION ALL
+          SELECT k, i, val, age FROM carry
+          WHERE (SELECT k FROM kk)
+                < (SELECT MAX(i) FROM an) + (SELECT MAX(j) FROM bn)
+        )
+    )
+    SELECT CAST(2 AS BIGINT) AS user_id,
+           CAST((SELECT val FROM erp2_dp
+                 WHERE age = 0
+                   AND k = (SELECT MAX(i) FROM an)
+                         + (SELECT MAX(j) FROM bn)
+                   AND i = (SELECT MAX(i) FROM an)) AS BIGINT)
+               AS erp_micro,
+           ROUND((SELECT val FROM erp2_dp
+                  WHERE age = 0
+                    AND k = (SELECT MAX(i) FROM an)
+                          + (SELECT MAX(j) FROM bn)
+                    AND i = (SELECT MAX(i) FROM an)) / 1e6, 6) AS erp
+    """
+
+
+@query("traj_erp_pair_2d", oracle=_erp_pair_2d_oracle)
+def traj_erp_pair_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERP between users 1 and 2 in the (time-in-days, value) PLANE —
+    the 2-D completion of the metric measure (gap g = the origin, the
+    standard choice that preserves the triangle inequality).
+
+    Exactness: every match/gap cost is isqrt(dx^2 + dy^2) on
+    micro-quantized coordinates — an exact integer (floor of the true
+    Euclidean distance in micro units) computed identically on both
+    engines via the float-sqrt-candidate +-1 integer correction
+    (``kernels.isqrt_i64`` / ``_sql_isqrt``), so the whole DP is
+    BIGINT; the one float is the final /1e6 display.
+
+    Scale shape: identical to the other pair rows — two series
+    assemblies, one Arrow batch, O(n*m) integer kernel."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import kernels
+
+    t = Tables(spark, sf_dir)
+    paired = _paired_2d_quantized(t)
+
+    def refine(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                a = np.stack(
+                    [
+                        np.asarray(row.qxa, dtype=np.int64),
+                        np.asarray(row.qya, dtype=np.int64),
+                    ],
+                    axis=1,
+                )
+                b = np.stack(
+                    [
+                        np.asarray(row.qxb, dtype=np.int64),
+                        np.asarray(row.qyb, dtype=np.int64),
+                    ],
+                    axis=1,
+                )
+                e = kernels.erp_int2d(a, b)
+                out.append((row.user_id, e, round(e / 1e6, 6)))
+            yield pd.DataFrame(
+                out, columns=["user_id", "erp_micro", "erp"]
+            )
+
+    return paired.mapInPandas(
+        refine, schema="user_id bigint, erp_micro bigint, erp double"
+    )
+
+
+def _erp2d_norms(t: Tables) -> DataFrame:
+    """Per-candidate LOSSLESS lower bound on floored plane-ERP vs the
+    query user.  In TRUE (unfloored) space the Chen&Ng metric bound is
+    ERP_t >= |M_t(a) - M_t(q)| with M_t = sum of true norms; flooring
+    each cost drops it by < 1, so over a <=(n+m)-cell edit path
+    ERP_f > ERP_t - (n+m), and each mass by < its count, so
+    |M_t(a) - M_t(q)| >= |M_f(a) - M_f(q)| - max(n, m).  Hence
+    lb = max(0, |dM_f| - (n + m + max(n, m))) <= ERP_f — exact
+    integers end to end; the slack is <= ~3000 micro = 0.003 value
+    units, negligible vs the ~1e9-micro distances.  Returns
+    (user_id, n, lb)."""
+    pts = _pts_2d_q(t).select(
+        "user_id",
+        F.expr(_sql_isqrt("qx * qx + qy * qy")).alias("nrm"),
+    )
+    sums = pts.groupBy("user_id").agg(
+        F.sum("nrm").alias("sn"), F.count("*").alias("n")
+    )
+    qrow = sums.filter(F.col("user_id") == 1).select(
+        F.col("sn").alias("qn"), F.col("n").alias("qm")
+    )
+    return (
+        sums.filter(F.col("user_id") != 1)
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "user_id",
+            "n",
+            F.greatest(
+                F.lit(0),
+                F.abs(F.col("sn") - F.col("qn"))
+                - (
+                    F.col("n")
+                    + F.col("qm")
+                    + F.greatest(F.col("n"), F.col("qm"))
+                ),
+            ).alias("lb"),
+        )
+    )
+
+
+def _erp2d_refine(t: Tables, ids: DataFrame) -> DataFrame:
+    """Exact integer plane-ERP kernel over the candidate id set;
+    returns (user_id, erp_micro, erp).  Same mapInPandas fan-out
+    discipline as the other 2-D refines."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import kernels
+
+    paired = _paired_2d_quantized(t, ids=ids).repartition(
+        t.spark.sparkContext.defaultParallelism
+    )
+
+    def refine(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                a = np.stack(
+                    [
+                        np.asarray(row.qxa, dtype=np.int64),
+                        np.asarray(row.qya, dtype=np.int64),
+                    ],
+                    axis=1,
+                )
+                b = np.stack(
+                    [
+                        np.asarray(row.qxb, dtype=np.int64),
+                        np.asarray(row.qyb, dtype=np.int64),
+                    ],
+                    axis=1,
+                )
+                e = kernels.erp_int2d(a, b)
+                out.append((row.user_id, e, round(e / 1e6, 6)))
+            yield pd.DataFrame(
+                out, columns=["user_id", "erp_micro", "erp"]
+            )
+
+    return paired.mapInPandas(
+        refine, schema="user_id bigint, erp_micro bigint, erp double"
+    )
+
+
+# 1800.0 plane units in micro — between p10 and p25 of the measured
+# corpus distances (sf0.01 range 1.58e9..3.33e9, sf0.1 1.40e9..3.23e9),
+# so the threshold row is nonempty and selective at both gate scales.
+_ERP2D_TAU_MICRO = 1_800_000_000
+
+
+@query("traj_erp_threshold_2d")  # WEAK: order-sensitive DP kernel
+def traj_erp_threshold_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All users with plane-ERP <= tau vs the query user — the 2-D
+    metric threshold search: the lossless floored-norm bound
+    (``_erp2d_norms``) gates the kernel, survivors refine exactly,
+    membership is the integer comparison erp_micro <= tau_micro.
+    Brute equality + bound admissibility pinned in
+    tests/test_twophase.py."""
+    t = Tables(spark, sf_dir)
+    cand = _erp2d_norms(t).filter(F.col("lb") <= _ERP2D_TAU_MICRO)
+    return (
+        _erp2d_refine(t, cand)
+        .filter(F.col("erp_micro") <= _ERP2D_TAU_MICRO)
+        .select("user_id", "erp_micro", "erp")
+    )
+
+
+@query("traj_erp_knn_2d")  # WEAK: order-sensitive DP kernel
+def traj_erp_knn_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by plane-ERP (ASC, id ties) — tau_k two-phase via
+    ``_tau_knn`` on the absolute distance (den=None): refine the 30
+    best-bounded candidates, tau_k = 10th exact erp_micro, phase 2
+    refines only users whose lossless norm bound <= tau_k.
+    Bit-identical to refine-all; brute pinned in
+    tests/test_twophase.py."""
+    t = Tables(spark, sf_dir)
+    bound = _erp2d_norms(t).select(
+        "user_id", F.col("lb").alias("bnum")
+    )
+    res = _tau_knn(
+        bound,
+        lambda ids: _erp2d_refine(t, ids),
+        num="erp_micro",
+        den=None,
+        desc=False,
+    )
+    return (
+        res.orderBy("erp_micro", "user_id")
         .limit(_SEARCH_K)
         .select("user_id", "erp_micro", "erp")
     )
