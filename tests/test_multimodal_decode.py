@@ -59,3 +59,21 @@ def test_png_magic_without_pil_falls_through_to_stub():
 def test_riff_non_wave_is_not_misdetected():
     payload = b"RIFF" + b"\x00" * 4 + b"AVI " + bytes(range(16))
     assert np.array_equal(_decode(payload), _fake_decode(payload))
+
+
+def test_malformed_wav_magic_falls_back_to_stub():
+    """'RIFF????WAVE' is plain ASCII, so a text payload can spell the
+    WAV magic without being parseable — the decode must fall back to
+    the byte stub, not crash the query (round-6 ADVICE fix)."""
+    payload = b"RIFF1234WAVEthis is not a real wave file at all"
+    out = _decode(payload)
+    assert np.array_equal(out, _fake_decode(payload))
+
+
+def test_truncated_wav_header_falls_back_to_stub():
+    """A RIFF/WAVE header cut off mid-chunk raises wave.Error/EOFError
+    inside wave.open — same stub fallback."""
+    real = _wav_bytes(np.arange(64, dtype=np.uint8), 1)
+    payload = real[:20]  # valid magic, truncated fmt chunk
+    out = _decode(payload)
+    assert np.array_equal(out, _fake_decode(payload))

@@ -212,10 +212,15 @@ def rel_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the sketch input is the per-group DISTINCT hash set
     (two-phase hash aggregate, map-side partials); the k-smallest cut
-    is one window rank over that deduped set — a per-group sort of
-    nd(group) hashes, NOT of the raw table. KMV itself is a mergeable
-    bounded aggregate, so a 1000-executor run keeps k values per
-    (partition, group) and merges — nothing here is driver-sided."""
+    is a TWO-LEVEL TOURNAMENT — a partial k-min per (group, hv mod 64
+    bucket), then the final k-min over the <= 64·k survivors — i.e.
+    the mergeable-aggregate shape executed with window ranks: no
+    window partition ever sorts more than ~nd(group)/64 (level 1) or
+    64·k (level 2) rows, so a skewed group at 100 TB fans across 64
+    tasks instead of serializing into one per-group global sort.  The
+    result is identical to a single global k-min (the k smallest of a
+    union of per-bucket k smallest), so the oracle runs the plain
+    one-window form."""
     t = Tables(spark, sf_dir)
     h = (
         t.lineitem.select(
@@ -230,9 +235,13 @@ def rel_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    w1 = Window.partitionBy("l_returnflag", "bkt").orderBy("hv")
     w = Window.partitionBy("l_returnflag").orderBy("hv")
     kmin = (
-        h.withColumn("rn", F.row_number().over(w))
+        h.withColumn("bkt", F.pmod(F.col("hv"), F.lit(64)))
+        .withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= _AGG_KMV_K)
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _AGG_KMV_K)
         .groupBy("l_returnflag")
         .agg(F.max("hv").alias("kv"), F.count("*").alias("kn"))

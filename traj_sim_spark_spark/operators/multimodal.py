@@ -62,9 +62,15 @@ def _decode(payload: bytes) -> np.ndarray:
         import io
         import wave
 
-        with wave.open(io.BytesIO(payload)) as w:
-            width = w.getsampwidth()
-            raw = w.readframes(w.getnframes())
+        # 'RIFF????WAVE' is plain ASCII, so a text payload can carry
+        # the magic without being a parseable WAV — fall back to the
+        # stub on decode failure instead of failing the whole query.
+        try:
+            with wave.open(io.BytesIO(payload)) as w:
+                width = w.getsampwidth()
+                raw = w.readframes(w.getnframes())
+        except (wave.Error, EOFError):
+            return _fake_decode(payload)
         if width == 1:
             return np.frombuffer(raw, dtype=np.uint8)
         if width == 2:
@@ -81,6 +87,8 @@ def _decode(payload: bytes) -> np.ndarray:
             return np.asarray(img, dtype=np.uint8).reshape(-1)
         except ImportError:
             pass  # no PIL in this container — stub keeps the contract
+        except Exception:
+            return _fake_decode(payload)  # magic hit, bytes not an image
     return _fake_decode(payload)
 
 
@@ -133,11 +141,16 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     image-embedding or audio-feature stage: binary in, fixed-width
     features out, streamed per Arrow batch with no driver involvement.
 
-    FULL oracle despite the Python stage: the stub decode is
-    byte-deterministic and the fixtures are ASCII, so DuckDB reproduces
-    the whole pipeline from ``ascii(substr(...))`` — the Arrow batch
-    path itself (schema, batching, padding-free round trip) is what the
-    hash check proves. A real decoder swap returns this row to WEAK."""
+    FULL oracle despite the Python stage: the decode routes through the
+    codec-dispatching ``_decode``, but fixture payloads are lowercase
+    ASCII text — no container magic matches, so they always take the
+    deterministic byte-stub branch, which DuckDB reproduces from
+    ``ascii(substr(...))`` — the Arrow batch path itself (schema,
+    batching, padding-free round trip) is what the hash check proves.
+    The real-codec branches (wave / PIL) are covered both ways by
+    tests/test_multimodal_decode.py; on a corpus of genuine WAV/image
+    payloads this row's oracle no longer mirrors the decode and the
+    row would be registered WEAK."""
     t = Tables(spark, sf_dir)
     src = t.documents.select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
