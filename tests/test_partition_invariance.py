@@ -133,6 +133,9 @@ KEYS = [
     "traj_erp_pair_2d",
     "traj_erp_threshold_2d",
     "traj_erp_knn_2d",
+    # round-6: iterative BPE merge chain (argmax per round) + top-k
+    "pipe_bpe_train",
+    "text_bpe_encode",
 ]
 
 

@@ -75,6 +75,8 @@ _MODULES = (
     "traj_sim_spark_spark.operators.extras5",
     # round-5 additions (queued for the round-6 window)
     "traj_sim_spark_spark.operators.extras6",
+    # round-6 additions (queued for the round-7 window)
+    "traj_sim_spark_spark.operators.extras7",
 )
 
 # Explicit driver-window ordering: after load_all() the first keys of
