@@ -2038,9 +2038,11 @@ def _sql_isqrt(d2: str) -> str:
     """Exact integer floor-sqrt of a non-negative BIGINT SQL expression:
     float-sqrt candidate corrected by +-1 with exact integer compares
     (kernels.isqrt_i64's SQL mirror; identical text runs on Spark SQL
-    and DuckDB).  Valid for d2 < 2^62 — the plane coordinates are
-    micro-quantized (time-in-days, value), |q| <= ~6e8, so squared
-    sums stay < 2^60."""
+    and DuckDB).  Valid for d2 < isqrt(2^63-1)^2 ~ 9.2e18 (above that
+    (s0+1)^2 overflows) — the plane coordinates are micro-quantized
+    (time-in-days, value), |q| <= ~6e8, so a coordinate difference can
+    reach ~1.2e9 and dx^2+dy^2 tops out near 2.9e18 < 2^62: inside the
+    bound with a >3x margin."""
     s0 = f"CAST(FLOOR(SQRT(CAST(({d2}) AS DOUBLE))) AS BIGINT)"
     return (
         f"(CASE WHEN ({s0} + 1) * ({s0} + 1) <= ({d2}) THEN {s0} + 1"

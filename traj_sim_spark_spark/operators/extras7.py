@@ -11,7 +11,9 @@
   in order and report the resulting token frequencies (top-20).
 
 Both are exact by construction: merge selection is an integer count
-with lexicographic (lhs, rhs) tie-break, and the greedy left-to-right
+with a UTF-8-BYTE (lhs, rhs) tie-break (collation-independent: Spark
+orders strings by UTF-16 code units, DuckDB by UTF-8 bytes — encoding
+both sides to binary removes the divergence), and the greedy left-to-right
 merge application is the SAME higher-order fold on both engines
 (Spark ``aggregate`` / DuckDB ``list_reduce`` — verified to agree on
 the overlap cases 'aaaa'→[aa,aa] and 'aaa'→[aa,a]).
@@ -88,11 +90,25 @@ def _bpe_rounds(
             .groupBy("p.lhs", "p.rhs")
             .agg(F.sum("f").alias("cnt"))
         )
+        # tie-break on UTF-8 BYTES, not strings: Spark compares strings
+        # by UTF-16 code units, DuckDB by UTF-8 bytes — binary-encoding
+        # both sides makes a count tie collation-independent (the
+        # oracle mirrors with DuckDB encode() -> BLOB compares).
         best = (
-            pairs.orderBy(F.col("cnt").desc(), "lhs", "rhs")
+            pairs.orderBy(
+                F.col("cnt").desc(),
+                F.encode("lhs", "utf-8"),
+                F.encode("rhs", "utf-8"),
+            )
             .limit(1)
             .localCheckpoint()
         )
+        # exhausted-merges guard: if no adjacent pair remains (every
+        # vocab word already a single symbol), stop — cross-joining the
+        # 0-row best would silently EMPTY the vocabulary for all later
+        # rounds.  The oracle mirrors via v{r}'s NOT-EXISTS fallback.
+        if not best.head(1):
+            break
         merges.append(best.select(F.lit(rnd).alias("rnd"), "lhs", "rhs", "cnt"))
         vocab = (
             vocab.crossJoin(F.broadcast(best.select("lhs", "rhs")))
@@ -100,6 +116,12 @@ def _bpe_rounds(
             .drop("lhs", "rhs")
             .localCheckpoint()
         )
+    if not merges:
+        spark = t.documents.sparkSession
+        table = spark.createDataFrame(
+            [], "rnd INT, lhs STRING, rhs STRING, cnt BIGINT"
+        )
+        return table, vocab
     table = merges[0]
     for m in merges[1:]:
         table = table.unionByName(m)
@@ -117,7 +139,7 @@ def _bpe_oracle_ctes(rounds: int = _BPE_ROUNDS) -> str:
               FROM documents)
         WHERE LEN(word) > 0 GROUP BY 1
     ),
-    v0 AS (
+    v0 AS MATERIALIZED (
         SELECT word, f,
                list_transform(range(1, LEN(word) + 1),
                               i -> substr(word, i, 1)) AS syms
@@ -131,11 +153,11 @@ def _bpe_oracle_ctes(rounds: int = _BPE_ROUNDS) -> str:
         FROM v{r - 1}, UNNEST(range(1, len(syms))) AS u(i)
         GROUP BY 1, 2
     ),
-    b{r} AS (
+    b{r} AS MATERIALIZED (
         SELECT lhs, rhs, cnt FROM p{r}
-        ORDER BY cnt DESC, lhs, rhs LIMIT 1
+        ORDER BY cnt DESC, encode(lhs), encode(rhs) LIMIT 1
     ),
-    v{r} AS (
+    v{r} AS MATERIALIZED (
         SELECT word, f,
                list_reduce(list_transform(syms, s -> [s]),
                    (acc, x) -> CASE WHEN acc[-1] = b{r}.lhs
@@ -145,6 +167,9 @@ def _bpe_oracle_ctes(rounds: int = _BPE_ROUNDS) -> str:
                                         b{r}.lhs || b{r}.rhs)
                                     ELSE list_concat(acc, x) END) AS syms
         FROM v{r - 1} CROSS JOIN b{r}
+        UNION ALL
+        SELECT word, f, syms FROM v{r - 1}
+        WHERE NOT EXISTS (SELECT 1 FROM b{r})
     )""")
     return ",".join(parts)
 
@@ -162,7 +187,7 @@ def _bpe_train_oracle() -> str:
 def pipe_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training: the top-6 merge rules over the document
     corpus — one row per round (rnd, lhs, rhs, cnt), where (lhs, rhs)
-    is the most frequent adjacent symbol pair (ties: lexicographic)
+    is the most frequent adjacent symbol pair (ties: UTF-8 byte order)
     and cnt its corpus frequency at selection time.
 
     Scale shape: ONE corpus-scale pass (the word-frequency aggregate —

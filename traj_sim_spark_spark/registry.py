@@ -30,15 +30,12 @@ _LAZY_ORACLES: dict[str, Callable[[], str]] = {}
 # pinned declaratively by _WINDOW_FIRST below (load_all reorders QUERIES),
 # so module order no longer matters for correctness-row scheduling.
 #
-# ROUND-6 ROTATION: EXECUTED — see _WINDOW_FIRST below (49 FULL
-# rowless keys + re-windowed rel_agg_approx). ROUND-7 plan: the 16
-# remaining driver-rowless keys are all WEAK rows-only by design —
-# trajectory_ext (6: traj_frechet_threshold_2d, traj_dtw_knn_2d,
-# traj_dtw_threshold_2d, traj_dtw_knn_banded, traj_dtw_knn_banded_2d,
-# traj_dtw_threshold_banded) and the extras6 LCSS/EDR/ERP search tiers
-# (10: traj_{lcss,edr}_{threshold,knn} in 1-D and 2-D, plus
-# traj_erp_threshold / traj_erp_knn) — plus any round-6 additions.
-# They fit a 50-key window with ~34 slots to spare for new keys.
+# ROUND-7 ROTATION: EXECUTED — see _WINDOW_FIRST below (the 21 keys
+# that were driver-rowless after round 6 + the round-7 additions).
+# After this window lands green, cumulative driver coverage is
+# 317/317 of the round-6 surface; future rounds only need to window
+# NEW keys (and any key whose semantics were rewritten since its last
+# green row — the rel_agg_approx precedent).
 _MODULES = (
     "traj_sim_spark_spark.operators.text_ext",
     "traj_sim_spark_spark.operators.analytics",
@@ -89,73 +86,50 @@ _MODULES = (
 # their registration order after it. Unknown names are skipped, so the
 # list can be staged before its keys exist.
 #
-# ROUND-6 WINDOW (executed this round): the 49 FULL keys that had no
-# driver row through round 5 (readers_ext 11, streams_ext tail 8,
-# extras3 tail 6, setops/similarity tails + udf_map_arrow 5,
-# trajectory_ext FULL rows 5, the 14 FULL extras6 additions) plus
-# rel_agg_approx re-windowed (its only driver row was the round-1
-# rows-only record, predating the round-5 KMV FULL rewrite) = exactly
-# 50. The 16 WEAK rowless keys (LCSS/EDR/ERP search tiers + the 6
-# trajectory_ext WEAK rows) spill to the ROUND-7 window by design —
-# their brute/recursion pytest pins carry the evidence meanwhile.
+# ROUND-7 WINDOW (executed this round): the 21 keys with no driver
+# row through round 6 — the 16 WEAK search tiers (Fréchet/DTW 2-D +
+# banded: 6; LCSS/EDR/ERP threshold+kNN: 10), the 3 round-6 FULL
+# additions (plane ERP + BPE train/encode) and the 2 round-6 WEAK ERP
+# 2-D tiers — followed by the round-7 additions (extras8).  Unknown
+# names are skipped, so staged keys may precede their implementation;
+# any leftover slots up to 50 fall through to registration order
+# (re-checking already-green keys, which is harmless).
 _WINDOW_FIRST: tuple[str, ...] = (
-    # readers_ext (11) — all five sink_* keys had zero driver rows ever
-    "src_text_ingest",
-    "src_orc_ingest",
-    "sink_partitioned_roundtrip",
-    "src_schema_evolution",
-    "sink_stream_parquet",
-    "stream_layout_ingest",
-    "sink_compaction",
-    "src_binary_files",
-    "src_python_datasource",
-    "sink_versioned_snapshot",
-    "src_csv_malformed",
-    # streams_ext tail (8)
-    "stream_traj_distance",
-    "stream_cms",
-    "stream_quantile_hist",
-    "stream_funnel",
-    "stream_anomaly",
-    "stream_pack_chunks",
-    "stream_ewma",
-    "stream_distinct_users",
-    # extras3 tail (6)
-    "traj_hausdorff_segments_knn_2d_idx",
-    "traj_hausdorff_segments_knn_batch_2d",
-    "traj_range_window_2d_idx",
-    "rel_table_stats",
-    "rel_view_maintenance",
-    "sink_csv_roundtrip",
-    # setops / similarity tails + udf_map_arrow (5)
-    "rel_intersect_all",
-    "rel_except_all",
-    "sim_range_search",
-    "emb_layout_ivf",
-    "udf_map_arrow",
-    # trajectory_ext FULL rows (5)
-    "traj_dtw_pair_2d",
-    "traj_hausdorff_segments_knn",
-    "traj_hausdorff_segments_threshold",
-    "traj_hausdorff_knn_batch",
-    "traj_hausdorff_knn_2d_batch",
-    # extras6 FULL rows (14)
-    "traj_lcss_pair",
-    "traj_edr_pair",
-    "traj_erp_pair",
-    "traj_lcss_pair_2d",
-    "traj_edr_pair_2d",
-    "sim_diversify_mmr",
-    "rel_gaps_islands",
-    "rel_agg_filtered",
-    "text_langid_confusion",
-    "pipe_span_corruption",
-    "emb_norm_hist",
-    "rel_try_arithmetic",
-    "pipe_chunk_overlap",
-    "rel_grouping_id",
-    # re-windowed: KMV FULL rewrite postdates its only (rows-only) row
-    "rel_agg_approx",
+    # trajectory_ext WEAK search tiers (6)
+    "traj_frechet_threshold_2d",
+    "traj_dtw_knn_2d",
+    "traj_dtw_threshold_2d",
+    "traj_dtw_knn_banded",
+    "traj_dtw_knn_banded_2d",
+    "traj_dtw_threshold_banded",
+    # extras6 LCSS/EDR/ERP search tiers (10)
+    "traj_lcss_threshold",
+    "traj_lcss_knn",
+    "traj_edr_threshold",
+    "traj_edr_knn",
+    "traj_lcss_threshold_2d",
+    "traj_lcss_knn_2d",
+    "traj_edr_threshold_2d",
+    "traj_edr_knn_2d",
+    "traj_erp_threshold",
+    "traj_erp_knn",
+    # round-6 additions (5): plane ERP (FULL pair + WEAK tiers) + BPE
+    "traj_erp_pair_2d",
+    "traj_erp_threshold_2d",
+    "traj_erp_knn_2d",
+    "pipe_bpe_train",
+    "text_bpe_encode",
+    # round-7 additions (extras8; staged — skipped until registered)
+    "pipe_pack_bpe",
+    "traj_frechet_pair",
+    "graph_hits",
+    "pipe_dataset_card",
+    "graph_jaccard_neighbors",
+    "text_zipf_fit",
+    "pipe_curriculum_order",
+    "rel_theil_sen",
+    "text_idf_novelty",
+    "sim_pareto_knn",
 )
 
 _loaded = False
