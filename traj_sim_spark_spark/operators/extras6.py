@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import Tables
+from . import dp_list_sql as _DL
 
 # ---------------------------------------------------------------------------
 # traj_lcss_pair / traj_edr_pair — eps-matching edit-style DP measures
@@ -601,6 +602,207 @@ def _edr_candidates(spark: SparkSession, t: Tables) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# FULL list-layer oracles for the LCSS/EDR/ERP search tiers (round 7):
+# every candidate's whole DP grid vs the query user, advanced one
+# antidiagonal LIST per recursion step (dp_list_sql.layer_dp — the
+# NumPy kernels' antidiagonal layout transcribed to DuckDB lists;
+# measured ~0.5 s at sf0.01 vs 37 s for the old row-per-cell
+# recursion).  The oracles are deliberately UNFILTERED by the Spark
+# side's lossless bounds, so every gate run re-certifies that the
+# two-phase prunes lose nothing.
+# ---------------------------------------------------------------------------
+
+
+def _lcss1_prefix() -> str:
+    return _DL.layer_dp(
+        _DL.series_1d(),
+        ("avs",),
+        f"CASE WHEN ABS(avs[1] - q.qvs[1]) <= {_SEARCH_EPS}"
+        " THEN CAST(1 AS BIGINT) ELSE 0 END",
+        _DL.lcss_combine(
+            f"ABS(avs[y] - q.qvs[k - y + 2]) <= {_SEARCH_EPS}"
+            f" AND ABS(2 * (y - 1) - k) <= {_LCSS_DELTA}"
+        ),
+        _DL.SENT_LCSS,
+    )
+
+
+def _lcss2_prefix() -> str:
+    return _DL.layer_dp(
+        _DL.series_2d_micro(),
+        ("ax", "ay"),
+        f"CASE WHEN {_DL.D2Q_INIT} <= {_EPS2_MICRO2}"
+        " THEN CAST(1 AS BIGINT) ELSE 0 END",
+        _DL.lcss_combine(f"{_DL.D2Q_CELL} <= {_EPS2_MICRO2}"),
+        _DL.SENT_LCSS,
+    )
+
+
+_LCSS_SEL = (
+    "\nSELECT user_id, CAST(val AS BIGINT) AS lcss_len,"
+    "\n       ROUND(CAST(val AS DOUBLE) / LEAST(n, m), 6) AS lcss_sim"
+    "\nFROM fin"
+)
+
+
+def _lcss_threshold_oracle() -> str:
+    return (
+        _lcss1_prefix()
+        + _LCSS_SEL
+        + f"\nWHERE val * {_LCSS_TAU_DEN}"
+        f" >= LEAST(n, m) * {_LCSS_TAU_NUM}"
+    )
+
+
+def _lcss_knn_oracle() -> str:
+    return (
+        _lcss1_prefix()
+        + _LCSS_SEL
+        + "\nORDER BY CAST(val AS DOUBLE) / LEAST(n, m) DESC, user_id"
+        + f"\nLIMIT {_SEARCH_K}"
+    )
+
+
+def _lcss_threshold_2d_oracle() -> str:
+    return (
+        _lcss2_prefix()
+        + _LCSS_SEL
+        + f"\nWHERE val * {_LCSS_TAU_DEN}"
+        f" >= LEAST(n, m) * {_LCSS_TAU_NUM}"
+    )
+
+
+def _lcss_knn_2d_oracle() -> str:
+    return (
+        _lcss2_prefix()
+        + _LCSS_SEL
+        + "\nORDER BY CAST(val AS DOUBLE) / LEAST(n, m) DESC, user_id"
+        + f"\nLIMIT {_SEARCH_K}"
+    )
+
+
+def _edr1_prefix() -> str:
+    return _DL.layer_dp(
+        _DL.series_1d(),
+        ("avs",),
+        f"CASE WHEN ABS(avs[1] - q.qvs[1]) <= {_SEARCH_EPS}"
+        " THEN CAST(0 AS BIGINT) ELSE 1 END",
+        _DL.edr_combine(
+            f"ABS(avs[y] - q.qvs[k - y + 2]) <= {_SEARCH_EPS}"
+        ),
+        _DL.SENT_EDR,
+    )
+
+
+def _edr2_prefix() -> str:
+    return _DL.layer_dp(
+        _DL.series_2d_micro(),
+        ("ax", "ay"),
+        f"CASE WHEN {_DL.D2Q_INIT} <= {_EPS2_MICRO2}"
+        " THEN CAST(0 AS BIGINT) ELSE 1 END",
+        _DL.edr_combine(f"{_DL.D2Q_CELL} <= {_EPS2_MICRO2}"),
+        _DL.SENT_EDR,
+    )
+
+
+_EDR_SEL = (
+    "\nSELECT user_id, CAST(val AS BIGINT) AS edr,"
+    "\n       ROUND(CAST(val AS DOUBLE) / GREATEST(n, m), 6) AS edr_norm"
+    "\nFROM fin"
+)
+
+
+def _edr_threshold_oracle() -> str:
+    return (
+        _edr1_prefix()
+        + _EDR_SEL
+        + f"\nWHERE val * {_EDR_TAU_DEN}"
+        f" <= GREATEST(n, m) * {_EDR_TAU_NUM}"
+    )
+
+
+def _edr_knn_oracle() -> str:
+    return (
+        _edr1_prefix()
+        + _EDR_SEL
+        + "\nORDER BY CAST(val AS DOUBLE) / GREATEST(n, m), user_id"
+        + f"\nLIMIT {_SEARCH_K}"
+    )
+
+
+def _edr_threshold_2d_oracle() -> str:
+    return (
+        _edr2_prefix()
+        + _EDR_SEL
+        + f"\nWHERE val * {_EDR_TAU_DEN}"
+        f" <= GREATEST(n, m) * {_EDR_TAU_NUM}"
+    )
+
+
+def _edr_knn_2d_oracle() -> str:
+    return (
+        _edr2_prefix()
+        + _EDR_SEL
+        + "\nORDER BY CAST(val AS DOUBLE) / GREATEST(n, m), user_id"
+        + f"\nLIMIT {_SEARCH_K}"
+    )
+
+
+def _erp1_prefix() -> str:
+    return _DL.layer_dp(
+        _DL.series_1d_erp(),
+        ("avs", "acs", "aps"),
+        "LEAST(ABS(avs[1] - q.qvs[1]), acs[1] + q.qcs[1])",
+        _DL.erp_combine("ABS(avs[y] - q.qvs[k - y + 2])"),
+        _DL.SENT_ERP,
+    )
+
+
+def _erp2_prefix() -> str:
+    return _DL.layer_dp(
+        _DL.series_2d_erp(),
+        ("ax", "ay", "acs", "aps"),
+        f"LEAST({_DL.sql_isqrt_bound(_DL.D2Q_INIT)},"
+        " acs[1] + q.qcs[1])",
+        _DL.erp_combine(_DL.sql_isqrt_bound(_DL.D2Q_CELL)),
+        _DL.SENT_ERP,
+    )
+
+
+_ERP_SEL = (
+    "\nSELECT user_id, CAST(val AS BIGINT) AS erp_micro,"
+    "\n       ROUND(val / 1e6, 6) AS erp"
+    "\nFROM fin"
+)
+
+
+def _erp_threshold_oracle() -> str:
+    return _erp1_prefix() + _ERP_SEL + f"\nWHERE val <= {_ERP_TAU_MICRO}"
+
+
+def _erp_knn_oracle() -> str:
+    return (
+        _erp1_prefix()
+        + _ERP_SEL
+        + f"\nORDER BY val, user_id LIMIT {_SEARCH_K}"
+    )
+
+
+def _erp_threshold_2d_oracle() -> str:
+    return (
+        _erp2_prefix() + _ERP_SEL + f"\nWHERE val <= {_ERP2D_TAU_MICRO}"
+    )
+
+
+def _erp_knn_2d_oracle() -> str:
+    return (
+        _erp2_prefix()
+        + _ERP_SEL
+        + f"\nORDER BY val, user_id LIMIT {_SEARCH_K}"
+    )
+
+
 _TAU_CK = 30  # phase-1 refine width shared by the tau_k kNN rows
 
 
@@ -738,7 +940,7 @@ def _edr_refine(t: Tables, ids: DataFrame) -> DataFrame:
     )
 
 
-@query("traj_lcss_threshold")  # WEAK: order-sensitive DP kernel
+@query("traj_lcss_threshold", oracle=_lcss_threshold_oracle)
 def traj_lcss_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All users with banded-LCSS similarity >= 0.55 vs the query user
     (LCSS_{d,e}, d=8, e=10 — the Vlachos time-window form, which is
@@ -764,7 +966,7 @@ def traj_lcss_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("traj_lcss_knn")  # WEAK: order-sensitive DP kernel
+@query("traj_lcss_knn", oracle=_lcss_knn_oracle)
 def traj_lcss_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 users by banded-LCSS similarity vs the query user
     (similarity DESC, user_id ASC ties) — the reference's two-phase
@@ -802,7 +1004,7 @@ def traj_lcss_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("traj_edr_threshold")  # WEAK: order-sensitive DP kernel
+@query("traj_edr_threshold", oracle=_edr_threshold_oracle)
 def traj_edr_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All users with normalized EDR <= 0.6 vs the query user.
     Two-phase: the LOSSLESS lower bound max(|n-m|, max(n,m) -
@@ -826,7 +1028,7 @@ def traj_edr_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("traj_edr_knn")  # WEAK: order-sensitive DP kernel
+@query("traj_edr_knn", oracle=_edr_knn_oracle)
 def traj_edr_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 users by smallest normalized EDR vs the query user
     (edr/max_len ASC, user_id ties) — tau_k two-phase via ``_tau_knn``:
@@ -1782,7 +1984,7 @@ def _edr2d_refine(t: Tables, ids: DataFrame) -> DataFrame:
     )
 
 
-@query("traj_lcss_threshold_2d")  # WEAK: order-sensitive DP kernel
+@query("traj_lcss_threshold_2d", oracle=_lcss_threshold_2d_oracle)
 def traj_lcss_threshold_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All users with plane-LCSS similarity >= 0.55 vs the query user —
     the 2-D completion of the LCSS search tier (unbanded: the plane's
@@ -1806,7 +2008,7 @@ def traj_lcss_threshold_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("traj_lcss_knn_2d")  # WEAK: order-sensitive DP kernel
+@query("traj_lcss_knn_2d", oracle=_lcss_knn_2d_oracle)
 def traj_lcss_knn_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 users by plane-LCSS similarity (DESC, id ties) — tau_k
     two-phase via ``_tau_knn`` with the LOSSLESS matchable-count upper
@@ -1835,7 +2037,7 @@ def traj_lcss_knn_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("traj_edr_threshold_2d")  # WEAK: order-sensitive DP kernel
+@query("traj_edr_threshold_2d", oracle=_edr_threshold_2d_oracle)
 def traj_edr_threshold_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All users with normalized plane-EDR <= 0.6 vs the query user;
     lossless lower bound max(|n-m|, max(n,m) - matchable) gates the
@@ -1863,7 +2065,7 @@ def traj_edr_threshold_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("traj_edr_knn_2d")  # WEAK: order-sensitive DP kernel
+@query("traj_edr_knn_2d", oracle=_edr_knn_2d_oracle)
 def traj_edr_knn_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 users by smallest normalized plane-EDR (ASC, id ties) —
     tau_k two-phase via ``_tau_knn`` with the LOSSLESS lower bound
@@ -1967,7 +2169,7 @@ def _erp_refine(t: Tables, ids: DataFrame) -> DataFrame:
     )
 
 
-@query("traj_erp_threshold")  # WEAK: order-sensitive DP kernel
+@query("traj_erp_threshold", oracle=_erp_threshold_oracle)
 def traj_erp_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All users with ERP <= 1600.0 vs the query user — the metric
     member of the search matrix: the LOSSLESS triangle-inequality
@@ -1984,7 +2186,7 @@ def traj_erp_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("traj_erp_knn")  # WEAK: order-sensitive DP kernel
+@query("traj_erp_knn", oracle=_erp_knn_oracle)
 def traj_erp_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 users by ERP — the reference's two-phase kNN shape on
     the metric measure: refine the 30 best-bounded candidates, take
@@ -2290,7 +2492,7 @@ def _erp2d_refine(t: Tables, ids: DataFrame) -> DataFrame:
 _ERP2D_TAU_MICRO = 1_800_000_000
 
 
-@query("traj_erp_threshold_2d")  # WEAK: order-sensitive DP kernel
+@query("traj_erp_threshold_2d", oracle=_erp_threshold_2d_oracle)
 def traj_erp_threshold_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All users with plane-ERP <= tau vs the query user — the 2-D
     metric threshold search: the lossless floored-norm bound
@@ -2307,7 +2509,7 @@ def traj_erp_threshold_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("traj_erp_knn_2d")  # WEAK: order-sensitive DP kernel
+@query("traj_erp_knn_2d", oracle=_erp_knn_2d_oracle)
 def traj_erp_knn_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 users by plane-ERP (ASC, id ties) — tau_k two-phase via
     ``_tau_knn`` on the absolute distance (den=None): refine the 30

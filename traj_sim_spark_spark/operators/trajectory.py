@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..functions import kernels
 from ..registry import query
+from . import dp_list_sql as _DL
 from ..sources.readers import staging_dir, write_partitioned
 from ..tables import Tables
 
@@ -557,7 +558,10 @@ def _dp_search_oracle(
     {final}
     """
 
-@query("traj_frechet_knn")  # WEAK in the gate: see _dp_search_oracle
+@query(
+    "traj_frechet_knn",
+    oracle=lambda: _DL.float_knn_sql(False, "frechet", _KNN_K, frechet=True),
+)  # FULL since round 7: list-layer DP oracle (dp_list_sql)
 def traj_frechet_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R9/R13: k users nearest the query user under discrete Fréchet —
     EXACT, via the reference's two-phase prune-then-refine [P §5]:
@@ -588,7 +592,12 @@ def traj_frechet_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FRECHET_TAU = 85.0
 
 
-@query("traj_frechet_threshold")  # WEAK: order-sensitive DP kernel
+@query(
+    "traj_frechet_threshold",
+    oracle=lambda: _DL.float_threshold_sql(
+        False, "frechet", _FRECHET_TAU, frechet=True
+    ),
+)  # FULL since round 7: list-layer DP oracle (dp_list_sql)
 def traj_frechet_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R8 under discrete Fréchet: all users within tau=85.0 of the query
     user — EXACT, fully declarative (no driver round-trip at all, unlike
@@ -1229,7 +1238,10 @@ def traj_hausdorff_threshold_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("traj_dtw_knn")  # WEAK: order-sensitive DP, not SQL-expressible
+@query(
+    "traj_dtw_knn",
+    oracle=lambda: _DL.float_knn_sql(False, "dtw", _KNN_K),
+)  # FULL since round 7: list-layer DP oracle (dp_list_sql)
 def traj_dtw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R9 under DTW: k users with the cheapest warping alignment to the
     query user — EXACT, same two-phase harness as the Fréchet kNN.
@@ -1253,7 +1265,10 @@ def traj_dtw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DTW_TAU = 1500.0
 
 
-@query("traj_dtw_threshold")  # WEAK: order-sensitive DP kernel
+@query(
+    "traj_dtw_threshold",
+    oracle=lambda: _DL.float_threshold_sql(False, "dtw", _DTW_TAU),
+)  # FULL since round 7: list-layer DP oracle (dp_list_sql)
 def traj_dtw_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R8 under DTW: all users whose warping alignment cost to the query
     user is <= tau=1500.0 — the last empty cell of the
@@ -1781,7 +1796,10 @@ def _frechet_lb_2d(t: Tables, query_user: int) -> DataFrame:
     )
 
 
-@query("traj_frechet_knn_2d")  # WEAK: order-sensitive DP, not SQL
+@query(
+    "traj_frechet_knn_2d",
+    oracle=lambda: _DL.float_knn_sql(True, "frechet_2d", _KNN_K, frechet=True),
+)  # FULL since round 7: list-layer DP oracle (dp_list_sql)
 def traj_frechet_knn_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R9/R13 in TWO dimensions — the DFT paper's flagship query: k
     trajectories nearest the query under discrete Fréchet in the

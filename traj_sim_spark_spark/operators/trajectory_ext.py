@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..functions import kernels
 from ..registry import query
 from ..tables import Tables
+from . import dp_list_sql as _DL
 from .trajectory import (
     _QUERY_USER,
     _dp_knn,
@@ -40,7 +41,12 @@ _FRECHET_TAU_2D = 85.0
 _DTW_TAU_2D = 1700.0
 
 
-@query("traj_frechet_threshold_2d")  # WEAK: order-sensitive DP kernel
+@query(
+    "traj_frechet_threshold_2d",
+    oracle=lambda: _DL.float_threshold_sql(
+        True, "frechet_2d", _FRECHET_TAU_2D, frechet=True
+    ),
+)  # FULL since round 7: list-layer DP oracle (dp_list_sql)
 def traj_frechet_threshold_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R8/R13 in TWO dimensions: all users within discrete-Fréchet
     tau=85.0 of the query user in the (time-in-days, value) plane —
@@ -61,7 +67,10 @@ def traj_frechet_threshold_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("traj_dtw_knn_2d")  # WEAK: order-sensitive DP kernel
+@query(
+    "traj_dtw_knn_2d",
+    oracle=lambda: _DL.float_knn_sql(True, "dtw_2d", 10),
+)  # FULL since round 7: list-layer DP oracle (dp_list_sql)
 def traj_dtw_knn_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R9/R14 in TWO dimensions: k users with the cheapest 2-D warping
     alignment to the query user — EXACT via the shared two-phase
@@ -78,7 +87,10 @@ def traj_dtw_knn_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("traj_dtw_threshold_2d")  # WEAK: order-sensitive DP kernel
+@query(
+    "traj_dtw_threshold_2d",
+    oracle=lambda: _DL.float_threshold_sql(True, "dtw_2d", _DTW_TAU_2D),
+)  # FULL since round 7: list-layer DP oracle (dp_list_sql)
 def traj_dtw_threshold_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R8/R14 in TWO dimensions: all users whose 2-D warping alignment
     cost is <= tau=1700.0 — the last cell of the 2-D query matrix.
@@ -569,7 +581,12 @@ def _dtw_banded_kernel(a, b, tau=None):
     return kernels.dtw_banded(a, b, w=_DTW_BAND_W, tau=tau)
 
 
-@query("traj_dtw_knn_banded")  # WEAK: order-sensitive DP kernel
+@query(
+    "traj_dtw_knn_banded",
+    oracle=lambda: _DL.float_knn_sql(
+        False, "dtw_banded", 10, band_w=_DTW_BAND_W
+    ),
+)  # FULL since round 7: banded list-layer DP oracle (dp_list_sql)
 def traj_dtw_knn_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R9 under SAKOE-CHIBA banded DTW (w=8): the constrained-alignment
     kNN — the kernel-level scale variant of ``traj_dtw_knn``. The band
@@ -596,7 +613,12 @@ def traj_dtw_knn_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("traj_dtw_knn_banded_2d")  # WEAK: order-sensitive DP kernel
+@query(
+    "traj_dtw_knn_banded_2d",
+    oracle=lambda: _DL.float_knn_sql(
+        True, "dtw_banded_2d", 10, band_w=_DTW_BAND_W
+    ),
+)  # FULL since round 7: banded list-layer DP oracle (dp_list_sql)
 def traj_dtw_knn_banded_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R9 under SAKOE-CHIBA banded DTW in TWO dimensions — the
     constrained-alignment kNN over the (time-in-days, value) plane,
@@ -618,7 +640,12 @@ def traj_dtw_knn_banded_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("traj_dtw_threshold_banded")  # WEAK: order-sensitive DP kernel
+@query(
+    "traj_dtw_threshold_banded",
+    oracle=lambda: _DL.float_threshold_sql(
+        False, "dtw_banded", 1500.0, band_w=_DTW_BAND_W
+    ),
+)  # FULL since round 7: banded list-layer DP oracle (dp_list_sql)
 def traj_dtw_threshold_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R8 under Sakoe-Chiba banded DTW: all users whose CONSTRAINED
     alignment cost is <= tau — the threshold twin of
