@@ -136,6 +136,14 @@ KEYS = [
     # round-6: iterative BPE merge chain (argmax per round) + top-k
     "pipe_bpe_train",
     "text_bpe_encode",
+    # round-7: BPE-count window packing, integer-HITS top-k ties,
+    # ROW_NUMBER median selection, top-20 rational-ratio ranking,
+    # skyline windows over distinct integer pairs
+    "pipe_pack_bpe",
+    "graph_hits",
+    "rel_theil_sen",
+    "text_idf_novelty",
+    "sim_pareto_knn",
 ]
 
 

@@ -1,0 +1,791 @@
+"""Round-7 additions (SURVEY.md §2.2 — extras8).
+
+- ``pipe_pack_bpe`` — sequence packing by LEARNED-BPE token counts:
+  the shape real pretraining pipelines pack by (a whitespace count is
+  only a proxy), composing the round-6 BPE trainer (`extras7`) with
+  the concat-and-chunk window packer (`curation.pipe_pack_chunks`).
+- ``graph_hits`` — HITS hubs/authorities over the customer⋈supplier
+  trade graph, unrolled-rounds INTEGER iteration (no normalization
+  inside the loop, so every score is an exact BIGINT sum — the
+  ``graph_pagerank`` fixed-point discipline without even the fixed
+  point).
+- ``pipe_dataset_card`` — the one-page dataset datasheet: corpus-level
+  counts a training-data release ships with, as one (metric, value)
+  report row set.
+- ``text_heaps_law`` — vocabulary-growth checkpoints (Heaps' law
+  curve): distinct-word and token counts at 10 ingestion-order
+  deciles, via per-word FIRST-occurrence doc (one pass, no global
+  sort — cutoffs are doc_id VALUE deciles, exact integer arithmetic).
+- ``pipe_curriculum_order`` — curriculum phases by integer quality
+  bands (type-token-ratio percent), the ordering stage of a
+  quality-curriculum pretraining mix.
+- ``rel_theil_sen`` — Theil–Sen robust trend per user: the (lower)
+  median of all pairwise slopes; pairs are seq-bounded per user so the
+  quadratic is per-group and the group is a trajectory.
+- ``text_idf_novelty`` — per-document rare-token ratio (documents
+  dominated by corpus-rare vocabulary), integer df decisions
+  end-to-end.
+- ``sim_pareto_knn`` — the Pareto front over two exact integer
+  distance criteria (squared L2 to two query anchors): the skyline
+  twin of ``rel_skyline`` on the embedding table, computed on DISTINCT
+  distance pairs with two window minima (no pairwise dominance join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+
+# ---------------------------------------------------------------------------
+# pipe_pack_bpe
+# ---------------------------------------------------------------------------
+
+_BPE_PACK_BUDGET = 1024  # BPE tokens per packed block (~chars / word)
+_BPE_PACK_SHARDS = 4
+
+
+def _pack_bpe_oracle() -> str:
+    from .extras7 import _BPE_ROUNDS, _bpe_oracle_ctes
+
+    return f"""
+    WITH {_bpe_oracle_ctes()},
+    wl AS (
+        SELECT word, CAST(len(syms) AS BIGINT) AS toks
+        FROM v{_BPE_ROUNDS}
+    ),
+    dw AS (
+        SELECT doc_id, source,
+               UNNEST(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    dd AS (
+        SELECT doc_id, source,
+               CAST(SUM(toks) AS BIGINT) AS n_tokens,
+               doc_id % {_BPE_PACK_SHARDS} AS shard
+        FROM dw JOIN wl USING (word)
+        WHERE LEN(word) > 0
+        GROUP BY doc_id, source
+    ),
+    c AS (
+        SELECT *,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source, shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS st
+        FROM dd
+    )
+    SELECT source, CAST(shard AS BIGINT) AS shard, doc_id, n_tokens,
+           CAST(FLOOR(st / {_BPE_PACK_BUDGET}) AS BIGINT) AS first_chunk,
+           CAST(FLOOR((st + n_tokens - 1) / {_BPE_PACK_BUDGET})
+                AS BIGINT) AS last_chunk,
+           CAST(FLOOR((st + n_tokens - 1) / {_BPE_PACK_BUDGET})
+                - FLOOR(st / {_BPE_PACK_BUDGET}) + 1 AS BIGINT)
+               AS n_chunks
+    FROM c
+    """
+
+
+@query("pipe_pack_bpe", oracle=_pack_bpe_oracle)
+def pipe_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing by LEARNED-BPE token counts: train the
+    round-6 BPE merges (`extras7._bpe_rounds`), token-count each doc
+    as the sum of its words' merged-symbol counts, then cut the
+    per-(source, shard) concat stream into 1024-token blocks — the
+    ``pipe_pack_chunks`` window packer driven by the tokenizer a real
+    pipeline would pack by.
+
+    Scale shape: the trainer is vocab-bounded (extras7); the per-doc
+    count is explode → broadcast-join the (word, toks) tokenizer table
+    (the standard shipped-tokenizer pattern; a multi-GB vocab would
+    flip to a shuffle join) → one hash agg; packing is one window
+    cumsum per (source, shard).  FULL oracle: the unrolled-merges WITH
+    chain + the identical cumsum mirror."""
+    from .extras7 import _bpe_rounds
+
+    t = Tables(spark, sf_dir)
+    _, vocab = _bpe_rounds(t)
+    wl = vocab.select(
+        "word", F.size("syms").cast("long").alias("toks")
+    )
+    dd = (
+        t.documents.select(
+            "doc_id",
+            "source",
+            F.explode(F.split("text", " ")).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+        .join(F.broadcast(wl), "word")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("toks").alias("n_tokens"))
+        .withColumn(
+            "shard", F.pmod("doc_id", F.lit(_BPE_PACK_SHARDS))
+        )
+    )
+    w = (
+        W.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = dd.withColumn(
+        "st", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    first = F.floor(F.col("st") / _BPE_PACK_BUDGET)
+    last = F.floor(
+        (F.col("st") + F.col("n_tokens") - 1) / _BPE_PACK_BUDGET
+    )
+    return c.select(
+        "source",
+        F.col("shard").cast("long").alias("shard"),
+        "doc_id",
+        "n_tokens",
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        (last - first + 1).alias("n_chunks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_hits
+# ---------------------------------------------------------------------------
+
+_HITS_TOPK = 10
+
+
+_HITS_ORACLE = f"""
+    WITH e AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    h1 AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS h FROM e GROUP BY c),
+    a1 AS (
+        SELECT e.s, CAST(SUM(h1.h) AS BIGINT) AS a
+        FROM e JOIN h1 USING (c) GROUP BY e.s
+    ),
+    h2 AS (
+        SELECT e.c, CAST(SUM(a1.a) AS BIGINT) AS h
+        FROM e JOIN a1 USING (s) GROUP BY e.c
+    ),
+    a2 AS (
+        SELECT e.s, CAST(SUM(h2.h) AS BIGINT) AS a
+        FROM e JOIN h2 USING (c) GROUP BY e.s
+    )
+    SELECT * FROM (
+        SELECT 'hub' AS side, c AS node, h AS score
+        FROM h2 ORDER BY h DESC, c LIMIT {_HITS_TOPK})
+    UNION ALL
+    SELECT * FROM (
+        SELECT 'auth' AS side, s AS node, a AS score
+        FROM a2 ORDER BY a DESC, s LIMIT {_HITS_TOPK})
+"""
+
+
+@query("graph_hits", oracle=_HITS_ORACLE)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the bipartite customer⋈supplier trade graph: two
+    unnormalized power-iteration rounds (a0 = 1; h = Σ a over
+    out-neighbors; a = Σ h over in-neighbors), top-10 hubs
+    (customers) and top-10 authorities (suppliers) by the round-2
+    scores.
+
+    Exactness: HITS without in-loop normalization is a pure integer
+    sum recursion — scores after r rounds are bounded by
+    (max degree)^(2r) · |E|, far inside BIGINT for bounded rounds —
+    so the unrolled-rounds oracle matches bit-for-bit (the
+    ``graph_pagerank`` discipline, minus even the fixed-point
+    division).  Scale shape: one distinct edge projection, then each
+    round is a broadcast join of the previous (small, one row per
+    node) score table against edges plus a hash agg — map-side
+    partial, no driver state."""
+    t = Tables(spark, sf_dir)
+    e = (
+        t.lineitem.join(
+            t.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("l_suppkey").alias("s"),
+        )
+        .distinct()
+    )
+    h1 = e.groupBy("c").agg(F.count("*").cast("long").alias("h"))
+    a1 = (
+        e.join(F.broadcast(h1), "c")
+        .groupBy("s")
+        .agg(F.sum("h").cast("long").alias("a"))
+    )
+    h2 = (
+        e.join(F.broadcast(a1), "s")
+        .groupBy("c")
+        .agg(F.sum("a").cast("long").alias("h"))
+    )
+    a2 = (
+        e.join(F.broadcast(h2), "c")
+        .groupBy("s")
+        .agg(F.sum("h").cast("long").alias("a"))
+    )
+    hubs = (
+        h2.orderBy(F.col("h").desc(), "c")
+        .limit(_HITS_TOPK)
+        .select(
+            F.lit("hub").alias("side"),
+            F.col("c").alias("node"),
+            F.col("h").alias("score"),
+        )
+    )
+    auths = (
+        a2.orderBy(F.col("a").desc(), "s")
+        .limit(_HITS_TOPK)
+        .select(
+            F.lit("auth").alias("side"),
+            F.col("s").alias("node"),
+            F.col("a").alias("score"),
+        )
+    )
+    return hubs.unionByName(auths)
+
+
+# ---------------------------------------------------------------------------
+# pipe_dataset_card
+# ---------------------------------------------------------------------------
+
+
+_CARD_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, text, lang, source,
+               CAST(LEN(string_split(text, ' ')) AS BIGINT) AS toks
+        FROM documents
+    ),
+    w AS (
+        SELECT DISTINCT word FROM (
+            SELECT UNNEST(string_split(text, ' ')) AS word
+            FROM documents)
+        WHERE LEN(word) > 0
+    )
+    SELECT 'n_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM d
+    UNION ALL
+    SELECT 'n_tokens', CAST(SUM(toks) AS BIGINT) FROM d
+    UNION ALL
+    SELECT 'vocab', CAST(COUNT(*) AS BIGINT) FROM w
+    UNION ALL
+    SELECT 'n_langs', CAST(COUNT(DISTINCT lang) AS BIGINT) FROM d
+    UNION ALL
+    SELECT 'n_sources', CAST(COUNT(DISTINCT source) AS BIGINT) FROM d
+    UNION ALL
+    SELECT 'exact_dup_docs',
+           CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) FROM d
+    UNION ALL
+    SELECT 'min_tokens', CAST(MIN(toks) AS BIGINT) FROM d
+    UNION ALL
+    SELECT 'max_tokens', CAST(MAX(toks) AS BIGINT) FROM d
+"""
+
+
+@query("pipe_dataset_card", oracle=_CARD_ORACLE)
+def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset datasheet: the corpus-level counts a training-data
+    release ships with (doc/token/vocab sizes, language and source
+    breadth, exact-duplicate count, token-length extremes) as one
+    (metric, value) row set — the engine's ``traj_search_report``
+    pattern applied to the curation pipeline.
+
+    All metrics are single hash aggregates over one scan each (Spark
+    computes them as separate jobs over the cached projection; every
+    one is map-side-partial aggregable).  Integer-exact end to end."""
+    t = Tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+    )
+    words = (
+        t.documents.select(
+            F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.length("word") > 0)
+        .select("word")
+        .distinct()
+    )
+
+    def one(metric: str, col) -> DataFrame:
+        return d.agg(col.alias("value")).select(
+            F.lit(metric).alias("metric"), F.col("value").cast("long")
+        )
+
+    rows = [
+        one("n_docs", F.count("*")),
+        one("n_tokens", F.sum("toks")),
+        words.agg(F.count("*").cast("long").alias("value")).select(
+            F.lit("vocab").alias("metric"), "value"
+        ),
+        one("n_langs", F.countDistinct("lang")),
+        one("n_sources", F.countDistinct("source")),
+        one(
+            "exact_dup_docs",
+            F.count("*") - F.countDistinct("text"),
+        ),
+        one("min_tokens", F.min("toks")),
+        one("max_tokens", F.max("toks")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# text_heaps_law
+# ---------------------------------------------------------------------------
+
+
+_HEAPS_ORACLE = """
+    WITH b AS (
+        SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi,
+               CAST(MAX(doc_id) - MIN(doc_id) + 1 AS BIGINT) AS span
+        FROM documents
+    ),
+    cuts AS (
+        SELECT CAST(p AS BIGINT) AS decile,
+               b.lo + (b.span * p) // 10 - 1 AS cut
+        FROM range(1, 11) AS r(p), b
+    ),
+    d AS (
+        SELECT doc_id,
+               CAST(LEN(string_split(text, ' ')) AS BIGINT) AS toks
+        FROM documents
+    ),
+    firsts AS (
+        SELECT word, MIN(doc_id) AS first_doc
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE LEN(word) > 0 GROUP BY word
+    )
+    SELECT c.decile,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM d
+            WHERE d.doc_id <= c.cut) AS docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts
+            WHERE first_doc <= c.cut) AS vocab,
+           (SELECT CAST(COALESCE(SUM(toks), 0) AS BIGINT) FROM d
+            WHERE d.doc_id <= c.cut) AS tokens
+    FROM cuts c
+"""
+
+
+@query("text_heaps_law", oracle=_HEAPS_ORACLE)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth (Heaps' law) checkpoints: distinct-word,
+    document and token counts after each ingestion-order decile of the
+    corpus (deciles of the doc_id VALUE range — exact integer
+    arithmetic, no global order statistics, so no single-task sort at
+    any scale).
+
+    One corpus pass computes each word's FIRST-occurrence doc_id (a
+    hash agg); the 10 checkpoints are then a broadcast join of the
+    tiny cutoff table against the firsts/doc tables plus conditional
+    counts — growth-curve queries without re-scanning the corpus per
+    checkpoint."""
+    t = Tables(spark, sf_dir)
+    b = t.documents.agg(
+        F.min("doc_id").alias("lo"),
+        (F.max("doc_id") - F.min("doc_id") + 1)
+        .cast("long")
+        .alias("span"),
+    )
+    cuts = (
+        spark.range(1, 11)
+        .withColumnRenamed("id", "decile")
+        .join(F.broadcast(b))
+        .select(
+            "decile",
+            (F.col("lo") + F.expr("span * decile div 10") - 1).alias(
+                "cut"
+            ),
+        )
+    )
+    d = t.documents.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+    )
+    firsts = (
+        t.documents.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    docs_tok = (
+        d.join(F.broadcast(cuts), d["doc_id"] <= F.col("cut"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("docs"),
+            F.sum("toks").cast("long").alias("tokens"),
+        )
+    )
+    vocab = (
+        firsts.join(
+            F.broadcast(cuts), F.col("first_doc") <= F.col("cut")
+        )
+        .groupBy("decile")
+        .agg(F.count("*").cast("long").alias("vocab"))
+    )
+    return (
+        docs_tok.join(vocab, "decile")
+        .select("decile", "docs", "vocab", "tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipe_curriculum_order
+# ---------------------------------------------------------------------------
+
+
+_CURR_ORACLE = """
+    WITH d AS (
+        SELECT doc_id,
+               CAST(LEN(list_filter(string_split(text, ' '),
+                                    w -> LEN(w) > 0)) AS BIGINT)
+                   AS toks,
+               CAST(LEN(list_distinct(list_filter(
+                        string_split(text, ' '), w -> LEN(w) > 0)))
+                    AS BIGINT) AS dtoks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, toks, (100 * dtoks) // toks AS ttr
+        FROM d WHERE toks > 0
+    ),
+    p AS (
+        SELECT doc_id, toks, ttr,
+               CASE WHEN ttr >= 75 THEN 1
+                    WHEN ttr >= 50 THEN 2
+                    WHEN ttr >= 25 THEN 3
+                    ELSE 4 END AS phase
+        FROM s
+    )
+    SELECT CAST(phase AS BIGINT) AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS tok_sum,
+           CAST(MIN(ttr) AS BIGINT) AS ttr_min,
+           CAST(MAX(ttr) AS BIGINT) AS ttr_max
+    FROM p GROUP BY phase
+"""
+
+
+@query("pipe_curriculum_order", oracle=_CURR_ORACLE)
+def pipe_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum phase assignment: documents are banded into
+    4 curriculum phases by integer type-token-ratio percent
+    ((100 · distinct words) div words — the cheap repetition-quality
+    proxy; cleaner text trains first).  Value-band phases (not NTILE)
+    keep the assignment a pure per-row expression — no global sort at
+    any corpus size — and the integer div makes membership exact.
+
+    Output is the per-phase mix summary (doc count, token budget, TTR
+    range) that a curriculum schedule is built from."""
+    t = Tables(spark, sf_dir)
+    toks_arr = F.filter(
+        F.split("text", " "), lambda w: F.length(w) > 0
+    )
+    d = t.documents.select(
+        "doc_id",
+        F.size(toks_arr).cast("long").alias("toks"),
+        F.size(F.array_distinct(toks_arr)).cast("long").alias("dtoks"),
+    ).filter(F.col("toks") > 0)
+    s = d.withColumn("ttr", F.expr("(100 * dtoks) div toks"))
+    p = s.withColumn(
+        "phase",
+        F.when(F.col("ttr") >= 75, 1)
+        .when(F.col("ttr") >= 50, 2)
+        .when(F.col("ttr") >= 25, 3)
+        .otherwise(4),
+    )
+    return p.groupBy(
+        F.col("phase").cast("long").alias("phase")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("tok_sum"),
+        F.min("ttr").cast("long").alias("ttr_min"),
+        F.max("ttr").cast("long").alias("ttr_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rel_theil_sen
+# ---------------------------------------------------------------------------
+
+
+_THEIL_ORACLE = """
+    WITH s AS (
+        SELECT user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS seq,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+        FROM events
+    ),
+    pairs AS (
+        SELECT a.user_id,
+               ((b.value - a.value) * 86400000000.0)
+                   / CAST(b.us - a.us AS DOUBLE) AS slope
+        FROM s a JOIN s b
+          ON a.user_id = b.user_id AND a.seq < b.seq
+    ),
+    r AS (
+        SELECT user_id, slope,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY slope) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS cnt
+        FROM pairs
+    )
+    SELECT user_id, ROUND(slope, 6) + 0.0 AS ts_slope
+    FROM r WHERE rn = (cnt + 1) // 2
+"""
+
+
+@query("rel_theil_sen", oracle=_THEIL_ORACLE)
+def rel_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per user: the (lower) median of all
+    pairwise slopes (value units per DAY) over the user's event
+    series — the estimator analytics stacks reach for when OLS
+    (``rel_regr_exact``) is outlier-dominated.
+
+    The quadratic is PER-GROUP (a trajectory's own point pairs,
+    seq-bounded i<j self-join — the ``traj_*`` pair-enumeration
+    shape), so per-user cost is n²/2 with n ≈ series length, and
+    users parallelize across the cluster.  The slope is one float
+    expression with identical operation order on both engines
+    ((Δvalue · 86400e6) / Δus); the median is an exact ROW_NUMBER
+    selection at index (cnt+1) div 2 — equal-slope ties reorder only
+    equal values, so the selected VALUE is deterministic.  The
+    rounded display carries the house +0.0 (slopes cross zero)."""
+    t = Tables(spark, sf_dir)
+    s = t.user_points().select(
+        "user_id",
+        "seq",
+        F.unix_micros("ts").alias("us"),
+        "value",
+    )
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.seq") < F.col("b.seq")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        (
+            (F.col("b.value") - F.col("a.value")) * 86400000000.0
+            / (F.col("b.us") - F.col("a.us")).cast("double")
+        ).alias("slope"),
+    )
+    w = W.partitionBy("user_id").orderBy("slope")
+    r = pairs.select(
+        "user_id",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("user_id")).alias("cnt"),
+    )
+    return r.filter(
+        F.col("rn") == F.expr("(cnt + 1) div 2")
+    ).select(
+        "user_id", (F.round("slope", 6) + 0.0).alias("ts_slope")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_idf_novelty
+# ---------------------------------------------------------------------------
+
+_RARE_DEN = 20  # rare word: appears in <= 1/20 of documents
+_NOVEL_TOPK = 20
+
+
+_NOVEL_ORACLE = f"""
+    WITH dw AS (
+        SELECT DISTINCT doc_id, word FROM (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+            FROM documents)
+        WHERE LEN(word) > 0
+    ),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM dw),
+    df AS (SELECT word, COUNT(*) AS df FROM dw GROUP BY word),
+    per AS (
+        SELECT dw.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS d_cnt,
+               CAST(SUM(CASE WHEN df.df * {_RARE_DEN}
+                                  <= (SELECT n FROM nd)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS rare_cnt
+        FROM dw JOIN df USING (word)
+        GROUP BY dw.doc_id
+    )
+    SELECT doc_id, d_cnt, rare_cnt,
+           CAST((1000 * rare_cnt) // d_cnt AS BIGINT) AS rare_permille
+    FROM per
+    ORDER BY (1000 * rare_cnt) // d_cnt DESC, doc_id
+    LIMIT {_NOVEL_TOPK}
+"""
+
+
+@query("text_idf_novelty", oracle=_NOVEL_ORACLE)
+def text_idf_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-vocabulary novelty scoring: the top-20 documents by the
+    per-mille of their DISTINCT words that are corpus-rare (document
+    frequency <= 1/20 of documents) — the integer-exact form of
+    mean-IDF novelty ranking (log-IDF would put engine libm deltas at
+    the membership boundary; the df threshold and the per-mille are
+    pure integer decisions).
+
+    Scale shape: distinct (doc, word) projection, one df hash agg,
+    one broadcast-scalar corpus count, one per-doc agg, global
+    top-20 (TakeOrdered).  The df table joins back on word — at
+    corpus scale that is the standard tf-idf shuffle
+    (``text_tfidf``'s plan)."""
+    t = Tables(spark, sf_dir)
+    dw = (
+        t.documents.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.length("word") > 0)
+        .distinct()
+    )
+    nd = dw.agg(F.countDistinct("doc_id").alias("n"))
+    df = dw.groupBy("word").agg(F.count("*").alias("df"))
+    per = (
+        dw.join(df, "word")
+        .join(F.broadcast(nd))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("d_cnt"),
+            F.sum(
+                F.when(
+                    F.col("df") * _RARE_DEN <= F.col("n"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("rare_cnt"),
+        )
+    )
+    return (
+        per.withColumn(
+            "rare_permille",
+            F.expr("(1000 * rare_cnt) div d_cnt").cast("long"),
+        )
+        .orderBy(F.col("rare_permille").desc(), "doc_id")
+        .limit(_NOVEL_TOPK)
+        .select("doc_id", "d_cnt", "rare_cnt", "rare_permille")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_pareto_knn
+# ---------------------------------------------------------------------------
+
+
+_PARETO_ORACLE = """
+    WITH ev AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+                    AS BIGINT) AS vq
+        FROM embeddings
+    ),
+    q0 AS (SELECT i, vq FROM ev WHERE vec_id = 0),
+    q1 AS (SELECT i, vq FROM ev WHERE vec_id = 1),
+    d AS (
+        SELECT e.vec_id,
+               CAST(SUM((e.vq - q0.vq) * (e.vq - q0.vq)) AS BIGINT)
+                   AS d1,
+               CAST(SUM((e.vq - q1.vq) * (e.vq - q1.vq)) AS BIGINT)
+                   AS d2
+        FROM ev e
+        JOIN q0 ON q0.i = e.i
+        JOIN q1 ON q1.i = e.i
+        WHERE e.vec_id >= 2
+        GROUP BY e.vec_id
+    ),
+    dd AS (SELECT DISTINCT d1, d2 FROM d),
+    front AS (
+        SELECT d1, d2,
+               MIN(d2) OVER (ORDER BY d1
+                   RANGE BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS m1,
+               MIN(d2) OVER (PARTITION BY d1) AS m2
+        FROM dd
+    ),
+    keep AS (
+        SELECT d1, d2 FROM front
+        WHERE (m1 IS NULL OR m1 > d2) AND d2 = m2
+    )
+    SELECT d.vec_id, d.d1 AS d1_micro2, d.d2 AS d2_micro2
+    FROM d JOIN keep USING (d1, d2)
+"""
+
+
+@query("sim_pareto_knn", oracle=_PARETO_ORACLE)
+def sim_pareto_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-front retrieval over two similarity criteria: the
+    vectors not dominated on (squared L2 to query vec 0, squared L2
+    to query vec 1) — multi-query retrieval where no single score
+    fusion is right, the embedding-table twin of ``rel_skyline``.
+
+    Exactness: components micro-quantize first, both criteria are
+    exact integer squared distances (the ``sim_knn_pq_exact``
+    discipline).  The 2-D skyline needs NO pairwise dominance join:
+    reduce to DISTINCT (d1, d2) pairs, then one running-minimum
+    window ordered by d1 (strictly-smaller d1 via integer RANGE ... 1
+    PRECEDING) plus a per-d1 minimum decides membership; ties on both
+    coordinates are mutually non-dominating and all kept.  At corpus
+    scale the distinct reduction and windows follow the
+    ``rel_skyline`` plan (local fronts would nest once more if the
+    distinct pair set ever outgrew a partition)."""
+    t = Tables(spark, sf_dir)
+    ev = t.embeddings.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1e6).cast("bigint"),
+        ).alias("vq"),
+    )
+    q0 = ev.filter(F.col("vec_id") == 0).select(
+        F.col("vq").alias("q0")
+    )
+    q1 = ev.filter(F.col("vec_id") == 1).select(
+        F.col("vq").alias("q1")
+    )
+    sq = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    d = (
+        ev.filter(F.col("vec_id") >= 2)
+        .join(F.broadcast(q0))
+        .join(F.broadcast(q1))
+        .select(
+            "vec_id",
+            sq(F.col("vq"), F.col("q0")).alias("d1"),
+            sq(F.col("vq"), F.col("q1")).alias("d2"),
+        )
+    )
+    dd = d.select("d1", "d2").distinct()
+    w1 = (
+        W.orderBy("d1")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    front = dd.select(
+        "d1",
+        "d2",
+        F.min("d2").over(w1).alias("m1"),
+        F.min("d2").over(W.partitionBy("d1")).alias("m2"),
+    )
+    keep = front.filter(
+        (F.col("m1").isNull() | (F.col("m1") > F.col("d2")))
+        & (F.col("d2") == F.col("m2"))
+    ).select("d1", "d2")
+    return d.join(keep, ["d1", "d2"]).select(
+        "vec_id",
+        F.col("d1").alias("d1_micro2"),
+        F.col("d2").alias("d2_micro2"),
+    )

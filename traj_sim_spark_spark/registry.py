@@ -74,6 +74,8 @@ _MODULES = (
     "traj_sim_spark_spark.operators.extras6",
     # round-6 additions (queued for the round-7 window)
     "traj_sim_spark_spark.operators.extras7",
+    # round-7 additions (windowed this round via _WINDOW_FIRST)
+    "traj_sim_spark_spark.operators.extras8",
 )
 
 # Explicit driver-window ordering: after load_all() the first keys of
@@ -119,13 +121,11 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "traj_erp_knn_2d",
     "pipe_bpe_train",
     "text_bpe_encode",
-    # round-7 additions (extras8; staged — skipped until registered)
+    # round-7 additions (extras8)
     "pipe_pack_bpe",
-    "traj_frechet_pair",
     "graph_hits",
     "pipe_dataset_card",
-    "graph_jaccard_neighbors",
-    "text_zipf_fit",
+    "text_heaps_law",
     "pipe_curriculum_order",
     "rel_theil_sen",
     "text_idf_novelty",
