@@ -496,12 +496,15 @@ def _dp_search_oracle(
     peru.n) — the Sakoe-Chiba band form of the banded-DTW row.
 
     NOT registered as the driver oracle: DuckDB materializes every
-    layer of every user's grid, measured 37 s at sf0.01 / 245 s at
-    sf0.1 — a gate-budget explosion for rows that are green in seconds
-    today. Instead tests/test_twophase.py runs it at sf0.001 (<1 s) as
-    an ENGINE-INDEPENDENT check of the pruned searches — upgrading the
-    WEAK rows' evidence from same-engine brute-force equality to
-    cross-engine equality without touching the driver gate."""
+    layer of every user's grid ROW-PER-CELL, measured 37 s at sf0.01 /
+    245 s at sf0.1.  Since round 7 the driver oracles for all 23
+    search tiers are the LIST-LAYER form instead
+    (``operators/dp_list_sql.py`` — one list per antidiagonal, ~60x
+    faster, FULL rows); this row-per-cell variant stays as the
+    INDEPENDENT pytest cross-check at sf0.001
+    (tests/test_twophase.py) — a third implementation of the same
+    recursion, structurally unlike both the kernel and the list-layer
+    oracle, which is exactly what makes it a useful pin."""
     return f"""
     WITH RECURSIVE
     bv(j, {cols}) AS (
