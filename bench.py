@@ -106,6 +106,11 @@ HEAVY = [
     # stays visible round-over-round
     "traj_lcss_knn",
     "traj_edr_knn",
+    # round-7: the iterative BPE composition (vocab-bounded rounds +
+    # packing) and the unrolled integer HITS — pinned so the
+    # round-chain cost stays in driver history
+    "pipe_pack_bpe",
+    "graph_hits",
 ]
 
 

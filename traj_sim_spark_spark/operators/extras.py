@@ -319,7 +319,15 @@ def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic at corpus scale (high-cosine pairs land in the same bucket
     with high probability; recall/bits traded like any LSH)."""
     t = Tables(spark, sf_dir)
-    emb = t.embeddings.select(
+    return _emb_lsh_pairs(t.embeddings.select("vec_id", "embedding"))
+
+
+def _emb_lsh_pairs(embd: DataFrame) -> DataFrame:
+    """The sign-bucket LSH + cosine-verify pair body of
+    ``emb_neardup_lsh`` over an arbitrary (vec_id, embedding) set —
+    shared with the rep-collapsed semantic dedup pipeline
+    (``text_ext.pipe_dedup_semantic``)."""
+    emb = embd.select(
         "vec_id", to_double("embedding").alias("emb")
     ).withColumn(
         "bucket",

@@ -259,12 +259,47 @@ def pipe_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     already does, and the corpus-wide token table is never self-joined.
     md5-based signatures make even the sketch stage bit-identical
     across engines, so the WHOLE pipeline is FULLY oracle-checked (the
-    md5 trick, SURVEY.md §2.2 determinism rules)."""
-    from .text import text_minhash_neardup
+    md5 trick, SURVEY.md §2.2 determinism rules).
+
+    EXACT-GROUP REPRESENTATIVE COLLAPSE (round 7): the LSH + verify
+    stages run over one REPRESENTATIVE per distinct text (min doc_id),
+    not over every document.  Result-identical by construction: docs
+    with identical text have identical token sets, identical MinHash
+    signatures (candidates in every band) and J = 1 (every text —
+    including the empty one — tokenizes to >= 1 token, so J is never
+    0/0), hence every non-representative is dropped by its own
+    representative, and cross-group candidacy/verification depend only
+    on the text, so rep-level pairs decide them for all members:
+    keep(doc) = (doc == rep) AND rep not dropped at rep level.  The
+    UNCHANGED per-document oracle re-certifies the equivalence on
+    every gate run.  Why it matters at 100 TB: real corpora carry
+    massive exact-duplicate clusters (boilerplate), and without the
+    collapse in-bucket candidate pairs grow as clones² — measured
+    5.3 s -> 240 s on a 10x exact-clone corpus before this change;
+    with it the near-dup stages scale with DISTINCT texts (the
+    RefinedWeb/Falcon exact-before-fuzzy dedup ordering)."""
+    from .text import _lsh_candidates, _minhash_cols
 
     t = Tables(spark, sf_dir)
-    cand = text_minhash_neardup(spark, sf_dir)
-    tok = t.doc_tokens().distinct()
+    n = spark.sparkContext.defaultParallelism
+    groups = (
+        t.documents.groupBy("text")
+        .agg(F.min("doc_id").alias("rep"))
+        .localCheckpoint()
+    )
+    # repartition AFTER the rep -> doc_id alias: hash partitioning does
+    # not survive the rename, and without it the signature aggregate
+    # AQE-coalesces to ~2 partitions and the 4.8M-pair array verify
+    # runs on 2 cores (measured 26 s -> 5 s; the doc_tokens discipline)
+    rep_docs = groups.select(
+        F.col("rep").alias("doc_id"), "text"
+    ).repartition(n, "doc_id")
+    rtok = rep_docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    sig = rtok.groupBy("doc_id").agg(*_minhash_cols()).localCheckpoint()
+    cand = _lsh_candidates(sig)
+    tok = rtok.distinct()
     lists = tok.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("token")).alias("toks"),
         F.count("*").alias("n"),
@@ -285,16 +320,29 @@ def pipe_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("both_n", F.size(F.array_intersect("toks_a", "toks_b")))
     )
     jac = F.col("both_n") / (F.col("na") + F.col("nb") - F.col("both_n"))
-    dropped = (
+    dropped_reps = (
         v.filter(jac >= 0.5)
-        .select(F.col("id_b").alias("doc_id"))
+        .select(F.col("id_b").alias("rep"))
         .distinct()
+        .withColumn("rep_dropped", F.lit(1))
     )
-    return t.documents.select("doc_id").join(
-        dropped.withColumn("dropped", F.lit(1)), "doc_id", "left"
-    ).select(
-        "doc_id",
-        F.when(F.col("dropped").isNull(), 1).otherwise(0).alias("keep"),
+    doc_rep = (
+        t.documents.select("doc_id", "text")
+        .join(groups, "text")
+        .select("doc_id", "rep")
+    )
+    return (
+        doc_rep.join(dropped_reps, "rep", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") == F.col("rep"))
+                & F.col("rep_dropped").isNull(),
+                1,
+            )
+            .otherwise(0)
+            .alias("keep"),
+        )
     )
 
 

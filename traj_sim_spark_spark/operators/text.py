@@ -198,6 +198,14 @@ def text_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unlike a bare persist — nothing is left pinned in the cache after
     # the query finishes (ADVICE r1: the sig cache leaked across runs)
     sig = t.doc_tokens().groupBy("doc_id").agg(*_minhash_cols()).localCheckpoint()
+    return _lsh_candidates(sig)
+
+
+def _lsh_candidates(sig: DataFrame) -> DataFrame:
+    """First-colliding-band LSH candidate pairs (id_a, id_b) over a
+    signature table (doc_id, mh0..mhN): the band-join body of
+    ``text_minhash_neardup``, shared with the rep-collapsed dedup
+    pipeline (``pipelines.pipe_neardup_dedup``)."""
     n_bands = _N_MINHASH // _BAND_W
 
     def bucket(j: int) -> F.Column:
