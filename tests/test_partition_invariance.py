@@ -144,6 +144,10 @@ KEYS = [
     "rel_theil_sen",
     "text_idf_novelty",
     "sim_pareto_knn",
+    # rank/supremum statistics: doubled-average-rank tie groups and the
+    # cross-multiplied CDF max must not leak hash order
+    "rel_mann_whitney",
+    "rel_ks_test",
 ]
 
 

@@ -29,6 +29,11 @@
   distance criteria (squared L2 to two query anchors): the skyline
   twin of ``rel_skyline`` on the embedding table, computed on DISTINCT
   distance pairs with two window minima (no pairwise dominance join).
+- ``rel_mann_whitney`` / ``rel_ks_test`` / ``rel_benford`` — the
+  statistical-testing family (A/B rank-sum, distribution supremum,
+  first-digit screen), each with INTEGER-EXACT decisions: doubled
+  average ranks, cross-multiplied CDF numerators, digits from decimal
+  strings of quantized integers.
 """
 
 from __future__ import annotations
@@ -788,4 +793,256 @@ def sim_pareto_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("d1").alias("d1_micro2"),
         F.col("d2").alias("d2_micro2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical testing family (round-7 extension): Mann–Whitney U,
+# Kolmogorov–Smirnov, Benford first-digit — the A/B-testing and
+# data-quality screens an analytics engine ships, each integer-exact.
+# ---------------------------------------------------------------------------
+
+
+_MW_ORACLE = """
+    WITH e AS (
+        SELECT user_id, value,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    v AS (
+        SELECT user_id, value,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(g1) AS BIGINT) AS cnt1
+        FROM e GROUP BY user_id, value
+    ),
+    c AS (
+        SELECT user_id, value, cnt, cnt1,
+               COALESCE(CAST(SUM(cnt) OVER (
+                   PARTITION BY user_id ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS BIGINT), 0) AS cb
+        FROM v
+    ),
+    r AS (
+        SELECT user_id,
+               CAST(SUM(cnt1 * (2 * cb + cnt + 1)) AS BIGINT) AS r1x2,
+               CAST(SUM(cnt1) AS BIGINT) AS n1,
+               CAST(SUM(cnt - cnt1) AS BIGINT) AS n2
+        FROM c GROUP BY user_id
+    )
+    SELECT user_id, n1, n2,
+           r1x2 - n1 * (n1 + 1) AS u1_twice
+    FROM r WHERE n1 > 0 AND n2 > 0
+"""
+
+
+@query("rel_mann_whitney", oracle=_MW_ORACLE)
+def rel_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (rank-sum) test statistic per user: do 'click'
+    and 'view' event values come from the same distribution — the
+    nonparametric A/B screen.  INTEGER-EXACT tie handling: a tie group
+    spanning ranks [a, b] assigns average rank (a+b)/2, so TWICE the
+    rank sum is the integer Σ cnt1·(2·c_before + cnt + 1), and the
+    reported statistic is 2·U1 = 2·R1 − n1(n1+1) — no float anywhere
+    (the halves live in the doubled units).
+
+    Scale shape: one hash agg to distinct (user, value) groups, one
+    PARTITIONED cumsum window (never a global sort), one per-user
+    agg."""
+    t = Tables(spark, sf_dir)
+    e = t.events.filter(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        "user_id",
+        "value",
+        F.when(F.col("event_type") == "click", 1)
+        .otherwise(0)
+        .alias("g1"),
+    )
+    v = e.groupBy("user_id", "value").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("g1").cast("long").alias("cnt1"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("value")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = v.withColumn(
+        "cb", F.coalesce(F.sum("cnt").over(w).cast("long"), F.lit(0))
+    )
+    r = c.groupBy("user_id").agg(
+        F.sum(
+            F.col("cnt1") * (2 * F.col("cb") + F.col("cnt") + 1)
+        )
+        .cast("long")
+        .alias("r1x2"),
+        F.sum("cnt1").cast("long").alias("n1"),
+        F.sum(F.col("cnt") - F.col("cnt1")).cast("long").alias("n2"),
+    )
+    return r.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        "user_id",
+        "n1",
+        "n2",
+        (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).alias(
+            "u1_twice"
+        ),
+    )
+
+
+_KS_ORACLE = """
+    WITH e AS (
+        SELECT user_id, value,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    n AS (
+        SELECT user_id,
+               CAST(SUM(g1) AS BIGINT) AS n1,
+               CAST(SUM(1 - g1) AS BIGINT) AS n2
+        FROM e GROUP BY user_id
+    ),
+    v AS (
+        SELECT user_id, value,
+               CAST(SUM(g1) AS BIGINT) AS c1g,
+               CAST(SUM(1 - g1) AS BIGINT) AS c2g
+        FROM e GROUP BY user_id, value
+    ),
+    cum AS (
+        SELECT user_id, value,
+               CAST(SUM(c1g) OVER (PARTITION BY user_id ORDER BY value
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1,
+               CAST(SUM(c2g) OVER (PARTITION BY user_id ORDER BY value
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c2
+        FROM v
+    ),
+    d AS (
+        SELECT cum.user_id, n.n1, n.n2,
+               MAX(ABS(cum.c1 * n.n2 - cum.c2 * n.n1)) AS d_num
+        FROM cum JOIN n ON n.user_id = cum.user_id
+        GROUP BY cum.user_id, n.n1, n.n2
+    )
+    SELECT user_id, n1, n2, CAST(d_num AS BIGINT) AS d_num,
+           ROUND(CAST(d_num AS DOUBLE) / (n1 * n2), 6) AS ks_d
+    FROM d WHERE n1 > 0 AND n2 > 0
+"""
+
+
+@query("rel_ks_test", oracle=_KS_ORACLE)
+def rel_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic per user ('click' vs
+    'view' values): D = max |F1(x) − F2(x)| over observed points,
+    carried as the EXACT integer numerator |c1·n2 − c2·n1| over the
+    common denominator n1·n2 — the supremum decision is pure integer
+    comparison; the one float is the final display division.
+
+    Same partitioned-window shape as ``rel_mann_whitney`` (distinct
+    (user, value) groups, per-user cumulative counts, per-user max)."""
+    t = Tables(spark, sf_dir)
+    e = t.events.filter(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        "user_id",
+        "value",
+        F.when(F.col("event_type") == "click", 1)
+        .otherwise(0)
+        .alias("g1"),
+    )
+    n = e.groupBy("user_id").agg(
+        F.sum("g1").cast("long").alias("n1"),
+        F.sum(1 - F.col("g1")).cast("long").alias("n2"),
+    )
+    v = e.groupBy("user_id", "value").agg(
+        F.sum("g1").cast("long").alias("c1g"),
+        F.sum(1 - F.col("g1")).cast("long").alias("c2g"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("value")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = v.select(
+        "user_id",
+        F.sum("c1g").over(w).cast("long").alias("c1"),
+        F.sum("c2g").over(w).cast("long").alias("c2"),
+    )
+    d = (
+        cum.join(n, "user_id")
+        .groupBy("user_id", "n1", "n2")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("c1") * F.col("n2")
+                    - F.col("c2") * F.col("n1")
+                )
+            )
+            .cast("long")
+            .alias("d_num")
+        )
+    )
+    return d.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        "user_id",
+        "n1",
+        "n2",
+        "d_num",
+        F.round(
+            F.col("d_num").cast("double")
+            / (F.col("n1") * F.col("n2")),
+            6,
+        ).alias("ks_d"),
+    )
+
+
+_BENFORD_ORACLE = """
+    WITH q AS (
+        SELECT ABS(CAST(ROUND(value * 1e6) AS BIGINT)) AS v
+        FROM events
+    ),
+    d AS (
+        SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT)
+                   AS digit
+        FROM q WHERE v > 0
+    ),
+    n AS (SELECT COUNT(*) AS n FROM d)
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(COUNT(*) * 1.0 / (SELECT n FROM n), 6) AS frac,
+           ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford
+    FROM d GROUP BY digit
+"""
+
+
+@query("rel_benford", oracle=_BENFORD_ORACLE)
+def rel_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit screen over event values (the
+    classic anomaly/fraud data-quality check): observed digit counts
+    and fractions vs the Benford expectation log10(1 + 1/d).
+
+    Exactness: the first digit comes from the DECIMAL STRING of the
+    micro-quantized |value| — integer-to-string is identical on both
+    engines (no float LOG10 near a power-of-ten boundary ever decides
+    a digit); the two floats are display-only rounded expressions with
+    identical operation order.  One narrow projection + a 9-group hash
+    agg: trivially map-side at any scale."""
+    t = Tables(spark, sf_dir)
+    q = t.events.select(
+        F.abs(F.expr("CAST(ROUND(value * 1e6) AS BIGINT)")).alias("v")
+    ).filter(F.col("v") > 0)
+    d = q.select(
+        F.substring(F.col("v").cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    n = d.agg(F.count("*").alias("n"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .join(F.broadcast(n))
+        .select(
+            "digit",
+            "cnt",
+            F.round(F.col("cnt") * 1.0 / F.col("n"), 6).alias("frac"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias(
+                "benford"
+            ),
+        )
     )

@@ -130,6 +130,9 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "rel_theil_sen",
     "text_idf_novelty",
     "sim_pareto_knn",
+    "rel_mann_whitney",
+    "rel_ks_test",
+    "rel_benford",
 )
 
 _loaded = False
