@@ -31,11 +31,16 @@ _LAZY_ORACLES: dict[str, Callable[[], str]] = {}
 # so module order no longer matters for correctness-row scheduling.
 #
 # ROUND-7 ROTATION: EXECUTED — see _WINDOW_FIRST below (the 21 keys
-# that were driver-rowless after round 6 + the round-7 additions).
-# After this window lands green, cumulative driver coverage is
-# 317/317 of the round-6 surface; future rounds only need to window
-# NEW keys (and any key whose semantics were rewritten since its last
-# green row — the rel_agg_approx precedent).
+# that were driver-rowless after round 6 + the 11 round-7 extras8
+# additions = 32 pinned; the remaining 18 window slots fall through
+# to registration order and re-check already-green keys).  After this
+# window lands green, cumulative driver coverage is 328/328.
+# ROUND-8 plan: rotate only round-8 ADDITIONS (and any key whose
+# semantics were rewritten since its last green row — the
+# rel_agg_approx precedent; pipe_neardup_dedup / pipe_dedup_semantic /
+# pipe_dedup_funnel are re-windowed BELOW for exactly that reason:
+# the round-7 rep-collapse is result-identical and dual-scale gated,
+# and the re-window makes the driver certify the post-rewrite plans).
 _MODULES = (
     "traj_sim_spark_spark.operators.text_ext",
     "traj_sim_spark_spark.operators.analytics",
@@ -133,6 +138,11 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "rel_mann_whitney",
     "rel_ks_test",
     "rel_benford",
+    # re-windowed: the round-7 exact-group representative collapse
+    # postdates these keys' last driver rows (rel_agg_approx precedent)
+    "pipe_neardup_dedup",
+    "pipe_dedup_semantic",
+    "pipe_dedup_funnel",
 )
 
 _loaded = False
