@@ -34,6 +34,14 @@
   first-digit screen), each with INTEGER-EXACT decisions: doubled
   average ranks, cross-multiplied CDF numerators, digits from decimal
   strings of quantized integers.
+- ``pipe_bpe_fertility`` — tokens-per-word distribution and
+  chars-per-token compression for the learned BPE merges (the
+  tokenizer-eval metrics), vocab-bounded.
+- ``rel_chi2_cells`` — chi-squared independence screen
+  (event_type x day-of-week) emitting per-cell observed counts, exact
+  rational expectations (r·c over n, never divided) and display-only
+  chi² terms — cells rather than a float sum, so every decision stays
+  integer-exact.
 """
 
 from __future__ import annotations
@@ -1045,4 +1053,147 @@ def rel_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "benford"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipe_bpe_fertility — tokenizer evaluation (round-7 extension)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_fertility_oracle() -> str:
+    from .extras7 import _BPE_ROUNDS, _bpe_oracle_ctes
+
+    return f"""
+    WITH {_bpe_oracle_ctes()},
+    fert AS (
+        SELECT CAST(len(syms) AS BIGINT) AS fertility,
+               f, CAST(LEN(word) AS BIGINT) AS chars
+        FROM v{_BPE_ROUNDS}
+    )
+    SELECT fertility,
+           CAST(SUM(f) AS BIGINT) AS word_occurrences,
+           CAST(COUNT(*) AS BIGINT) AS distinct_words,
+           CAST(SUM(f * chars) AS BIGINT) AS char_mass,
+           ROUND(CAST(SUM(f * chars) AS DOUBLE)
+                 / SUM(f * fertility), 6) AS chars_per_token
+    FROM fert GROUP BY fertility
+    """
+
+
+@query("pipe_bpe_fertility", oracle=_bpe_fertility_oracle)
+def pipe_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY audit for the learned BPE merges: the
+    distribution of tokens-per-word after the round-6 merge rules,
+    weighted by corpus word frequency, with the chars-per-token
+    compression ratio per fertility bucket — the two numbers tokenizer
+    teams actually track when sizing a vocabulary.
+
+    Same vocab-bounded shape as the trainer (the corpus is touched
+    once for word frequencies); integer masses end to end, the ratio
+    is a display-only division.  FULL oracle via the shared
+    unrolled-merges WITH chain."""
+    from .extras7 import _bpe_rounds
+
+    t = Tables(spark, sf_dir)
+    _, vocab = _bpe_rounds(t)
+    fert = vocab.select(
+        F.size("syms").cast("long").alias("fertility"),
+        "f",
+        F.length("word").cast("long").alias("chars"),
+    )
+    return fert.groupBy("fertility").agg(
+        F.sum("f").cast("long").alias("word_occurrences"),
+        F.count("*").cast("long").alias("distinct_words"),
+        F.sum(F.col("f") * F.col("chars"))
+        .cast("long")
+        .alias("char_mass"),
+        F.round(
+            F.sum(F.col("f") * F.col("chars")).cast("double")
+            / F.sum(F.col("f") * F.col("fertility")),
+            6,
+        ).alias("chars_per_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rel_chi2_cells — contingency-table screen (round-7 extension)
+# ---------------------------------------------------------------------------
+
+
+_CHI2_ORACLE = """
+    WITH e AS (
+        SELECT event_type,
+               (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7
+                   AS dow
+        FROM events
+    ),
+    o AS (
+        SELECT event_type, CAST(dow AS BIGINT) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS obs
+        FROM e GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS rt
+          FROM o GROUP BY 1),
+    c AS (SELECT dow, CAST(SUM(obs) AS BIGINT) AS ct FROM o GROUP BY 1),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o)
+    SELECT o.event_type, o.dow, o.obs,
+           r.rt * c.ct AS exp_num,
+           (SELECT n FROM n) AS exp_den,
+           ROUND(
+               CAST((o.obs * (SELECT n FROM n) - r.rt * c.ct) AS DOUBLE)
+               * (o.obs * (SELECT n FROM n) - r.rt * c.ct)
+               / ((SELECT n FROM n) * CAST(r.rt AS DOUBLE) * c.ct),
+               6) AS chi2_term
+    FROM o JOIN r USING (event_type) JOIN c USING (dow)
+"""
+
+
+@query("rel_chi2_cells", oracle=_CHI2_ORACLE)
+def rel_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence screen for event_type x day-of-week:
+    per-cell observed counts, the EXACT RATIONAL expectation
+    (row_total·col_total over n — integers, never divided), and the
+    per-cell chi² contribution as a display-only float with one fixed
+    expression tree ((O·n − r·c)² / (n·r·c), identical text both
+    engines).  Emitting CELLS rather than the summed statistic keeps
+    every decision integer-exact (a float Σ over an engine-dependent
+    row order would not hash) — the consumer sums or tests as needed.
+
+    Day-of-week comes from epoch arithmetic ((days + 4) mod 7), never
+    calendar functions (the house TZ rule).  Two hash aggs + two
+    broadcast joins; 35 cells out at any corpus size."""
+    t = Tables(spark, sf_dir)
+    e = t.events.select(
+        "event_type",
+        F.expr(
+            "(unix_micros(ts) div 86400000000 + 4) % 7"
+        ).alias("dow"),
+    )
+    o = e.groupBy(
+        "event_type", F.col("dow").cast("long").alias("dow")
+    ).agg(F.count("*").cast("long").alias("obs"))
+    r = o.groupBy("event_type").agg(
+        F.sum("obs").cast("long").alias("rt")
+    )
+    c = o.groupBy("dow").agg(F.sum("obs").cast("long").alias("ct"))
+    n = o.agg(F.sum("obs").cast("long").alias("n"))
+    j = (
+        o.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "dow")
+        .join(F.broadcast(n))
+    )
+    diff = F.col("obs") * F.col("n") - F.col("rt") * F.col("ct")
+    return j.select(
+        "event_type",
+        "dow",
+        "obs",
+        (F.col("rt") * F.col("ct")).alias("exp_num"),
+        F.col("n").alias("exp_den"),
+        F.round(
+            diff.cast("double")
+            * diff
+            / (F.col("n") * F.col("rt").cast("double") * F.col("ct")),
+            6,
+        ).alias("chi2_term"),
     )

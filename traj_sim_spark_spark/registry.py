@@ -31,10 +31,11 @@ _LAZY_ORACLES: dict[str, Callable[[], str]] = {}
 # so module order no longer matters for correctness-row scheduling.
 #
 # ROUND-7 ROTATION: EXECUTED — see _WINDOW_FIRST below (the 21 keys
-# that were driver-rowless after round 6 + the 11 round-7 extras8
-# additions = 32 pinned; the remaining 18 window slots fall through
-# to registration order and re-check already-green keys).  After this
-# window lands green, cumulative driver coverage is 328/328.
+# that were driver-rowless after round 6, the 13 round-7 extras8
+# additions, and the 3 re-windowed rewritten dedup pipelines = 37
+# pinned; the remaining 13 window slots fall through to registration
+# order and re-check already-green keys).  After this window lands
+# green, cumulative driver coverage is 330/330.
 # ROUND-8 plan: rotate only round-8 ADDITIONS (and any key whose
 # semantics were rewritten since its last green row — the
 # rel_agg_approx precedent; pipe_neardup_dedup / pipe_dedup_semantic /
@@ -138,6 +139,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "rel_mann_whitney",
     "rel_ks_test",
     "rel_benford",
+    "pipe_bpe_fertility",
+    "rel_chi2_cells",
     # re-windowed: the round-7 exact-group representative collapse
     # postdates these keys' last driver rows (rel_agg_approx precedent)
     "pipe_neardup_dedup",
