@@ -82,15 +82,35 @@ import json as _json
 import os as _os
 
 _REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-_DRIVER_SEEN: set[str] = set()
+# "Driver-seen" means a row with hash_match==true — a stale err row
+# (e.g. the rounds-1/2 no_oracle rows) is NOT coverage.  For WEAK keys
+# (no oracle registered) the driver can only ever record rows_match, so
+# any non-err row counts for those.
+_DRIVER_GREEN: set[str] = set()
+_DRIVER_ROWS_OK: set[str] = set()
 for _p in sorted(_glob.glob(_os.path.join(_REPO, "CORRECTNESS_r*.json"))):
     try:
         with open(_p) as _f:
-            _DRIVER_SEEN |= set(_json.load(_f))
+            for _k, _v in _json.load(_f).items():
+                if isinstance(_v, dict):
+                    if _v.get("hash_match") is True:
+                        _DRIVER_GREEN.add(_k)
+                    if _v.get("spark_rows") is not None and not _v.get(
+                        "err"
+                    ) == "spark_error":
+                        _DRIVER_ROWS_OK.add(_k)
     except (OSError, ValueError):
         pass
 
-ROWLESS_KEYS = sorted(k for k in registry.QUERIES if k not in _DRIVER_SEEN)
+ROWLESS_KEYS = sorted(
+    k
+    for k in registry.QUERIES
+    if (
+        k not in _DRIVER_GREEN
+        if k in registry.ORACLES
+        else k not in _DRIVER_ROWS_OK
+    )
+)
 SF_DRIVER = "/root/testdata/sf0.01"
 
 

@@ -545,7 +545,7 @@ _THEIL_ORACLE = """
                ((b.value - a.value) * 86400000000.0)
                    / CAST(b.us - a.us AS DOUBLE) AS slope
         FROM s a JOIN s b
-          ON a.user_id = b.user_id AND a.seq < b.seq
+          ON a.user_id = b.user_id AND a.seq < b.seq AND a.us < b.us
     ),
     r AS (
         SELECT user_id, slope,
@@ -586,7 +586,12 @@ def rel_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(
         b,
         (F.col("a.user_id") == F.col("b.user_id"))
-        & (F.col("a.seq") < F.col("b.seq")),
+        & (F.col("a.seq") < F.col("b.seq"))
+        # strict-time guard: tied timestamps would divide by zero, where
+        # DuckDB yields NULL but Spark yields ±Infinity — excluding the
+        # zero-Δt pair on BOTH engines keeps semantics identical (and is
+        # the standard Theil–Sen convention for tied abscissae).
+        & (F.col("a.us") < F.col("b.us")),
     ).select(
         F.col("a.user_id").alias("user_id"),
         (

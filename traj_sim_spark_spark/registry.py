@@ -30,18 +30,16 @@ _LAZY_ORACLES: dict[str, Callable[[], str]] = {}
 # pinned declaratively by _WINDOW_FIRST below (load_all reorders QUERIES),
 # so module order no longer matters for correctness-row scheduling.
 #
-# ROUND-7 ROTATION: EXECUTED — see _WINDOW_FIRST below (the 21 keys
-# that were driver-rowless after round 6, the 13 round-7 extras8
-# additions, and the 3 re-windowed rewritten dedup pipelines = 37
-# pinned; the remaining 13 window slots fall through to registration
-# order and re-check already-green keys).  After this window lands
-# green, cumulative driver coverage is 330/330.
-# ROUND-8 plan: rotate only round-8 ADDITIONS (and any key whose
-# semantics were rewritten since its last green row — the
-# rel_agg_approx precedent; pipe_neardup_dedup / pipe_dedup_semantic /
-# pipe_dedup_funnel are re-windowed BELOW for exactly that reason:
-# the round-7 rep-collapse is result-identical and dual-scale gated,
-# and the re-window makes the driver certify the post-rewrite plans).
+# ROUND-8 ROTATION: EXECUTED — see _WINDOW_FIRST below.  The round-7
+# rotation's "rowless" filter counted stale rounds-1/2 err:"no_oracle"
+# rows as coverage, so 5 FULL-promoted DP search tiers never got a
+# hash-green driver row (cumulative coverage after r07 = 321/330, not
+# the 330/330 the r07 comment claimed).  Round 8 pins those 5 at the
+# window front, then the round-8 additions.  "Rowless" now means "no
+# CORRECTNESS_r*.json row with hash_match==true" — both here and in
+# tests/test_oracle.py's driver-scale tier.  load_all() additionally
+# sorts oracle-less (WEAK) keys PAST the fall-through region so no
+# window slot can ever land on a guaranteed err:"no_oracle" row.
 _MODULES = (
     "traj_sim_spark_spark.operators.text_ext",
     "traj_sim_spark_spark.operators.analytics",
@@ -94,58 +92,42 @@ _MODULES = (
 # their registration order after it. Unknown names are skipped, so the
 # list can be staged before its keys exist.
 #
-# ROUND-7 WINDOW (executed this round): the 21 keys with no driver
-# row through round 6 — the 16 WEAK search tiers (Fréchet/DTW 2-D +
-# banded: 6; LCSS/EDR/ERP threshold+kNN: 10), the 3 round-6 FULL
-# additions (plane ERP + BPE train/encode) and the 2 round-6 WEAK ERP
-# 2-D tiers — followed by the round-7 additions (extras8).  Unknown
-# names are skipped, so staged keys may precede their implementation;
-# any leftover slots up to 50 fall through to registration order
-# (re-checking already-green keys, which is harmless).
+# ROUND-8 WINDOW (executed this round): the 5 FULL keys with no
+# hash-green driver row through round 7 (the round-7 rotation's stale
+# no_oracle rows hid them — VERDICT r07 item 1), followed by the
+# round-8 additions (extras9) and any key rewritten since its last
+# green row.  Unknown names are skipped, so staged keys may precede
+# their implementation; leftover slots up to 50 fall through to
+# registration order restricted to ORACLE-BEARING keys (load_all sorts
+# oracle-less keys last), re-checking already-green keys harmlessly.
 _WINDOW_FIRST: tuple[str, ...] = (
-    # trajectory_ext WEAK search tiers (6)
-    "traj_frechet_threshold_2d",
-    "traj_dtw_knn_2d",
-    "traj_dtw_threshold_2d",
-    "traj_dtw_knn_banded",
-    "traj_dtw_knn_banded_2d",
-    "traj_dtw_threshold_banded",
-    # extras6 LCSS/EDR/ERP search tiers (10)
-    "traj_lcss_threshold",
-    "traj_lcss_knn",
-    "traj_edr_threshold",
-    "traj_edr_knn",
-    "traj_lcss_threshold_2d",
-    "traj_lcss_knn_2d",
-    "traj_edr_threshold_2d",
-    "traj_edr_knn_2d",
-    "traj_erp_threshold",
-    "traj_erp_knn",
-    # round-6 additions (5): plane ERP (FULL pair + WEAK tiers) + BPE
-    "traj_erp_pair_2d",
-    "traj_erp_threshold_2d",
-    "traj_erp_knn_2d",
-    "pipe_bpe_train",
-    "text_bpe_encode",
-    # round-7 additions (extras8)
-    "pipe_pack_bpe",
-    "graph_hits",
-    "pipe_dataset_card",
-    "text_heaps_law",
-    "pipe_curriculum_order",
-    "rel_theil_sen",
-    "text_idf_novelty",
-    "sim_pareto_knn",
-    "rel_mann_whitney",
-    "rel_ks_test",
-    "rel_benford",
-    "pipe_bpe_fertility",
-    "rel_chi2_cells",
-    # re-windowed: the round-7 exact-group representative collapse
-    # postdates these keys' last driver rows (rel_agg_approx precedent)
-    "pipe_neardup_dedup",
-    "pipe_dedup_semantic",
-    "pipe_dedup_funnel",
+    # the 5 promoted-but-never-hash-checked DP search tiers (r07 gap)
+    "traj_frechet_knn",
+    "traj_frechet_threshold",
+    "traj_dtw_knn",
+    "traj_dtw_threshold",
+    "traj_frechet_knn_2d",
+    # round-8 additions (extras9) — staged, skipped until registered
+    "sim_knn_pq_q",
+    "sim_knn_ivfpq_q",
+    "rel_ols_multi",
+    "rel_quantile_bands",
+    "text_simhash64_neardup",
+    "text_suffix_automaton_dup",
+    "pipe_tokenizer_compare",
+    "pipe_dedup_cascade_audit",
+    "rel_cube_rollup",
+    "rel_grouping_sets",
+    "traj_stay_points",
+    "traj_od_matrix",
+    "graph_k_core",
+    "graph_triangle_rate",
+    "text_zipf_fit",
+    "rel_isotonic_fit",
+    "emb_rp_tree_knn",
+    "sketch_theta_union",
+    "stream_dedup_window",
+    "rel_theil_sen",  # re-windowed: round-8 tie-guard rewrite
 )
 
 _loaded = False
@@ -184,6 +166,12 @@ def load_all() -> None:
         key, fn = _LAZY_ORACLES.popitem()
         ORACLES[key] = fn()
     ordered = {k: QUERIES[k] for k in _WINDOW_FIRST if k in QUERIES}
+    # Fall-through: oracle-bearing keys first (registration order) so no
+    # driver-window slot is wasted on a guaranteed err:"no_oracle" row;
+    # WEAK (oracle-less) keys sort past them permanently.
+    for k, fn in QUERIES.items():
+        if k not in ordered and k in ORACLES:
+            ordered[k] = fn
     for k, fn in QUERIES.items():
         if k not in ordered:
             ordered[k] = fn
