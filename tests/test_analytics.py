@@ -56,10 +56,12 @@ def test_emb_kmeans_matches_numpy_lloyd(spark):
 
 
 def test_sim_knn_pq_matches_numpy_reference(spark):
-    """sim_knn_pq must reproduce a straightforward NumPy PQ: same
-    subspace split, same deterministic codebook init (16 lowest
-    vec_ids), same 2 Lloyd iterations (argmin ties -> lowest cid), same
-    ADC scoring, same (adc_d2, vec_id) top-10."""
+    """sim_knn_pq (promoted FULL, round 8) must reproduce a NumPy
+    INTEGER PQ: micro-quantize, same deterministic codebook init (16
+    lowest vec_ids), 2 integer Lloyd iterations (argmin ties -> lowest
+    cid, shifted integer means), ADC scoring, ranking by the exact
+    integer sum, display = sum/1e12 rounded to 6."""
+    from traj_sim_spark_spark.operators.extras5 import _KMX_C
     from traj_sim_spark_spark.operators.similarity_ext import (
         _PQ_ITERS,
         _PQ_K,
@@ -74,11 +76,11 @@ def test_sim_knn_pq_matches_numpy_reference(spark):
     vecs = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
     order = np.argsort(ids)
     vecs, ids = vecs[order], ids[order]
+    q = np.round(vecs * 1e6).astype(np.int64)
 
-    exp = {}
-    adc = np.zeros(len(vecs))
+    adc = np.zeros(len(q), dtype=np.int64)
     for m in range(_PQ_M):
-        sub = vecs[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+        sub = q[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
         cent = sub[ids < _PQ_K][np.argsort(ids[ids < _PQ_K])].copy()
         for _ in range(_PQ_ITERS):
             d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
@@ -86,17 +88,15 @@ def test_sim_knn_pq_matches_numpy_reference(spark):
             for c in range(_PQ_K):
                 members = sub[assign == c]
                 if len(members):
-                    cent[c] = members.mean(axis=0)
+                    cent[c] = (
+                        members.sum(axis=0) + len(members) * _KMX_C
+                    ) // len(members) - _KMX_C
         d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
         codes = d2.argmin(axis=1)
-        qsub = sub[ids == 0][0]
-        table = ((cent - qsub) ** 2).sum(axis=1)
-        adc += table[codes]
+        adc += d2[ids == 0][0][codes]
     mask = ids != 0
-    cand = sorted(
-        zip(np.round(adc[mask], 6), ids[mask]), key=lambda t: (t[0], t[1])
-    )[:_PQ_TOPK]
-    exp = {int(v): float(d) for d, v in cand}
+    cand = sorted(zip(adc[mask], ids[mask]))[:_PQ_TOPK]
+    exp = {int(v): round(float(a) / 1e12, 6) for a, v in cand}
 
     got = {
         r["vec_id"]: r["adc_d2"]
@@ -104,15 +104,18 @@ def test_sim_knn_pq_matches_numpy_reference(spark):
     }
     assert set(got) == set(exp), (sorted(got), sorted(exp))
     for v, d in exp.items():
-        assert abs(got[v] - d) <= 1e-6, (v, got[v], d)
+        assert abs(got[v] - d) <= 1e-9, (v, got[v], d)
 
 
 def test_sim_knn_ivfpq_matches_numpy_reference(spark):
-    """sim_knn_ivfpq must reproduce a NumPy IVFPQ: per-label coarse
-    centroids (argmin ties -> lowest label), PQ codebooks trained on
-    RESIDUALS with the same deterministic init/iterations as the flat
-    PQ, nprobe=2 probe of the query's nearest cells, per-cell ADC
-    tables from the query's cell residual, top-10 by (adc_d2, vec_id)."""
+    """sim_knn_ivfpq (promoted FULL, round 8) must reproduce a NumPy
+    INTEGER IVFPQ: micro-quantize, per-label coarse centroids as
+    shifted integer means, integer argmin cell assignment (ties ->
+    lowest label), PQ codebooks trained on integer RESIDUALS with the
+    same rules as the flat PQ, nprobe=2 probe by integer coarse
+    distance, per-cell ADC tables from the query's integer cell
+    residual, ranking by the exact integer sum."""
+    from traj_sim_spark_spark.operators.extras5 import _KMX_C
     from traj_sim_spark_spark.operators.similarity_ext import (
         _IVFPQ_NPROBE,
         _PQ_ITERS,
@@ -129,20 +132,27 @@ def test_sim_knn_ivfpq_matches_numpy_reference(spark):
     vecs = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
     order = np.argsort(ids)
     vecs, ids, labels = vecs[order], ids[order], labels[order]
+    q = np.round(vecs * 1e6).astype(np.int64)
 
-    # coarse: per-label centroids, argmin assignment (ties -> low label)
+    # coarse: per-label shifted integer means, argmin (ties -> low label)
     clabels = np.sort(np.unique(labels))
-    coarse = np.stack([vecs[labels == c].mean(axis=0) for c in clabels])
-    cd2 = ((vecs[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    coarse = np.stack(
+        [
+            (q[labels == c].sum(axis=0) + (labels == c).sum() * _KMX_C)
+            // (labels == c).sum()
+            - _KMX_C
+            for c in clabels
+        ]
+    )
+    cd2 = ((q[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
     cassign = clabels[cd2.argmin(axis=1)]
-    resid = vecs - coarse[np.searchsorted(clabels, cassign)]
+    resid = q - coarse[np.searchsorted(clabels, cassign)]
 
-    # probe: the query's nprobe nearest cells by (d2, clabel)
+    # probe: the query's nprobe nearest cells by (cd2, clabel)
     qi = int(np.where(ids == 0)[0][0])
-    probe_order = sorted(zip(cd2[qi], clabels))[:_IVFPQ_NPROBE]
-    probed = [int(c) for _, c in probe_order]
+    probed = [int(c) for _, c in sorted(zip(cd2[qi], clabels))[:_IVFPQ_NPROBE]]
 
-    adc = np.zeros(len(vecs))
+    adc = np.zeros(len(q), dtype=np.int64)
     for m in range(_PQ_M):
         sub = resid[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
         cent = sub[ids < _PQ_K][np.argsort(ids[ids < _PQ_K])].copy()
@@ -152,28 +162,28 @@ def test_sim_knn_ivfpq_matches_numpy_reference(spark):
             for c in range(_PQ_K):
                 members = sub[assign == c]
                 if len(members):
-                    cent[c] = members.mean(axis=0)
+                    cent[c] = (
+                        members.sum(axis=0) + len(members) * _KMX_C
+                    ) // len(members) - _KMX_C
         d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
         codes = d2.argmin(axis=1)
         for cell in probed:
-            qres = vecs[qi] - coarse[np.searchsorted(clabels, cell)]
+            qres = q[qi] - coarse[np.searchsorted(clabels, cell)]
             qsub = qres[m * _PQ_SUB : (m + 1) * _PQ_SUB]
             table = ((cent - qsub) ** 2).sum(axis=1)
             in_cell = cassign == cell
             adc[in_cell] += table[codes[in_cell]]
 
     mask = np.isin(cassign, probed) & (ids != 0)
-    cand = sorted(
-        zip(np.round(adc[mask], 6), ids[mask]), key=lambda t: (t[0], t[1])
-    )[:_PQ_TOPK]
-    exp = {int(v): float(d) for d, v in cand}
+    cand = sorted(zip(adc[mask], ids[mask]))[:_PQ_TOPK]
+    exp = {int(v): round(float(a) / 1e12, 6) for a, v in cand}
 
     got = {
         r["vec_id"]: r["adc_d2"] for r in sim_knn_ivfpq(spark, SF).collect()
     }
     assert set(got) == set(exp), (sorted(got.items()), sorted(exp.items()))
     for v, d in exp.items():
-        assert abs(got[v] - d) <= 1e-6, (v, got[v], d)
+        assert abs(got[v] - d) <= 1e-9, (v, got[v], d)
 
 
 def test_emb_pca_matches_numpy_reference(spark):

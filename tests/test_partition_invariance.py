@@ -108,6 +108,10 @@ KEYS = [
     "emb_kmeans_exact",
     # per-subspace integer Lloyd + ADC sum
     "sim_knn_pq_exact",
+    # round-8 FULL promotions: integer Lloyd on raw / coarse-residual
+    # subvectors (argmin + shifted means + integer coarse assignment)
+    "sim_knn_pq",
+    "sim_knn_ivfpq",
     # ordered survivor re-join (md5 of reconstructed string)
     "text_dedup_cut",
     # triangle/degree ratios; DECIMAL covariance ranking with tie-break;

@@ -2037,7 +2037,92 @@ _PQX_ITERS = 2
 _PQX_TOPK = 10
 
 
-def _pqx_oracle() -> str:
+def pqx_scored(subv: DataFrame, cent: DataFrame) -> DataFrame:
+    """Score every (vec_id, m) subvector against a trained codebook:
+    broadcast join on the subspace + integer squared distance d2."""
+    d2 = F.aggregate(
+        F.zip_with("sub", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return subv.join(F.broadcast(cent), "m").withColumn("d2", d2)
+
+
+def pqx_lloyd(subv: DataFrame) -> DataFrame:
+    """Shared integer-exact PQ Lloyd trainer: given subvector rows
+    (vec_id, m, sub: array<bigint>), run _PQX_ITERS rounds — integer
+    argmin assignment (ties -> lowest cid), shifted integer means,
+    empty-code coordinate carry-forward — with init = the _PQX_K
+    lowest vec_ids' subvectors, and return the FINAL codebook
+    (m, cid, c: array<bigint>).  Callers derive codes (per-(vec_id, m)
+    argmin over `pqx_scored`) and ADC tables from it.  Used by
+    `sim_knn_pq_exact` / `sim_knn_pq` (raw subvectors) and
+    `sim_knn_ivfpq` (coarse-cell residual subvectors)."""
+    cent = subv.filter(F.col("vec_id") < _PQX_K).select(
+        "m",
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("sub").alias("c"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("sub", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    for _ in range(_PQX_ITERS):
+        assigned = (
+            subv.join(F.broadcast(cent), "m")
+            .withColumn("d2", d2)
+            .groupBy("vec_id", "m")
+            .agg(
+                F.min_by("cid", F.struct("d2", "cid")).alias("cid"),
+                F.first("sub").alias("sub"),
+            )
+        )
+        means = (
+            assigned.select(
+                "m", "cid", F.posexplode("sub").alias("pos", "x")
+            )
+            .groupBy("m", "cid", "pos")
+            .agg(
+                (
+                    F.expr(
+                        f"(sum(x) + count(*) * {_KMX_C})"
+                        f" div count(*)"
+                    )
+                    - F.lit(_KMX_C)
+                ).alias("mv")
+            )
+        )
+        prev = cent.select(
+            "m", "cid", F.posexplode("c").alias("pos", "pv")
+        )
+        cent = (
+            prev.join(means, ["m", "cid", "pos"], "left")
+            .select(
+                "m",
+                "cid",
+                "pos",
+                F.coalesce("mv", F.col("pv")).alias("mv"),
+            )
+            .groupBy("m", "cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "mv"))
+                ).alias("pm")
+            )
+            .select(
+                "m", "cid", F.transform("pm", lambda s: s["mv"]).alias("c")
+            )
+        )
+    return cent
+
+
+def _pqx_oracle(display: str = "int") -> str:
+    """Unrolled integer-PQ oracle.  ``display="int"`` emits the raw
+    micro² BIGINT ADC sum (the `sim_knn_pq_exact` fingerprint);
+    ``display="float"`` emits the same sum scaled back to embedding
+    units (``ROUND(sum/1e12, 6)``) for the promoted `sim_knn_pq` row —
+    the ORDER BY stays on the exact integer sum in both forms."""
     c = _KMX_C
     ctes = [
         f"""
@@ -2105,15 +2190,20 @@ def _pqx_oracle() -> str:
     qtab AS (
         SELECT m, cid, d2 AS qd2 FROM df WHERE vec_id = 0
     )""")
+    disp = (
+        "CAST(SUM(q.qd2) AS BIGINT)"
+        if display == "int"
+        else "ROUND(CAST(SUM(q.qd2) AS DOUBLE) / 1e12, 6)"
+    )
     return (
         "WITH " + ",".join(ctes)
         + f"""
-    SELECT vec_id, CAST(SUM(q.qd2) AS BIGINT) AS adc_d2
+    SELECT vec_id, {disp} AS adc_d2
     FROM codes
     JOIN qtab q USING (m, cid)
     WHERE vec_id <> 0
     GROUP BY vec_id
-    ORDER BY adc_d2, vec_id LIMIT {_PQX_TOPK}
+    ORDER BY SUM(q.qd2), vec_id LIMIT {_PQX_TOPK}
     """
     )
 
@@ -2157,63 +2247,7 @@ def sim_knn_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     subv = emb.select("vec_id", F.explode(subs).alias("s")).select(
         "vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub")
     )
-    cent = subv.filter(F.col("vec_id") < _PQX_K).select(
-        "m",
-        F.col("vec_id").cast("int").alias("cid"),
-        F.col("sub").alias("c"),
-    )
-    d2 = F.aggregate(
-        F.zip_with("sub", "c", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    for _ in range(_PQX_ITERS):
-        assigned = (
-            subv.join(F.broadcast(cent), "m")
-            .withColumn("d2", d2)
-            .groupBy("vec_id", "m")
-            .agg(
-                F.min_by("cid", F.struct("d2", "cid")).alias("cid"),
-                F.first("sub").alias("sub"),
-            )
-        )
-        means = (
-            assigned.select(
-                "m", "cid", F.posexplode("sub").alias("pos", "x")
-            )
-            .groupBy("m", "cid", "pos")
-            .agg(
-                (
-                    F.expr(
-                        f"(sum(x) + count(*) * {_KMX_C})"
-                        f" div count(*)"
-                    )
-                    - F.lit(_KMX_C)
-                ).alias("mv")
-            )
-        )
-        prev = cent.select(
-            "m", "cid", F.posexplode("c").alias("pos", "pv")
-        )
-        cent = (
-            prev.join(means, ["m", "cid", "pos"], "left")
-            .select(
-                "m",
-                "cid",
-                "pos",
-                F.coalesce("mv", F.col("pv")).alias("mv"),
-            )
-            .groupBy("m", "cid")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "mv"))
-                ).alias("pm")
-            )
-            .select(
-                "m", "cid", F.transform("pm", lambda s: s["mv"]).alias("c")
-            )
-        )
-    scored = subv.join(F.broadcast(cent), "m").withColumn("d2", d2)
+    scored = pqx_scored(subv, pqx_lloyd(subv))
     codes = scored.groupBy("vec_id", "m").agg(
         F.min_by("cid", F.struct("d2", "cid")).alias("cid")
     )

@@ -219,15 +219,13 @@ def _pq_subvectors(emb: DataFrame) -> DataFrame:
     ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
 
 
-def _pq_d2(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def _pq_float_oracle() -> str:
+    from .extras5 import _pqx_oracle
+
+    return _pqx_oracle(display="float")
 
 
-@query("sim_knn_pq")  # WEAK: float argmin codebooks, not ANSI-SQL
+@query("sim_knn_pq", oracle=_pq_float_oracle)
 def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: 64-d vectors split into 8 subspaces of
     8 dims; per subspace a 16-centroid codebook (2 Lloyd iterations,
@@ -238,97 +236,195 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the query's subvectors, each corpus vector scored as the SUM
     of 8 table lookups, top-10 by (adc_d2, vec_id).
 
+    PROMOTED TO FULL (round 8): the codebook now trains by the
+    integer-exact Lloyd of `sim_knn_pq_exact` (micro-quantized
+    coordinates, integer argmin with code-id tie-break, shifted
+    integer means) — the float variant's argmin was order-dependent
+    across engines, which is a DETERMINISM bug at 1000 executors too,
+    not just an oracle gap: a re-run could flip codebooks.  Ranking is
+    by the exact integer ADC sum; only the DISPLAY converts back to
+    embedding units (sum/1e12, rounded).  Quantization at 1e-6 on
+    coordinates |x|<=0.53 moves distances ~1e-6 relative — the top-10
+    set is unchanged vs the float pipeline on the fixtures (NumPy twin
+    in tests/test_analytics.py re-derives it independently).
+
     The scale economics: the codebook train + encode is an offline
     write-path job (like `emb_layout_ivf`'s layout); the query path
     touches only the 8-byte codes and a broadcast 128-row table — no
     float vector is read at query time. All joins are broadcasts
     (codebooks, tables); per-iteration assignment reuses the k-means
-    min_by pattern. WEAK row (float argmin); pinned against a NumPy PQ
-    reference in tests/test_analytics.py.  `sim_knn_pq_exact` is this
-    pipeline's integer-quantized sibling with a FULL unrolled-rounds
-    DuckDB oracle."""
-    t = Tables(spark, sf_dir)
-    emb = t.embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    subv = _pq_subvectors(emb)
-    cent = (
-        subv.filter(F.col("vec_id") < _PQ_K)
-        .select(
-            "m",
-            F.col("vec_id").cast("int").alias("cid"),
-            F.col("sub").alias("c"),
-        )
-    )
-    d2 = _pq_d2("sub", "c")
-    for _ in range(_PQ_ITERS):
-        assigned = (
-            subv.join(F.broadcast(cent), "m")
-            .withColumn("d2", d2)
-            .groupBy("vec_id", "m")
-            .agg(
-                F.min_by("cid", F.struct("d2", "cid")).alias("cid"),
-                F.first("sub").alias("sub"),
-            )
-        )
-        cent = (
-            assigned.select("m", "cid", F.posexplode("sub").alias("pos", "x"))
-            .groupBy("m", "cid", "pos")
-            .agg(F.avg("x").alias("mv"))
-            .groupBy("m", "cid")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "mv"))
-                ).alias("pm")
-            )
-            .select(
-                "m",
-                "cid",
-                F.transform("pm", lambda s: s["mv"]).alias("c"),
-            )
-        )
-    codes = (
-        subv.join(F.broadcast(cent), "m")
-        .withColumn("d2", d2)
-        .groupBy("vec_id", "m")
-        .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
-    )
-    qtab = (
-        subv.filter(F.col("vec_id") == 0)
-        .join(F.broadcast(cent), "m")
-        .select("m", "cid", d2.alias("qd2"))
-    )
-    return (
-        codes.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(qtab), ["m", "cid"])
-        .groupBy("vec_id")
-        .agg(F.round(F.sum("qd2"), 6).alias("adc_d2"))
-        .orderBy("adc_d2", "vec_id")
-        .limit(_PQ_TOPK)
+    min_by pattern."""
+    from .extras5 import sim_knn_pq_exact
+
+    adc = sim_knn_pq_exact(spark, sf_dir)
+    return adc.select(
+        "vec_id",
+        F.round(F.col("adc_d2").cast("double") / 1e12, 6).alias(
+            "adc_d2"
+        ),
     )
 
 
 _IVFPQ_NPROBE = 2
 
 
-@query("sim_knn_ivfpq")  # WEAK: float argmin codebooks, not ANSI-SQL
+def _ivfpqx_oracle() -> str:
+    """Unrolled integer IVF+PQ oracle: coarse shifted-mean centroids
+    -> integer argmin cell assignment -> residual subvectors -> the
+    `_pqx_oracle` Lloyd rounds replayed over residuals -> per-probed-
+    cell ADC tables.  Everything after the one ROUND(x*1e6)
+    quantization is BIGINT arithmetic, so the whole FAISS-IVFPQ shape
+    hash-matches across engines."""
+    from .extras5 import _KMX_C as c
+
+    sub, k, iters = _PQ_SUB, _PQ_K, _PQ_ITERS
+    ctes = [
+        f"""
+    ev AS MATERIALIZED (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) - 1 AS d,
+               CAST(ROUND(UNNEST(embedding) * 1e6) AS BIGINT) AS q
+        FROM embeddings
+    ),
+    cc AS MATERIALIZED (
+        SELECT label AS clabel, d,
+               CAST((SUM(q) + COUNT(*) * {c}) // COUNT(*) AS BIGINT)
+                   - {c} AS cq
+        FROM ev GROUP BY 1, 2
+    ),
+    cd AS MATERIALIZED (
+        SELECT ev.vec_id, c.clabel,
+               SUM((ev.q - c.cq) * (ev.q - c.cq)) AS cd2
+        FROM ev JOIN cc c ON c.d = ev.d
+        GROUP BY 1, 2
+    ),
+    ca AS (
+        SELECT vec_id, clabel FROM (
+            SELECT vec_id, clabel,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cd2, clabel) AS rk
+            FROM cd
+        ) WHERE rk = 1
+    ),
+    rv AS MATERIALIZED (
+        SELECT ev.vec_id, ev.d // {sub} AS m, ev.d % {sub} AS i,
+               ev.q - c.cq AS q
+        FROM ev
+        JOIN ca a ON a.vec_id = ev.vec_id
+        JOIN cc c ON c.clabel = a.clabel AND c.d = ev.d
+    ),
+    c0 AS (
+        SELECT m, CAST(vec_id AS INTEGER) AS cid, i, q AS cq
+        FROM rv WHERE vec_id < {k}
+    )"""
+    ]
+    for r in range(1, iters + 1):
+        ctes.append(f"""
+    d{r} AS (
+        SELECT rv.vec_id, rv.m, c.cid,
+               SUM((rv.q - c.cq) * (rv.q - c.cq)) AS d2
+        FROM rv JOIN c{r - 1} c ON c.m = rv.m AND c.i = rv.i
+        GROUP BY 1, 2, 3
+    ),
+    a{r} AS (
+        SELECT vec_id, m, cid FROM (
+            SELECT vec_id, m, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d2, cid) AS rk
+            FROM d{r}
+        ) WHERE rk = 1
+    ),
+    mn{r} AS (
+        SELECT a.m, a.cid, rv.i,
+               CAST((SUM(rv.q) + COUNT(*) * {c}) // COUNT(*)
+                    AS BIGINT) - {c} AS cq
+        FROM a{r} a
+        JOIN rv ON rv.vec_id = a.vec_id AND rv.m = a.m
+        GROUP BY 1, 2, 3
+    ),
+    c{r} AS (
+        SELECT p.m, p.cid, p.i, COALESCE(x.cq, p.cq) AS cq
+        FROM c{r - 1} p LEFT JOIN mn{r} x
+          ON x.m = p.m AND x.cid = p.cid AND x.i = p.i
+    )""")
+    ctes.append(f"""
+    df AS (
+        SELECT rv.vec_id, rv.m, c.cid,
+               SUM((rv.q - c.cq) * (rv.q - c.cq)) AS d2
+        FROM rv JOIN c{iters} c ON c.m = rv.m AND c.i = rv.i
+        GROUP BY 1, 2, 3
+    ),
+    codes AS (
+        SELECT vec_id, m, cid FROM (
+            SELECT vec_id, m, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d2, cid) AS rk
+            FROM df
+        ) WHERE rk = 1
+    ),
+    probe AS (
+        SELECT clabel FROM (
+            SELECT clabel,
+                   ROW_NUMBER() OVER (ORDER BY cd2, clabel) AS rk
+            FROM cd WHERE vec_id = 0
+        ) WHERE rk <= {_IVFPQ_NPROBE}
+    ),
+    qr AS (
+        SELECT p.clabel, ev.d // {sub} AS m, ev.d % {sub} AS i,
+               ev.q - c.cq AS q
+        FROM probe p
+        CROSS JOIN ev
+        JOIN cc c ON c.clabel = p.clabel AND c.d = ev.d
+        WHERE ev.vec_id = 0
+    ),
+    qtab AS (
+        SELECT r.clabel, c.m, c.cid,
+               SUM((r.q - c.cq) * (r.q - c.cq)) AS qd2
+        FROM qr r JOIN c{iters} c ON c.m = r.m AND c.i = r.i
+        GROUP BY 1, 2, 3
+    )""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"""
+    SELECT cs.vec_id,
+           ROUND(CAST(SUM(q.qd2) AS DOUBLE) / 1e12, 6) AS adc_d2
+    FROM codes cs
+    JOIN ca a ON a.vec_id = cs.vec_id
+    JOIN qtab q ON q.clabel = a.clabel
+               AND q.m = cs.m AND q.cid = cs.cid
+    WHERE cs.vec_id <> 0
+    GROUP BY cs.vec_id
+    ORDER BY SUM(q.qd2), cs.vec_id LIMIT {_PQ_TOPK}
+    """
+    )
+
+
+@query("sim_knn_ivfpq", oracle=_ivfpqx_oracle)
 def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ composed — the production ANN index (FAISS IVFPQ shape):
-    the coarse quantizer prunes WHICH cells a query reads
-    (``sim_knn_ivf_centroid``'s 10-centroid codebook, nprobe=2) and
-    product quantization shrinks WHAT each read vector costs (8-byte
-    codes), with PQ trained on RESIDUALS (v - coarse centroid) — the
-    textbook refinement: residuals are centered near zero, so one
-    shared subspace codebook covers every cell.
+    the coarse quantizer prunes WHICH cells a query reads (a 10-row
+    per-label codebook, nprobe=2) and product quantization shrinks
+    WHAT each read vector costs (8-byte codes), with PQ trained on
+    RESIDUALS (v - coarse centroid) — the textbook refinement:
+    residuals are centered near zero, so one shared subspace codebook
+    covers every cell.
 
-    Query path: per probed cell, the query's OWN residual against that
-    cell's centroid builds a 128-row ADC table; each candidate code is
-    scored as 8 lookups keyed by (cell, m, code); top-10 by
-    (adc_d2, vec_id). Scale: encode is a write-path job over the
-    assigned layout (`emb_layout_ivf`); the query touches nprobe
-    partitions' codes plus two broadcast tables — no float vector at
-    query time. WEAK row (float argmin); pinned against a NumPy IVFPQ
-    reference in tests/test_analytics.py."""
+    PROMOTED TO FULL (round 8): the whole pipeline is integer-exact —
+    coordinates quantize ONCE to micro-unit BIGINTs, coarse centroids
+    are shifted integer means (floor((Σq + n·C)/n) − C), assignments
+    are integer argmins with id tie-breaks, PQ trains by the shared
+    `pqx_lloyd` integer Lloyd on residuals, and ranking is by the
+    exact integer ADC sum (only the display converts back to
+    embedding units).  The entire train+encode+probe+ADC replays as
+    one unrolled DuckDB statement and hash-matches.
+
+    Train/encode is the WRITE-PATH job the IVF layout docs promise:
+    coarse codebook, assignments+residuals, PQ codebook and codes
+    persist under a fixture-fingerprinted staging dir; the query path
+    only READS them (BIGINTs round-trip Parquet bit-exactly).  At
+    query time: one 10-row coarse probe, one broadcast 2·128-row ADC
+    table, and a scan of the probed cells' 8-byte codes — no float
+    vector is touched."""
     import os
 
     from pyspark.sql import Window as W
@@ -338,80 +434,75 @@ def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         staging_dir,
         stamp_layout,
     )
-    from .similarity import _ivf_adist, _emb
+    from .extras5 import _KMX_C as C, pqx_lloyd, pqx_scored
 
     t = Tables(spark, sf_dir)
-    emb = _emb(t)
-    adist = _ivf_adist(emb)
-    # Train/encode is the WRITE-PATH job the docstring promises: the
-    # assignment+residuals, trained codebook and 8-byte codes persist
-    # under a fixture-fingerprinted staging dir and the query path only
-    # READS them (doubles round-trip Parquet bit-exactly, so the result
-    # — and the NumPy-twin pin — is unchanged; retraining per query was
-    # ~4.5 s of the old wall time).
-    root = os.path.join(staging_dir(sf_dir, "ivfpq"), "artifacts")
+    ev = t.embeddings.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> CAST(ROUND(x * 1e6) AS BIGINT))"
+        ).alias("q"),
+    )
+    cd2 = F.aggregate(
+        F.zip_with("q", "cqv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    root = os.path.join(staging_dir(sf_dir, "ivfpq_q"), "artifacts")
     if not layout_current(root, sf_dir, table="embeddings"):
         import shutil
 
         shutil.rmtree(root, ignore_errors=True)
         os.makedirs(root, exist_ok=True)
-        rk = F.row_number().over(
-            W.partitionBy("vec_id").orderBy("d2", "clabel")
+        # coarse codebook: per-label shifted integer means
+        coarse = (
+            ev.select("label", F.posexplode("q").alias("d", "x"))
+            .groupBy("label", "d")
+            .agg(
+                (
+                    F.expr(f"(sum(x) + count(*) * {C}) div count(*)")
+                    - F.lit(C)
+                ).alias("cq")
+            )
+            .groupBy("label")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("d", "cq"))
+                ).alias("p")
+            )
+            .select(
+                F.col("label").alias("clabel"),
+                F.expr("transform(p, s -> s.cq)").alias("cqv"),
+            )
         )
-        # assignment + residual in one pass (cemb rides along in adist)
+        adist = ev.join(F.broadcast(coarse)).withColumn("cd2", cd2)
+        rk = F.row_number().over(
+            W.partitionBy("vec_id").orderBy("cd2", "clabel")
+        )
+        # assignment + integer residual in one pass
         assign_b = (
             adist.withColumn("rk", rk)
             .filter(F.col("rk") == 1)
             .select(
                 "vec_id",
                 "clabel",
-                F.zip_with("emb", "cemb", lambda a, b: a - b).alias("v"),
+                F.zip_with("q", "cqv", lambda a, b: a - b).alias("v"),
             )
         )
         subv = _pq_subvectors(assign_b.select("vec_id", "v"))
-        cent_b = subv.filter(F.col("vec_id") < _PQ_K).select(
-            "m",
-            F.col("vec_id").cast("int").alias("cid"),
-            F.col("sub").alias("c"),
-        )
-        d2 = _pq_d2("sub", "c")
-        for _ in range(_PQ_ITERS):
-            assigned = (
-                subv.join(F.broadcast(cent_b), "m")
-                .withColumn("d2", d2)
-                .groupBy("vec_id", "m")
-                .agg(
-                    F.min_by("cid", F.struct("d2", "cid")).alias("cid"),
-                    F.first("sub").alias("sub"),
-                )
-            )
-            cent_b = (
-                assigned.select(
-                    "m", "cid", F.posexplode("sub").alias("pos", "x")
-                )
-                .groupBy("m", "cid", "pos")
-                .agg(F.avg("x").alias("mv"))
-                .groupBy("m", "cid")
-                .agg(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "mv"))
-                    ).alias("pm")
-                )
-                .select(
-                    "m",
-                    "cid",
-                    F.transform("pm", lambda s: s["mv"]).alias("c"),
-                )
-            )
+        cent_b = pqx_lloyd(subv)
         codes_b = (
-            subv.join(F.broadcast(cent_b), "m")
-            .withColumn("d2", d2)
+            pqx_scored(subv, cent_b)
             .groupBy("vec_id", "m")
             .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
         )
-        assign_b.write.mode("overwrite").parquet(
-            os.path.join(root, "assign")
+        coarse.write.mode("overwrite").parquet(
+            os.path.join(root, "coarse")
         )
+        assign_b.select("vec_id", "clabel").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, "assign"))
         cent_b.write.mode("overwrite").parquet(
             os.path.join(root, "cent")
         )
@@ -420,19 +511,23 @@ def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         open(os.path.join(root, "_SUCCESS"), "w").close()
         stamp_layout(root, sf_dir, table="embeddings")
+    coarse = spark.read.parquet(os.path.join(root, "coarse"))
     assign = spark.read.parquet(os.path.join(root, "assign"))
     cent = spark.read.parquet(os.path.join(root, "cent"))
     codes = spark.read.parquet(os.path.join(root, "codes"))
-    d2 = _pq_d2("sub", "c")
-    # query probe: nprobe nearest cells, each with the query's residual
-    # against THAT cell's centroid
+    # query probe: nprobe nearest cells by integer coarse distance,
+    # each with the query's residual against THAT cell's centroid
     probe = (
-        adist.filter(F.col("vec_id") == 0)
-        .withColumn("prk", F.row_number().over(W.orderBy("d2", "clabel")))
+        ev.filter(F.col("vec_id") == 0)
+        .join(F.broadcast(coarse))
+        .withColumn("cd2", cd2)
+        .withColumn(
+            "prk", F.row_number().over(W.orderBy("cd2", "clabel"))
+        )
         .filter(F.col("prk") <= _IVFPQ_NPROBE)
         .select(
             "clabel",
-            F.zip_with("emb", "cemb", lambda a, b: a - b).alias("v"),
+            F.zip_with("q", "cqv", lambda a, b: a - b).alias("v"),
         )
     )
     qsubs = F.array(
@@ -444,20 +539,35 @@ def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in range(_PQ_M)
         ]
     )
+    qd2 = F.aggregate(
+        F.zip_with("sub", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
     qtab = (
         probe.select("clabel", F.explode(qsubs).alias("s"))
-        .select("clabel", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+        .select(
+            "clabel",
+            F.col("s.m").alias("m"),
+            F.col("s.sub").alias("sub"),
+        )
         .join(F.broadcast(cent), "m")
-        .select("clabel", "m", "cid", d2.alias("qd2"))
+        .select("clabel", "m", "cid", qd2.alias("qd2"))
     )
     return (
-        codes.join(assign.select("vec_id", "clabel"), "vec_id")
+        codes.join(assign, "vec_id")
         .filter(F.col("vec_id") != 0)
         .join(F.broadcast(qtab), ["clabel", "m", "cid"])
         .groupBy("vec_id")
-        .agg(F.round(F.sum("qd2"), 6).alias("adc_d2"))
-        .orderBy("adc_d2", "vec_id")
+        .agg(F.sum("qd2").alias("adc"))
+        .orderBy("adc", "vec_id")
         .limit(_PQ_TOPK)
+        .select(
+            "vec_id",
+            F.round(F.col("adc").cast("double") / 1e12, 6).alias(
+                "adc_d2"
+            ),
+        )
     )
 
 

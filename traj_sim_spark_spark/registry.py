@@ -108,8 +108,10 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "traj_dtw_threshold",
     "traj_frechet_knn_2d",
     # round-8 additions (extras9) — staged, skipped until registered
-    "sim_knn_pq_q",
-    "sim_knn_ivfpq_q",
+    # re-windowed: promoted WEAK->FULL this round (integer-quantized
+    # codebooks — semantics rewritten, mover protocol)
+    "sim_knn_pq",
+    "sim_knn_ivfpq",
     "rel_ols_multi",
     "rel_quantile_bands",
     "text_simhash64_neardup",
