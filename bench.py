@@ -111,6 +111,11 @@ HEAVY = [
     # round-chain cost stays in driver history
     "pipe_pack_bpe",
     "graph_hits",
+    # round-8: the rep-collapsed dedup pipelines (round-7 rewrite) —
+    # pinned so the exact-group-representative cure is regression-
+    # tracked the way pipe_dedup_funnel already is
+    "pipe_neardup_dedup",
+    "pipe_dedup_semantic",
 ]
 
 
