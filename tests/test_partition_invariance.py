@@ -112,6 +112,10 @@ KEYS = [
     # subvectors (argmin + shifted means + integer coarse assignment)
     "sim_knn_pq",
     "sim_knn_ivfpq",
+    # round-8 adds: median-split tree + ordered integer rerank;
+    # LCM-scaled minimax over a self-join (min/max integer folds)
+    "emb_rp_tree_knn",
+    "rel_isotonic_fit",
     # ordered survivor re-join (md5 of reconstructed string)
     "text_dedup_cut",
     # triangle/degree ratios; DECIMAL covariance ranking with tie-break;

@@ -1,0 +1,791 @@
+"""Round-8 additions: multi-feature exact regression, isotonic
+calibration, Zipf diagnostics, an RP-tree ANN tier, and two
+pipeline-composition audits.
+
+- ``rel_ols_multi``   — 2-feature multiple regression from exact
+  integer moments (normal equations solved by Cramer's rule in one
+  shared display projection) — the multivariate extension of
+  ``rel_regr_exact``.
+- ``rel_isotonic_fit`` — per-user isotonic (monotone) L2 regression
+  via the minimax characterization fit_i = max_{j<=i} min_{k>=i}
+  mean(y[j..k]), computed EXACTLY in integers by scaling every
+  segment mean to a common denominator (LCM(1..24)) — the
+  calibration-curve primitive quality-score pipelines need.
+- ``text_zipf_fit``    — Zipf's-law rank-frequency fit over the top
+  token ranks: log-log OLS from micro-quantized ln values (integer
+  moments, one float display) — corpus-health diagnostic.
+- ``emb_rp_tree_knn``  — random-projection tree ANN: 3 deterministic
+  signed-projection levels with node-local integer medians, leaf-only
+  exact integer L2 rerank — the space-partitioning ANN family beside
+  LSH (`emb_neardup_lsh`), IVF (`sim_knn_ivf*`) and PQ (`sim_knn_pq`).
+- ``pipe_dedup_cascade_audit`` — the 2^3 overlap matrix of the three
+  dedup tiers (exact / MinHash-near-dup / semantic): which documents
+  each tier catches, composed from the REGISTERED pipelines so the
+  audited decisions are the shipped decisions.
+- ``pipe_tokenizer_compare``  — per-source tokenizer economics for
+  the learned BPE merges: whitespace tokens vs BPE tokens vs chars,
+  fertility and compression per corpus domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+
+# ---------------------------------------------------------------------------
+# rel_ols_multi — multiple regression from exact integer moments
+# ---------------------------------------------------------------------------
+
+# Cramer's rule on the 3x3 normal equations [[n,s1,s2],[s1,s11,s12],
+# [s2,s12,s22]] · [b0,b1,b2]' = [sy,s1y,s2y]'.  Float math confined to
+# this ONE projection over the per-group aggregate row; every input is
+# an exact integer cast to DOUBLE identically on both engines, and the
+# determinant expressions share their text verbatim (house
+# `rel_regr_exact` discipline).  Displays carry +0.0 (sign-crossing).
+_OLS_DET = (
+    "(CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)"
+    " - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))"
+    " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE)"
+    " - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))"
+    " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE)"
+    " - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)))"
+)
+_OLS_DET0 = (
+    "(CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)"
+    " - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))"
+    " - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE)"
+    " - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))"
+    " + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE)"
+    " - CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE)))"
+)
+_OLS_DET1 = (
+    "(CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE)"
+    " - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))"
+    " - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE)"
+    " - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))"
+    " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE)"
+    " - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE)))"
+)
+_OLS_DET2 = (
+    "(CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE)"
+    " - CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE))"
+    " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE)"
+    " - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE))"
+    " + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE)"
+    " - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)))"
+)
+_OLS_FINAL = f"""
+    l_returnflag,
+    CAST(n AS BIGINT) AS n,
+    ROUND({_OLS_DET0} / {_OLS_DET}, 6) + 0.0 AS intercept_cents,
+    ROUND({_OLS_DET1} / {_OLS_DET}, 6) + 0.0 AS slope_qty,
+    ROUND({_OLS_DET2} / {_OLS_DET}, 6) + 0.0 AS slope_disc
+"""
+
+
+@query(
+    "rel_ols_multi",
+    oracle=f"""
+    WITH q AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_quantity) AS BIGINT) AS x1,
+               CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    m AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+               SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12,
+               SUM(x2 * x2) AS s22,
+               SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y
+        FROM q GROUP BY l_returnflag
+    )
+    SELECT {_OLS_FINAL} FROM m
+    """,
+)
+def rel_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE linear regression (2 features + intercept) of extended
+    price (cents) on quantity and discount percent, per l_returnflag —
+    the multivariate extension of ``rel_regr_exact``, computed the
+    house way: one map-side-combinable hash aggregation sums EXACT
+    INTEGER moments (n, Σx1, Σx2, Σy, Σx1², Σx1x2, Σx2², Σx1y, Σx2y;
+    the largest ~3e14 at sf0.1, comfortably int64), and the normal
+    equations are solved per group by CRAMER'S RULE in one final
+    3-row projection whose determinant expressions share their text
+    verbatim with the oracle — floats appear once, in identical
+    operation order, on exact-integer inputs.
+
+    The point at 100 TB: native ``regr_*``-style float accumulators
+    are order-dependent at the ulp, so a re-partitioned re-run of the
+    same fit DIVERGES in the last digits; integer moments make the
+    regression partitioning- and engine-exact, and the fleet-side cost
+    is one codegen'd integer agg — the algebra runs on 3 rows."""
+    t = Tables(spark, sf_dir)
+    from .extras5 import _split_top_level
+
+    q = t.lineitem.selectExpr(
+        "l_returnflag",
+        "CAST(ROUND(l_quantity) AS BIGINT) AS x1",
+        "CAST(ROUND(l_discount * 100) AS BIGINT) AS x2",
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y",
+    )
+    m = q.groupBy("l_returnflag").agg(
+        F.expr("COUNT(*)").alias("n"),
+        F.expr("SUM(x1)").alias("s1"),
+        F.expr("SUM(x2)").alias("s2"),
+        F.expr("SUM(y)").alias("sy"),
+        F.expr("SUM(x1 * x1)").alias("s11"),
+        F.expr("SUM(x1 * x2)").alias("s12"),
+        F.expr("SUM(x2 * x2)").alias("s22"),
+        F.expr("SUM(x1 * y)").alias("s1y"),
+        F.expr("SUM(x2 * y)").alias("s2y"),
+    )
+    return m.selectExpr(*_split_top_level(_OLS_FINAL))
+
+
+# ---------------------------------------------------------------------------
+# rel_isotonic_fit — per-user exact isotonic (monotone) regression
+# ---------------------------------------------------------------------------
+
+_ISO_N = 24  # prefix length fitted per user
+_ISO_LCM = 5354228880  # lcm(1..24): every segment mean scales exactly
+_ISO_DISP = float(_ISO_LCM * 100)  # centi-units -> value units
+
+
+@query(
+    "rel_isotonic_fit",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS i,
+               CAST(ROUND(value * 100) AS BIGINT) AS y
+        FROM events
+    ),
+    pts AS (SELECT * FROM p WHERE i <= {_ISO_N}),
+    cum AS (
+        SELECT user_id, i, y,
+               SUM(y) OVER (PARTITION BY user_id ORDER BY i) AS s
+        FROM pts
+    ),
+    seg AS (
+        SELECT a.user_id, a.i AS j, b.i AS k,
+               (b.s - a.s + a.y)
+                   * CAST({_ISO_LCM} // (b.i - a.i + 1) AS BIGINT)
+                   AS mlcm
+        FROM cum a JOIN cum b
+          ON a.user_id = b.user_id AND a.i <= b.i
+    ),
+    tri AS (
+        SELECT user_id, j, mlcm,
+               UNNEST(range(j, k + 1)) AS i
+        FROM seg
+    ),
+    mn AS (
+        SELECT user_id, i, j, MIN(mlcm) AS v
+        FROM tri GROUP BY 1, 2, 3
+    ),
+    fit AS (
+        SELECT user_id, i, MAX(v) AS f FROM mn GROUP BY 1, 2
+    )
+    SELECT fit.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pts,
+           CAST(COUNT(DISTINCT fit.f) AS BIGINT) AS n_blocks,
+           CAST(SUM(ABS(pts.y * {_ISO_LCM} - fit.f)) AS BIGINT)
+               AS adj_mass_lcm,
+           ROUND(CAST(MAX(CASE WHEN fit.i = 1 THEN fit.f END)
+                      AS DOUBLE) / {_ISO_DISP}, 6) AS fit_first,
+           ROUND(CAST(MAX(CASE WHEN fit.i = {_ISO_N} THEN fit.f END)
+                      AS DOUBLE) / {_ISO_DISP}, 6) AS fit_last
+    FROM fit JOIN pts
+      ON pts.user_id = fit.user_id AND pts.i = fit.i
+    GROUP BY fit.user_id
+    """,
+)
+def rel_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ISOTONIC (monotone nondecreasing) L2 regression over
+    the first 24 events — the calibration-curve primitive (quality
+    scores, CTR calibration, any score→outcome mapping that must be
+    monotone), computed EXACTLY: the minimax characterization
+    fit_i = max_{j<=i} min_{k>=i} mean(y[j..k]) with every segment
+    mean scaled to the common denominator lcm(1..24), so min/max
+    decisions are BIGINT comparisons (no rational rounding anywhere)
+    and the result is the true PAVA fit bit-for-bit.
+
+    Output per user: point count, block count (maximal constant runs
+    — isotonic fits are nondecreasing, so equal values are
+    contiguous), the total L1 adjustment mass in LCM units (an exact
+    integer fingerprint of the whole fitted vector), and the
+    first/last fitted values (display-only division).
+
+    Scale shape: the per-user work is a bounded ~N³/6 triple
+    enumeration (N=24 → 2.6k rows/user) built from one prefix-sum
+    window, one seq-bounded self-join and one explode — users
+    parallelize across the fleet, nothing is quadratic in the table.
+    Integer bounds: |mlcm| <= 24·maxcenti·LCM/1 ≈ 6.3e15 < 2^63."""
+    t = Tables(spark, sf_dir)
+    pts = (
+        t.user_points()
+        .select(
+            "user_id",
+            F.col("seq").alias("i"),
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("y"),
+        )
+        .filter(F.col("i") <= _ISO_N)
+    )
+    cum = pts.withColumn(
+        "s",
+        F.sum("y").over(W.partitionBy("user_id").orderBy("i")),
+    )
+    a, b = cum.alias("a"), cum.alias("b")
+    seg = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.i") <= F.col("b.i")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.i").alias("j"),
+        F.col("b.i").alias("k"),
+        (
+            (F.col("b.s") - F.col("a.s") + F.col("a.y"))
+            * F.expr(f"{_ISO_LCM}L div (b.i - a.i + 1)")
+        ).alias("mlcm"),
+    )
+    tri = seg.select(
+        "user_id",
+        "j",
+        "mlcm",
+        F.explode(F.expr("sequence(j, k)")).alias("i"),
+    )
+    mn = tri.groupBy("user_id", "i", "j").agg(F.min("mlcm").alias("v"))
+    fit = mn.groupBy("user_id", "i").agg(F.max("v").alias("f"))
+    joined = fit.join(pts, ["user_id", "i"])
+    return joined.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_pts"),
+        F.countDistinct("f").cast("long").alias("n_blocks"),
+        F.sum(F.abs(F.col("y") * F.lit(_ISO_LCM) - F.col("f")))
+        .cast("long")
+        .alias("adj_mass_lcm"),
+        F.round(
+            F.max(F.when(F.col("i") == 1, F.col("f"))).cast("double")
+            / _ISO_DISP,
+            6,
+        ).alias("fit_first"),
+        F.round(
+            F.max(F.when(F.col("i") == _ISO_N, F.col("f"))).cast(
+                "double"
+            )
+            / _ISO_DISP,
+            6,
+        ).alias("fit_last"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_zipf_fit — rank-frequency power-law fit over the token corpus
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 30
+
+# slope/intercept of ln(f) ~ a + b·ln(r) from integer moments of the
+# micro-quantized ln values — one shared float display projection.
+_ZIPF_FINAL = """
+    CAST(n AS BIGINT) AS n_ranks,
+    CAST(f1 AS BIGINT) AS top1_freq,
+    ROUND((CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+           - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / 1e0, 6) + 0.0
+        AS zipf_slope,
+    ROUND((CAST(s2 AS DOUBLE)
+           - ((CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
+             * CAST(s1 AS DOUBLE)) / CAST(n AS DOUBLE) / 1e6, 6) + 0.0
+        AS zipf_intercept
+"""
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH tok AS (
+        SELECT word, COUNT(*) AS f
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE LEN(word) > 0 GROUP BY 1
+    ),
+    top AS (
+        SELECT word, f,
+               ROW_NUMBER() OVER (ORDER BY f DESC, word) AS r
+        FROM tok
+    ),
+    q AS (
+        SELECT r, f,
+               CAST(ROUND(LN(CAST(r AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS lr,
+               CAST(ROUND(LN(CAST(f AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS lf
+        FROM top WHERE r <= {_ZIPF_TOP}
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               MAX(CASE WHEN r = 1 THEN f END) AS f1,
+               SUM(lr) AS s1, SUM(lf) AS s2,
+               SUM(lr * lr) AS s11, SUM(lr * lf) AS s12
+        FROM q
+    )
+    SELECT {_ZIPF_FINAL} FROM m
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF'S-LAW fit for the corpus: OLS of ln(frequency) on ln(rank)
+    over the top-30 token ranks — the rank-frequency slope is the
+    standard one-number corpus-health diagnostic (natural language
+    sits near −1; template/boilerplate-heavy corpora flatten, spam
+    steepens).
+
+    House exactness for a float-native statistic: rank membership and
+    ordering are integer-exact (frequency counts, ROW_NUMBER ties on
+    the token), each ln value is quantized ONCE to micro-units
+    (CAST(ROUND(LN(x)·1e6) AS BIGINT) on an exact-integer input — the
+    only cross-engine float surface is libm ln at the rounding
+    boundary, ~1e-10 per value), and the fit runs on INTEGER moments
+    with one shared display projection (`rel_regr_exact` shape; the
+    /1e0 and /1e6 rescale the micro-units back: slope is unit-free,
+    the intercept is in ln-frequency units).
+
+    Scale shape: one map-side-combinable token count, a top-30
+    TakeOrdered, and a 1-row projection — the corpus is touched
+    once."""
+    t = Tables(spark, sf_dir)
+    from .extras5 import _split_top_level
+
+    tok = (
+        t.documents.select(
+            F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("f"))
+    )
+    # TakeOrderedAndProject for the top-30 (no full-vocab global
+    # window), then rank the 30 survivors — same (f DESC, word) order
+    top = (
+        tok.orderBy(F.col("f").desc(), "word")
+        .limit(_ZIPF_TOP)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                W.orderBy(F.col("f").desc(), "word")
+            ),
+        )
+    )
+    q = top.selectExpr(
+        "r",
+        "f",
+        "CAST(ROUND(LN(CAST(r AS DOUBLE)) * 1e6) AS BIGINT) AS lr",
+        "CAST(ROUND(LN(CAST(f AS DOUBLE)) * 1e6) AS BIGINT) AS lf",
+    )
+    m = q.agg(
+        F.expr("COUNT(*)").alias("n"),
+        F.expr("MAX(CASE WHEN r = 1 THEN f END)").alias("f1"),
+        F.expr("SUM(lr)").alias("s1"),
+        F.expr("SUM(lf)").alias("s2"),
+        F.expr("SUM(lr * lr)").alias("s11"),
+        F.expr("SUM(lr * lf)").alias("s12"),
+    )
+    return m.selectExpr(*_split_top_level(_ZIPF_FINAL))
+
+
+# ---------------------------------------------------------------------------
+# emb_rp_tree_knn — random-projection tree ANN (deterministic)
+# ---------------------------------------------------------------------------
+
+_RPT_PRIMES = (37, 59, 83)  # one signed projection per tree level
+_RPT_MOD = 97
+_RPT_K = 10
+_RPT_QUERY = 0
+
+
+def _rpt_sign_case(p: int, qcol: str = "q") -> str:
+    """Deterministic ±1 sign for dimension d: +1 iff ((d+1)·p) mod 97
+    falls in the lower half — the 'random' projection reproduced by
+    arithmetic on both engines."""
+    return (
+        f"SUM(CASE WHEN ((d + 1) * {p}) % {_RPT_MOD}"
+        f" < {_RPT_MOD // 2 + 1} THEN {qcol} ELSE -{qcol} END)"
+    )
+
+
+@query(
+    "emb_rp_tree_knn",
+    oracle=f"""
+    WITH ev AS MATERIALIZED (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS d,
+               CAST(ROUND(UNNEST(embedding) * 1e6) AS BIGINT) AS q
+        FROM embeddings
+    ),
+    proj AS (
+        SELECT vec_id,
+               {_rpt_sign_case(_RPT_PRIMES[0])} AS p1,
+               {_rpt_sign_case(_RPT_PRIMES[1])} AS p2,
+               {_rpt_sign_case(_RPT_PRIMES[2])} AS p3
+        FROM ev GROUP BY 1
+    ),
+    l1 AS (
+        SELECT vec_id, p1, p2, p3,
+               CASE WHEN ROW_NUMBER() OVER (ORDER BY p1, vec_id)
+                    <= CAST((COUNT(*) OVER () + 1) // 2 AS BIGINT)
+                    THEN 0 ELSE 1 END AS b1
+        FROM proj
+    ),
+    l2 AS (
+        SELECT vec_id, p3, b1,
+               CASE WHEN ROW_NUMBER() OVER (PARTITION BY b1
+                                            ORDER BY p2, vec_id)
+                    <= CAST((COUNT(*) OVER (PARTITION BY b1) + 1) // 2
+                            AS BIGINT)
+                    THEN 0 ELSE 1 END AS b2
+        FROM l1
+    ),
+    leaf AS (
+        SELECT vec_id,
+               b1 * 4 + b2 * 2
+               + CASE WHEN ROW_NUMBER() OVER (PARTITION BY b1, b2
+                                              ORDER BY p3, vec_id)
+                      <= CAST((COUNT(*) OVER (PARTITION BY b1, b2)
+                               + 1) // 2 AS BIGINT)
+                      THEN 0 ELSE 1 END AS leaf_id
+        FROM l2
+    ),
+    cand AS (
+        SELECT c.vec_id
+        FROM leaf c
+        JOIN leaf qv ON qv.vec_id = {_RPT_QUERY}
+                    AND c.leaf_id = qv.leaf_id
+        WHERE c.vec_id <> {_RPT_QUERY}
+    ),
+    d2 AS (
+        SELECT a.vec_id, SUM((a.q - b.q) * (a.q - b.q)) AS dd
+        FROM ev a
+        JOIN ev b ON b.vec_id = {_RPT_QUERY} AND b.d = a.d
+        WHERE a.vec_id IN (SELECT vec_id FROM cand)
+        GROUP BY a.vec_id
+    )
+    SELECT vec_id,
+           ROUND(CAST(dd AS DOUBLE) / 1e12, 6) AS l2_sq
+    FROM d2
+    ORDER BY dd, vec_id LIMIT {_RPT_K}
+    """,
+)
+def emb_rp_tree_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANDOM-PROJECTION TREE ANN (Dasgupta–Freund shape): three tree
+    levels, each splitting every node at the node-local LOWER MEDIAN
+    of a signed projection (deterministic ±1 signs from modular
+    arithmetic on the dimension index — the 'random' directions
+    reproduced exactly on both engines); the query descends to its
+    leaf (~1/8 of the corpus) and an exact integer L2 rerank returns
+    the top-10.  Completes the ANN family portfolio: hash buckets
+    (LSH), learned cells (IVF), compressed codes (PQ), and now
+    adaptive SPACE PARTITIONING — the structure that handles
+    non-clustered data where IVF cells degenerate.
+
+    Exactness: projections are integer dots of micro-quantized
+    coordinates; medians are ROW_NUMBER <= (cnt+1) div 2 selections
+    (integer, ties on vec_id); leaf membership and the rerank are
+    pure BIGINT — FULL oracle, like the other ANN rows.
+
+    Scale shape: at 100 TB the three median splits are a WRITE-PATH
+    layout job (partition by leaf_id — the `emb_layout_ivf` pattern;
+    medians via sampled split points at fleet scale), and a query
+    reads ONE leaf partition: the tree IS partition pruning.  Here
+    the splits are window functions over the 1-row-per-vector
+    projection frame — corpus touched once for projections, once for
+    the leaf-bounded rerank."""
+    t = Tables(spark, sf_dir)
+    ev = t.embeddings.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(ROUND(x * 1e6) AS BIGINT))"
+        ).alias("qv"),
+    )
+    half = _RPT_MOD // 2 + 1
+    projs = [
+        F.aggregate(
+            F.zip_with(
+                "qv",
+                F.expr(
+                    f"transform(sequence(1, size(qv)), d -> "
+                    f"CASE WHEN (d * {p}) % {_RPT_MOD} < {half}"
+                    f" THEN 1L ELSE -1L END)"
+                ),
+                lambda x, s: x * s,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias(f"p{i + 1}")
+        for i, p in enumerate(_RPT_PRIMES)
+    ]
+    proj = ev.select("vec_id", *projs)
+
+    def split(df: DataFrame, pcol: str, parts: list[str], out: str):
+        # lower-median split: rn <= (cnt+1) div 2 (both positive, so
+        # the double division + bigint cast truncates == floors)
+        wp = W.partitionBy(*parts) if parts else W.partitionBy()
+        rn = F.row_number().over(wp.orderBy(pcol, "vec_id"))
+        cnt = F.count("*").over(wp)
+        half = ((cnt + F.lit(1)) / F.lit(2)).cast("bigint")
+        return df.withColumn(
+            out, F.when(rn <= half, F.lit(0)).otherwise(F.lit(1))
+        )
+
+    l1 = split(proj, "p1", [], "b1")
+    l2 = split(l1, "p2", ["b1"], "b2")
+    l3 = split(l2, "p3", ["b1", "b2"], "b3")
+    leaf = l3.select(
+        "vec_id",
+        (
+            F.col("b1") * 4 + F.col("b2") * 2 + F.col("b3")
+        ).alias("leaf_id"),
+    )
+    qleaf = leaf.filter(F.col("vec_id") == _RPT_QUERY).select(
+        F.col("leaf_id").alias("q_leaf")
+    )
+    cand = (
+        leaf.join(F.broadcast(qleaf))
+        .filter(
+            (F.col("leaf_id") == F.col("q_leaf"))
+            & (F.col("vec_id") != _RPT_QUERY)
+        )
+        .select("vec_id")
+    )
+    qvec = ev.filter(F.col("vec_id") == _RPT_QUERY).select(
+        F.col("qv").alias("qq")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "qq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        ev.join(F.broadcast(cand), "vec_id", "left_semi")
+        .join(F.broadcast(qvec))
+        .withColumn("dd", d2)
+        .orderBy("dd", "vec_id")
+        .limit(_RPT_K)
+        .select(
+            "vec_id",
+            F.round(F.col("dd").cast("double") / 1e12, 6).alias(
+                "l2_sq"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipe_dedup_cascade_audit — overlap matrix of the three dedup tiers
+# ---------------------------------------------------------------------------
+
+
+def _cascade_oracle() -> str:
+    # lazy: resolved by registry.load_all() after every module loaded;
+    # each tier's ORACLE is embedded as an independent subquery (its
+    # own WITH scope — no CTE-name collisions between pipelines).
+    from ..registry import _LAZY_ORACLES, ORACLES
+
+    def get(key: str) -> str:
+        return (
+            ORACLES[key]
+            if key in ORACLES
+            else _LAZY_ORACLES[key]()
+        )
+
+    exact = get("text_exact_dedup")
+    near = get("pipe_neardup_dedup")
+    sem = get("pipe_dedup_semantic")
+    return f"""
+    SELECT ek AS exact_kept, nk AS near_kept, sk AS sem_kept,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CASE WHEN ek = 0 THEN 'exact'
+                WHEN nk = 0 THEN 'near_dup'
+                WHEN sk = 0 THEN 'semantic'
+                ELSE 'kept' END AS first_removed_by
+    FROM (
+        SELECT d.doc_id,
+               CASE WHEN e.keep_id IS NULL THEN 0 ELSE 1 END AS ek,
+               CAST(n.keep AS INTEGER) AS nk,
+               CASE WHEN s.kept THEN 1 ELSE 0 END AS sk
+        FROM documents d
+        LEFT JOIN (SELECT keep_id FROM ({exact}) x) e
+          ON e.keep_id = d.doc_id
+        JOIN ({near}) n ON n.doc_id = d.doc_id
+        JOIN ({sem}) s ON s.doc_id = d.doc_id
+    )
+    GROUP BY ek, nk, sk
+    """
+
+
+@query("pipe_dedup_cascade_audit", oracle=_cascade_oracle)
+def pipe_dedup_cascade_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DEDUP CASCADE AUDIT: the 2³ overlap matrix of the three dedup
+    tiers — exact (`text_exact_dedup`), MinHash near-dup
+    (`pipe_neardup_dedup`) and semantic/embedding
+    (`pipe_dedup_semantic`) — per combination: document count, an
+    example doc, and which tier of the standard exact→near→semantic
+    cascade removes the cell first.  This is the attribution table a
+    pipeline owner reads before ordering (or dropping) tiers: cells
+    like (kept-by-exact, removed-by-near) measure what each stage
+    adds over the previous one.
+
+    Composed from the REGISTERED pipelines (`sim_ann_recall`
+    pattern), so the audited keep/remove decisions are the shipped
+    plans, not re-implementations; the oracle embeds each tier's
+    registered SQL as an independent subquery scope.
+
+    Scale shape: the three tiers are each bucketed/rep-collapsed (see
+    their rows); the audit adds two hash joins on doc_id and an 8-row
+    aggregate."""
+    from ..registry import QUERIES
+
+    t = Tables(spark, sf_dir)
+    exact = (
+        QUERIES["text_exact_dedup"](spark, sf_dir)
+        .select(F.col("keep_id").alias("doc_id"))
+        .withColumn("ek", F.lit(1))
+    )
+    near = QUERIES["pipe_neardup_dedup"](spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("int").alias("nk")
+    )
+    sem = QUERIES["pipe_dedup_semantic"](spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("kept"), 1).otherwise(0).alias("sk"),
+    )
+    flags = (
+        t.documents.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id")
+        .join(sem, "doc_id")
+        .select(
+            "doc_id",
+            F.coalesce("ek", F.lit(0)).alias("ek"),
+            "nk",
+            "sk",
+        )
+    )
+    return flags.groupBy("ek", "nk", "sk").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+    ).select(
+        F.col("ek").alias("exact_kept"),
+        F.col("nk").alias("near_kept"),
+        F.col("sk").alias("sem_kept"),
+        "n_docs",
+        "min_doc_id",
+        F.when(F.col("ek") == 0, "exact")
+        .when(F.col("nk") == 0, "near_dup")
+        .when(F.col("sk") == 0, "semantic")
+        .otherwise("kept")
+        .alias("first_removed_by"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipe_tokenizer_compare — per-source tokenizer economics
+# ---------------------------------------------------------------------------
+
+
+def _tokcmp_oracle() -> str:
+    from .extras7 import _BPE_ROUNDS, _bpe_oracle_ctes
+
+    return f"""
+    WITH {_bpe_oracle_ctes()},
+    sw AS (
+        SELECT source, word, COUNT(*) AS f
+        FROM (SELECT source,
+                     UNNEST(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE LEN(word) > 0 GROUP BY 1, 2
+    ),
+    fert AS (
+        SELECT word, len(syms) AS fert, LEN(word) AS chars
+        FROM v{_BPE_ROUNDS}
+    )
+    SELECT source,
+           CAST(SUM(f) AS BIGINT) AS ws_tokens,
+           CAST(SUM(f * fert) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(f * chars) AS BIGINT) AS word_chars,
+           ROUND(CAST(SUM(f * fert) AS DOUBLE) / SUM(f), 6)
+               AS fertility,
+           ROUND(CAST(SUM(f * chars) AS DOUBLE) / SUM(f * fert), 6)
+               AS chars_per_token
+    FROM sw JOIN fert USING (word)
+    GROUP BY source
+    """
+
+
+@query("pipe_tokenizer_compare", oracle=_tokcmp_oracle)
+def pipe_tokenizer_compare(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-SOURCE TOKENIZER ECONOMICS for the learned BPE merges: for
+    each corpus domain, whitespace-token count, BPE-token count under
+    the round-6 merge rules, raw character mass, and the two derived
+    ratios tokenizer teams compare across domains — FERTILITY
+    (BPE tokens per word; high = the vocabulary underserves that
+    domain) and COMPRESSION (chars per BPE token).  The per-domain
+    view is what `pipe_bpe_fertility`'s global distribution cannot
+    show: which sources pay the token-budget tax.
+
+    One corpus pass for the per-(source, word) frequencies, joined to
+    the vocabulary-bounded merge result (`extras7._bpe_rounds`) — the
+    corpus is never re-tokenized per merge round.  Integer masses end
+    to end; the two ratios are display-only divisions of exact
+    integers, written identically on both engines."""
+    from .extras7 import _bpe_rounds
+
+    t = Tables(spark, sf_dir)
+    _, vocab = _bpe_rounds(t)
+    fert = vocab.select(
+        "word",
+        F.size("syms").cast("long").alias("fert"),
+        F.length("word").cast("long").alias("chars"),
+    )
+    sw = (
+        t.documents.select(
+            "source", F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("f"))
+    )
+    j = sw.join(fert, "word")
+    return j.groupBy("source").agg(
+        F.sum("f").cast("long").alias("ws_tokens"),
+        F.sum(F.col("f") * F.col("fert"))
+        .cast("long")
+        .alias("bpe_tokens"),
+        F.sum(F.col("f") * F.col("chars"))
+        .cast("long")
+        .alias("word_chars"),
+        F.round(
+            F.sum(F.col("f") * F.col("fert")).cast("double")
+            / F.sum("f"),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.sum(F.col("f") * F.col("chars")).cast("double")
+            / F.sum(F.col("f") * F.col("fert")),
+            6,
+        ).alias("chars_per_token"),
+    )

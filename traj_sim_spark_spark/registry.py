@@ -80,6 +80,8 @@ _MODULES = (
     "traj_sim_spark_spark.operators.extras7",
     # round-7 additions (windowed this round via _WINDOW_FIRST)
     "traj_sim_spark_spark.operators.extras8",
+    # round-8 additions (windowed this round via _WINDOW_FIRST)
+    "traj_sim_spark_spark.operators.extras9",
 )
 
 # Explicit driver-window ordering: after load_all() the first keys of
@@ -107,28 +109,17 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "traj_dtw_knn",
     "traj_dtw_threshold",
     "traj_frechet_knn_2d",
-    # round-8 additions (extras9) — staged, skipped until registered
     # re-windowed: promoted WEAK->FULL this round (integer-quantized
     # codebooks — semantics rewritten, mover protocol)
     "sim_knn_pq",
     "sim_knn_ivfpq",
+    # round-8 additions (extras9)
     "rel_ols_multi",
-    "rel_quantile_bands",
-    "text_simhash64_neardup",
-    "text_suffix_automaton_dup",
-    "pipe_tokenizer_compare",
-    "pipe_dedup_cascade_audit",
-    "rel_cube_rollup",
-    "rel_grouping_sets",
-    "traj_stay_points",
-    "traj_od_matrix",
-    "graph_k_core",
-    "graph_triangle_rate",
-    "text_zipf_fit",
     "rel_isotonic_fit",
+    "text_zipf_fit",
     "emb_rp_tree_knn",
-    "sketch_theta_union",
-    "stream_dedup_window",
+    "pipe_dedup_cascade_audit",
+    "pipe_tokenizer_compare",
     "rel_theil_sen",  # re-windowed: round-8 tie-guard rewrite
 )
 
