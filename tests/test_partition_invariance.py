@@ -113,9 +113,13 @@ KEYS = [
     "sim_knn_pq",
     "sim_knn_ivfpq",
     # round-8 adds: median-split tree + ordered integer rerank;
-    # LCM-scaled minimax over a self-join (min/max integer folds)
+    # LCM-scaled minimax over a self-join (min/max integer folds);
+    # greedy graph navigation (integer per-hop argmin over collected
+    # frontiers); synchronous Louvain gain argmax window
     "emb_rp_tree_knn",
     "rel_isotonic_fit",
+    "sim_knn_graph_greedy",
+    "graph_louvain_move",
     # ordered survivor re-join (md5 of reconstructed string)
     "text_dedup_cut",
     # triangle/degree ratios; DECIMAL covariance ranking with tie-break;

@@ -597,10 +597,10 @@ def rel_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query(
-    "graph_modularity",
-    oracle="""
-    WITH b AS (
+# the co-movement graph's oracle CTEs (b: per-day value bands, e: the
+# edge list) — shared text: graph_modularity here, graph_louvain_move
+# in extras9 (both mirror mining.comovement_edges)
+_COMOVE_ORACLE_CTES = """b AS (
         SELECT user_id,
                CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400e6)
                     AS BIGINT) AS dy,
@@ -613,7 +613,13 @@ def rel_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON a.dy = c.dy AND a.user_id < c.user_id
          AND ABS(a.v - c.v) <= 1.0
         GROUP BY 1, 2 HAVING COUNT(*) >= 3
-    ),
+    )"""
+
+
+@query(
+    "graph_modularity",
+    oracle=f"""
+    WITH {_COMOVE_ORACLE_CTES},
     comm AS (
         SELECT user_id,
                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))

@@ -789,3 +789,495 @@ def pipe_tokenizer_compare(
             6,
         ).alias("chars_per_token"),
     )
+
+# ---------------------------------------------------------------------------
+# sim_knn_graph_greedy — graph-based ANN (deterministic NSW shape)
+# ---------------------------------------------------------------------------
+
+_NSW_DEG = 4  # intra-cell exact-NN out-degree
+_NSW_SKIPS = (1, -1, 16, -16, 256, -256)  # deterministic long links
+_NSW_HOPS = 6
+_NSW_QUERY = 0
+
+
+def _nsw_oracle() -> str:
+    skips = ", ".join(f"CAST({o} AS BIGINT)" for o in _NSW_SKIPS)
+    ctes = [
+        f"""
+    ev AS MATERIALIZED (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) - 1 AS d,
+               CAST(ROUND(UNNEST(embedding) * 1e6) AS BIGINT) AS q
+        FROM embeddings
+    ),
+    lab AS (SELECT DISTINCT vec_id, label FROM ev),
+    nn AS (SELECT COUNT(*) AS n FROM lab),
+    qd AS MATERIALIZED (
+        SELECT a.vec_id, SUM((a.q - b.q) * (a.q - b.q)) AS dd
+        FROM ev a JOIN ev b ON b.vec_id = {_NSW_QUERY} AND b.d = a.d
+        GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.vec_id AS s, b.vec_id AS t,
+               SUM((a.q - b.q) * (a.q - b.q)) AS dd
+        FROM ev a
+        JOIN ev b ON a.label = b.label AND b.d = a.d
+                 AND a.vec_id <> b.vec_id
+        GROUP BY 1, 2
+    ),
+    knn AS (
+        SELECT s, t FROM (
+            SELECT s, t,
+                   ROW_NUMBER() OVER (PARTITION BY s
+                                      ORDER BY dd, t) AS rk
+            FROM pairs
+        ) WHERE rk <= {_NSW_DEG}
+    ),
+    skip AS (
+        SELECT l.vec_id AS s,
+               (l.vec_id + u.o + (SELECT n FROM nn))
+                   % (SELECT n FROM nn) AS t
+        FROM lab l, UNNEST([{skips}]) AS u(o)
+    ),
+    nbrs AS MATERIALIZED (
+        SELECT DISTINCT s, t FROM (
+            SELECT s, t FROM knn
+            UNION ALL
+            SELECT sk.s, sk.t
+            FROM skip sk JOIN lab ex ON ex.vec_id = sk.t
+        )
+        WHERE s <> {_NSW_QUERY} AND t <> {_NSW_QUERY} AND s <> t
+    ),
+    h0 AS (
+        SELECT MIN(vec_id) AS node FROM lab
+        WHERE vec_id <> {_NSW_QUERY}
+    )"""
+    ]
+    for r in range(1, _NSW_HOPS + 1):
+        ctes.append(f"""
+    h{r} AS MATERIALIZED (
+        SELECT node FROM (
+            SELECT c.node,
+                   ROW_NUMBER() OVER (ORDER BY q.dd, c.node) AS rk
+            FROM (
+                SELECT nb.t AS node
+                FROM nbrs nb JOIN h{r - 1} h ON nb.s = h.node
+                UNION ALL
+                SELECT node FROM h{r - 1}
+            ) c JOIN qd q ON q.vec_id = c.node
+        ) WHERE rk = 1
+    )""")
+    sel = " UNION ALL ".join(
+        f"SELECT {r} AS hop, node FROM h{r}"
+        for r in range(_NSW_HOPS + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+    SELECT CAST(w.hop AS BIGINT) AS hop,
+           CAST(w.node AS BIGINT) AS vec_id,
+           ROUND(CAST(q.dd AS DOUBLE) / 1e12, 6) AS l2_sq
+    FROM ({sel}) w JOIN qd q ON q.vec_id = w.node
+    ORDER BY hop
+    """
+    )
+
+
+@query("sim_knn_graph_greedy", oracle=_nsw_oracle)
+def sim_knn_graph_greedy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GRAPH-BASED ANN (the HNSW/NSW family — the fourth modern ANN
+    shape beside LSH buckets, IVF cells and PQ codes): build a
+    navigable neighbor graph — per vector its 4 exact nearest
+    neighbors within its label cell (bounded candidate generation,
+    the `emb_neardup_lsh` argument) PLUS deterministic skip links at
+    id offsets ±{1,16,256} (the long-range edges NSW gets from
+    insertion order, reproduced arithmetically so both engines build
+    the identical graph) — then GREEDY-SEARCH it: from the lowest
+    non-query vector, hop 6 times to the neighbor closest to the
+    query, staying put at a local minimum.  Output: the full
+    navigation chain (hop, node, distance) — the convergence trace a
+    graph-ANN deployment inspects, ending at the search answer.
+
+    Exactness: integer micro-distances everywhere (graph edges, hop
+    argmins — ties on node id), display-only /1e12.
+
+    Scale shape: graph construction is the write-path job (cell-
+    bounded pair gen → at 100 TB, NN-descent refinement over the same
+    bounded candidates); the QUERY touches out-degree·hops ≈ 60
+    vectors — independent of corpus size, the property that makes
+    graph ANN the latency king.  Here each hop is a 1-row broadcast
+    argmin."""
+    t = Tables(spark, sf_dir)
+    ev = t.embeddings.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> CAST(ROUND(x * 1e6) AS BIGINT))"
+        ).alias("qv"),
+    )
+    n_total = ev.agg(F.count("*").alias("n"))
+    d2 = F.aggregate(
+        F.zip_with("qv", "q2", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    qvec = ev.filter(F.col("vec_id") == _NSW_QUERY).select(
+        F.col("qv").alias("q2")
+    )
+    qd = (
+        ev.join(F.broadcast(qvec))
+        .withColumn("dd", d2)
+        .select("vec_id", "dd")
+    )
+    # single-file fixture = one scan task: spread the O(N·cell) d2
+    # folds across the executor threads before the pair join (house
+    # perf trap #1)
+    a = ev.select("vec_id", "label", "qv").repartition(32, "vec_id")
+    b = ev.select(
+        F.col("vec_id").alias("t"),
+        F.col("label").alias("lb"),
+        F.col("qv").alias("q2"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("label") == F.col("lb"))
+            & (F.col("vec_id") != F.col("t")),
+        )
+        .withColumn("dd", d2)
+        .select(F.col("vec_id").alias("s"), "t", "dd")
+    )
+    knn = (
+        pairs.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("s").orderBy("dd", "t")
+            ),
+        )
+        .filter(F.col("rk") <= _NSW_DEG)
+        .select("s", "t")
+    )
+    offs = F.array(*[F.lit(o).cast("long") for o in _NSW_SKIPS])
+    skip = (
+        ev.select("vec_id")
+        .join(F.broadcast(n_total))
+        .select(
+            F.col("vec_id").alias("s"),
+            F.explode(offs).alias("o"),
+            "n",
+        )
+        .select(
+            "s",
+            ((F.col("s") + F.col("o") + F.col("n")) % F.col("n")).alias(
+                "t"
+            ),
+        )
+        .join(
+            ev.select(F.col("vec_id").alias("t")), "t", "left_semi"
+        )
+    )
+    nbrs = (
+        knn.unionByName(skip)
+        .filter(
+            (F.col("s") != _NSW_QUERY)
+            & (F.col("t") != _NSW_QUERY)
+            & (F.col("s") != F.col("t"))
+        )
+        .distinct()
+    )
+    # Adjacency annotated with each target's query distance, built
+    # ONCE (one job; repartition(1) — NOT coalesce, which would
+    # single-thread the upstream pair generation — so the per-hop
+    # filter scans one tiny task)
+    # and navigated with BOUNDED per-hop collects — each hop reads
+    # <= out-degree (10) rows, the extras6 "<=k-row collected
+    # shortlist" house artifact; the argmin is exact integer (dd, id),
+    # so the driver-side min() mirrors the oracle's ROW_NUMBER.
+    nd = (
+        nbrs.join(
+            qd.select(
+                F.col("vec_id").alias("t"), F.col("dd").alias("tdd")
+            ),
+            "t",
+        )
+        .select("s", "t", "tdd")
+        .repartition(1)
+        .localCheckpoint()
+    )
+    entry = (
+        qd.filter(F.col("vec_id") != _NSW_QUERY)
+        .orderBy("vec_id")
+        .limit(1)
+        .collect()[0]
+    )
+    node, dd = entry["vec_id"], entry["dd"]
+    chain = [(0, node, dd)]
+    for r in range(1, _NSW_HOPS + 1):
+        frontier = nd.filter(F.col("s") == F.lit(node)).collect()
+        dd, node = min(
+            [(row["tdd"], row["t"]) for row in frontier]
+            + [(dd, node)]
+        )
+        chain.append((r, node, dd))
+    out = spark.createDataFrame(
+        [(h, int(n), int(d)) for h, n, d in chain],
+        "hop bigint, vec_id bigint, dd bigint",
+    )
+    return out.select(
+        "hop",
+        "vec_id",
+        F.round(F.col("dd").cast("double") / 1e12, 6).alias("l2_sq"),
+    ).orderBy("hop")
+
+
+# ---------------------------------------------------------------------------
+# graph_louvain_move — one synchronous Louvain local-move round
+# ---------------------------------------------------------------------------
+
+
+def _louvain_oracle() -> str:
+    from .extras2 import _COMOVE_ORACLE_CTES
+
+    return f"""
+    WITH {_COMOVE_ORACLE_CTES},
+    comm AS (
+        SELECT user_id,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                    // (COUNT(*) * 1000) AS BIGINT) AS community
+        FROM events GROUP BY user_id
+    ),
+    m AS (SELECT COUNT(*) AS m FROM e),
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v FROM e
+        ) GROUP BY node
+    ),
+    nodes AS (
+        SELECT comm.user_id, comm.community, COALESCE(deg.d, 0) AS d
+        FROM comm LEFT JOIN deg ON deg.node = comm.user_id
+    ),
+    stot AS (
+        SELECT community, SUM(d) AS st FROM nodes GROUP BY 1
+    ),
+    inc AS (
+        SELECT x.node AS i, n2.community AS c, COUNT(*) AS kic
+        FROM (SELECT u AS node, v AS nbr FROM e
+              UNION ALL SELECT v, u FROM e) x
+        JOIN nodes n2 ON n2.user_id = x.nbr
+        GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT n.user_id AS i, n.community AS a, n.d AS ki,
+               COALESCE(ia.kic, 0) AS kia, sa.st AS sta
+        FROM nodes n
+        JOIN stot sa ON sa.community = n.community
+        LEFT JOIN inc ia
+          ON ia.i = n.user_id AND ia.c = n.community
+    ),
+    cand AS (
+        SELECT b.i, b.a, inc.c,
+               2 * (SELECT m FROM m) * inc.kic - st.st * b.ki
+               - (2 * (SELECT m FROM m) * b.kia
+                  - (b.sta - b.ki) * b.ki) AS g
+        FROM base b
+        JOIN inc ON inc.i = b.i AND inc.c <> b.a
+        JOIN stot st ON st.community = inc.c
+    ),
+    best AS (
+        SELECT i, c, g FROM (
+            SELECT i, c, g,
+                   ROW_NUMBER() OVER (PARTITION BY i
+                                      ORDER BY g DESC, c) AS rk
+            FROM cand
+        ) WHERE rk = 1
+    ),
+    newlab AS (
+        SELECT b.i AS user_id, b.ki AS d,
+               CASE WHEN best.g > 0 THEN best.c ELSE b.a END
+                   AS community
+        FROM base b LEFT JOIN best ON best.i = b.i
+    ),
+    intra AS (
+        SELECT a.community, COUNT(*) AS l
+        FROM e
+        JOIN newlab a ON a.user_id = e.u
+        JOIN newlab c ON c.user_id = e.v
+                     AND c.community = a.community
+        GROUP BY 1
+    )
+    SELECT n.community,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(COALESCE(MAX(intra.l), 0) AS BIGINT)
+               AS internal_edges,
+           CAST(SUM(n.d) AS BIGINT) AS degree_sum,
+           ROUND(COALESCE(MAX(intra.l), 0) * 1.0 / (SELECT m FROM m)
+                 - (SUM(n.d) * 0.5 / (SELECT m FROM m))
+                   * (SUM(n.d) * 0.5 / (SELECT m FROM m)), 6) + 0.0
+               AS q_contrib
+    FROM newlab n LEFT JOIN intra ON intra.community = n.community
+    GROUP BY n.community
+    """
+
+
+@query("graph_louvain_move", oracle=_louvain_oracle)
+def graph_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One SYNCHRONOUS LOUVAIN LOCAL-MOVE round over the co-movement
+    graph, starting from `graph_modularity`'s value-band partition:
+    every node evaluates moving to each NEIGHBOR community and takes
+    the best strictly-positive modularity gain (ties → lowest
+    community id), all moves applied at once — the parallel-Louvain
+    sweep (Blondel et al. phase 1, synchronous variant), i.e. the
+    community-refinement step a clustering pipeline runs on top of
+    any initial labeling.  Output: `graph_modularity`'s per-community
+    statement (n_nodes, internal edges, degree mass, Q-contribution)
+    for the POST-MOVE partition, so the two keys read as
+    before/after.
+
+    Exactness: the gain comparison is the EXACT INTEGER
+    2m·k_{i→c} − Σtot_c·k_i − (2m·k_{i→a} − (Σtot_a − k_i)·k_i) —
+    no float modularity ever decides a move; Σtot/degrees are
+    pre-move (synchronous).  Q display carries the house +0.0.
+
+    Scale shape: k_{i→c} is one hash agg over the (directed) edge
+    list joined to the broadcast-sized community map; the argmax is a
+    per-node window over neighbor communities — everything linear in
+    edges, the same budget as one PageRank iteration."""
+    from .mining import comovement_edges
+
+    t = Tables(spark, sf_dir)
+    e = comovement_edges(spark, sf_dir)
+    comm = t.events.groupBy("user_id").agg(
+        F.expr(
+            "sum(cast(round(value * 100) as bigint))"
+            " div (count(*) * 1000)"
+        ).alias("community")
+    )
+    m = e.agg(F.count("*").alias("m"))
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    nodes = comm.join(
+        deg, comm.user_id == deg.node, "left"
+    ).select(
+        "user_id", "community", F.coalesce("d", F.lit(0)).alias("d")
+    )
+    stot = nodes.groupBy("community").agg(F.sum("d").alias("st"))
+    directed = e.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    n2 = nodes.select(
+        F.col("user_id").alias("nbr"),
+        F.col("community").alias("c"),
+    )
+    inc = (
+        directed.join(n2, "nbr")
+        .groupBy(F.col("node").alias("i"), "c")
+        .agg(F.count("*").alias("kic"))
+    )
+    base = (
+        nodes.join(
+            stot.withColumnRenamed("st", "sta"), "community"
+        )
+        .join(
+            inc.select(
+                F.col("i").alias("user_id"),
+                F.col("c").alias("community"),
+                F.col("kic").alias("kia"),
+            ),
+            ["user_id", "community"],
+            "left",
+        )
+        .select(
+            F.col("user_id").alias("i"),
+            F.col("community").alias("a"),
+            F.col("d").alias("ki"),
+            F.coalesce("kia", F.lit(0)).alias("kia"),
+            "sta",
+        )
+    )
+    cand = (
+        base.join(
+            inc, (inc.i == base.i) & (inc.c != base.a)
+        )
+        .join(
+            F.broadcast(
+                stot.select(
+                    F.col("community").alias("c"),
+                    F.col("st").alias("stc"),
+                )
+            ),
+            "c",
+        )
+        .join(F.broadcast(m))
+        .select(
+            base.i.alias("i"),
+            "a",
+            "c",
+            (
+                2 * F.col("m") * F.col("kic")
+                - F.col("stc") * F.col("ki")
+                - (
+                    2 * F.col("m") * F.col("kia")
+                    - (F.col("sta") - F.col("ki")) * F.col("ki")
+                )
+            ).alias("g"),
+        )
+    )
+    best = (
+        cand.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("i").orderBy(F.col("g").desc(), "c")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("i", F.col("c").alias("bc"), "g")
+    )
+    newlab = (
+        base.join(best, "i", "left")
+        .select(
+            F.col("i").alias("user_id"),
+            F.col("ki").alias("d"),
+            F.when(F.col("g") > 0, F.col("bc"))
+            .otherwise(F.col("a"))
+            .alias("community"),
+        )
+    )
+    na, nc = newlab.alias("na"), newlab.alias("nc")
+    intra = (
+        e.join(na, F.col("na.user_id") == e.u)
+        .join(
+            nc,
+            (F.col("nc.user_id") == e.v)
+            & (F.col("nc.community") == F.col("na.community")),
+        )
+        .groupBy(F.col("na.community").alias("community"))
+        .agg(F.count("*").alias("l"))
+    )
+    return (
+        newlab.join(F.broadcast(intra), "community", "left")
+        .join(F.broadcast(m))
+        .groupBy("community")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.coalesce(F.max("l"), F.lit(0)).alias("internal_edges"),
+            F.sum("d").alias("degree_sum"),
+            (
+                F.round(
+                    F.coalesce(F.max("l"), F.lit(0)) * 1.0 / F.max("m")
+                    - (F.sum("d") * 0.5 / F.max("m"))
+                    * (F.sum("d") * 0.5 / F.max("m")),
+                    6,
+                )
+                + 0.0
+            ).alias("q_contrib"),
+        )
+    )

@@ -120,6 +120,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "emb_rp_tree_knn",
     "pipe_dedup_cascade_audit",
     "pipe_tokenizer_compare",
+    "sim_knn_graph_greedy",
+    "graph_louvain_move",
     "rel_theil_sen",  # re-windowed: round-8 tie-guard rewrite
 )
 
