@@ -794,7 +794,8 @@ def pipe_tokenizer_compare(
 # sim_knn_graph_greedy — graph-based ANN (deterministic NSW shape)
 # ---------------------------------------------------------------------------
 
-_NSW_DEG = 4  # intra-cell exact-NN out-degree
+_NSW_DEG = 4  # intra-bucket exact-NN out-degree
+_NSW_BUCKET = 128  # locality sub-bucket cap: pair gen <= N*128, never cell-quadratic
 _NSW_SKIPS = (1, -1, 16, -16, 256, -256)  # deterministic long links
 _NSW_HOPS = 6
 _NSW_QUERY = 0
@@ -817,12 +818,26 @@ def _nsw_oracle() -> str:
         FROM ev a JOIN ev b ON b.vec_id = {_NSW_QUERY} AND b.d = a.d
         GROUP BY 1
     ),
+    prj AS (  -- locality key: the level-1 signed projection
+        SELECT vec_id,
+               {_rpt_sign_case(_RPT_PRIMES[0])} AS p1
+        FROM ev GROUP BY 1
+    ),
+    buck AS MATERIALIZED (  -- p1-ordered sub-buckets of <= {_NSW_BUCKET}
+        SELECT l.vec_id, l.label,
+               CAST((ROW_NUMBER() OVER (PARTITION BY l.label
+                                        ORDER BY p.p1, l.vec_id) - 1)
+                    // {_NSW_BUCKET} AS BIGINT) AS bk
+        FROM lab l JOIN prj p ON p.vec_id = l.vec_id
+    ),
     pairs AS (
-        SELECT a.vec_id AS s, b.vec_id AS t,
+        SELECT x.vec_id AS s, y.vec_id AS t,
                SUM((a.q - b.q) * (a.q - b.q)) AS dd
-        FROM ev a
-        JOIN ev b ON a.label = b.label AND b.d = a.d
-                 AND a.vec_id <> b.vec_id
+        FROM buck x
+        JOIN buck y ON x.label = y.label AND x.bk = y.bk
+                   AND x.vec_id <> y.vec_id
+        JOIN ev a ON a.vec_id = x.vec_id
+        JOIN ev b ON b.vec_id = y.vec_id AND b.d = a.d
         GROUP BY 1, 2
     ),
     knn AS (
@@ -932,19 +947,47 @@ def sim_knn_graph_greedy(
         .withColumn("dd", d2)
         .select("vec_id", "dd")
     )
-    # single-file fixture = one scan task: spread the O(N·cell) d2
-    # folds across the executor threads before the pair join (house
-    # perf trap #1)
-    a = ev.select("vec_id", "label", "qv").repartition(32, "vec_id")
-    b = ev.select(
+    # locality sub-buckets: order each cell by the level-1 signed
+    # projection (emb_rp_tree_knn's p1) and cut every _NSW_BUCKET
+    # vectors — pair generation is N·bucket, never cell-quadratic (the
+    # 20x probe caught the fixed-cell-count quadratic: 378 s -> ~2 s)
+    half = _RPT_MOD // 2 + 1
+    p1 = F.aggregate(
+        F.zip_with(
+            "qv",
+            F.expr(
+                f"transform(sequence(1, size(qv)), d -> "
+                f"CASE WHEN (d * {_RPT_PRIMES[0]}) % {_RPT_MOD}"
+                f" < {half} THEN 1L ELSE -1L END)"
+            ),
+            lambda x, sg: x * sg,
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    bucketed = ev.withColumn("p1", p1).withColumn(
+        "bk",
+        F.expr(
+            f"(row_number() OVER (PARTITION BY label"
+            f" ORDER BY p1, vec_id) - 1) div {_NSW_BUCKET}"
+        ),
+    )
+    # single-file fixture = one scan task: spread the d2 folds across
+    # the executor threads before the pair join (house perf trap #1)
+    a = bucketed.select("vec_id", "label", "bk", "qv").repartition(
+        32, "vec_id"
+    )
+    b = bucketed.select(
         F.col("vec_id").alias("t"),
         F.col("label").alias("lb"),
+        F.col("bk").alias("bk2"),
         F.col("qv").alias("q2"),
     )
     pairs = (
         a.join(
             b,
             (F.col("label") == F.col("lb"))
+            & (F.col("bk") == F.col("bk2"))
             & (F.col("vec_id") != F.col("t")),
         )
         .withColumn("dd", d2)

@@ -122,6 +122,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "pipe_tokenizer_compare",
     "sim_knn_graph_greedy",
     "graph_louvain_move",
+    "stream_late_audit",
     "rel_theil_sen",  # re-windowed: round-8 tie-guard rewrite
 )
 

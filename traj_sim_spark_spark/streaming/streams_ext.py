@@ -1088,3 +1088,164 @@ def stream_backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tail").cast("bigint").alias("n_tail"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# stream_late_audit — watermark late-data accounting (multi-batch replay)
+# ---------------------------------------------------------------------------
+
+_LATE_WIN_US = 3_600_000_000  # 1-hour tumbling windows
+_LATE_HEAD_US = 1_800_000_000  # the watermark-advancing "head" slice
+
+
+@query(
+    "stream_late_audit",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+    ),
+    mx AS (SELECT MAX(us) AS mx FROM ev),
+    wma AS (  -- watermark after the bulk batch: evicts pre-head windows
+        SELECT MAX(us) - 600000000 AS wm FROM ev
+        WHERE event_id % 2 = 0
+    ),
+    wmb AS (  -- final watermark: the emission cutoff
+        SELECT MAX(us) - 600000000 AS wm FROM ev
+    ),
+    w AS (
+        SELECT event_id, us,
+               (us // 3600000000) * 3600000000 AS ws,
+               (us // 3600000000) * 3600000000 + 3600000000 AS we,
+               (event_id % 2 = 1
+                AND us <= (SELECT mx FROM mx) - 1800000000) AS is_echo
+        FROM ev
+    ),
+    tot AS (
+        SELECT ws, COUNT(*) AS n_total,
+               SUM(CASE WHEN NOT is_echo THEN 1
+                        WHEN we > (SELECT wm FROM wma) THEN 1
+                        ELSE 0 END) AS n_kept
+        FROM w GROUP BY 1
+    )
+    SELECT CAST(ws AS BIGINT) AS win_start_us,
+           CAST(n_kept AS BIGINT) AS n_emitted,
+           CAST(n_total AS BIGINT) AS n_total,
+           CAST(n_total - n_kept AS BIGINT) AS n_late_dropped
+    FROM tot
+    WHERE n_kept > 0  -- a window whose rows all dropped never enters
+                      -- state, so it is never emitted
+      AND ws + 3600000000 <= (SELECT wm FROM wmb)
+    """,
+)
+def stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK LATE-DATA ACCOUNTING — the ops table a streaming
+    deployment reads to answer "how many rows did the watermark
+    drop?": the events fixture replays as a THREE-BATCH stream
+    (`maxFilesPerTrigger=1` over a staged split with pinned mtimes):
+    batch 0 = the even-id bulk, batch 1 = the odd-id HEAD (the last
+    30 minutes — advances the watermark to its final value), batch 2
+    = the odd-id ECHO (everything older — the lagging-partition
+    replay).  Echo rows whose window was already EVICTED in batch 1
+    are dropped by the state operator, exactly the production
+    late-data failure; the audit joins the stream's emitted
+    per-window counts against the batch truth:
+    (window, n_emitted, n_total, n_late_dropped).
+
+    The emitted set is a pure function of the input, so this
+    streaming row keeps a FULL DuckDB oracle — the module-header
+    batch-equivalence idea extended to MULTI-batch watermark
+    semantics, which single-batch replays structurally cannot
+    exercise.  The mirrored rules (verified against
+    numRowsDroppedByWatermark and the state-row counters, see
+    tests/test_streaming.py): eviction in batch k uses the
+    START-of-batch watermark max(ts through batch k−1) − delay; a
+    late row is dropped iff its window was evicted in a PRIOR batch
+    (same-batch merge-then-evict keeps it); append mode emits a
+    window once, when evicted — so kept = bulk + head + echo rows
+    with window_end > max(bulk ts) − delay, emitted iff window_end
+    <= max(all ts) − delay.
+
+    Scale shape: the staged split is a one-off write-path job; the
+    stream is one watermarked tumbling aggregation (state = open
+    windows only); the audit join is window-count-sized."""
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from ..sources.readers import (
+        layout_current,
+        staging_dir,
+        stamp_layout,
+    )
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("event_id", "ts")
+    root = os.path.join(staging_dir(sf_dir, "latesplit3"), "files")
+    if not layout_current(root, sf_dir, table="events"):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        mx = ev.agg(F.max(F.unix_micros("ts")).alias("m")).collect()[
+            0
+        ]["m"]
+        head_cut = mx - _LATE_HEAD_US
+        odd = F.col("event_id") % 2 == 1
+        for tag, mtime, pred in (
+            ("a_bulk", 1_000_000_000, ~odd),
+            ("b_head", 2_000_000_000, odd & (F.unix_micros("ts") > head_cut)),
+            ("c_echo", 3_000_000_000, odd & (F.unix_micros("ts") <= head_cut)),
+        ):
+            tmp = os.path.join(root, f"_tmp_{tag}")
+            ev.filter(pred).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            dst = os.path.join(root, f"{tag}.parquet")
+            os.replace(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            # file-source replay order = (mtime, path): pin BOTH so
+            # bulk -> head -> echo is the batch order everywhere
+            os.utime(dst, (mtime, mtime))
+        open(os.path.join(root, "_SUCCESS"), "w").close()
+        stamp_layout(root, sf_dir, table="events")
+    sch = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    raw = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    agg = (
+        raw.withWatermark("ts", _DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_emitted"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            "n_emitted",
+        )
+    )
+    emitted = run_to_completion(agg, "append")
+    total = (
+        ev.select(
+            F.expr(
+                f"(unix_micros(ts) div {_LATE_WIN_US})"
+                f" * {_LATE_WIN_US}"
+            ).alias("win_start_us")
+        )
+        .groupBy("win_start_us")
+        .agg(F.count("*").alias("n_total"))
+    )
+    return emitted.join(total, "win_start_us").select(
+        "win_start_us",
+        F.col("n_emitted").cast("long").alias("n_emitted"),
+        F.col("n_total").cast("long").alias("n_total"),
+        (F.col("n_total") - F.col("n_emitted"))
+        .cast("long")
+        .alias("n_late_dropped"),
+    )
