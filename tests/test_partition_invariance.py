@@ -120,6 +120,8 @@ KEYS = [
     "rel_isotonic_fit",
     "sim_knn_graph_greedy",
     "graph_louvain_move",
+    # exact conformal order statistic + integer coverage compares
+    "rel_conformal_bounds",
     # ordered survivor re-join (md5 of reconstructed string)
     "text_dedup_cut",
     # triangle/degree ratios; DECIMAL covariance ranking with tie-break;

@@ -1324,3 +1324,144 @@ def graph_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_contrib"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# rel_conformal_bounds — split-conformal prediction intervals, exactly
+# ---------------------------------------------------------------------------
+
+_CONF_ALPHA_NUM, _CONF_ALPHA_DEN = 9, 10  # 1 - alpha = 9/10
+
+
+@query(
+    "rel_conformal_bounds",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, user_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS y,
+               event_id % 2 = 0 AS is_cal
+        FROM events
+    ),
+    mu AS (  -- per-user shifted-floor mean over the CALIBRATION half
+        SELECT user_id,
+               CAST((SUM(y) + COUNT(*) * 100000000) // COUNT(*)
+                    AS BIGINT) - 100000000 AS mu
+        FROM ev WHERE is_cal GROUP BY user_id
+    ),
+    resid AS (
+        SELECT ev.event_id, ABS(ev.y - mu.mu) AS r, ev.is_cal
+        FROM ev JOIN mu USING (user_id)
+    ),
+    ncal AS (SELECT COUNT(*) AS n FROM resid WHERE is_cal),
+    k AS (  -- conformal rank: ceil((1-alpha)·(n_cal+1)), integer
+        SELECT CAST(({_CONF_ALPHA_NUM} * (n + 1) + {_CONF_ALPHA_DEN}
+                     - 1) // {_CONF_ALPHA_DEN} AS BIGINT) AS k
+        FROM ncal
+    ),
+    qhat AS (
+        SELECT r AS q FROM (
+            SELECT r, ROW_NUMBER() OVER (ORDER BY r, event_id) AS rn
+            FROM resid WHERE is_cal
+        ) WHERE rn = (SELECT k FROM k)
+    )
+    SELECT CAST((SELECT n FROM ncal) AS BIGINT) AS n_cal,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(CAST((SELECT q FROM qhat) AS DOUBLE) / 100, 6)
+               AS qhat,
+           CAST(SUM(CASE WHEN r <= (SELECT q FROM qhat)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           ROUND(SUM(CASE WHEN r <= (SELECT q FROM qhat)
+                          THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS coverage
+    FROM resid WHERE NOT is_cal
+    """,
+)
+def rel_conformal_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL PREDICTION INTERVALS with an exact coverage
+    audit — the distribution-free uncertainty wrapper modern ML evals
+    put around any point predictor: calibrate on the even-id half
+    (predictor = per-user shifted-floor mean, the `emb_kmeans_exact`
+    integer-mean recipe), take qhat = the ceil((1−α)(n+1))-th smallest
+    absolute residual (α = 0.1) as an EXACT order statistic, then
+    audit empirical coverage on the odd-id half — the guarantee says
+    coverage >= 90%, and this row measures it.
+
+    Every decision is integer-exact: centi-quantized values, shifted
+    integer means, the conformal rank as integer ceiling arithmetic,
+    the order statistic by ROW_NUMBER, covered-counts as integer
+    compares; the two displays (qhat in value units, the coverage
+    ratio) are final-projection divisions.
+
+    Scale shape: one hash agg for the per-user means (broadcast back),
+    one global top-k-style order statistic (at fleet scale: two-phase
+    — per-partition counts then one boundary pass, the
+    `pipe_doc_shuffle` global-rank pattern), one counting pass over
+    the test half."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        "event_id",
+        "user_id",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("y"),
+        (F.col("event_id") % 2 == 0).alias("is_cal"),
+    )
+    mu = (
+        ev.filter("is_cal")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.expr(
+                    "(sum(y) + count(*) * 100000000) div count(*)"
+                )
+                - F.lit(100000000)
+            ).alias("mu")
+        )
+    )
+    resid = ev.join(mu, "user_id").select(
+        "event_id",
+        F.abs(F.col("y") - F.col("mu")).alias("r"),
+        "is_cal",
+    )
+    cal = resid.filter("is_cal")
+    ncal = cal.agg(F.count("*").alias("n"))
+    k = ncal.select(
+        F.expr(
+            f"({_CONF_ALPHA_NUM} * (n + 1) + {_CONF_ALPHA_DEN} - 1)"
+            f" div {_CONF_ALPHA_DEN}"
+        ).alias("k")
+    )
+    qhat = (
+        cal.withColumn(
+            "rn", F.row_number().over(W.orderBy("r", "event_id"))
+        )
+        .join(F.broadcast(k))
+        .filter(F.col("rn") == F.col("k"))
+        .select(F.col("r").alias("q"))
+    )
+    test = resid.filter(~F.col("is_cal"))
+    return (
+        test.join(F.broadcast(qhat))
+        .join(F.broadcast(ncal))
+        .agg(
+            F.max("n").cast("long").alias("n_cal"),
+            F.count("*").cast("long").alias("n_test"),
+            F.round(F.max("q").cast("double") / 100, 6).alias(
+                "qhat"
+            ),
+            F.sum(
+                F.when(F.col("r") <= F.col("q"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+            (
+                F.round(
+                    F.sum(
+                        F.when(F.col("r") <= F.col("q"), 1).otherwise(
+                            0
+                        )
+                    )
+                    * 1.0
+                    / F.count("*"),
+                    6,
+                )
+            ).alias("coverage"),
+        )
+    )

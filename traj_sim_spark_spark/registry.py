@@ -123,6 +123,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "sim_knn_graph_greedy",
     "graph_louvain_move",
     "stream_late_audit",
+    "rel_conformal_bounds",
     "rel_theil_sen",  # re-windowed: round-8 tie-guard rewrite
 )
 
