@@ -593,3 +593,82 @@ def test_stream_parquet_sink_exactly_once_across_restart(
         tuple(r) for r in spark.read.parquet(data).collect()
     )
     assert rows == [(1, 10), (2, 20), (3, 30)], rows
+
+
+def test_late_audit_multibatch_semantics(spark, sf_dir):
+    """Pins the multi-batch watermark rules stream_late_audit's oracle
+    mirrors (established empirically round 8): the staged 3-file
+    replay must (a) run exactly three data batches in bulk->head->echo
+    order, (b) DROP echo rows at the state operator
+    (numRowsDroppedByWatermark > 0 in the echo batch — a 2-batch
+    split shows zero drops because same-batch late rows merge before
+    eviction), and (c) emit each window at most once (append mode,
+    no re-created windows)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from traj_sim_spark_spark import registry
+    from traj_sim_spark_spark.sources.readers import staging_dir
+
+    registry.load_all()
+    QUERIES = registry.QUERIES
+
+    # build/refresh the staged split via the operator itself
+    res = QUERIES["stream_late_audit"](spark, sf_dir)
+    assert res.count() > 0
+
+    root = os.path.join(staging_dir(sf_dir, "latesplit3"), "files")
+    names = sorted(
+        f for f in os.listdir(root) if f.endswith(".parquet")
+    )
+    assert names == [
+        "a_bulk.parquet",
+        "b_head.parquet",
+        "c_echo.parquet",
+    ], names
+    mtimes = [os.stat(os.path.join(root, f)).st_mtime for f in names]
+    assert mtimes == sorted(mtimes), mtimes
+
+    sch = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    agg = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_audit_pin")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = [
+            p for p in q.recentProgress if p["numInputRows"] > 0
+        ]
+        drops = [
+            sum(
+                op.get("numRowsDroppedByWatermark") or 0
+                for op in p["stateOperators"]
+            )
+            for p in q.recentProgress
+        ]
+    finally:
+        q.stop()
+    # (a) three data batches
+    assert len(progress) == 3, [p["batchId"] for p in progress]
+    # (b) the echo batch dropped late rows
+    assert sum(drops) > 0, drops
+    # (c) append emitted each window at most once
+    emitted = spark.table("late_audit_pin")
+    dups = emitted.groupBy("w").count().filter("count > 1").count()
+    assert dups == 0
