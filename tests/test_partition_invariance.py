@@ -122,6 +122,8 @@ KEYS = [
     "graph_louvain_move",
     # exact conformal order statistic + integer coverage compares
     "rel_conformal_bounds",
+    # md5-multiplicity replicate means ranked by quantized BIGINT keys
+    "rel_bootstrap_ci",
     # ordered survivor re-join (md5 of reconstructed string)
     "text_dedup_cut",
     # triangle/degree ratios; DECIMAL covariance ranking with tie-break;

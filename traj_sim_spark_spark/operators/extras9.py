@@ -1465,3 +1465,255 @@ def rel_conformal_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# rel_ttest_welch — Welch's two-sample t from exact integer moments
+# ---------------------------------------------------------------------------
+
+# Welch t and Satterthwaite df from the exact integer moments
+# (n, Σy, Σy²) of each group — one shared display projection
+# (`rel_regr_exact` discipline); vi = (Σy² − (Σy)²/n)/(n−1).
+_TT_V1 = (
+    "((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+    " / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1))"
+)
+_TT_V2 = (
+    "((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)"
+    " / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1))"
+)
+_TT_SE2 = (
+    f"({_TT_V1} / CAST(n1 AS DOUBLE)"
+    f" + {_TT_V2} / CAST(n2 AS DOUBLE))"
+)
+_TT_FINAL = f"""
+    user_id,
+    CAST(n1 AS BIGINT) AS n1,
+    CAST(n2 AS BIGINT) AS n2,
+    ROUND((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+           - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+          / SQRT({_TT_SE2}) / 100, 6) + 0.0 AS t_stat,
+    ROUND({_TT_SE2} * {_TT_SE2}
+          / ({_TT_V1} * {_TT_V1}
+             / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                * (CAST(n1 AS DOUBLE) - 1))
+             + {_TT_V2} * {_TT_V2}
+               / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                  * (CAST(n2 AS DOUBLE) - 1))), 6) + 0.0 AS df_welch
+"""
+
+
+@query(
+    "rel_ttest_welch",
+    oracle=f"""
+    WITH q AS (
+        SELECT user_id, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS y
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    m AS (
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS n1,
+               SUM(CASE WHEN event_type = 'click' THEN y ELSE 0 END)
+                   AS s1,
+               SUM(CASE WHEN event_type = 'click' THEN y * y
+                        ELSE 0 END) AS q1,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS n2,
+               SUM(CASE WHEN event_type = 'view' THEN y ELSE 0 END)
+                   AS s2,
+               SUM(CASE WHEN event_type = 'view' THEN y * y
+                        ELSE 0 END) AS q2
+        FROM q GROUP BY user_id
+    )
+    SELECT {_TT_FINAL}
+    FROM m WHERE n1 >= 2 AND n2 >= 2
+    """,
+)
+def rel_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S TWO-SAMPLE T-TEST per user ('click' vs 'view' values) —
+    the parametric sibling of `rel_mann_whitney`, completing the A/B
+    screening family (t, Mann–Whitney U, KS, chi², Benford).  The
+    house way: ONE map-side-combinable hash aggregation sums exact
+    integer moments (n, Σy, Σy² per group, centi-quantized — Σy² ≤
+    ~7e11, comfortably int64), the n≥2 membership gates are integer,
+    and the t statistic + Welch–Satterthwaite df are one final shared
+    display projection (the /100 restores value units from centi).
+
+    Native stddev/variance aggregates accumulate doubles and are
+    partitioning-order-dependent at the ulp; integer moments make the
+    test statistic engine- and shuffle-exact.  Displays carry +0.0
+    (t crosses zero).
+
+    Scale shape: one integer hash agg over the fact table; the test
+    algebra runs on one row per user."""
+    t = Tables(spark, sf_dir)
+    from .extras5 import _split_top_level
+
+    q = t.events.filter(
+        F.col("event_type").isin("click", "view")
+    ).selectExpr(
+        "user_id",
+        "event_type",
+        "CAST(ROUND(value * 100) AS BIGINT) AS y",
+    )
+    m = q.groupBy("user_id").agg(
+        F.expr(
+            "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+        ).alias("n1"),
+        F.expr(
+            "SUM(CASE WHEN event_type = 'click' THEN y ELSE 0 END)"
+        ).alias("s1"),
+        F.expr(
+            "SUM(CASE WHEN event_type = 'click' THEN y * y"
+            " ELSE 0 END)"
+        ).alias("q1"),
+        F.expr(
+            "SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)"
+        ).alias("n2"),
+        F.expr(
+            "SUM(CASE WHEN event_type = 'view' THEN y ELSE 0 END)"
+        ).alias("s2"),
+        F.expr(
+            "SUM(CASE WHEN event_type = 'view' THEN y * y"
+            " ELSE 0 END)"
+        ).alias("q2"),
+    )
+    return m.filter("n1 >= 2 AND n2 >= 2").selectExpr(
+        *_split_top_level(_TT_FINAL)
+    )
+
+
+# ---------------------------------------------------------------------------
+# rel_bootstrap_ci — Poisson bootstrap confidence interval, one pass
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32  # replicates
+_BOOT_SALT = "boot8"
+# Poisson(1) inverse-CDF thresholds on a micro-uniform (md5-derived):
+# P(X<=k) for k = 0..3, micro-quantized; multiplicity capped at 4.
+_BOOT_T = (367879, 735759, 919699, 981012)
+
+
+def _boot_mult_sql(u: str) -> str:
+    return (
+        f"CASE WHEN {u} < {_BOOT_T[0]} THEN 0"
+        f" WHEN {u} < {_BOOT_T[1]} THEN 1"
+        f" WHEN {u} < {_BOOT_T[2]} THEN 2"
+        f" WHEN {u} < {_BOOT_T[3]} THEN 3 ELSE 4 END"
+    )
+
+
+@query(
+    "rel_bootstrap_ci",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS y
+        FROM events
+    ),
+    rep AS (
+        SELECT b.b, ev.y,
+               {_boot_mult_sql(
+                   "CAST(('0x' || substr(md5(CAST(ev.event_id AS VARCHAR)"
+                   " || '#' || CAST(b.b AS VARCHAR)"
+                   f" || '#{_BOOT_SALT}'), 1, 8)) AS BIGINT) % 1000000"
+               )} AS w
+        FROM ev CROSS JOIN
+             (SELECT UNNEST(range(1, {_BOOT_B} + 1)) AS b) b
+    ),
+    means AS (  -- micro-quantized replicate means (exact sort keys;
+                -- y > 0 on this schema, so plain floor div — no shift,
+                -- which overflowed at sum(w)·C on 20x clones)
+        SELECT b,
+               CAST((SUM(w * y) * 1000000) // SUM(w) AS BIGINT) AS mq
+        FROM rep GROUP BY b HAVING SUM(w) > 0
+    ),
+    ranked AS (
+        SELECT mq, ROW_NUMBER() OVER (ORDER BY mq, b) AS rn,
+               COUNT(*) OVER () AS nb
+        FROM means
+    )
+    SELECT CAST((SELECT COUNT(*) FROM ev) AS BIGINT) AS n_rows,
+           CAST((SELECT MAX(nb) FROM ranked) AS BIGINT) AS n_reps,
+           ROUND((SELECT SUM(y) * 1.0 FROM ev)
+                 / (SELECT COUNT(*) FROM ev) / 100, 6) AS mean_full,
+           ROUND(CAST((SELECT mq FROM ranked WHERE rn = 2) AS DOUBLE)
+                 / 1e8, 6) AS ci_lo,
+           ROUND(CAST((SELECT mq FROM ranked
+                       WHERE rn = (SELECT MAX(nb) FROM ranked) - 1)
+                      AS DOUBLE) / 1e8, 6) AS ci_hi
+    """,
+)
+def rel_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP confidence interval for the mean event value
+    — the bootstrap that actually runs at 100 TB: instead of shuffling
+    B resamples, every row draws a Poisson(1) multiplicity per
+    replicate in ONE streaming pass (the standard large-scale recipe),
+    here with md5-derived deterministic draws (inverse CDF on a
+    micro-uniform, multiplicity capped at 4 ≈ P 0.9963) so both
+    engines replay the identical resampling.  CI = the 2nd and
+    (B−1)-th order statistics of the B=32 replicate means (~94%
+    interval).
+
+    Exactness: multiplicities are integer md5 arithmetic (the
+    `pipe_leakage_safe_split` hash-split recipe); each replicate mean
+    is micro-quantized by the shifted integer floor division, so the
+    order statistics sort exact BIGINT keys; the three displays are
+    final-projection divisions.
+
+    Scale shape: one rows×B explode (flat map, no shuffle of data
+    rows) into a B-group hash agg — map-side combinable, replicate
+    count independent of data size; the order statistic runs on 32
+    rows."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        "event_id",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("y"),
+    )
+    u = (
+        f"CAST(conv(substr(md5(concat(CAST(event_id AS STRING), '#',"
+        f" CAST(b AS STRING), '#{_BOOT_SALT}')), 1, 8), 16, 10)"
+        f" AS BIGINT) % 1000000"
+    )
+    rep = ev.select(
+        "event_id",
+        "y",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(_BOOT_B))
+        ).alias("b"),
+    ).selectExpr("b", "y", f"{_boot_mult_sql(u)} AS w")
+    means = (
+        rep.groupBy("b")
+        .agg(
+            # y > 0 (events.value >= 0.01), so truncating div == floor
+            # without the +C shift (which overflowed at 20x clones)
+            F.expr("(sum(w * y) * 1000000) div sum(w)").alias("mq"),
+            F.sum("w").alias("sw"),
+        )
+        .filter("sw > 0")
+        .select("b", "mq")
+    )
+    ranked = means.select(
+        "mq",
+        F.row_number().over(W.orderBy("mq", "b")).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("nb"),
+    )
+    full = ev.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.round(
+            F.sum("y") * 1.0 / F.count("*") / 100, 6
+        ).alias("mean_full"),
+    )
+    lo = ranked.filter("rn = 2").select(
+        F.round(F.col("mq").cast("double") / 1e8, 6).alias("ci_lo")
+    )
+    hi = ranked.filter("rn = nb - 1").select(
+        F.round(F.col("mq").cast("double") / 1e8, 6).alias("ci_hi"),
+        F.col("nb").cast("long").alias("n_reps"),
+    )
+    return (
+        full.join(F.broadcast(hi))
+        .join(F.broadcast(lo))
+        .select("n_rows", "n_reps", "mean_full", "ci_lo", "ci_hi")
+    )

@@ -124,6 +124,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "graph_louvain_move",
     "stream_late_audit",
     "rel_conformal_bounds",
+    "rel_ttest_welch",
+    "rel_bootstrap_ci",
     "rel_theil_sen",  # re-windowed: round-8 tie-guard rewrite
 )
 
