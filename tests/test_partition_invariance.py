@@ -124,6 +124,9 @@ KEYS = [
     "rel_conformal_bounds",
     # md5-multiplicity replicate means ranked by quantized BIGINT keys
     "rel_bootstrap_ci",
+    # at-risk cumsum + quantized-ln product curve; decimal rank sums
+    "rel_survival_km",
+    "rel_lorenz_gini",
     # ordered survivor re-join (md5 of reconstructed string)
     "text_dedup_cut",
     # triangle/degree ratios; DECIMAL covariance ranking with tie-break;

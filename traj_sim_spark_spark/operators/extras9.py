@@ -1717,3 +1717,257 @@ def rel_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(lo))
         .select("n_rows", "n_reps", "mean_full", "ci_lo", "ci_hi")
     )
+
+# ---------------------------------------------------------------------------
+# rel_survival_km — Kaplan–Meier time-to-event curve
+# ---------------------------------------------------------------------------
+
+_KM_HORIZON_H = 72  # administrative censoring horizon (hours)
+
+
+@query(
+    "rel_survival_km",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+    ),
+    f AS (SELECT user_id, MIN(us) AS first_us FROM ev GROUP BY 1),
+    p AS (
+        SELECT user_id, MIN(us) AS first_buy FROM ev
+        WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    subj AS (  -- per subject: latency hours + event/censor flag
+        SELECT f.user_id,
+               CASE WHEN p.first_buy IS NOT NULL
+                     AND (p.first_buy - f.first_us) // 3600000000
+                         < {_KM_HORIZON_H}
+                    THEN (p.first_buy - f.first_us) // 3600000000
+                    ELSE {_KM_HORIZON_H} END AS t,
+               CASE WHEN p.first_buy IS NOT NULL
+                     AND (p.first_buy - f.first_us) // 3600000000
+                         < {_KM_HORIZON_H}
+                    THEN 1 ELSE 0 END AS e
+        FROM f LEFT JOIN p USING (user_id)
+    ),
+    n_all AS (SELECT COUNT(*) AS n FROM subj),
+    times AS (
+        SELECT t, SUM(e) AS d, COUNT(*) - SUM(e) AS c
+        FROM subj GROUP BY t
+    ),
+    risk AS (  -- at-risk = subjects with t_i >= t (exact cumsum)
+        SELECT t, d, c,
+               (SELECT n FROM n_all)
+               - COALESCE(SUM(d + c) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS n_risk
+        FROM times
+    ),
+    lq AS (  -- per-time ln factor, micro-quantized ONCE
+        SELECT t, d, c, n_risk,
+               CASE WHEN d = 0 THEN 0
+                    WHEN d = n_risk THEN NULL
+                    ELSE CAST(ROUND(LN(CAST(n_risk - d AS DOUBLE)
+                                       / n_risk) * 1e6) AS BIGINT)
+               END AS lqt
+        FROM risk
+    ),
+    curve AS (
+        SELECT t, d, c, n_risk,
+               SUM(lqt) OVER (ORDER BY t) AS cum,
+               MAX(CASE WHEN lqt IS NULL THEN 1 ELSE 0 END)
+                   OVER (ORDER BY t) AS dead
+        FROM lq
+    )
+    SELECT CAST(t AS BIGINT) AS t_hours,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(c AS BIGINT) AS n_censored,
+           CASE WHEN dead = 1 THEN 0.0
+                ELSE ROUND(EXP(CAST(cum AS DOUBLE) / 1e6), 6)
+           END AS survival
+    FROM curve
+    """,
+)
+def rel_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN–MEIER time-to-event curve — survival analysis for the
+    funnel age: per user, hours from first event to FIRST PURCHASE,
+    administratively censored at 72 h (the fixed-horizon study
+    design); per distinct time: at-risk count, events, censored, and
+    the product-limit survival estimate S(t) = Π (1 − d/n).
+
+    House exactness for a product of rationals: d and n_risk are
+    exact integers (the at-risk count is an exact window cumsum, not a
+    re-scan), each factor's ln is quantized ONCE to micro-nats
+    (the `text_zipf_fit` recipe), the running sum is an INTEGER
+    window cumsum, and the only floats are that one quantization and
+    the final EXP display; an exhausted risk set (d = n) pins
+    survival to exactly 0 thereafter via an integer cummax flag.
+
+    Scale shape: two per-user hash aggs, a distinct-time agg
+    (≤ horizon+1 rows), and windows over that tiny frame — the
+    subject table is touched twice, the curve is O(horizon)."""
+    t = Tables(spark, sf_dir)
+    H = _KM_HORIZON_H
+    ev = t.events.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    f = ev.groupBy("user_id").agg(F.min("us").alias("first_us"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("first_buy"))
+    )
+    lat = F.expr("(first_buy - first_us) div 3600000000")
+    hit = F.col("first_buy").isNotNull() & (lat < H)
+    subj = f.join(p, "user_id", "left").select(
+        "user_id",
+        F.when(hit, lat).otherwise(F.lit(H)).alias("t"),
+        F.when(hit, 1).otherwise(0).alias("e"),
+    )
+    n_all = subj.agg(F.count("*").alias("n"))
+    times = subj.groupBy("t").agg(
+        F.sum("e").alias("d"),
+        (F.count("*") - F.sum("e")).alias("c"),
+    )
+    wt = W.orderBy("t")
+    risk = times.join(F.broadcast(n_all)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(
+                    wt.rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).alias("n_risk"),
+    )
+    lq = risk.select(
+        "t",
+        "d",
+        "c",
+        "n_risk",
+        F.when(F.col("d") == 0, F.lit(0).cast("bigint"))
+        .when(F.col("d") == F.col("n_risk"), F.lit(None))
+        .otherwise(
+            F.expr(
+                "CAST(ROUND(LN(CAST(n_risk - d AS DOUBLE) / n_risk)"
+                " * 1e6) AS BIGINT)"
+            )
+        )
+        .alias("lqt"),
+    )
+    curve = lq.select(
+        "t",
+        "d",
+        "c",
+        "n_risk",
+        F.sum("lqt").over(wt).alias("cum"),
+        F.max(
+            F.when(F.col("lqt").isNull(), 1).otherwise(0)
+        )
+        .over(wt)
+        .alias("dead"),
+    )
+    return curve.select(
+        F.col("t").cast("long").alias("t_hours"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.col("c").cast("long").alias("n_censored"),
+        F.when(F.col("dead") == 1, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.col("cum").cast("double") / 1e6), 6)
+        )
+        .alias("survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rel_lorenz_gini — exact Gini / Lorenz inequality diagnostics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_lorenz_gini",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS y
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, y,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY y) AS i
+        FROM q
+    ),
+    m AS (
+        SELECT event_type, COUNT(*) AS n, SUM(y) AS sy,
+               SUM(CAST(i AS DECIMAL(38, 0)) * y) AS siy
+        FROM r GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(sy AS BIGINT) AS sum_cents,
+           ROUND((2 * CAST(siy AS DOUBLE)
+                  - (CAST(n AS DOUBLE) + 1) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sy AS DOUBLE)), 6)
+               AS gini
+    FROM m
+    """,
+)
+def rel_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT per event type — the inequality diagnostic
+    data teams run on value/token/traffic distributions (G near 0 =
+    uniform spend, near 1 = whale-dominated), via the exact
+    rank-sum identity G = (2·Σ i·y_(i) − (n+1)·Σy)/(n·Σy) over the
+    ascending-ranked values.
+
+    Exactness: ranks are ROW_NUMBER over (y) — TIES reorder only
+    equal values, so Σ i·y is tie-order-invariant; the rank-weighted
+    sum accumulates in DECIMAL(38,0) on Spark (HUGEINT in DuckDB, the
+    `rel_regr_exact` Σy² precedent — Σ i·y exceeds int64 beyond ~20x
+    this corpus); no libm anywhere, one final display division.
+
+    Scale shape: the global rank is the one all-rows pass (at fleet
+    scale: the `pipe_doc_shuffle` two-phase range-partition global
+    rank); everything after is a per-group aggregate."""
+    t = Tables(spark, sf_dir)
+    q = t.events.select(
+        "event_type",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("y"),
+    )
+    r = q.withColumn(
+        "i",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy("y")
+        ),
+    )
+    m = r.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(
+            F.col("i").cast("decimal(38,0)") * F.col("y")
+        ).alias("siy"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("sy").cast("long").alias("sum_cents"),
+        F.round(
+            (
+                2 * F.col("siy").cast("double")
+                - (F.col("n").cast("double") + 1)
+                * F.col("sy").cast("double")
+            )
+            / (
+                F.col("n").cast("double")
+                * F.col("sy").cast("double")
+            ),
+            6,
+        ).alias("gini"),
+    )

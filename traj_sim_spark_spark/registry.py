@@ -126,6 +126,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "rel_conformal_bounds",
     "rel_ttest_welch",
     "rel_bootstrap_ci",
+    "rel_survival_km",
+    "rel_lorenz_gini",
     "rel_theil_sen",  # re-windowed: round-8 tie-guard rewrite
 )
 
