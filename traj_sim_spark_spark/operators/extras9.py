@@ -1971,3 +1971,138 @@ def rel_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+# ---------------------------------------------------------------------------
+# sketch_hll_distinct — HyperLogLog cardinality, engine-exact registers
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64  # registers (b = 6 index bits of a 32-bit md5 prefix)
+_HLL_W = 26  # rank window bits
+# linear-counting switch E <= 2.5m rewritten as an INTEGER compare on
+# the scaled register sum S = Σ 2^(27 − M_j):
+# E = alpha·m²·2^27/S <= 2.5m  ⇔  S >= alpha·m·2^27/2.5
+_HLL_LC_S = 2437276962
+_HLL_ALPHA = (  # explicit DOUBLEs: bare decimal literals are
+    # DECIMAL-typed with engine-specific scale rules (found at sf0.1)
+    "(CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 64))"
+)
+
+
+@query(
+    "sketch_hll_distinct",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                    1, 8)) AS BIGINT) AS hv
+        FROM events
+    ),
+    rr AS (
+        SELECT hv // 67108864 AS idx,
+               CASE WHEN hv % 67108864 = 0 THEN {_HLL_W + 1}
+                    ELSE {_HLL_W + 1}
+                         - LENGTH(bin(hv % 67108864)) END AS rho
+        FROM h
+    ),
+    regs AS (
+        SELECT g.idx, COALESCE(MAX(rr.rho), 0) AS m
+        FROM (SELECT UNNEST(range(0, {_HLL_M})) AS idx) g
+        LEFT JOIN rr ON rr.idx = g.idx
+        GROUP BY g.idx
+    ),
+    s AS (
+        SELECT CAST(SUM(CAST(2 AS BIGINT)
+                        ** ({_HLL_W + 1} - m)) AS BIGINT) AS s,
+               SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS v
+        FROM regs
+    ),
+    truth AS (
+        SELECT COUNT(DISTINCT user_id) AS d, COUNT(*) AS n
+        FROM events
+    )
+    SELECT CAST(truth.n AS BIGINT) AS n_rows,
+           CAST(truth.d AS BIGINT) AS true_distinct,
+           CAST(s.s AS BIGINT) AS reg_sum_scaled,
+           CAST(s.v AS BIGINT) AS zero_registers,
+           ROUND(CASE WHEN s.v > 0 AND s.s >= {_HLL_LC_S}
+                      THEN {_HLL_M} * LN({_HLL_M} * 1.0 / s.v)
+                      ELSE {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+                           * 134217728.0 / s.s END, 6) AS hll_estimate
+    FROM s, truth
+    """,
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYPERLOGLOG cardinality — the industry-standard distinct
+    sketch (the one `approx_count_distinct` runs internally),
+    completing the sketch family (CMS, KMV, equi-depth histogram):
+    64 registers over a 32-bit md5 prefix (6 index bits + 26-bit rank
+    window), register = max leading-zero rank, raw estimate
+    alpha·m²/Σ2^−M with the standard linear-counting fallback for the
+    small range.
+
+    Engine-exact the house way: ranks come from LENGTH(bin(h)) —
+    identical integer string arithmetic on both engines, no float
+    log2; the register sum is carried SCALED as the integer
+    S = Σ 2^(27−M_j) (≤ 2^33), so the linear-counting switch
+    E ≤ 2.5m becomes the integer compare S ≥ {_HLL_LC_S} (boundary
+    decisions never touch a float); the estimate itself is ONE final
+    display expression.  Output carries the exact S and
+    zero-register count as integer fingerprints beside the display,
+    plus the true distinct for the accuracy read-off.
+
+    Scale shape: the register table is a 64-row aggregate of a
+    map-side-combinable per-register MAX — the canonical mergeable
+    sketch (partition registers merge by max), one scan, O(m)
+    state."""
+    t = Tables(spark, sf_dir)
+    h = t.events.select(
+        F.expr(
+            "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT)"
+        ).alias("hv")
+    ).distinct()
+    rr = h.select(
+        F.expr("hv div 67108864").alias("idx"),
+        F.expr(
+            f"CASE WHEN hv % 67108864 = 0 THEN {_HLL_W + 1}"
+            f" ELSE {_HLL_W + 1} - LENGTH(bin(hv % 67108864)) END"
+        ).alias("rho"),
+    )
+    grid = spark.range(_HLL_M).select(F.col("id").alias("idx"))
+    regs = (
+        grid.join(rr, "idx", "left")
+        .groupBy("idx")
+        .agg(F.coalesce(F.max("rho"), F.lit(0)).alias("m"))
+    )
+    s = regs.agg(
+        F.sum(
+            F.expr(f"CAST(pow(2, {_HLL_W + 1} - m) AS BIGINT)")
+        ).alias("s"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias("v"),
+    )
+    truth = t.events.agg(
+        F.countDistinct("user_id").alias("d"),
+        F.count("*").alias("n"),
+    )
+    return (
+        s.join(F.broadcast(truth))
+        .select(
+            F.col("n").cast("long").alias("n_rows"),
+            F.col("d").cast("long").alias("true_distinct"),
+            F.col("s").cast("long").alias("reg_sum_scaled"),
+            F.col("v").cast("long").alias("zero_registers"),
+            F.round(
+                F.when(
+                    (F.col("v") > 0)
+                    & (F.col("s") >= _HLL_LC_S),
+                    F.expr(f"{_HLL_M} * LN({_HLL_M} * 1.0 / v)"),
+                ).otherwise(
+                    F.expr(
+                        f"{_HLL_ALPHA} * {_HLL_M} * {_HLL_M}"
+                        f" * 134217728.0 / s"
+                    )
+                ),
+                6,
+            ).alias("hll_estimate"),
+        )
+    )

@@ -128,6 +128,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "rel_bootstrap_ci",
     "rel_survival_km",
     "rel_lorenz_gini",
+    "sketch_hll_distinct",
     "rel_theil_sen",  # re-windowed: round-8 tie-guard rewrite
 )
 
