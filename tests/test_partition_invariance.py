@@ -127,6 +127,8 @@ KEYS = [
     # at-risk cumsum + quantized-ln product curve; decimal rank sums
     "rel_survival_km",
     "rel_lorenz_gini",
+    # exact order-statistic clamps (rank windows must not leak order)
+    "rel_winsorized_mean",
     # ordered survivor re-join (md5 of reconstructed string)
     "text_dedup_cut",
     # triangle/degree ratios; DECIMAL covariance ranking with tie-break;

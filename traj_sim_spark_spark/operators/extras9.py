@@ -2106,3 +2106,202 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hll_estimate"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# rel_dp_release — differentially-private histogram release + utility audit
+# ---------------------------------------------------------------------------
+
+_DP_B = 2.0  # Laplace scale b = sensitivity/epsilon = 1/0.5
+_DP_SALT = "dp8"
+
+# seeded Laplace via inverse CDF on an md5 micro-uniform u ∈ [0, 1e6):
+# noise = -b·sign(u') · ln(1 − 2|u'|), u' = (u − 5e5)/1e6 — written once
+# and shared verbatim by both engines ({u} is the integer uniform).
+def _dp_noise_sql(u: str) -> str:
+    return (
+        f"CAST(ROUND(-{_DP_B} * CASE WHEN {u} >= 500000 THEN 1.0"
+        f" ELSE -1.0 END"
+        f" * LN(1.0 - 2.0 * ABS(({u} - 500000.0) / 1000000.0)))"
+        f" AS BIGINT)"
+    )
+
+
+@query(
+    "rel_dp_release",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1
+    ),
+    u AS (
+        SELECT event_type, n,
+               CAST(('0x' || substr(md5(event_type || '#{_DP_SALT}'),
+                                    1, 8)) AS BIGINT) % 1000000 AS uu
+        FROM g
+    ),
+    rel AS (
+        SELECT event_type, n,
+               n + {_dp_noise_sql("uu")} AS n_dp
+        FROM u
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_true,
+           CAST(n_dp AS BIGINT) AS n_released,
+           CAST(ABS(n_dp - n) AS BIGINT) AS abs_err,
+           ROUND(CAST(SUM(ABS(n_dp - n)) OVER () AS DOUBLE)
+                 / SUM(n) OVER (), 6) AS l1_err_ratio
+    FROM rel
+    """,
+)
+def rel_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENTIALLY-PRIVATE histogram release with a utility AUDIT:
+    the per-event-type counts released under the Laplace mechanism
+    (sensitivity 1, ε = 0.5 → b = 2), beside the true counts and the
+    per-cell / total L1 error — the privacy-utility table a data
+    steward reads before publishing (a production release would drop
+    the true columns; the audit op keeps them BECAUSE it is the
+    pre-release measurement).
+
+    Determinism: the Laplace draw is seeded — an md5 micro-uniform
+    per cell (the `pipe_leakage_safe_split` hash recipe) pushed
+    through the inverse CDF, with the single float expression (one
+    LN + ROUND) written verbatim on both engines and landing in an
+    integer noise term; every downstream value is BIGINT except the
+    final ratio display.  Seeded noise is also what a reproducible
+    DP pipeline ships: the release is re-derivable from the salt.
+
+    Scale shape: one map-side-combinable count, noise arithmetic on
+    the handful of released cells."""
+    t = Tables(spark, sf_dir)
+    g = t.events.groupBy("event_type").agg(F.count("*").alias("n"))
+    u = (
+        f"CAST(conv(substr(md5(concat(event_type, '#{_DP_SALT}')),"
+        f" 1, 8), 16, 10) AS BIGINT) % 1000000"
+    )
+    rel = g.selectExpr(
+        "event_type",
+        "n",
+        f"n + {_dp_noise_sql(u)} AS n_dp",
+    )
+    w = W.partitionBy()
+    return rel.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_true"),
+        F.col("n_dp").cast("long").alias("n_released"),
+        F.abs(F.col("n_dp") - F.col("n"))
+        .cast("long")
+        .alias("abs_err"),
+        F.round(
+            F.sum(F.abs(F.col("n_dp") - F.col("n")))
+            .over(w)
+            .cast("double")
+            / F.sum("n").over(w),
+            6,
+        ).alias("l1_err_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rel_winsorized_mean — robust mean via exact order-statistic clamps
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_winsorized_mean",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS y
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, y,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY y) AS i,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM q
+    ),
+    cuts AS (  -- exact p05 / p95 order statistics (ceil(p·n))
+        SELECT event_type,
+               MAX(CASE WHEN i = (5 * n + 99) // 100 THEN y END)
+                   AS lo,
+               MAX(CASE WHEN i = (95 * n + 99) // 100 THEN y END)
+                   AS hi
+        FROM r GROUP BY event_type
+    )
+    SELECT q.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN q.y < c.lo THEN 1
+                         WHEN q.y > c.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped,
+           ROUND(SUM(CASE WHEN q.y < c.lo THEN c.lo
+                          WHEN q.y > c.hi THEN c.hi
+                          ELSE q.y END) * 1.0 / COUNT(*) / 100, 6)
+               AS winsorized_mean,
+           ROUND(SUM(q.y) * 1.0 / COUNT(*) / 100, 6) AS raw_mean
+    FROM q JOIN cuts c USING (event_type)
+    GROUP BY q.event_type
+    """,
+)
+def rel_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZED MEAN per event type (5%/95%) — the robust-mean
+    estimator metric pipelines use when raw means are outlier-
+    dominated and medians discard too much: clamp to the exact p05 /
+    p95 ORDER STATISTICS (rank ceil(p·n) by integer arithmetic — no
+    float percentile interpolation, unlike `rel_agg_percentile`'s
+    contract), then average the clamped values.
+
+    Every decision is integer: centi-quantized values, ROW_NUMBER
+    ranks (ties reorder equal values only), integer ceiling ranks,
+    integer clamp compares and sums; the two mean displays are final
+    divisions.  Output also counts the clamped rows — the outlier-
+    mass diagnostic.
+
+    Scale shape: one per-group rank window + one broadcast of the
+    per-group cut pairs + one aggregation pass (at fleet scale the
+    cuts come from the two-phase global-rank pattern)."""
+    t = Tables(spark, sf_dir)
+    q = t.events.select(
+        "event_type",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("y"),
+    )
+    wp = W.partitionBy("event_type")
+    r = q.select(
+        "event_type",
+        "y",
+        F.row_number().over(wp.orderBy("y")).alias("i"),
+        F.count("*").over(wp).alias("n"),
+    )
+    cuts = r.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("i") == F.expr("(5 * n + 99) div 100"),
+                F.col("y"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("i") == F.expr("(95 * n + 99) div 100"),
+                F.col("y"),
+            )
+        ).alias("hi"),
+    )
+    clamped = F.when(F.col("y") < F.col("lo"), F.col("lo")).when(
+        F.col("y") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("y"))
+    out_flag = F.when(
+        (F.col("y") < F.col("lo")) | (F.col("y") > F.col("hi")), 1
+    ).otherwise(0)
+    return (
+        q.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(out_flag).cast("long").alias("n_clamped"),
+            F.round(
+                F.sum(clamped) * 1.0 / F.count("*") / 100, 6
+            ).alias("winsorized_mean"),
+            F.round(
+                F.sum("y") * 1.0 / F.count("*") / 100, 6
+            ).alias("raw_mean"),
+        )
+    )

@@ -129,6 +129,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "rel_survival_km",
     "rel_lorenz_gini",
     "sketch_hll_distinct",
+    "rel_dp_release",
+    "rel_winsorized_mean",
     "rel_theil_sen",  # re-windowed: round-8 tie-guard rewrite
 )
 
