@@ -156,21 +156,37 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
         heavy[key] = round(min(samples), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "heavy": heavy,
-                "heavy_total": round(sum(heavy.values()), 3),
-                "runs": runs,
-                "sf": sf,
-            }
-        )
-    )
+    # The driver's tail capture keeps only the LAST 2000 characters of
+    # stdout, so the one-line record must stay under that budget or the
+    # per-query mins get front-truncated (BENCH_r07/r08 both lost them,
+    # turning box noise into false regression signals).  Compact form:
+    # no separators whitespace, and medians as a parallel ARRAY aligned
+    # with HEADLINE order ("med"[i] is the median for HEADLINE[i])
+    # instead of a second full key->value dict (~1.8 KB total vs 2.8).
+    # The verbose record (median dict included) goes to BENCH_FULL.json
+    # next to this script for local round-over-round analysis.
+    record = {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "med": [medians[k] for k in HEADLINE],
+        "heavy": heavy,
+        "heavy_total": round(sum(heavy.values()), 3),
+        "runs": runs,
+        "sf": sf,
+    }
+    try:
+        full = dict(record)
+        full["queries_median"] = medians
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_FULL.json"), "w"
+        ) as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: the stdout line is the contract
+    print(json.dumps(record, separators=(",", ":")))
 
 
 if __name__ == "__main__":

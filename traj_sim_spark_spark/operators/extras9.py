@@ -1156,9 +1156,12 @@ def _louvain_oracle() -> str:
            CAST(COALESCE(MAX(intra.l), 0) AS BIGINT)
                AS internal_edges,
            CAST(SUM(n.d) AS BIGINT) AS degree_sum,
-           ROUND(COALESCE(MAX(intra.l), 0) * 1.0 / (SELECT m FROM m)
-                 - (SUM(n.d) * 0.5 / (SELECT m FROM m))
-                   * (SUM(n.d) * 0.5 / (SELECT m FROM m)), 6) + 0.0
+           ROUND(CAST(COALESCE(MAX(intra.l), 0) AS DOUBLE)
+                     / (SELECT m FROM m)
+                 - (CAST(SUM(n.d) AS DOUBLE) * CAST(0.5 AS DOUBLE)
+                       / (SELECT m FROM m))
+                   * (CAST(SUM(n.d) AS DOUBLE) * CAST(0.5 AS DOUBLE)
+                       / (SELECT m FROM m)), 6) + 0.0
                AS q_contrib
     FROM newlab n LEFT JOIN intra ON intra.community = n.community
     GROUP BY n.community
@@ -1313,11 +1316,17 @@ def graph_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_nodes"),
             F.coalesce(F.max("l"), F.lit(0)).alias("internal_edges"),
             F.sum("d").alias("degree_sum"),
+            # literals CAST AS DOUBLE on both engines (the
+            # sketch_hll_distinct house rule: bare decimal literals
+            # type as DECIMAL in DuckDB with engine-specific scale)
             (
                 F.round(
-                    F.coalesce(F.max("l"), F.lit(0)) * 1.0 / F.max("m")
-                    - (F.sum("d") * 0.5 / F.max("m"))
-                    * (F.sum("d") * 0.5 / F.max("m")),
+                    F.coalesce(F.max("l"), F.lit(0)).cast("double")
+                    / F.max("m")
+                    - (F.sum("d").cast("double") * F.lit(0.5)
+                       / F.max("m"))
+                    * (F.sum("d").cast("double") * F.lit(0.5)
+                       / F.max("m")),
                     6,
                 )
                 + 0.0
@@ -1369,9 +1378,9 @@ _CONF_ALPHA_NUM, _CONF_ALPHA_DEN = 9, 10  # 1 - alpha = 9/10
                AS qhat,
            CAST(SUM(CASE WHEN r <= (SELECT q FROM qhat)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
-           ROUND(SUM(CASE WHEN r <= (SELECT q FROM qhat)
-                          THEN 1 ELSE 0 END)
-                 * 1.0 / COUNT(*), 6) AS coverage
+           ROUND(CAST(SUM(CASE WHEN r <= (SELECT q FROM qhat)
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS coverage
     FROM resid WHERE NOT is_cal
     """,
 )
@@ -1457,8 +1466,7 @@ def rel_conformal_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.when(F.col("r") <= F.col("q"), 1).otherwise(
                             0
                         )
-                    )
-                    * 1.0
+                    ).cast("double")
                     / F.count("*"),
                     6,
                 )
@@ -1528,6 +1536,7 @@ _TT_FINAL = f"""
     )
     SELECT {_TT_FINAL}
     FROM m WHERE n1 >= 2 AND n2 >= 2
+      AND (n1 * q1 - s1 * s1 > 0 OR n2 * q2 - s2 * s2 > 0)
     """,
 )
 def rel_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1579,9 +1588,16 @@ def rel_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END)"
         ).alias("q2"),
     )
-    return m.filter("n1 >= 2 AND n2 >= 2").selectExpr(
-        *_split_top_level(_TT_FINAL)
-    )
+    # Membership also excludes the degenerate both-groups-constant
+    # case (SE² = 0 → t = ±inf, whose ROUND/display semantics differ
+    # across engines).  The gate is INTEGER-exact — n·Σy² − (Σy)² is
+    # the variance numerator, ≥ 0 by Cauchy–Schwarz, so "> 0" means
+    # "group has nonzero variance" with no float in the decision —
+    # and is mirrored verbatim in the oracle WHERE clause.
+    return m.filter(
+        "n1 >= 2 AND n2 >= 2"
+        " AND (n1 * q1 - s1 * s1 > 0 OR n2 * q2 - s2 * s2 > 0)"
+    ).selectExpr(*_split_top_level(_TT_FINAL))
 
 
 # ---------------------------------------------------------------------------
@@ -1636,7 +1652,7 @@ def _boot_mult_sql(u: str) -> str:
     )
     SELECT CAST((SELECT COUNT(*) FROM ev) AS BIGINT) AS n_rows,
            CAST((SELECT MAX(nb) FROM ranked) AS BIGINT) AS n_reps,
-           ROUND((SELECT SUM(y) * 1.0 FROM ev)
+           ROUND((SELECT CAST(SUM(y) AS DOUBLE) FROM ev)
                  / (SELECT COUNT(*) FROM ev) / 100, 6) AS mean_full,
            ROUND(CAST((SELECT mq FROM ranked WHERE rn = 2) AS DOUBLE)
                  / 1e8, 6) AS ci_lo,
@@ -1702,7 +1718,7 @@ def rel_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = ev.agg(
         F.count("*").cast("long").alias("n_rows"),
         F.round(
-            F.sum("y") * 1.0 / F.count("*") / 100, 6
+            F.sum("y").cast("double") / F.count("*") / 100, 6
         ).alias("mean_full"),
     )
     lo = ranked.filter("rn = 2").select(
@@ -2025,7 +2041,8 @@ _HLL_ALPHA = (  # explicit DOUBLEs: bare decimal literals are
            CAST(s.s AS BIGINT) AS reg_sum_scaled,
            CAST(s.v AS BIGINT) AS zero_registers,
            ROUND(CASE WHEN s.v > 0 AND s.s >= {_HLL_LC_S}
-                      THEN {_HLL_M} * LN({_HLL_M} * 1.0 / s.v)
+                      THEN {_HLL_M} * LN({_HLL_M}
+                                         * CAST(1.0 AS DOUBLE) / s.v)
                       ELSE {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
                            * 134217728.0 / s.s END, 6) AS hll_estimate
     FROM s, truth
@@ -2095,7 +2112,10 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(
                     (F.col("v") > 0)
                     & (F.col("s") >= _HLL_LC_S),
-                    F.expr(f"{_HLL_M} * LN({_HLL_M} * 1.0 / v)"),
+                    F.expr(
+                        f"{_HLL_M} * LN({_HLL_M}"
+                        f" * CAST(1.0 AS DOUBLE) / v)"
+                    ),
                 ).otherwise(
                     F.expr(
                         f"{_HLL_ALPHA} * {_HLL_M} * {_HLL_M}"
@@ -2117,7 +2137,13 @@ _DP_SALT = "dp8"
 # seeded Laplace via inverse CDF on an md5 micro-uniform u ∈ [0, 1e6):
 # noise = -b·sign(u') · ln(1 − 2|u'|), u' = (u − 5e5)/1e6 — written once
 # and shared verbatim by both engines ({u} is the integer uniform).
+# u = 0 is the CDF singularity (u' = −0.5 → ln(0) = −inf, which DuckDB
+# rejects at the BIGINT cast while Spark saturates — an engine
+# divergence waiting on a future salted hash landing on 0), so the
+# uniform is clamped to [1, 1e6) with GREATEST before the inverse CDF;
+# identical on both engines, and a no-op for every u ≥ 1.
 def _dp_noise_sql(u: str) -> str:
+    u = f"GREATEST({u}, 1)"
     return (
         f"CAST(ROUND(-{_DP_B} * CASE WHEN {u} >= 500000 THEN 1.0"
         f" ELSE -1.0 END"
@@ -2233,11 +2259,12 @@ def rel_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN q.y < c.lo THEN 1
                          WHEN q.y > c.hi THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_clamped,
-           ROUND(SUM(CASE WHEN q.y < c.lo THEN c.lo
+           ROUND(CAST(SUM(CASE WHEN q.y < c.lo THEN c.lo
                           WHEN q.y > c.hi THEN c.hi
-                          ELSE q.y END) * 1.0 / COUNT(*) / 100, 6)
-               AS winsorized_mean,
-           ROUND(SUM(q.y) * 1.0 / COUNT(*) / 100, 6) AS raw_mean
+                          ELSE q.y END) AS DOUBLE) / COUNT(*) / 100,
+                 6) AS winsorized_mean,
+           ROUND(CAST(SUM(q.y) AS DOUBLE) / COUNT(*) / 100, 6)
+               AS raw_mean
     FROM q JOIN cuts c USING (event_type)
     GROUP BY q.event_type
     """,
@@ -2298,10 +2325,10 @@ def rel_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n"),
             F.sum(out_flag).cast("long").alias("n_clamped"),
             F.round(
-                F.sum(clamped) * 1.0 / F.count("*") / 100, 6
+                F.sum(clamped).cast("double") / F.count("*") / 100, 6
             ).alias("winsorized_mean"),
             F.round(
-                F.sum("y") * 1.0 / F.count("*") / 100, 6
+                F.sum("y").cast("double") / F.count("*") / 100, 6
             ).alias("raw_mean"),
         )
     )
