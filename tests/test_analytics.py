@@ -19,19 +19,27 @@ SF = "/root/testdata/sf0.001"
 
 
 def _numpy_lloyd(vecs: np.ndarray, ids: np.ndarray):
+    """Integer micro-unit Lloyd (the round-9 FULL promotion contract):
+    quantize once, integer argmin (ties -> lowest cluster id), exact
+    shifted integer means, final assignment vs the round-4 centroids."""
+    from traj_sim_spark_spark.operators.analytics import _KM_C
+
     order = np.argsort(ids)
     vecs, ids = vecs[order], ids[order]
-    cent = vecs[ids < _KMEANS_K][np.argsort(ids[ids < _KMEANS_K])].copy()
+    q = np.round(vecs * 1e6).astype(np.int64)
+    cent = q[ids < _KMEANS_K][np.argsort(ids[ids < _KMEANS_K])].copy()
     for _ in range(_KMEANS_ITERS):
-        d2 = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        d2 = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)  # argmin ties -> lowest cluster id
         for c in range(_KMEANS_K):
-            members = vecs[assign == c]
+            members = q[assign == c]
             if len(members):
-                cent[c] = members.mean(axis=0)
-    d2 = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                cent[c] = (
+                    members.sum(axis=0) + len(members) * _KM_C
+                ) // len(members) - _KM_C
+    d2 = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
     assign = d2.argmin(axis=1)
-    best = d2[np.arange(len(vecs)), assign]
+    best = d2[np.arange(len(q)), assign]
     return assign, best
 
 
@@ -42,7 +50,8 @@ def test_emb_kmeans_matches_numpy_lloyd(spark):
     assign, best = _numpy_lloyd(vecs, ids)
     exp_counts = np.bincount(assign, minlength=_KMEANS_K)
     exp_wcss = np.array(
-        [best[assign == c].sum() for c in range(_KMEANS_K)]
+        [round(float(best[assign == c].sum()) / 1e12, 4)
+         for c in range(_KMEANS_K)]
     )
 
     got = {
@@ -52,7 +61,7 @@ def test_emb_kmeans_matches_numpy_lloyd(spark):
     for c in range(_KMEANS_K):
         n, w = got.get(c, (0, 0.0))
         assert n == exp_counts[c], f"cluster {c}: {n} != {exp_counts[c]}"
-        assert abs(w - exp_wcss[c]) <= max(1e-6 * exp_wcss[c], 1e-4)
+        assert abs(w - exp_wcss[c]) <= 1e-9, (c, w, exp_wcss[c])
 
 
 def test_sim_knn_pq_matches_numpy_reference(spark):

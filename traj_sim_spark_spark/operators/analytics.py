@@ -173,7 +173,83 @@ def rel_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v1.unionAll(v2)
 
 
-@query("emb_kmeans")  # WEAK: iterative float argmin, not ANSI-SQL
+_KM_C = 100_000_000  # +C mean shift (the emb_kmeans_exact recipe)
+
+
+def _km_oracle() -> str:
+    """Unrolled 4-round integer Lloyd + final assignment, as one DuckDB
+    statement (the `emb_kmeans_exact` template from
+    operators/extras5.py, extended with the 5th assignment pass whose
+    winning d2 feeds the WCSS display)."""
+    k, c = _KMEANS_K, _KM_C
+    ctes = [
+        f"""
+    v AS MATERIALIZED (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(ROUND(UNNEST(embedding) * 1e6) AS BIGINT) AS q
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT CAST(vec_id AS INTEGER) AS cl, i, q AS cq
+        FROM v WHERE vec_id < {k}
+    )"""
+    ]
+    for r in range(1, _KMEANS_ITERS + 1):
+        ctes.append(f"""
+    d{r} AS (
+        SELECT v.vec_id, c.cl,
+               SUM((v.q - c.cq) * (v.q - c.cq)) AS d2
+        FROM v JOIN c{r - 1} c ON c.i = v.i
+        GROUP BY 1, 2
+    ),
+    a{r} AS (
+        SELECT vec_id, cl FROM (
+            SELECT vec_id, cl,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cl) AS rk
+            FROM d{r}
+        ) WHERE rk = 1
+    ),
+    m{r} AS (
+        SELECT a.cl, v.i,
+               CAST((SUM(v.q) + COUNT(*) * {c}) // COUNT(*)
+                    AS BIGINT) - {c} AS cq
+        FROM a{r} a JOIN v ON v.vec_id = a.vec_id
+        GROUP BY 1, 2
+    ),
+    c{r} AS (
+        SELECT p.cl, p.i, COALESCE(m.cq, p.cq) AS cq
+        FROM c{r - 1} p LEFT JOIN m{r} m
+          ON m.cl = p.cl AND m.i = p.i
+    )""")
+    rr = _KMEANS_ITERS
+    return (
+        "WITH " + ",".join(ctes)
+        + f""",
+    df AS (
+        SELECT v.vec_id, c.cl,
+               SUM((v.q - c.cq) * (v.q - c.cq)) AS d2
+        FROM v JOIN c{rr} c ON c.i = v.i
+        GROUP BY 1, 2
+    ),
+    af AS (
+        SELECT vec_id, cl, d2 FROM (
+            SELECT vec_id, cl, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cl) AS rk
+            FROM df
+        ) WHERE rk = 1
+    )
+    SELECT cl,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(CAST(SUM(d2) AS DOUBLE) / 1e12, 4) AS wcss
+    FROM af GROUP BY cl
+    """
+    )
+
+
+@query("emb_kmeans", oracle=_km_oracle)
 def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means (k=8, 4 iterations, deterministic init = the
     k lowest vec_ids) over the 64-d embedding corpus — the iterative
@@ -186,22 +262,38 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash agg. Everything stays a DataFrame; no vector ever reaches the
     driver (the centroid table itself is k x d = small by construction,
     the legitimate broadcast dimension). Output: per-cluster size +
-    within-cluster sum of squares. WEAK row (float argmin has no stable
-    ANSI-SQL twin); pinned against a NumPy Lloyd reference in
-    ``tests/test_analytics.py``.  `emb_kmeans_exact` is the
-    integer-quantized sibling whose whole Lloyd evolution carries a
-    FULL unrolled DuckDB oracle."""
+    within-cluster sum of squares (value units², the final-assignment
+    pass against the round-4 centroids).
+
+    FULL row (promoted round 9, previously the last WEAK pair): the
+    Lloyd loop runs on micro-unit BIGINT coordinates — integer argmin
+    (ties → lowest cluster id), exact shifted integer means
+    floor((Σq + n·C)/n) − C, empty-cluster carry-forward — so the
+    entire 4-round evolution replays bit-exactly as one unrolled
+    DuckDB statement (the `emb_kmeans_exact` recipe, which keeps its
+    own 3-iteration centroid-fingerprint output).  WCSS is exact
+    integer micro² summed wide (DECIMAL(38,0) / HUGEINT — Σd2 can
+    pass int64 on clone probes) with ONE final ÷1e12 display; also
+    pinned against an independent NumPy integer Lloyd in
+    ``tests/test_analytics.py``.
+
+    Scale shape: per round one k-row broadcast + one argmin pass + one
+    (cl, dim) hash agg; quantization changes no asymptotics.  d2 ≤
+    64·(2.4e6)² ≈ 3.7e14 < 2^63 bounds the per-pair products."""
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(ROUND(x * 1e6) AS BIGINT))"
+        ).alias("q"),
     )
-    cent = (
-        emb.filter(F.col("vec_id") < _KMEANS_K)
-        .select(F.col("vec_id").cast("int").alias("cl"), F.col("v").alias("c"))
+    cent = emb.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("cl"),
+        F.col("q").alias("cq"),
     )
     dist2 = F.aggregate(
-        F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
+        F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
     for _ in range(_KMEANS_ITERS):
@@ -211,29 +303,55 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("vec_id")
             .agg(
                 F.min_by("cl", F.struct("d2", "cl")).alias("cl"),
-                F.first("v").alias("v"),
+                F.first("q").alias("q"),
             )
         )
+        means = (
+            assigned.select("cl", F.posexplode("q").alias("i", "x"))
+            .groupBy("cl", "i")
+            .agg(
+                (
+                    F.expr(
+                        f"(sum(x) + count(*) * {_KM_C})"
+                        f" div count(*)"
+                    )
+                    - F.lit(_KM_C)
+                ).alias("cq")
+            )
+        )
+        prev = cent.select("cl", F.posexplode("cq").alias("i", "pq"))
         cent = (
-            assigned.select("cl", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cl", "pos")
-            .agg(F.avg("x").alias("m"))
+            prev.join(means, ["cl", "i"], "left")
+            .select(
+                "cl", "i", F.coalesce("cq", F.col("pq")).alias("cq")
+            )
             .groupBy("cl")
-            .agg(F.array_sort(
-                F.collect_list(F.struct("pos", "m"))
-            ).alias("pm"))
-            .select("cl", F.transform("pm", lambda s: s["m"]).alias("c"))
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("i", "cq"))
+                ).alias("p")
+            )
+            .select(
+                "cl", F.transform("p", lambda s: s["cq"]).alias("cq")
+            )
         )
     final = (
         emb.join(F.broadcast(cent))
         .withColumn("d2", dist2)
         .groupBy("vec_id")
         .agg(F.min(F.struct("d2", "cl")).alias("best"))
-        .select("vec_id", F.col("best.cl").alias("cl"), F.col("best.d2").alias("d2"))
+        .select(
+            F.col("best.cl").alias("cl"),
+            F.col("best.d2").alias("d2"),
+        )
     )
     return final.groupBy("cl").agg(
-        F.count("*").alias("n_vectors"),
-        F.round(F.sum("d2"), 4).alias("wcss"),
+        F.count("*").cast("long").alias("n_vectors"),
+        F.round(
+            F.sum(F.col("d2").cast("decimal(38,0)")).cast("double")
+            / 1e12,
+            4,
+        ).alias("wcss"),
     )
 
 
