@@ -196,25 +196,50 @@ def test_sim_knn_ivfpq_matches_numpy_reference(spark):
 
 
 def test_emb_pca_matches_numpy_reference(spark):
-    """emb_pca must reproduce NumPy PCA under the same determinism
-    contract: exact covariance, power iteration with all-ones init and
-    the fixed iteration count, sign fixed by first nonzero component,
-    second axis via one deflation."""
+    """emb_pca (promoted FULL, round 9) must reproduce an INDEPENDENT
+    NumPy PCA implementing the same quantized contract: 1e-4-quantized
+    coordinates, exact integer mean (shifted floor div), integer
+    covariance numerators, power iteration (all-0.125 init, fixed
+    count, first-nonzero sign fix), one deflation.  NumPy's BLAS
+    matvecs fold in a different order than the engine's pinned
+    seed-first DAG, so the pin is tolerance-based — it catches
+    algorithmic drift, while exactness is the oracle's job."""
     from traj_sim_spark_spark.operators.analytics import (
+        _KM_C,
         _PCA_DIM,
         _PCA_POWER_ITERS,
-        _pca_power,
+        _PCA_Q,
         emb_pca,
     )
 
     tbl = pq.read_table(f"{SF}/embeddings.parquet")
     ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
     vecs = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
-    cv = vecs - vecs.mean(axis=0)
-    cov = (cv[:, :, None] * cv[:, None, :]).mean(axis=0)
-    e1, e2, _ = _pca_power(cov, _PCA_DIM, _PCA_POWER_ITERS)
+    n = len(ids)
+    q = np.floor(np.abs(vecs) * _PCA_Q + 0.5).astype(np.int64) * np.where(
+        vecs < 0, -1, 1
+    )  # ROUND half away from zero, SQL semantics
+    mu = (q.sum(axis=0) + n * _KM_C) // n - _KM_C
+    cv = q - mu
+    cov = (cv.T @ cv).astype(np.float64)
+
+    def top(mat):
+        v = np.full(_PCA_DIM, 0.125)
+        for _ in range(_PCA_POWER_ITERS):
+            w = mat @ v
+            v = w / np.linalg.norm(w)
+        if v[np.flatnonzero(v)[0]] < 0:
+            v = -v
+        return v
+
+    e1 = top(cov)
+    lam = float(e1 @ cov @ e1)
+    e2 = top(cov - lam * np.outer(e1, e1))
     exp = {
-        int(i): (round(float(c @ e1), 6), round(float(c @ e2), 6))
+        int(i): (
+            round(float(c @ e1) / _PCA_Q, 6),
+            round(float(c @ e2) / _PCA_Q, 6),
+        )
         for i, c in zip(ids, cv)
     }
 
@@ -224,8 +249,8 @@ def test_emb_pca_matches_numpy_reference(spark):
     }
     assert set(got) == set(exp)
     for v in exp:
-        assert abs(got[v][0] - exp[v][0]) <= 2e-6, (v, got[v], exp[v])
-        assert abs(got[v][1] - exp[v][1]) <= 2e-6, (v, got[v], exp[v])
+        assert abs(got[v][0] - exp[v][0]) <= 1e-4, (v, got[v], exp[v])
+        assert abs(got[v][1] - exp[v][1]) <= 1e-4, (v, got[v], exp[v])
 
 
 def test_kmeans_exact_matches_integer_lloyd(spark):

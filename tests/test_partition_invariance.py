@@ -106,8 +106,10 @@ KEYS = [
     "graph_temporal_reach",
     # integer Lloyd rounds (argmin + shifted means)
     "emb_kmeans_exact",
-    # round-9 FULL promotion: 4-round integer Lloyd + exact WCSS
+    # round-9 FULL promotions: 4-round integer Lloyd + exact WCSS;
+    # integer covariance + pinned-DAG power iteration
     "emb_kmeans",
+    "emb_pca",
     # per-subspace integer Lloyd + ADC sum
     "sim_knn_pq_exact",
     # round-8 FULL promotions: integer Lloyd on raw / coarse-residual

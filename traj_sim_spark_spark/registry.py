@@ -94,44 +94,75 @@ _MODULES = (
 # their registration order after it. Unknown names are skipped, so the
 # list can be staged before its keys exist.
 #
-# ROUND-8 WINDOW (executed this round): the 5 FULL keys with no
-# hash-green driver row through round 7 (the round-7 rotation's stale
-# no_oracle rows hid them — VERDICT r07 item 1), followed by the
-# round-8 additions (extras9) and any key rewritten since its last
-# green row.  Unknown names are skipped, so staged keys may precede
-# their implementation; leftover slots up to 50 fall through to
-# registration order restricted to ORACLE-BEARING keys (load_all sorts
-# oracle-less keys last), re-checking already-green keys harmlessly.
+# ROUND-9 WINDOW (cumulative coverage is COMPLETE as of r08 — every
+# oracle-bearing key has a hash-green row): spend the 50 slots on
+# (a) the 2 round-9 FULL promotions (emb_kmeans/emb_pca — the only
+# keys with NO hash row ever, previously WEAK-by-design), (b) the 7
+# keys whose display expressions were rewritten this round (numeric
+# edge-case guards + CAST-literal-AS-DOUBLE — value-identical, local
+# dual-scale gates re-passed, but the mover protocol re-windows every
+# key rewritten since its last green row), (c) staged round-9
+# additions (unknown names are skipped until they land), and (d) the
+# oldest-evidence keys — the 47 whose only hash-green row dates to
+# round 1 (pre-list-layer-oracle, pre-AQE-tuning engine states) — as
+# many as fit.  Leftover slots fall through to registration order
+# restricted to ORACLE-BEARING keys.
 _WINDOW_FIRST: tuple[str, ...] = (
-    # the 5 promoted-but-never-hash-checked DP search tiers (r07 gap)
-    "traj_frechet_knn",
-    "traj_frechet_threshold",
-    "traj_dtw_knn",
-    "traj_dtw_threshold",
-    "traj_frechet_knn_2d",
-    # re-windowed: promoted WEAK->FULL this round (integer-quantized
-    # codebooks — semantics rewritten, mover protocol)
-    "sim_knn_pq",
-    "sim_knn_ivfpq",
-    # round-8 additions (extras9)
-    "rel_ols_multi",
-    "rel_isotonic_fit",
-    "text_zipf_fit",
-    "emb_rp_tree_knn",
-    "pipe_dedup_cascade_audit",
-    "pipe_tokenizer_compare",
-    "sim_knn_graph_greedy",
+    # (a) round-9 FULL promotions, never driver-hash-checked
+    "emb_kmeans",
+    "emb_pca",
+    # (b) round-9 display/guard rewrites (extras9)
     "graph_louvain_move",
-    "stream_late_audit",
     "rel_conformal_bounds",
     "rel_ttest_welch",
     "rel_bootstrap_ci",
-    "rel_survival_km",
-    "rel_lorenz_gini",
+    "rel_winsorized_mean",
     "sketch_hll_distinct",
     "rel_dp_release",
-    "rel_winsorized_mean",
-    "rel_theil_sen",  # re-windowed: round-8 tie-guard rewrite
+    # (c) staged round-9 additions
+    "text_substring_dedup",
+    "text_corpus_drift",
+    # (d) oldest-evidence rotation: r01-only keys, registration order
+    # (the ~8 that don't fit this window lead the round-10 rotation)
+    "rel_scan_project",
+    "rel_scan_filter",
+    "src_json_props",
+    "rel_filter_complex",
+    "rel_expr_case",
+    "rel_null_handling",
+    "rel_join_broadcast",
+    "rel_join_smj",
+    "rel_join_multiway",
+    "rel_join_outer",
+    "rel_join_semi",
+    "rel_join_anti",
+    "rel_join_theta_band",
+    "rel_join_asof",
+    "sim_band_join",
+    "rel_agg_basic",
+    "rel_agg_distinct",
+    "rel_agg_rollup",
+    "rel_agg_cube",
+    "rel_agg_having",
+    "traj_stats",
+    "rel_agg_percentile",
+    "rel_agg_stats",
+    "rel_win_rank",
+    "rel_win_lag",
+    "rel_win_moving",
+    "rel_win_range_time",
+    "rel_topk_global",
+    "rel_topk_pergroup",
+    "rel_win_distribution",
+    "rel_win_nav",
+    "rel_union_all",
+    "rel_intersect",
+    "rel_except",
+    "rel_scalar_string",
+    "rel_scalar_date",
+    "rel_scalar_math",
+    "rel_scalar_array",
+    "rel_scalar_map_json",
 )
 
 _loaded = False
