@@ -1032,13 +1032,16 @@ def sim_knn_graph_greedy(
         .distinct()
     )
     # Adjacency annotated with each target's query distance, built
-    # ONCE (one job; repartition(1) — NOT coalesce, which would
-    # single-thread the upstream pair generation — so the per-hop
-    # filter scans one tiny task)
-    # and navigated with BOUNDED per-hop collects — each hop reads
-    # <= out-degree (10) rows, the extras6 "<=k-row collected
-    # shortlist" house artifact; the argmin is exact integer (dd, id),
-    # so the driver-side min() mirrors the oracle's ROW_NUMBER.
+    # ONCE and PARTITIONED BY SOURCE NODE (hash on s; localCheckpoint
+    # so the 6 navigation joins scan the materialized edge set instead
+    # of re-deriving the pair generation per hop).  Round-9 rewrite:
+    # the walk itself is DECLARATIVE — the whole 6-hop chain is one
+    # Spark plan carrying the navigation trace as a 1-row
+    # array<struct<hop,node,dd>> state, each hop one broadcast join
+    # (the 1-row state is the broadcast side) + one tiny argmin agg —
+    # no per-hop driver collect, no repartition(1) single-task chain,
+    # no createDataFrame.  The argmin is exact integer (dd, id), so
+    # the struct MIN mirrors the oracle's ROW_NUMBER tie-break.
     nd = (
         nbrs.join(
             qd.select(
@@ -1047,33 +1050,68 @@ def sim_knn_graph_greedy(
             "t",
         )
         .select("s", "t", "tdd")
-        .repartition(1)
+        .repartition(4, "s")
         .localCheckpoint()
     )
-    entry = (
+    state = (
         qd.filter(F.col("vec_id") != _NSW_QUERY)
         .orderBy("vec_id")
         .limit(1)
-        .collect()[0]
-    )
-    node, dd = entry["vec_id"], entry["dd"]
-    chain = [(0, node, dd)]
-    for r in range(1, _NSW_HOPS + 1):
-        frontier = nd.filter(F.col("s") == F.lit(node)).collect()
-        dd, node = min(
-            [(row["tdd"], row["t"]) for row in frontier]
-            + [(dd, node)]
+        .select(
+            F.array(
+                F.struct(
+                    F.lit(0).cast("bigint").alias("hop"),
+                    F.col("vec_id").alias("node"),
+                    F.col("dd").alias("dd"),
+                )
+            ).alias("chain")
         )
-        chain.append((r, node, dd))
-    out = spark.createDataFrame(
-        [(h, int(n), int(d)) for h, n, d in chain],
-        "hop bigint, vec_id bigint, dd bigint",
     )
-    return out.select(
-        "hop",
-        "vec_id",
-        F.round(F.col("dd").cast("double") / 1e12, 6).alias("l2_sq"),
-    ).orderBy("hop")
+    for r in range(1, _NSW_HOPS + 1):
+        cur = F.element_at(F.col("chain"), -1)
+        # every node keeps >= 3 skip links (s != t, t != query are the
+        # only prunes and |skips| = 3 distinct offsets), so the inner
+        # join can never drop the 1-row state
+        best = (
+            nd.join(F.broadcast(state), F.col("s") == cur["node"])
+            .groupBy("chain")
+            .agg(F.min(F.struct("tdd", "t")).alias("b"))
+        )
+        cur2 = F.element_at(F.col("chain"), -1)
+        better = (F.col("b.tdd") < cur2["dd"]) | (
+            (F.col("b.tdd") == cur2["dd"])
+            & (F.col("b.t") < cur2["node"])
+        )
+        step = F.when(
+            better,
+            F.struct(
+                F.lit(r).cast("bigint").alias("hop"),
+                F.col("b.t").alias("node"),
+                F.col("b.tdd").alias("dd"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.lit(r).cast("bigint").alias("hop"),
+                cur2["node"].alias("node"),
+                cur2["dd"].alias("dd"),
+            )
+        )
+        state = best.select(
+            F.concat("chain", F.array(step)).alias("chain")
+        )
+    return (
+        state.select(
+            F.explode("chain").alias("c")
+        )
+        .select(
+            F.col("c.hop").alias("hop"),
+            F.col("c.node").alias("vec_id"),
+            F.round(
+                F.col("c.dd").cast("double") / 1e12, 6
+            ).alias("l2_sq"),
+        )
+        .orderBy("hop")
+    )
 
 
 # ---------------------------------------------------------------------------
