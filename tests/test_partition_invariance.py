@@ -135,6 +135,10 @@ KEYS = [
     "rel_winsorized_mean",
     # ordered survivor re-join (md5 of reconstructed string)
     "text_dedup_cut",
+    # round-9 adds: two-step gram-ownership argmin + gaps-islands
+    # window; global top-N window ordered (count DESC, token)
+    "text_substring_dedup",
+    "text_corpus_drift",
     # triangle/degree ratios; DECIMAL covariance ranking with tie-break;
     # Arrow byte-scan
     "graph_clustering_coeff",

@@ -1,0 +1,359 @@
+"""Round-9 additions: exact substring-level deduplication (the cut
+itself, not just the coverage statistic) and corpus drift diagnostics.
+
+- ``text_substring_dedup`` — suffix k-gram WINDOW DEDUP (Lee et al.,
+  "Deduplicating Training Data Makes Language Models Better",
+  ACL'22): every 8-token run that occurs >= 2 times in the corpus is
+  excised from all-but-its-first occurrence (first = lowest
+  (doc_id, position)); per doc the cut spans union exactly, yielding
+  cut/kept token counts and span counts — the fourth classic
+  LLM-corpus dedup mode beside doc-level exact / MinHash / semantic
+  (``text_exact_dedup`` / ``text_minhash_neardup`` /
+  ``pipe_dedup_semantic``).  `text_dup_ngram_coverage` measures how
+  much IS duplicated; this op decides what to CUT.
+- ``text_corpus_drift`` — token-distribution shift between two corpus
+  snapshots (even/odd doc_id halves): per top-vocab token the exact
+  integer counts in each half plus per-token chi-squared and KL
+  contributions as single shared float displays — `emb_drift`'s text
+  twin, the monitoring table a training-data pipeline recomputes per
+  snapshot to catch source drift before it reaches the model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+
+# ---------------------------------------------------------------------------
+# text_substring_dedup — suffix k-gram window dedup (the cut decision)
+# ---------------------------------------------------------------------------
+
+_SSD_N = 8  # k-gram (token) window length — the dedup unit
+
+
+@query(
+    "text_substring_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    starts AS (
+        SELECT t.doc_id, s.i,
+               array_to_string(list_slice(t.l, s.i, s.i + {_SSD_N - 1}),
+                               ' ') AS gram
+        FROM toks t,
+             UNNEST(generate_series(1, len(t.l) - {_SSD_N - 1}))
+                 AS s(i)
+    ),
+    dup AS (
+        SELECT gram FROM starts GROUP BY gram HAVING COUNT(*) >= 2
+    ),
+    occ AS (
+        SELECT s.doc_id, s.i, s.gram
+        FROM starts s JOIN dup USING (gram)
+    ),
+    o1 AS (SELECT gram, MIN(doc_id) AS od FROM occ GROUP BY gram),
+    owner AS (
+        SELECT o.gram, o1.od, MIN(o.i) AS oi
+        FROM occ o JOIN o1 ON o1.gram = o.gram AND o.doc_id = o1.od
+        GROUP BY o.gram, o1.od
+    ),
+    cut AS (
+        SELECT o.doc_id, o.i,
+               LEAD(o.i) OVER (PARTITION BY o.doc_id ORDER BY o.i)
+                   AS nxt,
+               LAG(o.i) OVER (PARTITION BY o.doc_id ORDER BY o.i)
+                   AS prv
+        FROM occ o JOIN owner w ON w.gram = o.gram
+        WHERE NOT (o.doc_id = w.od AND o.i = w.oi)
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_cut_occ,
+               CAST(SUM(LEAST({_SSD_N},
+                              COALESCE(nxt - i, {_SSD_N})))
+                    AS BIGINT) AS cut_tok,
+               CAST(SUM(CASE WHEN prv IS NULL
+                             OR i - prv > {_SSD_N} THEN 1
+                        ELSE 0 END) AS BIGINT) AS cut_spans
+        FROM cut GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.l) AS BIGINT) AS n_tok,
+           CAST(COALESCE(a.n_cut_occ, 0) AS BIGINT) AS n_cut_occ,
+           CAST(COALESCE(a.cut_spans, 0) AS BIGINT) AS cut_spans,
+           COALESCE(a.cut_tok, 0) AS cut_tok,
+           CAST(len(t.l) AS BIGINT) - COALESCE(a.cut_tok, 0)
+               AS kept_tok,
+           ROUND((CAST(len(t.l) AS DOUBLE) - COALESCE(a.cut_tok, 0))
+                 / len(t.l), 6) AS kept_ratio
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUFFIX K-GRAM WINDOW DEDUP — the exact substring-level dedup
+    CUT (Lee et al., ACL'22): any 8-token window occurring at least
+    twice in the corpus is excised from every occurrence EXCEPT the
+    first (first = lowest (doc_id, start position) — the canonical
+    keep-one rule), and each document reports the merged cut spans:
+    occurrence count, span count, cut/kept token counts, kept ratio.
+    A pipeline applies the cut by dropping the token intervals; the
+    decision table here IS the dedup (the doc-level family's fourth
+    mode — exact, MinHash, semantic, and now substring).
+
+    Exactness: ownership is a two-step integer argmin (MIN(doc_id)
+    per gram, then MIN(i) within that doc — skew-safe map-side
+    combinable aggregations, no per-gram window sort), interval
+    union via the LEAD + LEAST(n, next-start) identity, span count
+    via the gaps-islands LAG test (new span when the previous cut
+    start is > n back) — integers end to end; the ratio is one
+    display ROUND with the numerator CAST AS DOUBLE.
+
+    Scale shape: one shingle pass (doc-parallel after the pre-explode
+    repartition), two gram-keyed hash aggs (duplicate filter +
+    ownership) that shard by hash like any aggregation — hot grams
+    are big counters, not big groups, because ownership is MIN not
+    ROW_NUMBER — one semi-shaped join back, and a per-doc window
+    over at most n_tok rows.  No global sort; the practical 100 TB
+    stand-in for a suffix array, with the cut rule preserved."""
+    n = _SSD_N
+    t = Tables(spark, sf_dir)
+    toks = t.documents.repartition(32, "doc_id").select(
+        "doc_id", F.split("text", " ").alias("l")
+    )
+    starts = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("l") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("l") - (n - 1)),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.array_join(
+                            F.slice("l", i, n), " "
+                        ).alias("gram"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("s"),
+    ).select(
+        "doc_id", F.col("s.i").alias("i"), F.col("s.gram").alias("gram")
+    )
+    dup = (
+        starts.groupBy("gram")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gram")
+    )
+    occ = starts.join(dup, "gram", "left_semi")
+    o1 = occ.groupBy("gram").agg(F.min("doc_id").alias("od")).select(
+        F.col("gram").alias("g1"), "od"
+    )
+    owner = (
+        occ.join(
+            o1,
+            (F.col("gram") == F.col("g1"))
+            & (F.col("doc_id") == F.col("od")),
+        )
+        .groupBy(F.col("g1").alias("g"), "od")
+        .agg(F.min("i").alias("oi"))
+    )
+    cut = (
+        occ.join(owner, F.col("gram") == F.col("g"))
+        .filter(
+            ~((F.col("doc_id") == F.col("od")) & (F.col("i") == F.col("oi")))
+        )
+        .select("doc_id", "i")
+    )
+    w = W.partitionBy("doc_id").orderBy("i")
+    spans = cut.select(
+        "doc_id",
+        "i",
+        F.lead("i").over(w).alias("nxt"),
+        F.lag("i").over(w).alias("prv"),
+    )
+    agg = spans.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_cut_occ"),
+        F.sum(
+            F.least(
+                F.lit(n), F.coalesce(F.col("nxt") - F.col("i"), F.lit(n))
+            )
+        )
+        .cast("bigint")
+        .alias("cut_tok"),
+        F.sum(
+            F.when(
+                F.col("prv").isNull() | (F.col("i") - F.col("prv") > n),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("cut_spans"),
+    )
+    return (
+        toks.select("doc_id", F.size("l").cast("bigint").alias("n_tok"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce("n_cut_occ", F.lit(0))
+            .cast("bigint")
+            .alias("n_cut_occ"),
+            F.coalesce("cut_spans", F.lit(0))
+            .cast("bigint")
+            .alias("cut_spans"),
+            F.coalesce("cut_tok", F.lit(0)).alias("cut_tok"),
+            (F.col("n_tok") - F.coalesce("cut_tok", F.lit(0))).alias(
+                "kept_tok"
+            ),
+            F.round(
+                (
+                    F.col("n_tok").cast("double")
+                    - F.coalesce("cut_tok", F.lit(0))
+                )
+                / F.col("n_tok"),
+                6,
+            ).alias("kept_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_corpus_drift — token-distribution shift between snapshot halves
+# ---------------------------------------------------------------------------
+
+_DRIFT_TOPN = 50  # monitored vocabulary size
+
+# per-token 2x2 chi-squared (a = cnt_a, b = cnt_b vs the rest of each
+# half) and the KL(p_a || p_b) contribution, as single shared float
+# display expressions over exact integer counts (< 2^53, so the DOUBLE
+# casts are identical on both engines); {a} {b} {ta} {tb} are column
+# names.  Literals CAST AS DOUBLE per the house rule.
+def _drift_chi2_sql(a: str, b: str, ta: str, tb: str) -> str:
+    return (
+        f"ROUND((CAST({ta} AS DOUBLE) + CAST({tb} AS DOUBLE))"
+        f" * (CAST({a} AS DOUBLE) * (CAST({tb} AS DOUBLE)"
+        f"        - CAST({b} AS DOUBLE))"
+        f"    - CAST({b} AS DOUBLE) * (CAST({ta} AS DOUBLE)"
+        f"        - CAST({a} AS DOUBLE)))"
+        f" * (CAST({a} AS DOUBLE) * (CAST({tb} AS DOUBLE)"
+        f"        - CAST({b} AS DOUBLE))"
+        f"    - CAST({b} AS DOUBLE) * (CAST({ta} AS DOUBLE)"
+        f"        - CAST({a} AS DOUBLE)))"
+        f" / (CAST({a} AS DOUBLE) + CAST({b} AS DOUBLE))"
+        f" / (CAST({ta} AS DOUBLE) - CAST({a} AS DOUBLE)"
+        f"    + CAST({tb} AS DOUBLE) - CAST({b} AS DOUBLE))"
+        f" / CAST({ta} AS DOUBLE) / CAST({tb} AS DOUBLE), 6) + 0.0"
+    )
+
+
+def _drift_kl_sql(a: str, b: str, ta: str, tb: str) -> str:
+    return (
+        f"ROUND((CAST({a} AS DOUBLE) / CAST({ta} AS DOUBLE))"
+        f" * LN((CAST({a} AS DOUBLE) / CAST({ta} AS DOUBLE))"
+        f"      / (CAST({b} AS DOUBLE) / CAST({tb} AS DOUBLE))), 6)"
+        f" + 0.0"
+    )
+
+
+@query(
+    "text_corpus_drift",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id % 2 AS half, UNNEST(string_split(text, ' '))
+                   AS token
+        FROM documents
+    ),
+    cnt AS (
+        SELECT token,
+               SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS cnt_a,
+               SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cnt_b
+        FROM tok GROUP BY token
+    ),
+    tot AS (
+        SELECT SUM(cnt_a) AS ta, SUM(cnt_b) AS tb FROM cnt
+    ),
+    top AS (
+        SELECT token, cnt_a, cnt_b FROM (
+            SELECT token, cnt_a, cnt_b,
+                   ROW_NUMBER() OVER (ORDER BY cnt_a + cnt_b DESC,
+                                      token) AS rk
+            FROM cnt WHERE cnt_a >= 1 AND cnt_b >= 1
+        ) WHERE rk <= {_DRIFT_TOPN}
+    )
+    SELECT t.token,
+           CAST(t.cnt_a AS BIGINT) AS cnt_a,
+           CAST(t.cnt_b AS BIGINT) AS cnt_b,
+           CAST(tot.ta AS BIGINT) AS total_a,
+           CAST(tot.tb AS BIGINT) AS total_b,
+           {_drift_chi2_sql("t.cnt_a", "t.cnt_b", "tot.ta", "tot.tb")}
+               AS chi2_cell,
+           {_drift_kl_sql("t.cnt_a", "t.cnt_b", "tot.ta", "tot.tb")}
+               AS kl_term
+    FROM top t, tot
+    """,
+)
+def text_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS DRIFT between two snapshots (even/odd doc_id halves —
+    the deterministic stand-in for consecutive crawl snapshots): per
+    top-{_DRIFT_TOPN} vocabulary token, the exact integer counts in
+    each half plus the per-token chi-squared contribution (2x2 token
+    vs rest-of-half contingency) and the KL(p_a || p_b) term — the
+    drift-monitoring table (`emb_drift`'s text twin) a training-data
+    pipeline recomputes per snapshot; a spike in either column names
+    the token whose rate shifted.
+
+    Exactness: counts are one map-side-combinable integer hash agg;
+    vocabulary membership is an integer decision (total count DESC,
+    token tie-break, both halves >= 1 so neither display hits a
+    zero denominator or LN(0)); chi-squared and KL are single shared
+    float display expressions over integer counts < 2^53 (identical
+    DOUBLE casts both engines, per-CELL terms per the
+    `rel_chi2_cells` discipline — never a float running sum), with
+    + 0.0 on both (the KL term is sign-crossing; chi2's subtraction
+    can round to -0).
+
+    Scale shape: one tokenize-explode pass, one token-keyed hash agg,
+    a 1-row totals broadcast, a top-N window over the (bounded) token
+    vocabulary, and 50 final display rows."""
+    t = Tables(spark, sf_dir)
+    tok = t.documents.repartition(32, "doc_id").select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    cnt = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias(
+            "cnt_a"
+        ),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias(
+            "cnt_b"
+        ),
+    )
+    tot = cnt.agg(
+        F.sum("cnt_a").alias("ta"), F.sum("cnt_b").alias("tb")
+    )
+    top = (
+        cnt.filter((F.col("cnt_a") >= 1) & (F.col("cnt_b") >= 1))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.orderBy(
+                    (F.col("cnt_a") + F.col("cnt_b")).desc(), "token"
+                )
+            ),
+        )
+        .filter(F.col("rk") <= _DRIFT_TOPN)
+    )
+    return top.join(F.broadcast(tot)).selectExpr(
+        "token",
+        "CAST(cnt_a AS BIGINT) AS cnt_a",
+        "CAST(cnt_b AS BIGINT) AS cnt_b",
+        "CAST(ta AS BIGINT) AS total_a",
+        "CAST(tb AS BIGINT) AS total_b",
+        f"{_drift_chi2_sql('cnt_a', 'cnt_b', 'ta', 'tb')}"
+        f" AS chi2_cell",
+        f"{_drift_kl_sql('cnt_a', 'cnt_b', 'ta', 'tb')} AS kl_term",
+    )

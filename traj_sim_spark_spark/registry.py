@@ -82,6 +82,8 @@ _MODULES = (
     "traj_sim_spark_spark.operators.extras8",
     # round-8 additions (windowed this round via _WINDOW_FIRST)
     "traj_sim_spark_spark.operators.extras9",
+    # round-9 additions (windowed this round via _WINDOW_FIRST)
+    "traj_sim_spark_spark.operators.extras10",
 )
 
 # Explicit driver-window ordering: after load_all() the first keys of
