@@ -101,7 +101,13 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence count, span count, cut/kept token counts, kept ratio.
     A pipeline applies the cut by dropping the token intervals; the
     decision table here IS the dedup (the doc-level family's fourth
-    mode — exact, MinHash, semantic, and now substring).
+    mode — exact, MinHash, semantic, and now substring).  Differs
+    from the existing pair: `text_dup_ngram_coverage` only MEASURES
+    duplication, and `text_dedup_cut` excises EVERY occurrence
+    (destroying all copies of the content); this op is the
+    keep-one-copy variant a corpus curator actually ships, which
+    needs the global first-occurrence ownership decision the other
+    two avoid.
 
     Exactness: ownership is a two-step integer argmin (MIN(doc_id)
     per gram, then MIN(i) within that doc — skew-safe map-side
