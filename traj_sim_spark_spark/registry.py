@@ -109,6 +109,16 @@ _MODULES = (
 # round 1 (pre-list-layer-oracle, pre-AQE-tuning engine states) — as
 # many as fit.  Leftover slots fall through to registration order
 # restricted to ORACLE-BEARING keys.
+#
+# ROUND-10 ROTATION PLAN (compute fresh from the raw CORRECTNESS
+# JSONs — don't trust this list if windows changed): after the r09
+# run lands, 52 keys still carry only rounds-1/2 evidence: the 8
+# r01-only similarity keys that missed this window (sim_pair_distance
+# sim_knn sim_threshold_join sim_topk_join sim_dedup_exact
+# sim_knn_ivf sim_centroid sim_knn_ivf_centroid) plus the 44 r02-only
+# keys (src_csv/jsonl, the traj_ hausdorff/assemble/range tier,
+# text_ classics, stream_ basics, udf_/udtf_).  That pool fits the
+# round-10 + round-11 windows with room for round-10 additions.
 _WINDOW_FIRST: tuple[str, ...] = (
     # (a) round-9 FULL promotions, never driver-hash-checked
     "emb_kmeans",
