@@ -136,9 +136,12 @@ KEYS = [
     # ordered survivor re-join (md5 of reconstructed string)
     "text_dedup_cut",
     # round-9 adds: two-step gram-ownership argmin + gaps-islands
-    # window; global top-N window ordered (count DESC, token)
+    # window; global top-N window ordered (count DESC, token);
+    # ordered kept-text rebuild (md5); wedge-sum top-N window
     "text_substring_dedup",
     "text_corpus_drift",
+    "text_substring_dedup_apply",
+    "graph_adamic_adar",
     # triangle/degree ratios; DECIMAL covariance ranking with tie-break;
     # Arrow byte-scan
     "graph_clustering_coeff",

@@ -363,3 +363,312 @@ def text_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" AS chi2_cell",
         f"{_drift_kl_sql('cnt_a', 'cnt_b', 'ta', 'tb')} AS kl_term",
     )
+
+
+# ---------------------------------------------------------------------------
+# text_substring_dedup_apply — the keep-first cut APPLIED (kept text)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_substring_dedup_apply",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    starts AS (
+        SELECT t.doc_id, s.i,
+               array_to_string(list_slice(t.l, s.i, s.i + {_SSD_N - 1}),
+                               ' ') AS gram
+        FROM toks t,
+             UNNEST(generate_series(1, len(t.l) - {_SSD_N - 1}))
+                 AS s(i)
+    ),
+    dup AS (
+        SELECT gram FROM starts GROUP BY gram HAVING COUNT(*) >= 2
+    ),
+    occ AS (
+        SELECT s.doc_id, s.i, s.gram
+        FROM starts s JOIN dup USING (gram)
+    ),
+    o1 AS (SELECT gram, MIN(doc_id) AS od FROM occ GROUP BY gram),
+    owner AS (
+        SELECT o.gram, o1.od, MIN(o.i) AS oi
+        FROM occ o JOIN o1 ON o1.gram = o.gram AND o.doc_id = o1.od
+        GROUP BY o.gram, o1.od
+    ),
+    cut AS (
+        SELECT o.doc_id, o.i
+        FROM occ o JOIN owner w ON w.gram = o.gram
+        WHERE NOT (o.doc_id = w.od AND o.i = w.oi)
+    ),
+    cov AS (
+        SELECT DISTINCT c.doc_id, c.i + g.o AS pos
+        FROM cut c, UNNEST(generate_series(0, {_SSD_N - 1})) AS g(o)
+    ),
+    tp AS (
+        SELECT t.doc_id, s.i AS pos, t.l[s.i] AS tok
+        FROM toks t, UNNEST(generate_series(1, len(t.l))) AS s(i)
+    ),
+    kept AS (
+        SELECT tp.doc_id, tp.pos, tp.tok
+        FROM tp LEFT JOIN cov
+          ON cov.doc_id = tp.doc_id AND cov.pos = tp.pos
+        WHERE cov.doc_id IS NULL
+    ),
+    rec AS (
+        SELECT doc_id, COUNT(*) AS kept_tok,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS kept_md5
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.l) AS BIGINT) AS n_tok,
+           CAST(COALESCE(r.kept_tok, 0) AS BIGINT) AS kept_tok,
+           COALESCE(r.kept_md5, md5('')) AS kept_md5
+    FROM toks t LEFT JOIN rec r USING (doc_id)
+    """,
+)
+def text_substring_dedup_apply(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE KEEP-FIRST SUBSTRING CUT APPLIED — `text_substring_dedup`
+    decides, this op TRANSFORMS: every token position covered by a
+    non-owned duplicated 8-token window is excised, the surviving
+    tokens re-join in order, and the md5 of the reconstructed kept
+    text certifies both engines rebuild the identical string (the
+    `text_dedup_cut` certification pattern under the keep-one-copy
+    ownership rule).  An exact duplicate of an earlier document keeps
+    nothing (kept_md5 = md5('')) — the degenerate case where
+    substring dedup subsumes doc-level exact dedup; the first copy
+    keeps everything.
+
+    Shape: the decision chain is shared verbatim with
+    `text_substring_dedup` (two skew-safe gram-ownership hash aggs);
+    the apply adds a LINEAR position explode (each cut start fans to
+    its n=8 positions — never a position x start range join), one
+    distinct, one anti-join against the token-position table, and a
+    per-doc ordered string rebuild.  Every stage shuffles on
+    (doc, position) hash keys at 100 TB."""
+    n = _SSD_N
+    t = Tables(spark, sf_dir)
+    toks = t.documents.repartition(32, "doc_id").select(
+        "doc_id", F.split("text", " ").alias("l")
+    )
+    starts = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("l") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("l") - (n - 1)),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.array_join(
+                            F.slice("l", i, n), " "
+                        ).alias("gram"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("s"),
+    ).select(
+        "doc_id", F.col("s.i").alias("i"), F.col("s.gram").alias("gram")
+    )
+    dup = (
+        starts.groupBy("gram")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gram")
+    )
+    occ = starts.join(dup, "gram", "left_semi")
+    o1 = occ.groupBy("gram").agg(F.min("doc_id").alias("od")).select(
+        F.col("gram").alias("g1"), "od"
+    )
+    owner = (
+        occ.join(
+            o1,
+            (F.col("gram") == F.col("g1"))
+            & (F.col("doc_id") == F.col("od")),
+        )
+        .groupBy(F.col("g1").alias("g"), "od")
+        .agg(F.min("i").alias("oi"))
+    )
+    cut = (
+        occ.join(owner, F.col("gram") == F.col("g"))
+        .filter(
+            ~((F.col("doc_id") == F.col("od")) & (F.col("i") == F.col("oi")))
+        )
+        .select("doc_id", "i")
+    )
+    cov = cut.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("i"), F.col("i") + (n - 1))
+        ).alias("pos"),
+    ).distinct()
+    tp = toks.select(
+        "doc_id",
+        F.posexplode("l").alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    kept = tp.join(cov, ["doc_id", "pos"], "left_anti")
+    rec = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("kept_tok"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("kept_md5"),
+    )
+    return (
+        toks.select("doc_id", F.size("l").cast("bigint").alias("n_tok"))
+        .join(rec, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce("kept_tok", F.lit(0))
+            .cast("bigint")
+            .alias("kept_tok"),
+            F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_adamic_adar — integer-exact link-prediction scores
+# ---------------------------------------------------------------------------
+
+_AA_TOPN = 20
+# reciprocal-log weight in exact integers: ln(deg) quantized ONCE to
+# micro-units, then w = 1e12 div ln_q ~ (1/ln deg) in micro-units —
+# per-term truncation < 1e-6, summed exactly as BIGINTs.  A common
+# neighbor always has degree >= 2 (it touches both endpoints), so
+# ln_q >= ln(2)*1e6 and the division is never by zero; the deg >= 2
+# filter makes that explicit on both engines.
+_AA_SCALE = 1_000_000_000_000
+
+
+def _aa_oracle() -> str:
+    from .mining import _CO_EPS, _CO_MIN_DAYS, CAPPED_BASE_SQL
+
+    return f"""
+    WITH b AS ({CAPPED_BASE_SQL}),
+    e AS MATERIALIZED (
+        SELECT a.user_id AS u, c.user_id AS v
+        FROM b a JOIN b c
+          ON a.dy = c.dy AND a.user_id < c.user_id
+         AND ABS(a.v - c.v) <= {_CO_EPS}
+        GROUP BY 1, 2 HAVING COUNT(*) >= {_CO_MIN_DAYS}
+    ),
+    und AS (
+        SELECT u AS node, v AS nbr FROM e
+        UNION ALL SELECT v, u FROM e
+    ),
+    deg AS (SELECT node, COUNT(*) AS d FROM und GROUP BY 1),
+    rw AS (
+        SELECT node AS nbr,
+               CAST({_AA_SCALE} //
+                    CAST(ROUND(LN(CAST(d AS DOUBLE)) * 1e6) AS BIGINT)
+                    AS BIGINT) AS w
+        FROM deg WHERE d >= 2
+    ),
+    pairs AS (
+        SELECT a.node AS user_a, b.node AS user_b,
+               COUNT(*) AS common_cnt, SUM(rw.w) AS aa_micro
+        FROM und a
+        JOIN und b ON a.nbr = b.nbr AND a.node < b.node
+        JOIN rw ON rw.nbr = a.nbr
+        GROUP BY 1, 2
+    )
+    SELECT user_a, user_b,
+           CAST(common_cnt AS BIGINT) AS common_cnt,
+           CAST(aa_micro AS BIGINT) AS aa_micro,
+           ROUND(CAST(aa_micro AS DOUBLE) / 1e6, 6) AS adamic_adar
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY aa_micro DESC,
+                                     user_a, user_b) AS rk
+        FROM pairs
+    ) WHERE rk <= {_AA_TOPN}
+    """
+
+
+@query("graph_adamic_adar", oracle=_aa_oracle)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAMIC-ADAR link prediction over the co-movement graph — the
+    classic down-weighted-hub companion of `graph_common_neighbors`'
+    Jaccard: AA(a,b) = sum over common neighbors w of 1/ln(deg(w)),
+    so sharing a RARE partner counts more than sharing a hub.  Output:
+    the top-20 unlinked-or-linked pairs by AA (integer-sum DESC, pair
+    tie-break) with the common count and both scores' ingredients.
+
+    Exactness: ln(deg) is quantized ONCE per node
+    (CAST(ROUND(LN(d)*1e6) AS BIGINT) — the `text_zipf_fit` log-domain
+    recipe), the reciprocal is one integer floor division (micro-unit
+    1/ln), the per-pair score is an exact BIGINT SUM, and ranking is
+    an integer ROW_NUMBER decision; the only float is the final /1e6
+    display.  Built on the CAPPED co-movement edges
+    (`mining.comovement_edges_capped`, `graph_clustering_coeff`'s
+    graph — identical to the uncapped builder wherever no (day,
+    eps-cell) exceeds 64 participants).
+
+    Scale shape: one wedge join keyed on the shared neighbor.  Wedge
+    fan-out is deg(w)^2 — on the UNcapped builder a 20x dense-clone
+    probe filled the disk (the round-5 co-movement regime), which is
+    exactly why this op takes the capped graph: the per-(day, cell)
+    participant cap bounds degrees, hence wedges, by construction.
+    Two hash aggs + a top-N window close it out."""
+    from .mining import comovement_edges_capped
+
+    e = comovement_edges_capped(spark, sf_dir)
+    und = e.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = und.groupBy("node").agg(F.count("*").alias("d"))
+    rw = (
+        deg.filter(F.col("d") >= 2)
+        .withColumn(
+            "lnq",
+            F.expr("CAST(ROUND(LN(CAST(d AS DOUBLE)) * 1e6) AS BIGINT)"),
+        )
+        .select(
+            F.col("node").alias("nbr"),
+            F.expr(f"CAST({_AA_SCALE} div lnq AS BIGINT)").alias("w"),
+        )
+    )
+    a = und.select(F.col("node").alias("user_a"), "nbr")
+    b = und.select(F.col("node").alias("user_b"), "nbr")
+    pairs = (
+        a.join(b, "nbr")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .join(rw, "nbr")
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.count("*").cast("bigint").alias("common_cnt"),
+            F.sum("w").cast("bigint").alias("aa_micro"),
+        )
+    )
+    return (
+        pairs.withColumn(
+            "rk",
+            F.row_number().over(
+                W.orderBy(
+                    F.col("aa_micro").desc(), "user_a", "user_b"
+                )
+            ),
+        )
+        .filter(F.col("rk") <= _AA_TOPN)
+        .select(
+            "user_a",
+            "user_b",
+            "common_cnt",
+            "aa_micro",
+            F.round(
+                F.col("aa_micro").cast("double") / 1e6, 6
+            ).alias("adamic_adar"),
+        )
+    )

@@ -112,9 +112,10 @@ _MODULES = (
 #
 # ROUND-10 ROTATION PLAN (compute fresh from the raw CORRECTNESS
 # JSONs — don't trust this list if windows changed): after the r09
-# run lands, 52 keys still carry only rounds-1/2 evidence: the 8
-# r01-only similarity keys that missed this window (sim_pair_distance
-# sim_knn sim_threshold_join sim_topk_join sim_dedup_exact
+# run lands, 54 keys still carry only rounds-1/2 evidence: the 10
+# r01-only keys that missed this window (rel_scalar_array
+# rel_scalar_map_json sim_pair_distance sim_knn sim_threshold_join
+# sim_topk_join sim_dedup_exact
 # sim_knn_ivf sim_centroid sim_knn_ivf_centroid) plus the 44 r02-only
 # keys (src_csv/jsonl, the traj_ hausdorff/assemble/range tier,
 # text_ classics, stream_ basics, udf_/udtf_).  That pool fits the
@@ -134,6 +135,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     # (c) staged round-9 additions
     "text_substring_dedup",
     "text_corpus_drift",
+    "text_substring_dedup_apply",
+    "graph_adamic_adar",
     # (d) oldest-evidence rotation: r01-only keys, registration order
     # (the ~8 that don't fit this window lead the round-10 rotation)
     "rel_scan_project",
@@ -173,8 +176,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "rel_scalar_string",
     "rel_scalar_date",
     "rel_scalar_math",
-    "rel_scalar_array",
-    "rel_scalar_map_json",
+    # rel_scalar_array / rel_scalar_map_json displaced to round 10 by
+    # the 2 late round-9 adds (window holds 50)
 )
 
 _loaded = False
