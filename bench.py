@@ -116,6 +116,12 @@ HEAVY = [
     # tracked the way pipe_dedup_funnel already is
     "pipe_neardup_dedup",
     "pipe_dedup_semantic",
+    # round-9: the substring-dedup cut (two gram-ownership aggs +
+    # anti-join rebuild) and the capped-graph wedge join — pinned so
+    # the keep-first ownership shape and the capped-degree cure stay
+    # in driver history
+    "text_substring_dedup",
+    "graph_adamic_adar",
 ]
 
 
