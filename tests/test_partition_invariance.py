@@ -142,6 +142,10 @@ KEYS = [
     "text_corpus_drift",
     "text_substring_dedup_apply",
     "graph_adamic_adar",
+    # IGNORE-NULLS as-of frame per user (total order us, event_id);
+    # 4-cell conditional moment aggregate
+    "rel_attribution_touch",
+    "rel_did",
     # triangle/degree ratios; DECIMAL covariance ranking with tie-break;
     # Arrow byte-scan
     "graph_clustering_coeff",

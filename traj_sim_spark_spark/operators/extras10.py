@@ -672,3 +672,231 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adamic_adar"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_attribution_touch — first/last-touch revenue attribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_attribution_touch",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               CASE WHEN event_type IN ('view', 'click', 'signup')
+                    THEN event_type END AS touch
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id, event_type, cents,
+               FIRST_VALUE(touch IGNORE NULLS) OVER w AS first_touch,
+               LAST_VALUE(touch IGNORE NULLS) OVER w AS last_touch
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING)
+    ),
+    p AS (SELECT * FROM seq WHERE event_type = 'purchase'),
+    modes AS (
+        SELECT 'first' AS mode,
+               COALESCE(first_touch, 'direct') AS channel,
+               cents
+        FROM p
+        UNION ALL
+        SELECT 'last', COALESCE(last_touch, 'direct'), cents FROM p
+    )
+    SELECT mode, channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(CAST(SUM(cents) AS DOUBLE) / 100, 6) AS revenue
+    FROM modes GROUP BY mode, channel
+    """,
+)
+def rel_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST/LAST-TOUCH REVENUE ATTRIBUTION — the marketing-analytics
+    composite every event warehouse runs: each purchase's value is
+    credited to the user's FIRST preceding touch (view/click/signup)
+    and, separately, to the LAST touch before the purchase;
+    purchases with no prior touch credit 'direct'.  Output: one row
+    per (mode, channel) with purchase count and attributed revenue.
+
+    NOT a purchase x touches join: ONE window pass per user computes
+    both ends — FIRST_VALUE(touch IGNORE NULLS) and
+    LAST_VALUE(touch IGNORE NULLS) over ROWS UNBOUNDED PRECEDING TO
+    1 PRECEDING (the strictly-before frame), totally ordered by
+    (us, event_id) so ties break identically on both engines.  The
+    as-of semantics of `rel_join_asof` expressed as a frame, linear
+    in events.
+
+    Exactness: revenue sums centi-quantized BIGINTs; the /100 is one
+    final display; attribution decisions are string equality on the
+    windowed values."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        "event_type",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+        F.when(
+            F.col("event_type").isin("view", "click", "signup"),
+            F.col("event_type"),
+        ).alias("touch"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "cents",
+        F.first("touch", ignorenulls=True).over(w).alias("first_touch"),
+        F.last("touch", ignorenulls=True).over(w).alias("last_touch"),
+    )
+    p = seq.filter(F.col("event_type") == "purchase")
+    modes = p.select(
+        F.lit("first").alias("mode"),
+        F.coalesce("first_touch", F.lit("direct")).alias("channel"),
+        "cents",
+    ).unionAll(
+        p.select(
+            F.lit("last").alias("mode"),
+            F.coalesce("last_touch", F.lit("direct")).alias("channel"),
+            "cents",
+        )
+    )
+    return modes.groupBy("mode", "channel").agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.round(
+            F.sum("cents").cast("double") / 100, 6
+        ).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rel_did — difference-in-differences from exact integer moments
+# ---------------------------------------------------------------------------
+
+# the four cell means and the DiD estimate, one shared display
+# projection over exact integer moments (s = Σcents, n = count per
+# cell); /100 restores value units from centi
+_DID_FINAL = """
+    CAST(n_tp AS BIGINT) AS n_treat_pre,
+    CAST(n_ta AS BIGINT) AS n_treat_post,
+    CAST(n_cp AS BIGINT) AS n_ctrl_pre,
+    CAST(n_ca AS BIGINT) AS n_ctrl_post,
+    ROUND(CAST(s_tp AS DOUBLE) / n_tp / 100, 6) AS mean_treat_pre,
+    ROUND(CAST(s_ta AS DOUBLE) / n_ta / 100, 6) AS mean_treat_post,
+    ROUND(CAST(s_cp AS DOUBLE) / n_cp / 100, 6) AS mean_ctrl_pre,
+    ROUND(CAST(s_ca AS DOUBLE) / n_ca / 100, 6) AS mean_ctrl_post,
+    ROUND(((CAST(s_ta AS DOUBLE) / n_ta - CAST(s_tp AS DOUBLE) / n_tp)
+           - (CAST(s_ca AS DOUBLE) / n_ca
+              - CAST(s_cp AS DOUBLE) / n_cp)) / 100, 6) + 0.0 AS did
+"""
+
+
+@query(
+    "rel_did",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id % 2 = 0 AS treat,
+               CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400e6)
+                    AS BIGINT) AS dy,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    mid AS (
+        SELECT CAST((MIN(dy) + MAX(dy)) // 2 AS BIGINT) AS mid FROM ev
+    ),
+    cells AS (
+        SELECT
+            SUM(CASE WHEN treat AND dy <= mid THEN 1 ELSE 0 END) AS n_tp,
+            SUM(CASE WHEN treat AND dy <= mid THEN cents ELSE 0 END) AS s_tp,
+            SUM(CASE WHEN treat AND dy > mid THEN 1 ELSE 0 END) AS n_ta,
+            SUM(CASE WHEN treat AND dy > mid THEN cents ELSE 0 END) AS s_ta,
+            SUM(CASE WHEN NOT treat AND dy <= mid THEN 1 ELSE 0 END) AS n_cp,
+            SUM(CASE WHEN NOT treat AND dy <= mid THEN cents ELSE 0 END) AS s_cp,
+            SUM(CASE WHEN NOT treat AND dy > mid THEN 1 ELSE 0 END) AS n_ca,
+            SUM(CASE WHEN NOT treat AND dy > mid THEN cents ELSE 0 END) AS s_ca
+        FROM ev, mid
+        HAVING n_tp >= 1 AND n_ta >= 1 AND n_cp >= 1 AND n_ca >= 1
+    )
+    SELECT {_DID_FINAL} FROM cells
+    """,
+)
+def rel_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES — the workhorse quasi-experimental
+    estimator, closing the A/B screening family (Welch t,
+    Mann-Whitney, KS, chi-squared, Benford, conformal, bootstrap):
+    treatment = even user_id, control = odd (the deterministic
+    hash-split stand-in for a rollout cohort), pre/post split at the
+    corpus's integer midpoint day; DiD = (treat_post − treat_pre) −
+    (ctrl_post − ctrl_pre) on mean event value.
+
+    Exactness: ONE map-side-combinable conditional aggregation sums
+    exact integer moments (n, Σcents per cell); the midpoint is an
+    integer floor-div of integer day numbers; the HAVING gate (all 4
+    cells non-empty) is integer, so the degenerate single-period
+    corpus yields zero rows rather than a divide-by-zero; the 4 means
+    and the DiD estimate are one shared display projection (+0.0 —
+    DiD crosses zero).
+
+    Scale shape: one scan, one 1-row aggregate joined with a 1-row
+    midpoint — nothing shuffles more than 8 numbers."""
+    t = Tables(spark, sf_dir)
+    from .extras5 import _split_top_level
+
+    ev = t.events.select(
+        (F.col("user_id") % 2 == 0).alias("treat"),
+        F.expr(
+            "CAST(FLOOR(unix_micros(ts) / 86400e6) AS BIGINT)"
+        ).alias("dy"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+    mid = ev.agg(
+        F.expr("CAST((MIN(dy) + MAX(dy)) div 2 AS BIGINT)").alias("mid")
+    )
+    cells = (
+        ev.join(F.broadcast(mid))
+        .agg(
+            F.expr(
+                "SUM(CASE WHEN treat AND dy <= mid THEN 1 ELSE 0 END)"
+            ).alias("n_tp"),
+            F.expr(
+                "SUM(CASE WHEN treat AND dy <= mid THEN cents"
+                " ELSE 0 END)"
+            ).alias("s_tp"),
+            F.expr(
+                "SUM(CASE WHEN treat AND dy > mid THEN 1 ELSE 0 END)"
+            ).alias("n_ta"),
+            F.expr(
+                "SUM(CASE WHEN treat AND dy > mid THEN cents"
+                " ELSE 0 END)"
+            ).alias("s_ta"),
+            F.expr(
+                "SUM(CASE WHEN NOT treat AND dy <= mid THEN 1"
+                " ELSE 0 END)"
+            ).alias("n_cp"),
+            F.expr(
+                "SUM(CASE WHEN NOT treat AND dy <= mid THEN cents"
+                " ELSE 0 END)"
+            ).alias("s_cp"),
+            F.expr(
+                "SUM(CASE WHEN NOT treat AND dy > mid THEN 1"
+                " ELSE 0 END)"
+            ).alias("n_ca"),
+            F.expr(
+                "SUM(CASE WHEN NOT treat AND dy > mid THEN cents"
+                " ELSE 0 END)"
+            ).alias("s_ca"),
+        )
+        .filter(
+            "n_tp >= 1 AND n_ta >= 1 AND n_cp >= 1 AND n_ca >= 1"
+        )
+    )
+    return cells.selectExpr(*_split_top_level(_DID_FINAL))

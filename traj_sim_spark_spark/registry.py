@@ -112,9 +112,9 @@ _MODULES = (
 #
 # ROUND-10 ROTATION PLAN (compute fresh from the raw CORRECTNESS
 # JSONs — don't trust this list if windows changed): after the r09
-# run lands, 54 keys still carry only rounds-1/2 evidence: the 10
-# r01-only keys that missed this window (rel_scalar_array
-# rel_scalar_map_json sim_pair_distance sim_knn sim_threshold_join
+# run lands, 57 keys still carry only rounds-1/2 evidence: the 13
+# r01-only keys that missed this window (rel_scalar_string/date/math/
+# array/map_json, sim_pair_distance sim_knn sim_threshold_join
 # sim_topk_join sim_dedup_exact
 # sim_knn_ivf sim_centroid sim_knn_ivf_centroid) plus the 44 r02-only
 # keys (src_csv/jsonl, the traj_ hausdorff/assemble/range tier,
@@ -137,6 +137,9 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "text_corpus_drift",
     "text_substring_dedup_apply",
     "graph_adamic_adar",
+    "rel_attribution_touch",
+    "rel_did",
+    "src_fixed_width",
     # (d) oldest-evidence rotation: r01-only keys, registration order
     # (the ~8 that don't fit this window lead the round-10 rotation)
     "rel_scan_project",
@@ -173,11 +176,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "rel_union_all",
     "rel_intersect",
     "rel_except",
-    "rel_scalar_string",
-    "rel_scalar_date",
-    "rel_scalar_math",
-    # rel_scalar_array / rel_scalar_map_json displaced to round 10 by
-    # the 2 late round-9 adds (window holds 50)
+    # rel_scalar_string/date/math/array/map_json displaced to round 10
+    # by the 5 late round-9 adds (window holds 50)
 )
 
 _loaded = False

@@ -697,3 +697,53 @@ def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [row], "n_rows bigint, n_corrupt bigint, region_sum bigint"
     )
+
+
+@query(
+    "src_fixed_width",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+           ROUND(c_acctbal, 6) AS c_acctbal
+    FROM customer
+    """,
+)
+def src_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-WIDTH TEXT round trip — the mainframe/EDI flat-file
+    format enterprise pipelines still ingest (COBOL copybook layouts,
+    bank statements): customer written as 60-char records
+    (custkey %012d | name rpad 20 | nationkey %04d | acctbal %12.2f
+    | mktsegment rpad 10), read back with ``spark.read.text`` and
+    parsed by SUBSTRING offsets + TRIM + casts — the whole parse is
+    four JVM expressions, no Python.  The oracle is the source
+    table: the hash proves the offset parse loses nothing (acctbal
+    is 2-decimal by construction, so %12.2f is exact; names and
+    segments carry no trailing spaces, so rtrim is lossless).
+
+    Scale shape: the write is a distributed text sink, the read a
+    splittable line scan — per-record parsing is embarrassingly
+    parallel and whole-stage-codegen'd."""
+    t = Tables(spark, sf_dir)
+    path = os.path.join(staging_dir(sf_dir, "ingest"), "customer_fw")
+    (
+        t.customer.select(
+            F.concat(
+                F.format_string("%012d", "c_custkey"),
+                F.rpad("c_name", 20, " "),
+                F.format_string("%04d", "c_nationkey"),
+                F.format_string("%12.2f", "c_acctbal"),
+                F.rpad("c_mktsegment", 10, " "),
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(path)
+    )
+    lines = spark.read.text(path)
+    return lines.select(
+        F.substring("value", 1, 12).cast("bigint").alias("c_custkey"),
+        F.rtrim(F.substring("value", 13, 20)).alias("c_name"),
+        F.substring("value", 33, 4).cast("int").alias("c_nationkey"),
+        F.rtrim(F.substring("value", 49, 10)).alias("c_mktsegment"),
+        F.round(
+            F.trim(F.substring("value", 37, 12)).cast("double"), 6
+        ).alias("c_acctbal"),
+    )
