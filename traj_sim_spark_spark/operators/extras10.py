@@ -341,17 +341,14 @@ def text_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = cnt.agg(
         F.sum("cnt_a").alias("ta"), F.sum("cnt_b").alias("tb")
     )
+    # top-N via orderBy+limit (TakeOrderedAndProject — distributed
+    # partial sort, no single-partition ROW_NUMBER window); the total
+    # order (count DESC, token) makes it semantically identical to the
+    # oracle's ROW_NUMBER <= N
     top = (
         cnt.filter((F.col("cnt_a") >= 1) & (F.col("cnt_b") >= 1))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                W.orderBy(
-                    (F.col("cnt_a") + F.col("cnt_b")).desc(), "token"
-                )
-            ),
-        )
-        .filter(F.col("rk") <= _DRIFT_TOPN)
+        .orderBy((F.col("cnt_a") + F.col("cnt_b")).desc(), "token")
+        .limit(_DRIFT_TOPN)
     )
     return top.join(F.broadcast(tot)).selectExpr(
         "token",
@@ -652,16 +649,14 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w").cast("bigint").alias("aa_micro"),
         )
     )
+    # top-N via orderBy+limit (TakeOrderedAndProject) instead of a
+    # single-partition ROW_NUMBER window over the full pair table —
+    # the total order (aa DESC, a, b) matches the oracle's ROW_NUMBER
     return (
-        pairs.withColumn(
-            "rk",
-            F.row_number().over(
-                W.orderBy(
-                    F.col("aa_micro").desc(), "user_a", "user_b"
-                )
-            ),
+        pairs.orderBy(
+            F.col("aa_micro").desc(), "user_a", "user_b"
         )
-        .filter(F.col("rk") <= _AA_TOPN)
+        .limit(_AA_TOPN)
         .select(
             "user_a",
             "user_b",
