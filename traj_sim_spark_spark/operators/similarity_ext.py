@@ -959,11 +959,12 @@ def sim_knn_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(qrow))
         .select("vec_id", d2.alias("d2"))
     )
+    # top-candidates via orderBy+limit (TakeOrderedAndProject —
+    # distributed partial sort) instead of a single-partition global
+    # ROW_NUMBER window over the corpus; (d2, vec_id) is a total order
     short = (
-        pre.withColumn(
-            "rk", F.row_number().over(W.orderBy("d2", "vec_id"))
-        )
-        .filter(F.col("rk") <= _MRL_CAND)
+        pre.orderBy("d2", "vec_id")
+        .limit(_MRL_CAND)
         .select("vec_id")
     )
     q = _query_vec(emb, 0)
