@@ -438,20 +438,39 @@ def text_substring_dedup_apply(
     substring dedup subsumes doc-level exact dedup; the first copy
     keeps everything.
 
-    Shape: the decision chain is shared verbatim with
-    `text_substring_dedup` (two skew-safe gram-ownership hash aggs);
-    the apply adds a LINEAR position explode (each cut start fans to
-    its n=8 positions — never a position x start range join), one
-    distinct, one anti-join against the token-position table, and a
-    per-doc ordered string rebuild.  Every stage shuffles on
-    (doc, position) hash keys at 100 TB."""
+    Shape — EXACT-GROUP REPRESENTATIVE COLLAPSE (the round-7
+    dup-saturated-corpus cure, provably result-identical here): the
+    whole decide+explode+rebuild chain runs on DISTINCT texts only.
+    (a) An owner occurrence always lives in a group's FIRST copy —
+    the gram's minimal doc_id is ≤ every group's rep id — so rep-space
+    ownership equals corpus ownership.  (b) Corpus gram counts =
+    rep-space counts weighted by group size (SUM(m), not COUNT).
+    (c) A NON-first copy with ≥ n tokens keeps NOTHING: windows tile
+    every position (any p has a start in [p−n+1, p] ∩ [1, L−n+1]),
+    every window is duplicated (its text occurs m ≥ 2 times) and
+    non-owned (the owner doc is the earlier first copy) — so its row
+    is (0, md5('')) by construction; under n tokens there are no
+    windows and it keeps everything.  The 100x dup-saturated clone
+    probe OOM'd the naive per-doc position explode (~760 M (doc, pos)
+    rows); rep-collapse makes the explode distinct-text-sized.  The
+    rebuild anti-join shuffles on (rep, position) hash keys."""
     n = _SSD_N
     t = Tables(spark, sf_dir)
-    toks = t.documents.repartition(32, "doc_id").select(
-        "doc_id", F.split("text", " ").alias("l")
+    docs = t.documents.repartition(32, "doc_id").select(
+        "doc_id", "text"
+    )
+    reps = docs.groupBy("text").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count("*").alias("m"),
+    )
+    toks = reps.select(
+        F.col("rep_id").alias("doc_id"),
+        "m",
+        F.split("text", " ").alias("l"),
     )
     starts = toks.select(
         "doc_id",
+        "m",
         F.explode(
             F.when(
                 F.size("l") >= n,
@@ -467,15 +486,18 @@ def text_substring_dedup_apply(
             ).otherwise(F.array())
         ).alias("s"),
     ).select(
-        "doc_id", F.col("s.i").alias("i"), F.col("s.gram").alias("gram")
+        "doc_id", "m", F.col("s.i").alias("i"),
+        F.col("s.gram").alias("gram"),
     )
     dup = (
         starts.groupBy("gram")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("m").alias("c"))  # corpus count = group-weighted
         .filter(F.col("c") >= 2)
         .select("gram")
     )
-    occ = starts.join(dup, "gram", "left_semi")
+    occ = starts.select("doc_id", "i", "gram").join(
+        dup, "gram", "left_semi"
+    )
     o1 = occ.groupBy("gram").agg(F.min("doc_id").alias("od")).select(
         F.col("gram").alias("g1"), "od"
     )
@@ -520,16 +542,43 @@ def text_substring_dedup_apply(
             )
         ).alias("kept_md5"),
     )
-    return (
-        toks.select("doc_id", F.size("l").cast("bigint").alias("n_tok"))
+    # per-rep result incl. empty-rebuild fallback
+    rep_res = (
+        toks.select(
+            "doc_id", F.size("l").cast("bigint").alias("n_tok")
+        )
         .join(rec, "doc_id", "left")
         .select(
-            "doc_id",
+            F.col("doc_id").alias("rep_id"),
             "n_tok",
             F.coalesce("kept_tok", F.lit(0))
             .cast("bigint")
+            .alias("r_kept"),
+            F.coalesce("kept_md5", F.md5(F.lit(""))).alias("r_md5"),
+        )
+    )
+    # fan back out: the rep keeps its computed result; every other
+    # copy keeps nothing (n_tok >= n) or everything (n_tok < n, no
+    # windows — rebuild expression identical to the rep path)
+    return (
+        docs.join(
+            reps.select("text", "rep_id"), "text"
+        )
+        .join(rep_res, "rep_id")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.when(F.col("doc_id") == F.col("rep_id"), F.col("r_kept"))
+            .when(F.col("n_tok") < n, F.col("n_tok"))
+            .otherwise(F.lit(0).cast("bigint"))
             .alias("kept_tok"),
-            F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+            F.when(F.col("doc_id") == F.col("rep_id"), F.col("r_md5"))
+            .when(
+                F.col("n_tok") < n,
+                F.md5(F.array_join(F.split("text", " "), " ")),
+            )
+            .otherwise(F.md5(F.lit("")))
+            .alias("kept_md5"),
         )
     )
 
