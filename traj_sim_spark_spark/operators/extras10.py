@@ -117,20 +117,36 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     start is > n back) — integers end to end; the ratio is one
     display ROUND with the numerator CAST AS DOUBLE.
 
-    Scale shape: one shingle pass (doc-parallel after the pre-explode
-    repartition), two gram-keyed hash aggs (duplicate filter +
-    ownership) that shard by hash like any aggregation — hot grams
-    are big counters, not big groups, because ownership is MIN not
-    ROW_NUMBER — one semi-shaped join back, and a per-doc window
-    over at most n_tok rows.  No global sort; the practical 100 TB
-    stand-in for a suffix array, with the cut rule preserved."""
+    Scale shape — EXACT-GROUP REPRESENTATIVE COLLAPSE (same proof as
+    `text_substring_dedup_apply`, see its docstring: owners always
+    live in first copies, corpus gram counts = rep counts weighted by
+    group size, and a non-first copy with ≥ n tokens is fully cut —
+    n_cut_occ = L−n+1, ONE merged span, cut_tok = L — while under n
+    tokens nothing is cut): the shingle pass, the two gram-keyed hash
+    aggs (duplicate filter + ownership — MIN not ROW_NUMBER, so hot
+    grams are big counters, not big groups), the semi-shaped join
+    back and the per-doc interval-union window all run on DISTINCT
+    texts, then one text-keyed fan-out.  No global sort; the
+    practical 100 TB stand-in for a suffix array, with the cut rule
+    preserved (the pre-collapse form was 3x super-linear on the 100x
+    dup-saturated clone probe)."""
     n = _SSD_N
     t = Tables(spark, sf_dir)
-    toks = t.documents.repartition(32, "doc_id").select(
-        "doc_id", F.split("text", " ").alias("l")
+    docs = t.documents.repartition(32, "doc_id").select(
+        "doc_id", "text"
+    )
+    reps = docs.groupBy("text").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count("*").alias("m"),
+    )
+    toks = reps.select(
+        F.col("rep_id").alias("doc_id"),
+        "m",
+        F.split("text", " ").alias("l"),
     )
     starts = toks.select(
         "doc_id",
+        "m",
         F.explode(
             F.when(
                 F.size("l") >= n,
@@ -146,15 +162,18 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array())
         ).alias("s"),
     ).select(
-        "doc_id", F.col("s.i").alias("i"), F.col("s.gram").alias("gram")
+        "doc_id", "m", F.col("s.i").alias("i"),
+        F.col("s.gram").alias("gram"),
     )
     dup = (
         starts.groupBy("gram")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("m").alias("c"))  # corpus count = group-weighted
         .filter(F.col("c") >= 2)
         .select("gram")
     )
-    occ = starts.join(dup, "gram", "left_semi")
+    occ = starts.select("doc_id", "i", "gram").join(
+        dup, "gram", "left_semi"
+    )
     o1 = occ.groupBy("gram").agg(F.min("doc_id").alias("od")).select(
         F.col("gram").alias("g1"), "od"
     )
@@ -199,27 +218,51 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cut_spans"),
     )
-    return (
-        toks.select("doc_id", F.size("l").cast("bigint").alias("n_tok"))
+    rep_res = (
+        toks.select(
+            "doc_id", F.size("l").cast("bigint").alias("n_tok")
+        )
         .join(agg, "doc_id", "left")
         .select(
-            "doc_id",
+            F.col("doc_id").alias("rep_id"),
             "n_tok",
             F.coalesce("n_cut_occ", F.lit(0))
             .cast("bigint")
-            .alias("n_cut_occ"),
+            .alias("r_occ"),
             F.coalesce("cut_spans", F.lit(0))
             .cast("bigint")
+            .alias("r_spans"),
+            F.coalesce("cut_tok", F.lit(0)).alias("r_cut"),
+        )
+    )
+    # fan back out: the rep keeps its computed result; every other
+    # copy with >= n tokens is fully cut (L-n+1 occurrences merging
+    # into one span covering all L tokens), under n tokens uncut
+    first = F.col("doc_id") == F.col("rep_id")
+    big = F.col("n_tok") >= n
+    cut_tok = (
+        F.when(first, F.col("r_cut"))
+        .when(big, F.col("n_tok"))
+        .otherwise(F.lit(0).cast("bigint"))
+    )
+    return (
+        docs.join(reps.select("text", "rep_id"), "text")
+        .join(rep_res, "rep_id")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.when(first, F.col("r_occ"))
+            .when(big, F.col("n_tok") - (n - 1))
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("n_cut_occ"),
+            F.when(first, F.col("r_spans"))
+            .when(big, F.lit(1).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint"))
             .alias("cut_spans"),
-            F.coalesce("cut_tok", F.lit(0)).alias("cut_tok"),
-            (F.col("n_tok") - F.coalesce("cut_tok", F.lit(0))).alias(
-                "kept_tok"
-            ),
+            cut_tok.alias("cut_tok"),
+            (F.col("n_tok") - cut_tok).alias("kept_tok"),
             F.round(
-                (
-                    F.col("n_tok").cast("double")
-                    - F.coalesce("cut_tok", F.lit(0))
-                )
+                (F.col("n_tok").cast("double") - cut_tok)
                 / F.col("n_tok"),
                 6,
             ).alias("kept_ratio"),
