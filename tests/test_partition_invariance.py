@@ -146,6 +146,15 @@ KEYS = [
     # 4-cell conditional moment aggregate
     "rel_attribution_touch",
     "rel_did",
+    # round-9 continuation (extras11): integer-walk top-N TakeOrdered;
+    # skeleton-cluster top-N (count DESC, tpl string tie-break);
+    # exact histogram-cut quintile scores; LAG transition pairs
+    "graph_katz",
+    "text_template_detect",
+    "rel_rfm_segments",
+    "rel_markov_transitions",
+    # quantize-once centroids + integer argmin + decimal s-sums
+    "emb_silhouette",
     # triangle/degree ratios; DECIMAL covariance ranking with tie-break;
     # Arrow byte-scan
     "graph_clustering_coeff",

@@ -84,6 +84,8 @@ _MODULES = (
     "traj_sim_spark_spark.operators.extras9",
     # round-9 additions (windowed this round via _WINDOW_FIRST)
     "traj_sim_spark_spark.operators.extras10",
+    # round-9 continuation additions (windowed via _WINDOW_FIRST)
+    "traj_sim_spark_spark.operators.extras11",
 )
 
 # Explicit driver-window ordering: after load_all() the first keys of
@@ -140,6 +142,21 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "rel_attribution_touch",
     "rel_did",
     "src_fixed_width",
+    # (c2) round-9 continuation additions (extras11) — never
+    # driver-hash-checked, so they outrank re-certification slots
+    "rel_market_basket",
+    "rel_cuped",
+    "rel_rfm_segments",
+    "graph_katz",
+    "sketch_bloom_fpr",
+    "text_readability",
+    "rel_markov_transitions",
+    "text_template_detect",
+    "rel_entity_match",
+    "rel_power_mde",
+    "rel_skew_profile",
+    "emb_silhouette",
+    "text_source_overlap",
     # (d) oldest-evidence rotation: r01-only keys, registration order
     # (the ~8 that don't fit this window lead the round-10 rotation)
     "rel_scan_project",
@@ -163,21 +180,13 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "rel_agg_cube",
     "rel_agg_having",
     "traj_stats",
-    "rel_agg_percentile",
-    "rel_agg_stats",
-    "rel_win_rank",
-    "rel_win_lag",
-    "rel_win_moving",
-    "rel_win_range_time",
-    "rel_topk_global",
-    "rel_topk_pergroup",
-    "rel_win_distribution",
-    "rel_win_nav",
-    "rel_union_all",
-    "rel_intersect",
-    "rel_except",
-    # rel_scalar_string/date/math/array/map_json displaced to round 10
-    # by the 5 late round-9 adds (window holds 50)
+    # rel_agg_percentile / rel_agg_stats /
+    # rel_win_rank / rel_win_lag / rel_win_moving /
+    # rel_win_range_time / rel_topk_global / rel_topk_pergroup /
+    # rel_win_distribution / rel_win_nav / rel_union_all /
+    # rel_intersect / rel_except join rel_scalar_string/date/math/
+    # array/map_json in the round-10 rotation, displaced by the 13
+    # extras11 adds (window holds 50; new keys outrank re-certs)
 )
 
 _loaded = False
