@@ -1527,3 +1527,288 @@ def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src_b",
     )
     return wide.selectExpr(*_split_top_level(_OVL_FINAL))
+
+
+# ---------------------------------------------------------------------------
+# rel_holt_winters — window-truncated additive Holt-Winters (season 7)
+# ---------------------------------------------------------------------------
+
+_HW_W = 14  # restart window (2 full seasons); alpha = beta = gamma = 1/2
+# W=14 keeps D = 2^26 and max|numerator| = 2^25, so si (<= ~1e9 micro)
+# terms stay ~5e17 with ~20x int64 headroom; W=21 would push D to 2^40
+# and overflow — measured in _hw_coeffs' own rational simulation
+_HW_M = 7  # season length (weekday)
+
+
+def _hw_coeffs() -> tuple[int, list[int], list[int], list[int]]:
+    """Exact integer Holt-Winters coefficients (the `rel_holt_linear`
+    rational-simulation recipe extended with a seasonal state ring):
+    simulate the additive alpha=beta=gamma=1/2 recurrence over a W-day
+    restart window (l_0 = y_oldest, b_0 = 0, s_* = 0) in exact
+    Fractions, each state a coefficient vector over the W inputs, then
+    clear denominators.  Returns (D, level_num, trend_num,
+    season_next_num) with index j = days-ago lag; every state is a
+    FIXED linear combination of the window's values, so the whole
+    statistic is one explode + equi-join + integer sum."""
+    from fractions import Fraction
+    from math import lcm
+
+    w, m = _HW_W, _HW_M
+    zero = [Fraction(0)] * w
+    lv = list(zero)
+    tr = list(zero)
+    seas = [list(zero) for _ in range(m)]
+    lv[0] = Fraction(1)
+    for i in range(1, w):
+        y = [Fraction(1 if k == i else 0) for k in range(w)]
+        sp = seas[i % m]
+        ln = [(y[k] - sp[k] + lv[k] + tr[k]) / 2 for k in range(w)]
+        tn = [(ln[k] - lv[k] + tr[k]) / 2 for k in range(w)]
+        sn = [(y[k] - ln[k] + sp[k]) / 2 for k in range(w)]
+        lv, tr, seas[i % m] = ln, tn, sn
+    s_next = seas[w % m]
+    d = lcm(*[c.denominator for c in lv + tr + s_next])
+    nl = [int(lv[w - 1 - j] * d) for j in range(w)]
+    nb = [int(tr[w - 1 - j] * d) for j in range(w)]
+    ns = [int(s_next[w - 1 - j] * d) for j in range(w)]
+    return d, nl, nb, ns
+
+
+_HW_D, _HW_NL, _HW_NB, _HW_NS = _hw_coeffs()
+
+
+def _hw_oracle() -> str:
+    from .series import _GRID_SQL
+
+    w = _HW_W
+    nl = ", ".join(str(x) for x in _HW_NL)
+    nb = ", ".join(str(x) for x in _HW_NB)
+    ns = ", ".join(str(x) for x in _HW_NS)
+    return f"""
+    WITH {_GRID_SQL},
+    contrib AS (
+        SELECT g.user_id, g.dy + j.j AS dy,
+               g.si * ([{nl}][j.j + 1]) AS lterm,
+               g.si * ([{nb}][j.j + 1]) AS bterm,
+               g.si * ([{ns}][j.j + 1]) AS sterm
+        FROM grid g
+        CROSS JOIN (SELECT UNNEST(generate_series(0, {w - 1})) AS j) j
+    ),
+    win AS (
+        SELECT c.user_id, c.dy,
+               CAST(SUM(c.lterm) AS BIGINT) AS lnum,
+               CAST(SUM(c.bterm) AS BIGINT) AS bnum,
+               CAST(SUM(c.sterm) AS BIGINT) AS snum,
+               COUNT(*) AS k
+        FROM contrib c JOIN grid t
+          ON t.user_id = c.user_id AND t.dy = c.dy
+        GROUP BY 1, 2
+        HAVING COUNT(*) = {w}
+    )
+    SELECT user_id, dy,
+           CAST(CAST(ROUND(CAST(lnum AS DOUBLE) / {_HW_D})
+                     AS BIGINT) AS DOUBLE) / 1e6 AS level,
+           CAST(CAST(ROUND(CAST(bnum AS DOUBLE) / {_HW_D})
+                     AS BIGINT) AS DOUBLE) / 1e6 AS trend,
+           CAST(CAST(ROUND(CAST(snum AS DOUBLE) / {_HW_D})
+                     AS BIGINT) AS DOUBLE) / 1e6 AS season_next,
+           CAST(CAST(ROUND(CAST(lnum + bnum + snum AS DOUBLE)
+                           / {_HW_D}) AS BIGINT) AS DOUBLE) / 1e6
+               AS forecast
+    FROM win
+    """
+
+
+@query("rel_holt_winters", oracle=_hw_oracle)
+def rel_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADDITIVE HOLT-WINTERS (level + trend + weekday seasonality) per
+    user over the dense daily grid — `rel_holt_linear` upgraded with
+    the season-7 state ring: the forecast shape that actually pages
+    on weekly-periodic product metrics.  alpha = beta = gamma = 1/2
+    over a 14-day (2-season) restart window; forecast = l + b +
+    s_nextweekday.
+
+    Exactness: the three-state recurrence (with its m=7 seasonal ring)
+    is simulated ONCE in exact rational arithmetic and cleared to
+    integer numerators over D = 2^26; each day contributes
+    si * n_j as BIGINT (14-term sums ~5e17, 20x int64 headroom); the four
+    outputs are single final float expressions (+0.0 on the
+    sign-crossing three).
+
+    Scale shape: identical to `rel_holt_linear` — truncation turns
+    the sequential recurrence into a FIXED 21-tap linear filter: one
+    explode (fan-out exactly W), one equi-join on the (user, day)
+    key, one integer-sum agg; an untruncated backward recurrence
+    would serialize each user's history."""
+    from .series import _daily_grid
+
+    w = _HW_W
+    t = Tables(spark, sf_dir)
+    grid = _daily_grid(t)
+    nl = F.array(*[F.lit(x).cast("long") for x in _HW_NL])
+    nb = F.array(*[F.lit(x).cast("long") for x in _HW_NB])
+    ns = F.array(*[F.lit(x).cast("long") for x in _HW_NS])
+    contrib = grid.select(
+        "user_id",
+        "dy",
+        "si",
+        F.explode(F.sequence(F.lit(0), F.lit(w - 1))).alias("j"),
+    ).select(
+        "user_id",
+        (F.col("dy") + F.col("j")).alias("dy"),
+        (F.col("si") * F.element_at(nl, F.col("j") + 1)).alias("lterm"),
+        (F.col("si") * F.element_at(nb, F.col("j") + 1)).alias("bterm"),
+        (F.col("si") * F.element_at(ns, F.col("j") + 1)).alias("sterm"),
+    )
+    win = (
+        contrib.join(grid.select("user_id", "dy"), ["user_id", "dy"])
+        .groupBy("user_id", "dy")
+        .agg(
+            F.sum("lterm").alias("lnum"),
+            F.sum("bterm").alias("bnum"),
+            F.sum("sterm").alias("snum"),
+            F.count("*").alias("k"),
+        )
+        .filter(F.col("k") == w)
+    )
+    # displays: snum / 2^26 is an EXACT double (pure exponent shift),
+    # so the single-arg ROUND decision is unambiguous on both engines;
+    # the integer micro-units then divide by 1e6 identically — this
+    # sidesteps the engines' 2-arg ROUND(x, 6) disagreeing by one ulp
+    # of the 6th decimal (hit once at sf0.1)
+    def disp(col: F.Column, name: str) -> F.Column:
+        return (
+            F.expr(
+                f"CAST(CAST(ROUND(CAST({col} AS DOUBLE) / {_HW_D})"
+                f" AS BIGINT) AS DOUBLE) / 1e6"
+            )
+        ).alias(name)
+
+    return win.select(
+        "user_id",
+        "dy",
+        disp("lnum", "level"),
+        disp("bnum", "trend"),
+        disp("snum", "season_next"),
+        disp("lnum + bnum + snum", "forecast"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sketch_ams_f2 — AMS/tug-of-war second frequency moment sketch
+# ---------------------------------------------------------------------------
+
+_AMS_J = 32  # counters: 4 groups x 8 (mean of 8, pseudo-median of 4)
+
+_AMS_FINAL = """
+    CAST(n_rows AS BIGINT) AS n_rows,
+    CAST(n_keys AS BIGINT) AS n_keys,
+    CAST(f2_true AS BIGINT) AS f2_true,
+    CAST(g1 AS BIGINT) AS g1,
+    CAST(g2 AS BIGINT) AS g2,
+    CAST(g3 AS BIGINT) AS g3,
+    CAST(g4 AS BIGINT) AS g4,
+    ROUND((CAST(g1 AS DOUBLE) + g2 + g3 + g4
+           - GREATEST(g1, g2, g3, g4) - LEAST(g1, g2, g3, g4))
+          / 2 / 8, 6) AS f2_est,
+    ROUND(((CAST(g1 AS DOUBLE) + g2 + g3 + g4
+            - GREATEST(g1, g2, g3, g4) - LEAST(g1, g2, g3, g4))
+           / 2 / 8 - f2_true) / f2_true, 6) + 0.0 AS rel_err
+"""
+
+
+@query(
+    "sketch_ams_f2",
+    oracle=f"""
+    WITH h AS (
+        SELECT user_id, j.j,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(user_id
+                                                       AS VARCHAR)
+                                                  || '@'
+                                                  || CAST(j.j
+                                                          AS VARCHAR)),
+                                              1, 8)) AS BIGINT)
+                         % 2 = 0
+                    THEN 1 ELSE -1 END AS sg
+        FROM events,
+             (SELECT UNNEST(range(0, {_AMS_J})) AS j) j
+    ),
+    c AS (SELECT j, SUM(sg) AS cj FROM h GROUP BY 1),
+    g AS (
+        SELECT j // 8 AS grp, SUM(cj * cj) AS gs
+        FROM c GROUP BY 1
+    ),
+    truth AS (
+        SELECT SUM(f) AS n_rows, COUNT(*) AS n_keys,
+               SUM(f * f) AS f2_true
+        FROM (SELECT user_id, COUNT(*) AS f FROM events GROUP BY 1)
+    ),
+    wide AS (
+        SELECT truth.n_rows, truth.n_keys, truth.f2_true,
+               MIN(CASE WHEN grp = 0 THEN gs END) AS g1,
+               MIN(CASE WHEN grp = 1 THEN gs END) AS g2,
+               MIN(CASE WHEN grp = 2 THEN gs END) AS g3,
+               MIN(CASE WHEN grp = 3 THEN gs END) AS g4
+        FROM g, truth
+        GROUP BY 1, 2, 3
+    )
+    SELECT {_AMS_FINAL} FROM wide
+    """,
+)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (tug-of-war) SECOND-MOMENT SKETCH — F2 = sum of squared key
+    frequencies (self-join size / skew in one number), the classic
+    Alon-Matias-Szegedy estimator that completes the sketch family
+    (HLL = F0, CMS = point freq, KMV = distinct, AMS = F2): 32 signed
+    counters c_j = sum over rows of +-1 (md5-parity sign per (key, j)),
+    each c_j^2 estimates F2; mean of 8 within each of 4 groups,
+    pseudo-median across groups (the drop-min/max middle mean — an
+    exact-integer selection, no float median).
+
+    Exactness: signs are integer md5 parity (the HLL hash idiom, '@j'
+    salt); counters and their squares are exact BIGINTs (|c_j| <= n
+    rows, squares <= 1e14 at 100x — headroom); group sums are
+    integers, the drop-min/max selection is GREATEST/LEAST on
+    integers, and the /2/8 normalization is one final float display;
+    true F2 is an exact integer for the accuracy read-off.
+
+    Scale shape: the canonical mergeable sketch — one rows x 32
+    explode into a 32-row map-side-combinable SUM (partition sketches
+    merge by addition), plus one exact key-count agg for truth; O(J)
+    state, one scan each."""
+    t = Tables(spark, sf_dir)
+    grid = spark.range(_AMS_J).select(F.col("id").alias("j"))
+    h = t.events.select("user_id").join(F.broadcast(grid)).select(
+        "j",
+        F.expr(
+            "CASE WHEN CAST(conv(substr(md5(concat("
+            "CAST(user_id AS STRING), '@', CAST(j AS STRING))),"
+            " 1, 8), 16, 10) AS BIGINT) % 2 = 0"
+            " THEN 1 ELSE -1 END"
+        ).alias("sg"),
+    )
+    c = h.groupBy("j").agg(F.sum("sg").alias("cj"))
+    g = c.groupBy(F.expr("j div 8").alias("grp")).agg(
+        F.sum(F.col("cj") * F.col("cj")).alias("gs")
+    )
+    truth = (
+        t.events.groupBy("user_id")
+        .agg(F.count("*").alias("f"))
+        .agg(
+            F.sum("f").alias("n_rows"),
+            F.count("*").alias("n_keys"),
+            F.sum(F.col("f") * F.col("f")).alias("f2_true"),
+        )
+    )
+    wide = (
+        g.agg(
+            *[
+                F.min(F.when(F.col("grp") == i, F.col("gs"))).alias(
+                    f"g{i + 1}"
+                )
+                for i in range(4)
+            ]
+        )
+        .join(F.broadcast(truth))
+    )
+    return wide.selectExpr(*_split_top_level(_AMS_FINAL))
