@@ -672,3 +672,65 @@ def test_late_audit_multibatch_semantics(spark, sf_dir):
     emitted = spark.table("late_audit_pin")
     dups = emitted.groupBy("w").count().filter("count > 1").count()
     assert dups == 0
+
+
+def test_markov_state_seam_across_batches(spark, tmp_path):
+    """stream_markov_transitions' state seam: the transition ACROSS a
+    micro-batch boundary must be counted exactly once — the carried
+    (us, event_id, event_type) tail is the one row batch LAG needs."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from traj_sim_spark_spark.streaming.streams_ext import _markov_update
+
+    d = str(tmp_path / "mk_in")
+    schema = "user_id long, us long, event_id long, event_type string"
+
+    def write(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["user_id", "us", "event_id", "event_type"]
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(d)
+        time.sleep(0.05)
+
+    # batch 1: view -> click for user 7; batch 2 opens with purchase,
+    # so (click -> purchase) exists ONLY via the carried state
+    write("b1", [(7, 100, 1, "view"), (7, 200, 2, "click")])
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    out = src.groupBy("user_id").applyInPandasWithState(
+        _markov_update,
+        outputStructType="src string, dst string, n bigint",
+        stateStructType="last_us bigint, last_eid bigint, "
+        "last_type string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("markov_seam")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write("b2", [(7, 300, 3, "purchase"), (7, 400, 4, "view")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["src"], r["dst"]): r["n"]
+        for r in spark.table("markov_seam")
+        .groupBy("src", "dst")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    assert got == {
+        ("view", "click"): 1,
+        ("click", "purchase"): 1,  # the cross-batch seam transition
+        ("purchase", "view"): 1,
+    }, got

@@ -1249,3 +1249,125 @@ def stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_late_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_markov_transitions — stateful streaming event-type transition counts
+# ---------------------------------------------------------------------------
+
+
+def _markov_update(key, pdfs, state):  # noqa: ANN001
+    """Per-user transition-increment emitter (module-level so the
+    multi-batch seam test can drive it directly): sort the batch by
+    the (us, event_id) total order, chain onto the carried last event,
+    emit this batch's (src, dst) counts, carry the new tail."""
+    import pandas as pd
+
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch) == 0:
+        return
+    batch = batch.sort_values(["us", "event_id"], kind="mergesort")
+    types = batch["event_type"].tolist()
+    if state.exists:
+        chain = [state.get[2]] + types
+    else:
+        chain = types
+    tail = batch.iloc[-1]
+    state.update(
+        (int(tail["us"]), int(tail["event_id"]), str(tail["event_type"]))
+    )
+    pairs: dict[tuple[str, str], int] = {}
+    for a, b in zip(chain, chain[1:]):
+        pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    if pairs:
+        yield pd.DataFrame(
+            {
+                "src": [k[0] for k in pairs],
+                "dst": [k[1] for k in pairs],
+                "n": list(pairs.values()),
+            }
+        )
+
+
+@query(
+    "stream_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+               ) AS prev
+        FROM events
+    ),
+    pair AS (
+        SELECT prev AS src, event_type AS dst, COUNT(*) AS n
+        FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT src, SUM(n) AS n_src FROM pair GROUP BY 1)
+    SELECT p.src, p.dst,
+           CAST(p.n AS BIGINT) AS n_pairs,
+           CAST(t.n_src AS BIGINT) AS n_src_total,
+           ROUND(CAST(p.n AS DOUBLE) / t.n_src, 6) AS p_next
+    FROM pair p JOIN tot t USING (src)
+    """,
+)
+def stream_markov_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING first-order transition matrix — the
+    ``rel_markov_transitions`` twin computed INCREMENTALLY with
+    ``applyInPandasWithState``: per user the state carries the LAST
+    seen (us, event_id, event_type); each micro-batch sorts its rows
+    by the same (us, event_id) total order, chains them onto the
+    carried last event and emits the batch's new (src, dst) pair
+    counts as INCREMENTS (append mode), which the batch side then
+    sums — so the result is batching-independent: any file split
+    yields the same transition multiset the batch LAG sees, because
+    the state seam carries exactly the one row LAG needs across the
+    batch boundary.
+
+    The single-replay oracle is the batch LAG query; multi-batch
+    state carry-over is asserted in tests/test_streaming.py (the
+    `stream_stateful` protocol).  Counts are exact integers; the
+    probability display divides once.
+
+    Scale shape: state is O(1) per user (three scalars — no event
+    buffering, unlike a naive window); emissions are vocab^2-bounded
+    per (user, batch); one final vocab^2 agg."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "event_type",
+    )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _markov_update,
+        outputStructType="src string, dst string, n bigint",
+        stateStructType="last_us bigint, last_eid bigint, "
+        "last_type string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    from pyspark.sql import Window as W
+
+    res = run_to_completion(out, "append")
+    pair = res.groupBy("src", "dst").agg(F.sum("n").alias("n"))
+    # row totals via a src-partitioned window over the vocab^2 pair
+    # table (a self-join on memory-sink lineage trips a Spark 4
+    # INTERNAL_ERROR; the window is equivalent and join-free)
+    pair = pair.withColumn(
+        "n_src", F.sum("n").over(W.partitionBy("src"))
+    )
+    return pair.select(
+        "src",
+        "dst",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.col("n_src").cast("bigint").alias("n_src_total"),
+        F.round(F.col("n").cast("double") / F.col("n_src"), 6).alias(
+            "p_next"
+        ),
+    )
