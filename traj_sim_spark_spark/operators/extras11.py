@@ -100,7 +100,13 @@ def rel_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vocab-sized item counts and the 1-row user total — the big
     table is touched twice, shuffled on user_id once."""
     t = Tables(spark, sf_dir)
-    b = t.events.select("user_id", "event_type").distinct()
+    # the basket table feeds 4 consumers (both pair sides, item
+    # counts, user total): stage it once — one events scan, not 5
+    b = (
+        t.events.select("user_id", "event_type")
+        .distinct()
+        .localCheckpoint()
+    )
     tot = b.agg(F.countDistinct("user_id").alias("n_users"))
     item = b.groupBy("event_type").agg(F.count("*").alias("n_item"))
     a = b.select("user_id", F.col("event_type").alias("ant"))
@@ -243,6 +249,9 @@ def rel_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "SUM(CASE WHEN dy > mid THEN cents ELSE 0 END)"
             ).alias("y"),
         )
+        # per-user (x, y) feeds both the pooled-moment and per-arm
+        # aggs: stage it once — one events scan, not 4
+        .localCheckpoint()
     )
     g = u.agg(
         F.count("*").alias("n"),
@@ -396,6 +405,11 @@ def rel_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m_cents",
             F.expr("CAST(m_cents div 10000 AS BIGINT)").alias("m_band"),
         )
+        # the per-customer triple is consumed 5x (count, 3 histograms,
+        # scoring); localCheckpoint collapses what would otherwise be
+        # 14 full orders scans in one plan to ONE scan + tiny reuses
+        # (the text_simhash_neardup staging precedent)
+        .localCheckpoint()
     )
     n = cust.agg(F.count("*").alias("n"))
 
@@ -684,15 +698,19 @@ def sketch_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT)"
         f" % {_BLOOM_M}"
     )
+    # each id half feeds two consumers (positions + count): stage the
+    # distinct lists once — two events scans total, not 5
     purch = (
         t.events.filter(F.col("user_id") % 2 == 0)
         .select("user_id")
         .distinct()
+        .localCheckpoint()
     )
     other = (
         t.events.filter(F.col("user_id") % 2 == 1)
         .select("user_id")
         .distinct()
+        .localCheckpoint()
     )
     grid = spark.range(_BLOOM_K).select(F.col("id").alias("i"))
     bits = (
@@ -1501,6 +1519,10 @@ def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
         .distinct()
+        # the distinct gram set feeds 3 consumers (both join sides +
+        # sizes): stage it once so the shingle explode runs ONCE (the
+        # extras2 word-shingle staging precedent)
+        .localCheckpoint()
     )
     sizes = grams.groupBy("source").agg(F.count("*").alias("sz"))
     a = grams.select(F.col("source").alias("src_a"), "g")
