@@ -1501,6 +1501,11 @@ def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.documents.select("source", "text")
         .repartition(32, "source", "text")
         .select("source", F.split("text", " ").alias("l"))
+        # shorter-than-shingle docs: sequence(1, len-4) would count
+        # DOWN through 0 and slice(l, 0, .) throws — the floor-corpus
+        # bug class §5.2(8) already catalogued; DuckDB's
+        # generate_series(1, 0) is empty so only Spark needs the gate
+        .filter(F.size("l") >= _OVL_N)
     )
     grams = (
         toks.select(
