@@ -1839,3 +1839,250 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(truth))
     )
     return wide.selectExpr(*_split_top_level(_AMS_FINAL))
+
+
+# ---------------------------------------------------------------------------
+# text_decontaminate_apply — drop training docs overlapping the held-out set
+# ---------------------------------------------------------------------------
+
+_DECON_N = 5  # word-shingle length (matches text_contamination)
+
+_DECON_FINAL = """
+    source,
+    CAST(n_docs AS BIGINT) AS n_docs,
+    CAST(n_dropped AS BIGINT) AS n_dropped,
+    CAST(n_docs - n_dropped AS BIGINT) AS n_kept,
+    CAST(dropped_chars AS BIGINT) AS dropped_chars,
+    CAST(total_chars - dropped_chars AS BIGINT) AS kept_chars,
+    ROUND(CAST(n_dropped AS DOUBLE) / n_docs, 6) AS drop_rate
+"""
+
+
+@query(
+    "text_decontaminate_apply",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, source,
+               array_to_string(list_slice(toks, i, i + {_DECON_N - 1}),
+                               ' ') AS shingle
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+              FROM documents) d,
+             LATERAL (SELECT UNNEST(generate_series(
+                          1, LEN(toks) - {_DECON_N - 1})) AS i) g
+    ),
+    test AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+    hitdocs AS (
+        SELECT DISTINCT sh.doc_id
+        FROM sh JOIN test USING (shingle)
+        WHERE sh.source <> 'src0'
+    ),
+    agg AS (
+        SELECT d.source, COUNT(*) AS n_docs,
+               SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_dropped,
+               SUM(CASE WHEN h.doc_id IS NOT NULL
+                        THEN length(d.text) ELSE 0 END)
+                   AS dropped_chars,
+               SUM(length(d.text)) AS total_chars
+        FROM documents d LEFT JOIN hitdocs h USING (doc_id)
+        WHERE d.source <> 'src0'
+        GROUP BY 1
+    )
+    SELECT {_DECON_FINAL} FROM agg
+    """,
+)
+def text_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCHMARK DECONTAMINATION APPLIED — `text_contamination` audits
+    how much held-out content leaks into the corpus; this op executes
+    the standard cure on the TRAINING side: any training document
+    sharing even ONE word 5-gram with the held-out split (source
+    'src0') is DROPPED (the strict n-gram decontamination rule LLM
+    corpora apply before training), and the per-source accounting
+    (docs/chars dropped vs kept, drop rate) is the table a dataset
+    card publishes.
+
+    Exactness: the drop decision is a DISTINCT semi-join on the
+    shingle string — pure set membership, no floats; all stats are
+    exact integer counts; the rate divides once.
+
+    Scale shape: the held-out shingle set is benchmark-sized and
+    BROADCASTS; training shingles stream past it (one explode, one
+    distinct hit-doc semi-join), then one per-source agg over the
+    corpus joined with the (small) hit-doc list — the train corpus is
+    scanned twice (shingle pass + accounting pass), never joined to
+    itself."""
+    from .text_ext import _word_shingles
+
+    t = Tables(spark, sf_dir)
+    sh = _word_shingles(t.documents, _DECON_N)
+    test = (
+        sh.filter(F.col("source") == "src0")
+        .select("shingle")
+        .distinct()
+    )
+    hitdocs = (
+        sh.filter(F.col("source") != "src0")
+        .join(F.broadcast(test), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    agg = (
+        t.documents.filter(F.col("source") != "src0")
+        .join(hitdocs, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_dropped"),
+            F.sum(
+                F.when(F.col("hit") == 1, F.length("text")).otherwise(0)
+            ).alias("dropped_chars"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+    )
+    return agg.selectExpr(*_split_top_level(_DECON_FINAL))
+
+
+# ---------------------------------------------------------------------------
+# rel_forecast_eval — rolling one-step backtest of the Holt filter
+# ---------------------------------------------------------------------------
+
+_FE_FINAL = """
+    CAST(n_evals AS BIGINT) AS n_evals,
+    ROUND(CAST(err_sum AS DOUBLE) / n_evals / {d} / 1e6, 6) AS mae,
+    ROUND(CAST(naive_sum AS DOUBLE) / n_evals / {d} / 1e6, 6)
+        AS mae_naive,
+    ROUND(1 - CAST(err_sum AS DOUBLE) / CAST(naive_sum AS DOUBLE), 6)
+        + 0.0 AS skill
+"""
+
+
+def _fe_oracle() -> str:
+    from .extras5 import _HOLT_D, _HOLT_NB, _HOLT_NL, _HOLT_W
+    from .series import _GRID_SQL
+
+    w = _HOLT_W
+    nl = ", ".join(str(x) for x in _HOLT_NL)
+    nb = ", ".join(str(x) for x in _HOLT_NB)
+    return f"""
+    WITH {_GRID_SQL},
+    contrib AS (
+        SELECT g.user_id, g.dy + j.j AS dy,
+               g.si * ([{nl}][j.j + 1]) AS lterm,
+               g.si * ([{nb}][j.j + 1]) AS bterm
+        FROM grid g
+        CROSS JOIN (SELECT UNNEST(generate_series(0, {w - 1})) AS j) j
+    ),
+    win AS (
+        SELECT c.user_id, c.dy,
+               CAST(SUM(c.lterm) AS BIGINT) AS lnum,
+               CAST(SUM(c.bterm) AS BIGINT) AS bnum,
+               COUNT(*) AS k
+        FROM contrib c JOIN grid t
+          ON t.user_id = c.user_id AND t.dy = c.dy
+        GROUP BY 1, 2
+        HAVING COUNT(*) = {w}
+    ),
+    ev AS (
+        SELECT w.user_id, w.dy,
+               ABS(CAST(w.lnum + w.bnum AS DECIMAL(38,0))
+                   - CAST(nxt.si AS DECIMAL(38,0)) * {_HOLT_D})
+                   AS err_num,
+               ABS(CAST(cur.si AS DECIMAL(38,0))
+                   - CAST(nxt.si AS DECIMAL(38,0))) * {_HOLT_D}
+                   AS naive_num
+        FROM win w
+        JOIN grid nxt ON nxt.user_id = w.user_id
+                     AND nxt.dy = w.dy + 1
+        JOIN grid cur ON cur.user_id = w.user_id
+                     AND cur.dy = w.dy
+    ),
+    agg AS (
+        SELECT COUNT(*) AS n_evals,
+               SUM(err_num) AS err_sum,
+               SUM(naive_num) AS naive_sum
+        FROM ev
+        HAVING COUNT(*) >= 1 AND SUM(naive_num) > 0
+    )
+    SELECT {_FE_FINAL.format(d=_HOLT_D)} FROM agg
+    """
+
+
+@query("rel_forecast_eval", oracle=_fe_oracle)
+def rel_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING-ORIGIN ONE-STEP BACKTEST of the Holt forecaster — the
+    evaluation loop an ML-ops pipeline runs before trusting
+    `rel_holt_linear` in an alert path: at every day t with a complete
+    12-day window AND a next grid day, compare forecast(t+1) =
+    level+trend against the actual, report MAE, the persistence
+    (naive last-value) MAE, and the skill score 1 − MAE/MAE_naive.
+
+    Exactness: both error terms are EXACT integers on the common
+    D-scaled micro grid — |lnum+bnum − si_next·D| and
+    |si_t − si_next|·D (si·D ≈ 4e15 per term, summed in
+    DECIMAL(38,0) — int64 would overflow on the corpus sum); the
+    HAVING gates (≥1 eval, nonzero naive error) are integer; the
+    three displays divide once (`+ 0.0` on skill — it crosses zero).
+
+    Scale shape: the same fixed-tap linear filter as the forecaster
+    (one explode + equi-join + agg), plus two dense-grid equi-joins
+    for the actuals and one 1-row agg — everything shuffles on the
+    (user, day) key the daily rollup already produced."""
+    from .extras5 import _HOLT_D, _HOLT_NB, _HOLT_NL, _HOLT_W
+    from .series import _daily_grid
+
+    w = _HOLT_W
+    t = Tables(spark, sf_dir)
+    grid = _daily_grid(t).localCheckpoint()
+    nl = F.array(*[F.lit(x).cast("long") for x in _HOLT_NL])
+    nb = F.array(*[F.lit(x).cast("long") for x in _HOLT_NB])
+    contrib = grid.select(
+        "user_id",
+        "dy",
+        "si",
+        F.explode(F.sequence(F.lit(0), F.lit(w - 1))).alias("j"),
+    ).select(
+        "user_id",
+        (F.col("dy") + F.col("j")).alias("dy"),
+        (F.col("si") * F.element_at(nl, F.col("j") + 1)).alias("lterm"),
+        (F.col("si") * F.element_at(nb, F.col("j") + 1)).alias("bterm"),
+    )
+    win = (
+        contrib.join(grid.select("user_id", "dy"), ["user_id", "dy"])
+        .groupBy("user_id", "dy")
+        .agg(
+            F.sum("lterm").alias("lnum"),
+            F.sum("bterm").alias("bnum"),
+            F.count("*").alias("k"),
+        )
+        .filter(F.col("k") == w)
+    )
+    nxt = grid.select(
+        "user_id",
+        (F.col("dy") - 1).alias("dy"),
+        F.col("si").alias("si_next"),
+    )
+    cur = grid.select("user_id", "dy", F.col("si").alias("si_cur"))
+    ev = (
+        win.join(nxt, ["user_id", "dy"])
+        .join(cur, ["user_id", "dy"])
+        .select(
+            F.abs(
+                (F.col("lnum") + F.col("bnum")).cast("decimal(38,0)")
+                - F.col("si_next").cast("decimal(38,0)") * _HOLT_D
+            ).alias("err_num"),
+            (
+                F.abs(
+                    F.col("si_cur").cast("decimal(38,0)")
+                    - F.col("si_next").cast("decimal(38,0)")
+                )
+                * _HOLT_D
+            ).alias("naive_num"),
+        )
+    )
+    agg = ev.agg(
+        F.count("*").alias("n_evals"),
+        F.sum("err_num").alias("err_sum"),
+        F.sum("naive_num").alias("naive_sum"),
+    ).filter("n_evals >= 1 AND naive_sum > 0")
+    return agg.selectExpr(*_split_top_level(_FE_FINAL.format(d=_HOLT_D)))
