@@ -2086,3 +2086,84 @@ def rel_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("naive_num").alias("naive_sum"),
     ).filter("n_evals >= 1 AND naive_sum > 0")
     return agg.selectExpr(*_split_top_level(_FE_FINAL.format(d=_HOLT_D)))
+
+
+# ---------------------------------------------------------------------------
+# pipe_mix_dedup_aware — duplicate-aware training-mix accounting
+# ---------------------------------------------------------------------------
+
+_MIX_FINAL = """
+    source,
+    CAST(n_docs AS BIGINT) AS n_docs,
+    CAST(n_dup_docs AS BIGINT) AS n_dup_docs,
+    CAST(raw_tokens AS BIGINT) AS raw_tokens,
+    CAST(eff_tokens_micro AS BIGINT) AS eff_tokens_micro,
+    ROUND(CAST(eff_tokens_micro AS DOUBLE) / 1e6, 6) AS eff_tokens,
+    ROUND(CAST(raw_tokens AS DOUBLE)
+          / (CAST(eff_tokens_micro AS DOUBLE) / 1e6), 6)
+        AS dup_inflation
+"""
+
+
+@query(
+    "pipe_mix_dedup_aware",
+    oracle=f"""
+    WITH g AS (
+        SELECT text, COUNT(*) AS cnt FROM documents GROUP BY 1
+    ),
+    d AS (
+        SELECT doc.source,
+               len(string_split(doc.text, ' ')) AS toks,
+               g.cnt
+        FROM documents doc JOIN g USING (text)
+    ),
+    agg AS (
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS n_dup_docs,
+               SUM(toks) AS raw_tokens,
+               SUM(toks * (1000000 // cnt)) AS eff_tokens_micro
+        FROM d GROUP BY 1
+        HAVING SUM(toks) >= 1
+    )
+    SELECT {_MIX_FINAL} FROM agg
+    """,
+)
+def pipe_mix_dedup_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUPLICATE-AWARE TRAINING-MIX ACCOUNTING — the table a mixture
+    designer reads INSTEAD of raw token counts: every exact-duplicate
+    group contributes its tokens once (each copy weighted 1/cnt), so
+    per source you get raw vs EFFECTIVE tokens and the duplication
+    inflation factor — the number that tells you a source's apparent
+    size is x1.8 hot air before `pipe_mix_sources` allocates epochs
+    to it.  Complements `text_exact_dedup` (which picks survivors):
+    this op keeps every copy but DOWNWEIGHTS, the epoch-equivalent
+    accounting LLaMA-style mixes use.
+
+    Exactness: group sizes and token counts are exact integers; the
+    per-doc weight is ONE integer floor division (1e6 div cnt,
+    micro-units) so effective tokens are exact BIGINT sums; the two
+    displays divide once.
+
+    Scale shape: one text-keyed hash agg (the rep-collapse key), one
+    join back (fan-out = group size, i.e. corpus-linear), one
+    per-source rollup — never doc x doc."""
+    t = Tables(spark, sf_dir)
+    g = t.documents.groupBy("text").agg(F.count("*").alias("cnt"))
+    d = t.documents.select(
+        "source", "text", F.expr("size(split(text, ' '))").alias("toks")
+    ).join(g, "text")
+    agg = (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0)).alias(
+                "n_dup_docs"
+            ),
+            F.sum("toks").alias("raw_tokens"),
+            F.sum(
+                F.col("toks") * F.expr("1000000 div cnt")
+            ).alias("eff_tokens_micro"),
+        )
+        .filter("raw_tokens >= 1")
+    )
+    return agg.selectExpr(*_split_top_level(_MIX_FINAL))

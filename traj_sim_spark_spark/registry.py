@@ -162,6 +162,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "stream_markov_transitions",
     "text_decontaminate_apply",
     "rel_forecast_eval",
+    "pipe_mix_dedup_aware",
     # (d) oldest-evidence rotation: r01-only keys, registration order
     # (the ~8 that don't fit this window lead the round-10 rotation)
     "rel_scan_project",
@@ -179,14 +180,13 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "rel_join_theta_band",
     "rel_join_asof",
     "sim_band_join",
-    "rel_agg_basic",
-    # rel_agg_distinct / rel_agg_rollup /
+    # rel_agg_basic / rel_agg_distinct / rel_agg_rollup /
     # rel_agg_cube / rel_agg_having / traj_stats / rel_agg_percentile /
     # rel_agg_stats / rel_win_rank / rel_win_lag / rel_win_moving /
     # rel_win_range_time / rel_topk_global / rel_topk_pergroup /
     # rel_win_distribution / rel_win_nav / rel_union_all /
     # rel_intersect / rel_except join rel_scalar_string/date/math/
-    # array/map_json in the round-10 rotation, displaced by the 18
+    # array/map_json in the round-10 rotation, displaced by the 19
     # round-9-continuation adds (window holds 50; new keys outrank
     # re-certs)
 )
