@@ -2167,3 +2167,131 @@ def pipe_mix_dedup_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("raw_tokens >= 1")
     )
     return agg.selectExpr(*_split_top_level(_MIX_FINAL))
+
+
+# ---------------------------------------------------------------------------
+# rel_cohort_ltv — cumulative cohort revenue (LTV) curves
+# ---------------------------------------------------------------------------
+
+_LTV_MAX_AGE = 8  # weeks of age tracked per cohort
+
+_LTV_FINAL = """
+    CAST(cohort_week AS BIGINT) AS cohort_week,
+    CAST(age_week AS BIGINT) AS age_week,
+    CAST(n_users AS BIGINT) AS cohort_size,
+    ROUND(CAST(rev_cents AS DOUBLE) / 100, 6) AS week_revenue,
+    ROUND(CAST(cum_cents AS DOUBLE) / 100, 6) AS cum_revenue,
+    ROUND(CAST(cum_cents AS DOUBLE) / 100 / n_users, 6) AS ltv_per_user
+"""
+
+
+@query(
+    "rel_cohort_ltv",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_type,
+               CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400e6)
+                    AS BIGINT) // 7 AS wk,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    cohort AS (
+        SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY 1
+    ),
+    sizes AS (
+        SELECT cohort_week, COUNT(*) AS n_users FROM cohort GROUP BY 1
+    ),
+    rev AS (
+        SELECT c.cohort_week, ev.wk - c.cohort_week AS age_week,
+               SUM(ev.cents) AS rev_cents
+        FROM ev JOIN cohort c USING (user_id)
+        WHERE ev.event_type = 'purchase'
+          AND ev.wk - c.cohort_week BETWEEN 0 AND {_LTV_MAX_AGE}
+        GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT s.cohort_week, g.age_week, s.n_users,
+               COALESCE(r.rev_cents, 0) AS rev_cents
+        FROM sizes s
+        CROSS JOIN (SELECT UNNEST(generate_series(0, {_LTV_MAX_AGE}))
+                        AS age_week) g
+        LEFT JOIN rev r ON r.cohort_week = s.cohort_week
+                       AND r.age_week = g.age_week
+    ),
+    cum AS (
+        SELECT *, SUM(rev_cents) OVER (
+                   PARTITION BY cohort_week ORDER BY age_week
+               ) AS cum_cents
+        FROM grid
+    )
+    SELECT {_LTV_FINAL} FROM cum
+    """,
+)
+def rel_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT LTV CURVES — cumulative purchase revenue per signup-week
+    cohort by age week, per-user: THE companion table of
+    `rel_retention` (which counts the users; this follows the money)
+    and the grid every growth model is fit against.  Cohort = the
+    user's first-event week; ages 0..8 are DENSIFIED (zero-revenue
+    weeks appear explicitly — an LTV curve with holes misleads), and
+    the running sum yields cumulative revenue and LTV per cohort
+    user.
+
+    Exactness: weeks are integer floor-divisions of epoch days;
+    revenue sums exact centi BIGINTs; the cumulative window runs over
+    the DENSIFIED 9-row age frame per cohort (bounded by construction
+    — never a corpus-sized window); the three displays divide once.
+
+    Scale shape: one user_id agg for cohorts, one broadcast-sized
+    (cohort, age) revenue agg, a 9x dense grid on the tiny cohort
+    table, one bounded window — the events table is scanned twice
+    (cohort pass + revenue pass), shuffled on user_id once."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        "user_id",
+        "event_type",
+        F.expr(
+            "CAST(FLOOR(unix_micros(ts) / 86400e6) AS BIGINT) div 7"
+        ).alias("wk"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count("*").alias("n_users")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(cohort, "user_id")
+        .withColumn("age_week", F.col("wk") - F.col("cohort_week"))
+        .filter(
+            (F.col("age_week") >= 0)
+            & (F.col("age_week") <= _LTV_MAX_AGE)
+        )
+        .groupBy("cohort_week", "age_week")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    grid = (
+        sizes.join(
+            F.broadcast(
+                spark.range(_LTV_MAX_AGE + 1).select(
+                    F.col("id").alias("age_week")
+                )
+            )
+        )
+        .join(F.broadcast(rev), ["cohort_week", "age_week"], "left")
+        .select(
+            "cohort_week",
+            "age_week",
+            "n_users",
+            F.coalesce("rev_cents", F.lit(0)).alias("rev_cents"),
+        )
+    )
+    cum = grid.withColumn(
+        "cum_cents",
+        F.sum("rev_cents").over(
+            W.partitionBy("cohort_week")
+            .orderBy("age_week")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    return cum.selectExpr(*_split_top_level(_LTV_FINAL))

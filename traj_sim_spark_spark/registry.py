@@ -163,6 +163,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "text_decontaminate_apply",
     "rel_forecast_eval",
     "pipe_mix_dedup_aware",
+    "rel_cohort_ltv",
     # (d) oldest-evidence rotation: r01-only keys, registration order
     # (the ~8 that don't fit this window lead the round-10 rotation)
     "rel_scan_project",
@@ -179,7 +180,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "rel_join_anti",
     "rel_join_theta_band",
     "rel_join_asof",
-    "sim_band_join",
+    # sim_band_join displaced to round 10 with the rest
     # rel_agg_basic / rel_agg_distinct / rel_agg_rollup /
     # rel_agg_cube / rel_agg_having / traj_stats / rel_agg_percentile /
     # rel_agg_stats / rel_win_rank / rel_win_lag / rel_win_moving /
