@@ -734,3 +734,50 @@ def test_markov_state_seam_across_batches(spark, tmp_path):
         ("click", "purchase"): 1,  # the cross-batch seam transition
         ("purchase", "view"): 1,
     }, got
+
+
+def test_markov_tail_keep_max_on_out_of_order_batch():
+    """The carried tail is keep-max on (us, event_id): a micro-batch
+    whose events all precede the carried tail chains onto it (emitting
+    its pairs) but must NOT regress the state — the next in-order
+    batch still sees the true chronological tail."""
+    from traj_sim_spark_spark.streaming.streams_ext import _markov_update
+
+    class _FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+    state = _FakeState()
+
+    def run(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["user_id", "us", "event_id", "event_type"]
+        )
+        out = list(_markov_update((7,), iter([pdf]), state))
+        pairs = {}
+        for df in out:
+            for r in df.itertuples(index=False):
+                pairs[(r.src, r.dst)] = pairs.get((r.src, r.dst), 0) + r.n
+        return pairs
+
+    # in-order batch establishes tail at (400, 4, "view")
+    assert run(
+        [(7, 100, 1, "view"), (7, 200, 2, "click"), (7, 400, 4, "view")]
+    ) == {("view", "click"): 1, ("click", "view"): 1}
+    assert state._v == (400, 4, "view")
+    # out-of-order batch: earlier than the tail -> chains onto it but
+    # does NOT regress the carried state
+    assert run([(7, 150, 99, "search")]) == {("view", "search"): 1}
+    assert state._v == (400, 4, "view")
+    # next in-order batch chains from the PRESERVED tail
+    assert run([(7, 500, 5, "click")]) == {("view", "click"): 1}
+    assert state._v == (500, 5, "click")

@@ -147,8 +147,10 @@ def rel_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # theta = cov(X,Y)/var(X) appears twice (display + adjustment) as the
 # SAME expression text, so both engines build the identical float DAG;
-# X/Y are per-user centi-sums, moments are exact integers (products in
-# DECIMAL(38,0) — the rel_lorenz_gini overflow recipe)
+# X/Y are per-user centi-sums, moments are exact integers (operands cast
+# to DECIMAL(18,0), products widening to ~DECIMAL(36,0) — ample headroom
+# for centi-sums, though narrower than the full rel_lorenz_gini
+# DECIMAL(38,0) recipe; an operand beyond 1e18 would error in DuckDB)
 _CUPED_THETA = (
     "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
     " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
@@ -217,9 +219,11 @@ def rel_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     each arm's adjusted mean is mean(Y) - theta*(mean_a(X) - mean(X)).
 
     Exactness: per-user X/Y are exact centi BIGINTs; the five pooled
-    moments (n, SX, SY, SXX, SXY) are exact — cross products carried
-    in DECIMAL(38,0) (the `rel_lorenz_gini` recipe) so 100x clones
-    cannot overflow; theta and the adjusted means are ONE shared
+    moments (n, SX, SY, SXX, SXY) are exact — operands cast to
+    DECIMAL(18,0) so cross products widen to ~DECIMAL(36,0) and 100x
+    clones cannot overflow (narrower than the rel_lorenz_gini
+    DECIMAL(38,0) recipe: an operand beyond 1e18 would error in
+    DuckDB rather than wrap); theta and the adjusted means are ONE shared
     float display whose expression text is identical on both engines
     (theta inlined twice on purpose); degenerate var(X)=0 corpora
     yield zero rows via an integer HAVING gate, not a NaN.
@@ -1192,7 +1196,8 @@ def rel_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the test runs.  MDE = (z_a/2 + z_b) * sqrt(2*var/n).
 
     Exactness: per-type moments (n, sum, sum-of-squares) are exact
-    integers (cross terms in DECIMAL(38,0), the `rel_cuped` recipe);
+    integers (cross terms via DECIMAL(18,0) operands widening to
+    ~DECIMAL(36,0) products, the `rel_cuped` recipe);
     variance, sd and both MDE displays are ONE shared float
     projection with every literal explicitly CAST AS DOUBLE (the
     `sketch_hll_distinct` rule); integer HAVING gates (n >= 2,
@@ -1305,7 +1310,7 @@ _SIL_FINAL = """
     CAST(n_vecs AS BIGINT) AS n_vecs,
     ROUND(CAST(sum_a AS DOUBLE) / n_vecs / 1e12, 6) AS mean_intra_d2,
     ROUND(CAST(sum_b AS DOUBLE) / n_vecs / 1e12, 6) AS mean_nearest_d2,
-    ROUND(CAST(sum_s AS DOUBLE) / n_vecs, 6) + 0.0 AS mean_silhouette
+    ROUND(CAST(sum_s AS DOUBLE) / n_vecs / 1e9, 6) + 0.0 AS mean_silhouette
 """
 
 
@@ -1340,8 +1345,8 @@ _SIL_FINAL = """
     s AS (
         SELECT label, a, b,
                CAST(ROUND((CAST(b AS DOUBLE) - a)
-                          / GREATEST(a, b, 1), 9)
-                    AS DECIMAL(12,9)) AS sq
+                          * 1e9 / GREATEST(a, b, 1))
+                    AS BIGINT) AS sq
         FROM ab
     )
     SELECT {_SIL_FINAL}
@@ -1365,9 +1370,10 @@ def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     `text_zipf_fit` recipe, same expression text both engines); every
     d2 is then an exact BIGINT (|diff| <= ~1.2e6, x64 dims ~ 1e14),
     the nearest-other argmin is an integer MIN, per-vector s is
-    quantized to DECIMAL(12,9) and summed exactly (the
-    `text_bigram_lm` decimal-sum recipe), and label sums carry as
-    DECIMALs; displays divide once.
+    quantized ONCE to integer nano-units via single-arg
+    ROUND(s * 1e9) (the `rel_holt_winters` recipe — the two-arg
+    ROUND(x, 9) form risks the cross-engine one-ulp tie) and summed
+    as exact BIGINTs; displays divide once.
 
     Scale shape: the distance pass is an explode-join against the
     BROADCAST 640-row centroid table, map-side combinable on
@@ -1415,7 +1421,7 @@ def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b",
         F.expr(
             "CAST(ROUND((CAST(b AS DOUBLE) - a)"
-            " / GREATEST(a, b, 1), 9) AS DECIMAL(12,9))"
+            " * 1e9 / GREATEST(a, b, 1)) AS BIGINT)"
         ).alias("sq"),
     )
     roll = s.groupBy("label").agg(

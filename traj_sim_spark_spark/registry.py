@@ -187,8 +187,9 @@ _WINDOW_FIRST: tuple[str, ...] = (
     # rel_win_range_time / rel_topk_global / rel_topk_pergroup /
     # rel_win_distribution / rel_win_nav / rel_union_all /
     # rel_intersect / rel_except join rel_scalar_string/date/math/
-    # array/map_json in the round-10 rotation, displaced by the 19
-    # round-9-continuation adds (window holds 50; new keys outrank
+    # array/map_json in the round-10 rotation, displaced by the 20
+    # round-9-continuation adds (19 extras11 ops +
+    # stream_markov_transitions; window holds 50; new keys outrank
     # re-certs)
 )
 

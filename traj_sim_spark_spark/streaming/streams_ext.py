@@ -1260,7 +1260,15 @@ def _markov_update(key, pdfs, state):  # noqa: ANN001
     """Per-user transition-increment emitter (module-level so the
     multi-batch seam test can drive it directly): sort the batch by
     the (us, event_id) total order, chain onto the carried last event,
-    emit this batch's (src, dst) counts, carry the new tail."""
+    emit this batch's (src, dst) counts, carry the new tail.
+
+    The carried tail is keep-max on (us, event_id) (the
+    ``stream_dedup`` precedent): a micro-batch whose events all
+    precede the carried tail cannot regress the state.  The chain
+    itself still assumes chronologically-ordered splits — events that
+    arrive in a LATER batch than chronologically-later events produce
+    a different transition multiset than the batch LAG oracle (see
+    the query docstring)."""
     import pandas as pd
 
     batch = pd.concat(list(pdfs), ignore_index=True)
@@ -1273,9 +1281,13 @@ def _markov_update(key, pdfs, state):  # noqa: ANN001
     else:
         chain = types
     tail = batch.iloc[-1]
-    state.update(
-        (int(tail["us"]), int(tail["event_id"]), str(tail["event_type"]))
+    new_tail = (
+        int(tail["us"]), int(tail["event_id"]), str(tail["event_type"])
     )
+    if not state.exists or (new_tail[0], new_tail[1]) > (
+        state.get[0], state.get[1]
+    ):
+        state.update(new_tail)
     pairs: dict[tuple[str, str], int] = {}
     for a, b in zip(chain, chain[1:]):
         pairs[(a, b)] = pairs.get((a, b), 0) + 1
@@ -1322,10 +1334,16 @@ def stream_markov_transitions(
     by the same (us, event_id) total order, chains them onto the
     carried last event and emits the batch's new (src, dst) pair
     counts as INCREMENTS (append mode), which the batch side then
-    sums — so the result is batching-independent: any file split
-    yields the same transition multiset the batch LAG sees, because
-    the state seam carries exactly the one row LAG needs across the
-    batch boundary.
+    sums — so the result is batching-independent for any
+    CHRONOLOGICALLY-ORDERED split (each batch's events at or after
+    the carried tail — true of the replay here, which feeds whole
+    sorted files): the state seam carries exactly the one row LAG
+    needs across the batch boundary.  The tail update is keep-max on
+    (us, event_id) (the `stream_dedup` precedent), so an
+    out-of-order batch can never REGRESS the carried state; its
+    cross-batch transitions may still differ from the batch LAG
+    oracle — true late data needs the watermark treatment, out of
+    scope for this twin.
 
     The single-replay oracle is the batch LAG query; multi-batch
     state carry-over is asserted in tests/test_streaming.py (the
