@@ -77,3 +77,55 @@ def test_truncated_wav_header_falls_back_to_stub():
     payload = real[:20]  # valid magic, truncated fmt chunk
     out = _decode(payload)
     assert np.array_equal(out, _fake_decode(payload))
+
+
+def test_pgm_roundtrip_decodes_exactly():
+    """The REAL image path: _encode_pgm wraps bytes in a genuine P5
+    container and _decode's P5 branch parses the raster back exactly."""
+    from traj_sim_spark_spark.operators.multimodal import _encode_pgm
+
+    data = bytes(range(256))
+    payload = _encode_pgm(data)
+    assert payload.startswith(b"P5\n256 1\n255\n")
+    out = _decode(payload)
+    assert out.dtype == np.uint8
+    assert out.tobytes() == data
+
+
+def test_pgm_comment_tolerant_header():
+    payload = b"P5\n# a netpbm comment\n 4 \n# again\n2\n255\n" + bytes(8)
+    out = _decode(payload)
+    assert out.tolist() == [0] * 8
+
+
+def test_pgm_like_text_falls_back_to_stub():
+    """A text payload that merely starts with 'P5' must not be
+    misparsed — no digits follow, so _parse_pgm returns None and the
+    stub reproduces the bytes (what keeps text-payload rows FULL)."""
+    payload = b"P5 is a chess opening, not this document"
+    assert np.array_equal(_decode(payload), _fake_decode(payload))
+
+
+def test_pgm_truncated_raster_falls_back_to_stub():
+    from traj_sim_spark_spark.operators.multimodal import _encode_pgm
+
+    payload = _encode_pgm(bytes(range(64)))[:-10]  # raster short
+    assert np.array_equal(_decode(payload), _fake_decode(payload))
+
+
+def test_pgm_16bit_maxval_falls_back_to_stub():
+    payload = b"P5\n2 1\n65535\n" + bytes(4)
+    assert np.array_equal(_decode(payload), _fake_decode(payload))
+
+
+def test_wav_u8_encoder_roundtrip():
+    """The REAL audio path: _encode_wav_u8 writes a genuine RIFF/WAVE
+    container and _decode's wave branch extracts the PCM exactly."""
+    from traj_sim_spark_spark.operators.multimodal import _encode_wav_u8
+
+    data = bytes(range(256))
+    payload = _encode_wav_u8(data)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    out = _decode(payload)
+    assert out.dtype == np.uint8
+    assert out.tobytes() == data

@@ -3,17 +3,23 @@
 Image/audio/video content is modeled as opaque ``binary`` columns with
 typed metadata, processed by Arrow-batched ``mapInPandas`` stages. The
 DECODE step is a codec-dispatching function (``_decode``): REAL wav/PCM
-decode through stdlib ``wave``, REAL image decode through PIL behind a
-guarded import (PIL is absent in this container, so that path falls
-through), and a clearly marked deterministic byte STUB for everything
-else — including the utf-8 text payloads the fixtures derive, which is
-what keeps these rows FULL-oracle here. Everything Spark-side is real
-and tested either way: schema, binary encoding, partitioned batch
+decode through stdlib ``wave``, REAL binary-PGM (P5) raster parse
+through pure integer math (``_parse_pgm``), REAL PNG/JPEG decode
+through PIL behind a guarded import (PIL is absent in this container,
+so that path falls through), and a clearly marked deterministic byte
+STUB for any unrecognized payload. Two rows run real codecs
+end-to-end on genuine container bytes: ``mm_decode_features`` (PGM
+encode -> PGM parse) and ``mm_audio_energy`` (WAV encode -> stdlib
+``wave`` decode); the remaining rows process bare byte streams through
+the stub, with the container paths unit-covered in
+tests/test_multimodal_decode.py. Everything Spark-side is real and
+tested either way: schema, binary encoding, partitioned batch
 iteration, UDF signatures, and output shapes.
 
-The fixtures carry no binary table, so bytes are derived from
-``documents.text`` (utf-8) — structurally identical to reading a BLOB
-column from Parquet.
+The fixtures carry no binary table, so sample streams derive from
+``documents.text`` (utf-8) — wrapped in real containers where the row
+exercises a codec — structurally identical to reading a BLOB column
+from Parquet.
 """
 
 from __future__ import annotations
@@ -33,6 +39,63 @@ from ..tables import Tables
 _FRAME_BYTES = 32
 
 
+def _encode_wav_u8(data: bytes) -> bytes:
+    """REAL audio container encoder: wrap a u8 sample stream in a WAV
+    (RIFF) file — mono, 8-bit unsigned PCM, 8 kHz — via the stdlib
+    ``wave`` writer. Deterministic byte-for-byte; the product is a
+    genuine .wav any player or decoder accepts."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(data)
+    return buf.getvalue()
+
+
+def _encode_pgm(data: bytes) -> bytes:
+    """REAL image container encoder: wrap a u8 pixel stream in a binary
+    PGM (P5) file as a 1-row grayscale image. The product is a genuine
+    .pgm any netpbm-compatible reader accepts."""
+    return b"P5\n%d 1\n255\n" % len(data) + data
+
+
+def _parse_pgm(payload: bytes) -> np.ndarray | None:
+    """REAL image container parser: binary PGM (P5), pure integer math
+    — magic, whitespace/comment-tolerant header (width, height,
+    maxval), then exactly one whitespace byte before w*h raster bytes
+    (8-bit: maxval < 256). Returns None when the payload is not a
+    well-formed 8-bit P5 (caller falls back to the byte stub)."""
+    if payload[:2] != b"P5":
+        return None
+    i, n = 2, len(payload)
+    vals: list[int] = []
+    while len(vals) < 3:
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        if i < n and payload[i : i + 1] == b"#":
+            while i < n and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and payload[j : j + 1].isdigit():
+            j += 1
+        if j == i:
+            return None
+        vals.append(int(payload[i:j]))
+        i = j
+    if i >= n or not payload[i : i + 1].isspace():
+        return None
+    i += 1  # the single whitespace byte separating header and raster
+    w, h, maxval = vals
+    if not 0 < maxval < 256 or n - i < w * h:
+        return None
+    return np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=i)
+
+
 def _fake_decode(payload: bytes) -> np.ndarray:
     """STUB decoder — stands in for image/audio decode (PIL/librosa are
     not installed in this environment). Deterministic: interprets the
@@ -49,6 +112,10 @@ def _decode(payload: bytes) -> np.ndarray:
       8-bit PCM is already the uint8 sample domain; 16-bit PCM is
       mapped deterministically onto it (``(s + 32768) >> 8``) so every
       downstream stage keeps the one 0..255 contract.
+    - ``P5`` magic: REAL binary-PGM raster parse (``_parse_pgm``) —
+      pure integer math, no third-party dependency, so the image
+      decode path is live in this container (mm_decode_features wraps
+      its payloads in genuine PGM files and rides this branch).
     - PNG / JPEG magic: PIL grayscale decode behind a guarded import —
       activates where PIL exists, falls through to the stub here.
     - anything else (incl. the utf-8 text payloads the fixtures
@@ -77,6 +144,10 @@ def _decode(payload: bytes) -> np.ndarray:
             s = np.frombuffer(raw, dtype="<i2").astype(np.int32)
             return ((s + 32768) >> 8).astype(np.uint8)
         return np.frombuffer(raw, dtype=np.uint8)  # exotic widths: raw
+    if payload[:2] == b"P5":
+        parsed = _parse_pgm(payload)
+        if parsed is not None:
+            return parsed  # REAL 8-bit PGM raster, pure integer parse
     if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:3] == b"\xff\xd8\xff":
         try:
             import io
@@ -135,26 +206,42 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over binary payloads via ``mapInPandas``.
 
-    Per payload: 'decode' (stub), then a fixed-width feature row
-    (length, sum, min, max of the sample stream; the SUM is integer-exact
-    where a mean would hit cross-engine round-half ties) — the shape of a real
-    image-embedding or audio-feature stage: binary in, fixed-width
-    features out, streamed per Arrow batch with no driver involvement.
+    The payload column carries GENUINE binary-PGM (P5) image files —
+    a real container encode stage (``_encode_pgm``) wraps each
+    document's bytes as a 1-row grayscale raster, and the decode is
+    the REAL integer-math P5 parser (``_parse_pgm``): magic, header,
+    raster offset, all parsed from actual container bytes.  No stub
+    executes on this row.  Then a fixed-width feature row per image
+    (length, sum, min, max of the sample stream; the SUM is
+    integer-exact where a mean would hit cross-engine round-half
+    ties) — the shape of a real image-embedding stage: binary in,
+    fixed-width features out, streamed per Arrow batch with no driver
+    involvement.
 
-    FULL oracle despite the Python stage: the decode routes through the
-    codec-dispatching ``_decode``, but fixture payloads are lowercase
-    ASCII text — no container magic matches, so they always take the
-    deterministic byte-stub branch, which DuckDB reproduces from
-    ``ascii(substr(...))`` — the Arrow batch path itself (schema,
-    batching, padding-free round trip) is what the hash check proves.
-    The real-codec branches (wave / PIL) are covered both ways by
-    tests/test_multimodal_decode.py; on a corpus of genuine WAV/image
-    payloads this row's oracle no longer mirrors the decode and the
-    row would be registered WEAK."""
+    The oracle stays FULL because the raster bytes round-trip the
+    container exactly: encode(text) -> PGM -> parse == the utf-8
+    bytes DuckDB reproduces from ``ascii(substr(...))``.  The
+    encode/parse pair (incl. comment-tolerant headers and malformed
+    fallbacks) is unit-covered in tests/test_multimodal_decode.py;
+    a corpus of PNG/JPEG payloads would ride the guarded PIL branch
+    instead (absent here), falling back to the stub and flipping the
+    row WEAK — the PGM path has no such dependency."""
     t = Tables(spark, sf_dir)
-    src = t.documents.select(
+    raw = t.documents.select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
+
+    def wrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # real container encode: the payload column downstream holds
+        # valid .pgm files, not bare text bytes
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                _encode_pgm(bytes(p)) for p in pdf["payload"]
+            ]
+            yield pdf
+
+    src = raw.mapInPandas(wrap, schema="doc_id bigint, payload binary")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -199,7 +286,9 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE frame_idx % 4 = 0
     GROUP BY doc_id, frame_idx
     """,
-)  # FULL via the deterministic stub decode (see mm_decode_features)
+)  # FULL via the deterministic byte-stub decode: bare text payloads
+# carry no container magic, so _decode reproduces exactly the bytes
+# DuckDB reads via ascii(substr(...))
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads: split each payload into
     fixed-size 'frames' (stub for video frame extraction), emit every
@@ -351,23 +440,39 @@ _AUDIO_FRAME = 32  # bytes per fake audio frame (mono u8 samples)
     """,
 )
 def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The AUDIO half of the multimodal story: binary payload -> (stub)
-    PCM decode -> per-frame RMS energy -> peak-frame detection (the
-    loudness analysis behind silence trimming, voice-activity gating,
-    and clip-level loudness normalization in an audio-training
+    """The AUDIO half of the multimodal story: binary payload -> REAL
+    WAV-PCM decode -> per-frame RMS energy -> peak-frame detection
+    (the loudness analysis behind silence trimming, voice-activity
+    gating, and clip-level loudness normalization in an audio-training
     pipeline). Frames are 32 u8 samples; partial tail frames are
     dropped (fixed-width frame contract).
 
-    Same architecture as the image path (``mm_decode_features``):
-    Arrow-batched ``mapInPandas``, the decode stub byte-deterministic
-    (swap for soundfile/librosa in production — that one function), so
-    the row keeps a FULL oracle. Peak selection orders by the INTEGER
+    The payload column carries GENUINE .wav files: a real encode
+    stage (``_encode_wav_u8``, stdlib ``wave`` writer) wraps each
+    document's bytes as mono 8-bit-PCM audio, and the decode is the
+    REAL stdlib ``wave`` RIFF parse in ``_decode`` — header, fmt
+    chunk, frame extraction, all from actual container bytes.  No
+    stub executes on this row; the oracle stays FULL because 8-bit
+    PCM samples round-trip the container exactly (encode(text) ->
+    WAV -> decode == the utf-8 bytes DuckDB reads via
+    ``ascii(substr(...))``).  Peak selection orders by the INTEGER
     energy sum (exact; the float RMS is computed only for display),
     with the frame index as tie-break — no float-ordering hazard."""
     t = Tables(spark, sf_dir)
-    src = t.documents.select(
+    raw = t.documents.select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
+
+    def wrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # real container encode: downstream payloads are valid .wav
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                _encode_wav_u8(bytes(p)) for p in pdf["payload"]
+            ]
+            yield pdf
+
+    src = raw.mapInPandas(wrap, schema="doc_id bigint, payload binary")
 
     def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
