@@ -92,26 +92,32 @@ fin AS (
 # ---------------------------------------------------------------------------
 
 
-def series_1d() -> str:
-    """Raw float value series: c(user_id, avs, n) / q(qvs, m)."""
-    return """
+def series_1d(query_user: int = 1) -> str:
+    """Raw float value series: c(user_id, avs, n) / q(qvs, m).
+
+    ``query_user`` parameterizes which user is the query side (default
+    1, the single-query search rows); the batch-workload oracles build
+    one copy per query id."""
+    return f"""
 s AS MATERIALIZED (
     SELECT user_id, list(value ORDER BY ts, event_id) AS vs
     FROM events GROUP BY user_id
 ),
 q AS MATERIALIZED (
-    SELECT vs AS qvs, len(vs) AS m FROM s WHERE user_id = 1
+    SELECT vs AS qvs, len(vs) AS m FROM s WHERE user_id = {query_user}
 ),
 c AS MATERIALIZED (
-    SELECT user_id, vs AS avs, len(vs) AS n FROM s WHERE user_id <> 1
+    SELECT user_id, vs AS avs, len(vs) AS n
+    FROM s WHERE user_id <> {query_user}
 )"""
 
 
-def series_1d_erp() -> str:
+def series_1d_erp(query_user: int = 1) -> str:
     """Micro-quantized integer series with per-point gap costs and
     INCLUSIVE prefix sums (the ERP boundary rows): c(user_id, avs,
-    acs, aps, n) / q(qvs, qcs, qps, m)."""
-    return """
+    acs, aps, n) / q(qvs, qcs, qps, m).  ``query_user`` as in
+    ``series_1d``."""
+    return f"""
 pts AS (
     SELECT user_id, ts, event_id,
            CAST(ROUND(value * 1e6) AS BIGINT) AS qv,
@@ -129,11 +135,11 @@ s AS MATERIALIZED (
 ),
 q AS MATERIALIZED (
     SELECT vs AS qvs, cs AS qcs, ps AS qps, len(vs) AS m
-    FROM s WHERE user_id = 1
+    FROM s WHERE user_id = {query_user}
 ),
 c AS MATERIALIZED (
     SELECT user_id, vs AS avs, cs AS acs, ps AS aps, len(vs) AS n
-    FROM s WHERE user_id <> 1
+    FROM s WHERE user_id <> {query_user}
 )"""
 
 

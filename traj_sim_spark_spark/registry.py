@@ -86,6 +86,8 @@ _MODULES = (
     "traj_sim_spark_spark.operators.extras10",
     # round-9 continuation additions (windowed via _WINDOW_FIRST)
     "traj_sim_spark_spark.operators.extras11",
+    # round-10 additions (windowed via _WINDOW_FIRST)
+    "traj_sim_spark_spark.operators.extras12",
 )
 
 # Explicit driver-window ordering: after load_all() the first keys of
@@ -122,75 +124,77 @@ _MODULES = (
 # keys (src_csv/jsonl, the traj_ hausdorff/assemble/range tier,
 # text_ classics, stream_ basics, udf_/udtf_).  That pool fits the
 # round-10 + round-11 windows with room for round-10 additions.
+# ROUND-10 WINDOW (evidence-freshness burn-down — the r09 verdict's
+# top item): after r09, every key has a hash-green row but 77 keys'
+# NEWEST row dates to rounds 1-2 (33 r01-only + 44 r02, recomputed
+# fresh from the raw CORRECTNESS JSONs this round).  Slots:
+# (a) the 3 round-10 additions (never checked — new keys outrank
+#     re-certs), (b) the 4 keys rewritten since their last green row
+#     (emb_silhouette single-arg-ROUND display recipe,
+#     stream_markov_transitions keep-max tail guard, and the two
+#     de-stubbed multimodal rows now running real PGM/WAV codecs —
+#     value-identical by design, triple-scale gates re-passed, but the
+#     mover protocol re-windows every rewritten key), (c) ALL 33
+#     r01-only keys, (d) the first 10 r02 keys alphabetically.  The
+# remaining 34 r02-evidence keys (text_* classics, the traj_
+# hausdorff/assemble/range tier, udf_/udtf_, traj_dtw_pair,
+# traj_frechet_pair_2d, traj_sample_workload, traj_session_batch)
+# are the round-11 rotation.
 _WINDOW_FIRST: tuple[str, ...] = (
-    # (a) round-9 FULL promotions, never driver-hash-checked
-    "emb_kmeans",
-    "emb_pca",
-    # (b) round-9 display/guard rewrites (extras9)
-    "graph_louvain_move",
-    "rel_conformal_bounds",
-    "rel_ttest_welch",
-    "rel_bootstrap_ci",
-    "rel_winsorized_mean",
-    "sketch_hll_distinct",
-    "rel_dp_release",
-    # (c) staged round-9 additions
-    "text_substring_dedup",
-    "text_corpus_drift",
-    "text_substring_dedup_apply",
-    "graph_adamic_adar",
-    "rel_attribution_touch",
-    "rel_did",
-    "src_fixed_width",
-    # (c2) round-9 continuation additions (extras11) — never
-    # driver-hash-checked, so they outrank re-certification slots
-    "rel_market_basket",
-    "rel_cuped",
-    "rel_rfm_segments",
-    "graph_katz",
-    "sketch_bloom_fpr",
-    "text_readability",
-    "rel_markov_transitions",
-    "text_template_detect",
-    "rel_entity_match",
-    "rel_power_mde",
-    "rel_skew_profile",
+    # (a) round-10 additions, never driver-hash-checked
+    "traj_erp_knn_batch",
+    "traj_lcss_knn_batch",
+    "stream_ingest_dedup",
+    # (b) round-10 rewrites since last green row
     "emb_silhouette",
-    "text_source_overlap",
-    "rel_holt_winters",
-    "sketch_ams_f2",
     "stream_markov_transitions",
-    "text_decontaminate_apply",
-    "rel_forecast_eval",
-    "pipe_mix_dedup_aware",
-    "rel_cohort_ltv",
-    # (d) oldest-evidence rotation: r01-only keys, registration order
-    # (the ~8 that don't fit this window lead the round-10 rotation)
-    "rel_scan_project",
-    "rel_scan_filter",
-    "src_json_props",
-    "rel_filter_complex",
-    "rel_expr_case",
-    "rel_null_handling",
-    "rel_join_broadcast",
-    "rel_join_smj",
-    "rel_join_multiway",
-    "rel_join_outer",
-    "rel_join_semi",
-    "rel_join_anti",
-    "rel_join_theta_band",
-    "rel_join_asof",
-    # sim_band_join displaced to round 10 with the rest
-    # rel_agg_basic / rel_agg_distinct / rel_agg_rollup /
-    # rel_agg_cube / rel_agg_having / traj_stats / rel_agg_percentile /
-    # rel_agg_stats / rel_win_rank / rel_win_lag / rel_win_moving /
-    # rel_win_range_time / rel_topk_global / rel_topk_pergroup /
-    # rel_win_distribution / rel_win_nav / rel_union_all /
-    # rel_intersect / rel_except join rel_scalar_string/date/math/
-    # array/map_json in the round-10 rotation, displaced by the 20
-    # round-9-continuation adds (19 extras11 ops +
-    # stream_markov_transitions; window holds 50; new keys outrank
-    # re-certs)
+    "mm_decode_features",
+    "mm_audio_energy",
+    # (c) the 33 keys whose only hash-green row dates to round 1
+    "rel_agg_basic",
+    "rel_agg_distinct",
+    "rel_agg_rollup",
+    "rel_agg_cube",
+    "rel_agg_having",
+    "rel_agg_percentile",
+    "rel_agg_stats",
+    "rel_win_rank",
+    "rel_win_lag",
+    "rel_win_moving",
+    "rel_win_range_time",
+    "rel_win_distribution",
+    "rel_win_nav",
+    "rel_topk_global",
+    "rel_topk_pergroup",
+    "rel_union_all",
+    "rel_intersect",
+    "rel_except",
+    "rel_scalar_string",
+    "rel_scalar_date",
+    "rel_scalar_math",
+    "rel_scalar_array",
+    "rel_scalar_map_json",
+    "sim_band_join",
+    "sim_centroid",
+    "sim_dedup_exact",
+    "sim_knn",
+    "sim_knn_ivf",
+    "sim_knn_ivf_centroid",
+    "sim_pair_distance",
+    "sim_threshold_join",
+    "sim_topk_join",
+    "traj_stats",
+    # (d) oldest r02-evidence keys, alphabetical — first 10 of 44
+    "mm_multimodal_join",
+    "src_csv_ingest",
+    "src_jsonl_ingest",
+    "stream_dedup",
+    "stream_session",
+    "stream_sliding",
+    "stream_stateful",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_topk_complete",
 )
 
 _loaded = False

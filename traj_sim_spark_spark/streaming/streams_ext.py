@@ -1389,3 +1389,50 @@ def stream_markov_transitions(
             "p_next"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_ingest_dedup — the text_exact_dedup ledger at ingest time
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_ingest_dedup",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact-dedup ledger — the ``text_exact_dedup`` twin at
+    ingest time: documents arrive on a file stream, each batch updates
+    a per-content-hash ledger (keeper = MIN(doc_id), n_copies =
+    COUNT(*)) — what an ingest pipeline consults to admit only the
+    keeper copy of each document into the corpus.  MIN/COUNT are
+    commutative, so the ledger is batching-independent by
+    construction (any file split yields the same result — unlike raw
+    ``dropDuplicates``, whose surviving doc_id is batch-dependent;
+    that nondeterminism is why the ledger, not the row filter, is the
+    streaming face of keep-first dedup).  ``stream_dedup`` covers the
+    bounded-state ``dropDuplicatesWithinWatermark`` shape; this row
+    covers the exact-bookkeeping shape.
+
+    Scale shape: one streaming hash agg keyed on content_hash —
+    state is |distinct contents|, the same cardinality any exact
+    global dedup carries; at 100 TB the complete-mode memory sink
+    here becomes an update-mode keyed store (Delta/HBase-style) and
+    nothing upstream changes.  Documents carry no event time, so no
+    watermark applies (the bounded-horizon variant is
+    ``stream_dedup``'s shape on the events stream)."""
+    from .streams import documents_stream
+
+    docs = documents_stream(spark, sf_dir).select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    ledger = docs.groupBy("content_hash").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+    return run_to_completion(ledger, "complete")
