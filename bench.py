@@ -122,6 +122,11 @@ HEAVY = [
     # in driver history
     "text_substring_dedup",
     "graph_adamic_adar",
+    # round-10: the batch DP-search workload rows — pinned so the
+    # shared-assembly amortization (and the refine-all LCSS cost
+    # shape) stay in driver history
+    "traj_erp_knn_batch",
+    "traj_lcss_knn_batch",
 ]
 
 
