@@ -81,3 +81,56 @@ def test_ingest_dedup_ledger_matches_batch(spark, sf_dir):
         .collect()
     }
     assert ledger == batch and len(ledger) > 0
+
+
+def test_dtw_batch_qid1_equals_single_query(spark, sf_dir):
+    from traj_sim_spark_spark.operators.extras12 import traj_dtw_knn_batch
+    from traj_sim_spark_spark.operators.trajectory import traj_dtw_knn
+
+    batch = {
+        (r["user_id"], r["dtw"])
+        for r in traj_dtw_knn_batch(spark, sf_dir)
+        .filter(F.col("qid") == 1)
+        .collect()
+    }
+    single = {
+        (r["user_id"], r["dtw"])
+        for r in traj_dtw_knn(spark, sf_dir).collect()
+    }
+    assert batch == single and len(batch) > 0
+
+
+def test_frechet_batch_qid1_equals_single_query(spark, sf_dir):
+    from traj_sim_spark_spark.operators.extras12 import (
+        traj_frechet_knn_batch,
+    )
+    from traj_sim_spark_spark.operators.trajectory import traj_frechet_knn
+
+    batch = {
+        (r["user_id"], r["frechet"])
+        for r in traj_frechet_knn_batch(spark, sf_dir)
+        .filter(F.col("qid") == 1)
+        .collect()
+    }
+    single = {
+        (r["user_id"], r["frechet"])
+        for r in traj_frechet_knn(spark, sf_dir).collect()
+    }
+    assert batch == single and len(batch) > 0
+
+
+def test_edr_batch_qid1_equals_single_query(spark, sf_dir):
+    from traj_sim_spark_spark.operators.extras6 import traj_edr_knn
+    from traj_sim_spark_spark.operators.extras12 import traj_edr_knn_batch
+
+    batch = {
+        (r["user_id"], r["edr"])
+        for r in traj_edr_knn_batch(spark, sf_dir)
+        .filter(F.col("qid") == 1)
+        .collect()
+    }
+    single = {
+        (r["user_id"], r["edr"])
+        for r in traj_edr_knn(spark, sf_dir).collect()
+    }
+    assert batch == single and len(batch) > 0

@@ -143,11 +143,12 @@ c AS MATERIALIZED (
 )"""
 
 
-def series_2d() -> str:
+def series_2d(query_user: int = 1) -> str:
     """Raw float (time-in-days, value) plane series — the same float
     projection as ``trajectory._series_2d`` (the ``traj_dtw_pair_2d``
-    oracle precedent): c(user_id, ax, ay, n) / q(bx, by, m)."""
-    return """
+    oracle precedent): c(user_id, ax, ay, n) / q(bx, by, m).
+    ``query_user`` as in ``series_1d``."""
+    return f"""
 t0 AS (SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0 FROM events),
 pts AS (
     SELECT user_id, ts, event_id,
@@ -163,11 +164,12 @@ s AS MATERIALIZED (
     FROM pts GROUP BY user_id
 ),
 q AS MATERIALIZED (
-    SELECT xs AS bx, ys AS by, len(xs) AS m FROM s WHERE user_id = 1
+    SELECT xs AS bx, ys AS by, len(xs) AS m
+    FROM s WHERE user_id = {query_user}
 ),
 c AS MATERIALIZED (
     SELECT user_id, xs AS ax, ys AS ay, len(xs) AS n
-    FROM s WHERE user_id <> 1
+    FROM s WHERE user_id <> {query_user}
 )"""
 
 
@@ -371,9 +373,12 @@ def band_clamps(w: int) -> tuple[str, str]:
 
 
 def float_dp_prefix(
-    two_d: bool, frechet: bool = False, band_w: int | None = None
+    two_d: bool,
+    frechet: bool = False,
+    band_w: int | None = None,
+    query_user: int = 1,
 ) -> str:
-    series = series_2d() if two_d else series_1d()
+    series = series_2d(query_user) if two_d else series_1d(query_user)
     cols = ("ax", "ay") if two_d else ("avs",)
     d_cell = D2_CELL if two_d else D1_CELL
     d_init = D2_INIT if two_d else D1_INIT
@@ -400,7 +405,8 @@ def float_knn_sql(
     k: int,
     frechet: bool = False,
     band_w: int | None = None,
+    query_user: int = 1,
 ) -> str:
-    return float_dp_prefix(two_d, frechet, band_w) + f"""
+    return float_dp_prefix(two_d, frechet, band_w, query_user) + f"""
 SELECT user_id, ROUND(val, 6) AS {col}
 FROM fin ORDER BY ROUND(val, 6), user_id LIMIT {k}"""

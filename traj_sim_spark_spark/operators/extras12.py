@@ -1,17 +1,20 @@
-"""Round-10 additions: batch-workload search rows for the metric/edit
-trajectory measures.
+"""Round-10 additions: batch-workload kNN rows for every DP-kernel
+trajectory measure.
 
 The reference's benchmark harness samples a WORKLOAD of query
 trajectories and answers them in one run (SURVEY §2.1 R17 -> R9);
 ``traj_hausdorff_knn_batch`` re-expressed that shape for Hausdorff.
-These rows extend it to the two measures whose kernels are DP grids —
-ERP (metric, lossless norm bound) and banded LCSS (edit-similarity,
-envelope bound) — with the whole batch sharing ONE corpus scan, ONE
-series assembly, and ONE Arrow kernel pass, instead of one run per
-query.  Unlike the single-query rows (``traj_erp_knn``,
-``traj_lcss_knn``), nothing crosses to the driver: the tau_k gate is a
-broadcast JOIN against a 3-row per-query tau table, not a collected
-scalar — the fully-declarative form of the two-phase search.
+This module completes the tier for ALL remaining measures — ERP
+(lossless L1-norm bound), banded LCSS (refine-all, envelope documented
+non-discriminative), discrete Fréchet and DTW (shared
+max(Hausdorff, endpoints) bound computed for every query in ONE
+qid-dimensioned sort-merge pass, phase-2 early-abandon), and EDR
+(integer-ratio tau pairs) — with the whole batch sharing ONE corpus
+scan, ONE series assembly, and ONE Arrow kernel pass per phase,
+instead of one run per query.  Unlike the single-query rows, nothing
+crosses to the driver: every tau_k gate is a broadcast JOIN against a
+3-row per-query tau table, not a collected scalar — the
+fully-declarative form of the two-phase search.
 """
 
 from __future__ import annotations
@@ -305,4 +308,452 @@ def traj_lcss_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         res.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _SEARCH_K)
         .select("qid", "user_id", "lcss_len", "lcss_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch Fréchet / DTW kNN — the workload shape on the float DP measures
+# ---------------------------------------------------------------------------
+
+
+def _qids_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(q),) for q in _BATCH_QIDS], "qid bigint"
+    )
+
+
+def _haus_lb_batch(spark: SparkSession, t: Tables) -> DataFrame:
+    """(qid, user_id, lb): max(1-D Hausdorff, endpoint distances) for
+    EVERY (query, candidate) pair in ONE sort-merge marker pass — the
+    `traj_hausdorff_knn_batch` qid-dimensioned stream trick reused as
+    the Fréchet/DTW lower bound (Fréchet >= Hausdorff and every
+    coupling matches first-with-first / last-with-last, so the
+    endpoint distances are free; DTW >= Fréchet — `traj_dtw_knn`'s
+    argument), plus one endpoints hash agg shared by all queries."""
+    from pyspark.sql import Window as W
+
+    ev = t.events
+    inf = F.lit(float("inf"))
+    qids = _qids_df(spark)
+    qv = (
+        ev.join(F.broadcast(qids), F.col("user_id") == F.col("qid"))
+        .select("qid", "value")
+        .distinct()
+    )
+    points = (
+        ev.select("user_id", "value")
+        .join(F.broadcast(qids), F.col("user_id") != F.col("qid"))
+        .withColumn("is_q", F.lit(0))
+    )
+    users = points.select("qid", "user_id").distinct()
+    markers = (
+        users.join(F.broadcast(qv), "qid")
+        .select("qid", "user_id", "value")
+        .withColumn("is_q", F.lit(1))
+    )
+    w_prev = (
+        W.partitionBy("qid", "user_id")
+        .orderBy("value", "is_q")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_next = (
+        W.partitionBy("qid", "user_id")
+        .orderBy("value", "is_q")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    ev_val = F.when(F.col("is_q") == 0, F.col("value"))
+    q_val = F.when(F.col("is_q") == 1, F.col("value"))
+    stream = points.unionByName(markers).withColumn(
+        "d",
+        F.when(
+            F.col("is_q") == 1,
+            F.least(
+                F.coalesce(
+                    F.col("value") - F.last(ev_val, True).over(w_prev), inf
+                ),
+                F.coalesce(
+                    F.first(ev_val, True).over(w_next) - F.col("value"), inf
+                ),
+            ),
+        ).otherwise(
+            F.least(
+                F.coalesce(
+                    F.col("value") - F.last(q_val, True).over(w_prev), inf
+                ),
+                F.coalesce(
+                    F.first(q_val, True).over(w_next) - F.col("value"), inf
+                ),
+            )
+        ),
+    )
+    h = stream.groupBy("qid", "user_id").agg(
+        F.greatest(
+            F.max(F.when(F.col("is_q") == 1, F.col("d"))),
+            F.max(F.when(F.col("is_q") == 0, F.col("d"))),
+        ).alias("hd")
+    )
+    ends = ev.groupBy("user_id").agg(
+        F.expr("min_by(value, struct(ts, event_id))").alias("v_first"),
+        F.expr("max_by(value, struct(ts, event_id))").alias("v_last"),
+    )
+    q_ends = ends.join(
+        F.broadcast(qids), F.col("user_id") == F.col("qid")
+    ).select(
+        "qid",
+        F.col("v_first").alias("q_first"),
+        F.col("v_last").alias("q_last"),
+    )
+    return (
+        h.join(ends, "user_id")
+        .join(F.broadcast(q_ends), "qid")
+        .select(
+            "qid",
+            "user_id",
+            F.greatest(
+                "hd",
+                F.abs(F.col("v_first") - F.col("q_first")),
+                F.abs(F.col("v_last") - F.col("q_last")),
+            ).alias("lb"),
+        )
+    )
+
+
+def _float_batch_refine(
+    pairs: DataFrame,
+    arr: DataFrame,
+    qarr: DataFrame,
+    kernel,
+    out_col: str,
+    with_tau: bool = False,
+) -> DataFrame:
+    """Exact float DP kernel over (qid, user_id) pairs; with
+    ``with_tau`` each row carries its query's tau_k and the DP
+    early-abandons at tau + 1e-6 (the `_dp_knn` pad: an abandoned DP
+    returns a bound > tau that 6-decimal rounding can never pull back
+    to tau_k)."""
+    import numpy as np
+    import pandas as pd
+
+    cols = ["qid", "user_id"] + (["tau"] if with_tau else [])
+    paired = (
+        pairs.select(*cols)
+        .join(arr.select("user_id", "a"), "user_id")
+        .join(F.broadcast(qarr.select("qid", "qa")), "qid")
+        .repartition(pairs.sparkSession.sparkContext.defaultParallelism)
+    )
+
+    def refine(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                a = np.asarray(row.a, dtype=np.float64)
+                b = np.asarray(row.qa, dtype=np.float64)
+                tau = (row.tau + 1e-6) if with_tau else None
+                out.append(
+                    (row.qid, row.user_id, round(kernel(a, b, tau=tau), 6))
+                )
+            yield pd.DataFrame(out, columns=["qid", "user_id", out_col])
+
+    return paired.mapInPandas(
+        refine,
+        schema=f"qid bigint, user_id bigint, {out_col} double",
+    )
+
+
+def _float_knn_batch(
+    spark: SparkSession, sf_dir: str, kernel, out_col: str
+) -> DataFrame:
+    """Shared batch two-phase harness for the float DP measures — the
+    `_dp_knn` loop with the driver-collected tau_k scalar replaced by
+    a per-query BROADCAST tau join (the `traj_erp_knn_batch`
+    discipline), all queries sharing one lb pass, one assembly and
+    one Arrow kernel pass per phase."""
+    from .trajectory import _KNN_C, _KNN_K
+
+    t = Tables(spark, sf_dir)
+    arr = _float_arrays(t).localCheckpoint()
+    qarr = arr.filter(F.col("user_id").isin(*_BATCH_QIDS)).select(
+        F.col("user_id").alias("qid"), F.col("a").alias("qa")
+    )
+    lb = _haus_lb_batch(spark, t).localCheckpoint()
+    w_lb = Window.partitionBy("qid").orderBy("lb", "user_id")
+    pairs1 = (
+        lb.withColumn("rn", F.row_number().over(w_lb))
+        .filter(F.col("rn") <= _KNN_C * _KNN_K)
+        .select("qid", "user_id")
+    )
+    first = _float_batch_refine(
+        pairs1, arr, qarr, kernel, out_col
+    ).localCheckpoint()
+    w_d = Window.partitionBy("qid").orderBy(out_col, "user_id")
+    taus = (
+        first.withColumn("rn", F.row_number().over(w_d))
+        .filter(F.col("rn") <= _KNN_K)
+        .groupBy("qid")
+        .agg(F.max(out_col).alias("tau"))
+    )
+    pairs2 = (
+        lb.join(F.broadcast(taus), "qid")
+        .filter(F.col("lb") <= F.col("tau"))
+        .join(pairs1, ["qid", "user_id"], "left_anti")
+        .select("qid", "user_id", "tau")
+    )
+    rest = _float_batch_refine(
+        pairs2, arr, qarr, kernel, out_col, with_tau=True
+    )
+    allr = first.unionByName(rest)
+    return (
+        allr.withColumn("rn", F.row_number().over(w_d))
+        .filter(F.col("rn") <= _KNN_K)
+        .select("qid", "user_id", out_col)
+    )
+
+
+def _dtw_batch_oracle() -> str:
+    from .trajectory import _KNN_K
+
+    parts = [
+        f"SELECT CAST({qid} AS BIGINT) AS qid, * FROM ("
+        + _DL.float_knn_sql(False, "dtw", _KNN_K, query_user=qid)
+        + ")"
+        for qid in _BATCH_QIDS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("traj_dtw_knn_batch", oracle=_dtw_batch_oracle)
+def traj_dtw_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH DTW kNN — the workload shape (R17 -> R9) on the warping
+    measure: top-10 cheapest alignments per sampled query (users
+    1, 2, 3) in one shared run.  The max(Hausdorff, endpoints) lower
+    bound (valid for DTW: DTW >= Fréchet >= the bound —
+    `traj_dtw_knn`'s argument) is computed for ALL queries in ONE
+    qid-dimensioned sort-merge marker pass; phase 2's tau_k is a
+    broadcast join and its DPs early-abandon at tau (reference O10).
+    The oracle is the UNFILTERED per-query list-layer float DP,
+    UNION ALL'd — every gate re-certifies prune + abandon."""
+    from ..functions import kernels
+
+    return _float_knn_batch(spark, sf_dir, kernels.dtw, "dtw")
+
+
+def _frechet_batch_oracle() -> str:
+    from .trajectory import _KNN_K
+
+    parts = [
+        f"SELECT CAST({qid} AS BIGINT) AS qid, * FROM ("
+        + _DL.float_knn_sql(
+            False, "frechet", _KNN_K, frechet=True, query_user=qid
+        )
+        + ")"
+        for qid in _BATCH_QIDS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("traj_frechet_knn_batch", oracle=_frechet_batch_oracle)
+def traj_frechet_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH discrete-Fréchet kNN — the workload shape on the
+    reference's R13 measure: top-10 per sampled query, one shared lb
+    pass + assembly + Arrow kernel pass per phase, broadcast tau_k,
+    early-abandon in phase 2 — completing the batch tier across ALL
+    six similarity measures ({Hausdorff 1-D/2-D, Fréchet, DTW, LCSS,
+    EDR, ERP} now each have a workload row)."""
+    from ..functions import kernels
+
+    return _float_knn_batch(spark, sf_dir, kernels.frechet, "frechet")
+
+
+# ---------------------------------------------------------------------------
+# Batch EDR kNN — integer-ratio tau two-phase, per-query broadcast
+# ---------------------------------------------------------------------------
+
+
+def _edr_lb_batch(spark: SparkSession, t: Tables) -> DataFrame:
+    """(qid, user_id, n, m, lb): the `extras6._edr_candidates` LOWER
+    bound — max(|n - m|, max(n, m) - matchable) — for EVERY (query,
+    candidate) pair in ONE pass over the positioned corpus: query
+    cells for all three queries broadcast together (3 adjacent
+    eps-cells each), matchability decided by one cell equi-join."""
+    from .extras6 import _user_positions
+
+    pos = _user_positions(t).localCheckpoint()  # query + candidate side
+    qids = _qids_df(spark)
+    q = pos.join(
+        F.broadcast(qids), F.col("user_id") == F.col("qid")
+    ).select("qid", "i", "v")
+    m_per_q = q.groupBy("qid").agg(F.count("*").alias("m"))
+    qcells = (
+        q.withColumn("cell", F.floor(F.col("v") / _SEARCH_EPS))
+        .withColumn(
+            "cell",
+            F.explode(
+                F.array(
+                    F.col("cell") - 1, F.col("cell"), F.col("cell") + 1
+                )
+            ),
+        )
+        .select("qid", "cell", F.col("v").alias("qv"))
+    )
+    cand = (
+        pos.join(F.broadcast(qids), F.col("user_id") != F.col("qid"))
+        .withColumn("cell", F.floor(F.col("v") / _SEARCH_EPS))
+    )
+    matchable = (
+        cand.join(F.broadcast(qcells), ["qid", "cell"])
+        .filter(F.abs(F.col("v") - F.col("qv")) <= _SEARCH_EPS)
+        .select("qid", "user_id", "i")
+        .distinct()
+        .groupBy("qid", "user_id")
+        .agg(F.count("*").alias("matchable"))
+    )
+    return (
+        cand.groupBy("qid", "user_id")
+        .agg(F.count("*").alias("n"))
+        .join(matchable, ["qid", "user_id"], "left")
+        .join(F.broadcast(m_per_q), "qid")
+        .select(
+            "qid",
+            "user_id",
+            "n",
+            "m",
+            F.greatest(
+                F.abs(F.col("n") - F.col("m")),
+                F.greatest(F.col("n"), F.col("m"))
+                - F.coalesce("matchable", F.lit(0)),
+            ).alias("lb"),
+        )
+    )
+
+
+def _edr_batch_refine(
+    pairs: DataFrame, arr: DataFrame, qarr: DataFrame
+) -> DataFrame:
+    """Exact EDR kernel over (qid, user_id) pairs (`extras6._edr_refine`
+    generalized with the query dimension)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import kernels
+
+    paired = (
+        pairs.select("qid", "user_id")
+        .join(arr.select("user_id", "a"), "user_id")
+        .join(F.broadcast(qarr.select("qid", "qa")), "qid")
+        .repartition(pairs.sparkSession.sparkContext.defaultParallelism)
+    )
+
+    def refine(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                a = np.asarray(row.a, dtype=np.float64)
+                b = np.asarray(row.qa, dtype=np.float64)
+                e = kernels.edr(a, b, _SEARCH_EPS)
+                ml = max(len(a), len(b))
+                out.append(
+                    (row.qid, row.user_id, e, ml, round(e / ml, 6))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["qid", "user_id", "edr", "max_len", "edr_norm"],
+            )
+
+    return paired.mapInPandas(
+        refine,
+        schema="qid bigint, user_id bigint, edr bigint,"
+        " max_len bigint, edr_norm double",
+    )
+
+
+def _edr_batch_oracle() -> str:
+    sel = (
+        "\nSELECT user_id, CAST(val AS BIGINT) AS edr,"
+        "\n       ROUND(CAST(val AS DOUBLE) / GREATEST(n, m), 6)"
+        " AS edr_norm\nFROM fin"
+    )
+    parts = []
+    for qid in _BATCH_QIDS:
+        prefix = _DL.layer_dp(
+            _DL.series_1d(qid),
+            ("avs",),
+            f"CASE WHEN ABS(avs[1] - q.qvs[1]) <= {_SEARCH_EPS}"
+            " THEN CAST(0 AS BIGINT) ELSE 1 END",
+            _DL.edr_combine(
+                f"ABS(avs[y] - q.qvs[k - y + 2]) <= {_SEARCH_EPS}"
+            ),
+            _DL.SENT_EDR,
+        )
+        parts.append(
+            f"SELECT CAST({qid} AS BIGINT) AS qid, * FROM ({prefix}{sel}"
+            "\nORDER BY CAST(val AS DOUBLE) / GREATEST(n, m), user_id"
+            f"\nLIMIT {_SEARCH_K})"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("traj_edr_knn_batch", oracle=_edr_batch_oracle)
+def traj_edr_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH EDR kNN — the workload shape on the edit-distance
+    measure: top-10 users by smallest normalized EDR per sampled
+    query (users 1, 2, 3).  The `_tau_knn` integer-ratio two-phase,
+    made fully declarative with the query dimension: the LOSSLESS
+    lower bound max(|n-m|, max(n,m) - matchable) for all queries in
+    ONE pass (3-query eps-cell set broadcast together); tau_k per
+    query is the k-th exact (edr, max_len) integer PAIR, broadcast
+    back and applied by exact cross-multiplication
+    (lb * max_k <= edr_k * max(n, m)) — no float at the pruning
+    boundary, no driver collect.  Oracle: UNFILTERED per-query
+    list-layer DP, UNION ALL — every gate re-certifies the prune.
+    Same dense-eps selectivity caveat as the single-query row: the
+    gate can only prune, bit-identical to refine-all."""
+    t = Tables(spark, sf_dir)
+    arr = _float_arrays(t).localCheckpoint()
+    qarr = arr.filter(F.col("user_id").isin(*_BATCH_QIDS)).select(
+        F.col("user_id").alias("qid"), F.col("a").alias("qa")
+    )
+    lb = _edr_lb_batch(spark, t).localCheckpoint()
+    w_lb = Window.partitionBy("qid").orderBy(
+        F.col("lb") / F.greatest("n", "m"), "user_id"
+    )
+    pairs1 = (
+        lb.withColumn("rn", F.row_number().over(w_lb))
+        .filter(F.col("rn") <= _TAU_CK)
+        .select("qid", "user_id")
+    )
+    first = _edr_batch_refine(pairs1, arr, qarr).localCheckpoint()
+    w_d = Window.partitionBy("qid").orderBy(
+        F.col("edr") / F.col("max_len"), "user_id"
+    )
+    taus = (
+        first.withColumn("rn", F.row_number().over(w_d))
+        .filter(F.col("rn") <= _SEARCH_K)
+        .groupBy("qid")
+        .agg(
+            F.expr(
+                "max_by(struct(edr, max_len),"
+                " CAST(edr AS DOUBLE) / max_len)"
+            ).alias("tk")
+        )
+        .select(
+            "qid",
+            F.col("tk.edr").alias("nk"),
+            F.col("tk.max_len").alias("dk"),
+        )
+    )
+    pairs2 = (
+        lb.join(F.broadcast(taus), "qid")
+        .filter(
+            F.col("lb") * F.col("dk")
+            <= F.col("nk") * F.greatest("n", "m")
+        )
+        .join(pairs1, ["qid", "user_id"], "left_anti")
+        .select("qid", "user_id")
+    )
+    rest = _edr_batch_refine(pairs2, arr, qarr)
+    allr = first.unionByName(rest)
+    return (
+        allr.withColumn("rn", F.row_number().over(w_d))
+        .filter(F.col("rn") <= _SEARCH_K)
+        .select("qid", "user_id", "edr", "edr_norm")
     )

@@ -139,7 +139,10 @@ _MODULES = (
 # remaining 34 r02-evidence keys (text_* classics, the traj_
 # hausdorff/assemble/range tier, udf_/udtf_, traj_dtw_pair,
 # traj_frechet_pair_2d, traj_sample_workload, traj_session_batch)
-# are the round-11 rotation.
+# plus the 3 never-checked round-10-continuation adds
+# (traj_dtw_knn_batch, traj_frechet_knn_batch, traj_edr_knn_batch —
+# they fall through PAST this window by design) are the round-11
+# rotation: 3 new keys outrank re-certs, 34 + 3 = 37 < 50 slots.
 _WINDOW_FIRST: tuple[str, ...] = (
     # (a) round-10 additions, never driver-hash-checked
     "traj_erp_knn_batch",
