@@ -127,6 +127,11 @@ HEAVY = [
     # shape) stay in driver history
     "traj_erp_knn_batch",
     "traj_lcss_knn_batch",
+    # round-10 continuation: the float-harness representative (DTW —
+    # Fréchet shares `_float_knn_batch`) and the heaviest batch row
+    # (EDR's dense-eps refine-mostly regime)
+    "traj_dtw_knn_batch",
+    "traj_edr_knn_batch",
 ]
 
 
