@@ -170,19 +170,23 @@ _PH_WIDE_MIN_DOCS = 2000  # corpus size where the wide bands take over
 
 
 def _phash_bands(payload: bytes, n_bands: int) -> list[int]:
-    """Block-average hash of a byte stream, split into band values.
+    """Block-average hash of a decoded sample stream, split into band
+    values.
 
-    The decode step is the same deterministic STUB as the rest of the
-    multimodal family (``multimodal._fake_decode``): the byte stream IS
-    the sample array. A real deployment decodes pixels first; everything
+    The decode routes through the codec-dispatching
+    ``multimodal._decode``: `mm_phash_nn` feeds GENUINE binary-PGM
+    payloads (the real P5 raster parse — no stub executes), and a bare
+    byte stream falls back to the deterministic byte stub.  Everything
     downstream (block averaging, mean threshold, banding) is the
-    standard aHash pipeline and unchanged.
+    standard aHash pipeline either way.
 
     Bit b of the hash is 1 iff the mean of block b exceeds the global
     mean. Both comparisons are done in cross-multiplied INTEGERS
     (sum_b * n > total * cnt_b) so the bit pattern is bit-exact across
     engines — no float averaging."""
-    a = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    from .multimodal import _decode
+
+    a = _decode(payload).astype(np.int64)
     n = a.size
     blk = (np.arange(n) * _PH_BLOCKS) // n
     bsum = np.bincount(blk, weights=a, minlength=_PH_BLOCKS).astype(np.int64)
@@ -277,19 +281,35 @@ def mm_phash_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pigeonhole); beyond that it is the standard recall/width trade,
     shifted openly at the threshold.
 
-    The decode stub interprets utf-8 text bytes as the sample array
-    (``multimodal.py`` contract), which is what makes the hash SQL-
-    expressible and this row a FULL oracle instead of a WEAK one: the
-    bit pattern is decided by cross-multiplied integer comparisons,
-    identical in numpy and DuckDB."""
+    Payloads are GENUINE binary-PGM containers
+    (``multimodal._pgm_payloads``) decoded by the real P5 raster
+    parse; the row keeps its FULL oracle because the raster bytes
+    round-trip the container exactly (so the hash stays
+    SQL-expressible over ``ascii(substr(...))``): the bit pattern is
+    decided by cross-multiplied integer comparisons, identical in
+    numpy and DuckDB."""
+    from .multimodal import _encode_pgm
+
     t = Tables(spark, sf_dir)
-    src = (
+    raw = (
         t.documents.select(
             "doc_id", F.encode("text", "UTF-8").alias("payload")
         )
+        # gate on the SAMPLE stream length BEFORE wrapping (mirrors
+        # the oracle's n_chars filter; PGM header bytes don't count)
         .where(F.octet_length("payload") >= _PH_MIN_BYTES)
         .repartition(32, "doc_id")  # decode parallelism (1 row group)
     )
+
+    def wrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                _encode_pgm(bytes(p)) for p in pdf["payload"]
+            ]
+            yield pdf
+
+    src = raw.mapInPandas(wrap, schema="doc_id bigint, payload binary")
     n_docs = (
         t.documents.where(F.col("n_chars") >= _PH_MIN_BYTES).count()
     )

@@ -7,14 +7,18 @@ decode through stdlib ``wave``, REAL binary-PGM (P5) raster parse
 through pure integer math (``_parse_pgm``), REAL PNG/JPEG decode
 through PIL behind a guarded import (PIL is absent in this container,
 so that path falls through), and a clearly marked deterministic byte
-STUB for any unrecognized payload. Two rows run real codecs
-end-to-end on genuine container bytes: ``mm_decode_features`` (PGM
-encode -> PGM parse) and ``mm_audio_energy`` (WAV encode -> stdlib
-``wave`` decode); the remaining rows process bare byte streams through
-the stub, with the container paths unit-covered in
+STUB for any unrecognized payload. EVERY decode-bearing row runs a
+real codec end-to-end on genuine container bytes: the image path
+(``mm_decode_features``, ``mm_frame_sample``, ``mm_feature_knn``,
+``mm_resize``, and extras2's ``mm_phash_nn``) wraps payloads as real
+binary-PGM files via the shared ``_pgm_payloads`` stage and decodes
+them with the real P5 parser, and the audio path
+(``mm_audio_energy``) round-trips real WAV files through the stdlib
+``wave`` encoder/decoder; the byte stub remains only as the
+fall-through contract for unrecognized payloads, unit-covered in
 tests/test_multimodal_decode.py. Everything Spark-side is real and
-tested either way: schema, binary encoding, partitioned batch
-iteration, UDF signatures, and output shapes.
+tested: schema, binary encoding, partitioned batch iteration, UDF
+signatures, and output shapes.
 
 The fixtures carry no binary table, so sample streams derive from
 ``documents.text`` (utf-8) — wrapped in real containers where the row
@@ -163,6 +167,27 @@ def _decode(payload: bytes) -> np.ndarray:
     return _fake_decode(payload)
 
 
+def _pgm_payloads(t: Tables) -> "DataFrame":
+    """``documents`` as GENUINE binary-PGM payloads: one real container
+    encode stage (``_encode_pgm``) shared by every image-path row, so
+    the downstream ``_decode`` rides the real P5 parser — the byte
+    stub never executes on these rows, and the oracles stay FULL
+    because the raster bytes round-trip the container exactly."""
+    raw = t.documents.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def wrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                _encode_pgm(bytes(p)) for p in pdf["payload"]
+            ]
+            yield pdf
+
+    return raw.mapInPandas(wrap, schema="doc_id bigint, payload binary")
+
+
 @query(
     "mm_binary_meta",
     oracle="""
@@ -227,21 +252,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead (absent here), falling back to the stub and flipping the
     row WEAK — the PGM path has no such dependency."""
     t = Tables(spark, sf_dir)
-    raw = t.documents.select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
-    )
-
-    def wrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # real container encode: the payload column downstream holds
-        # valid .pgm files, not bare text bytes
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["payload"] = [
-                _encode_pgm(bytes(p)) for p in pdf["payload"]
-            ]
-            yield pdf
-
-    src = raw.mapInPandas(wrap, schema="doc_id bigint, payload binary")
+    src = _pgm_payloads(t)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -286,18 +297,19 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE frame_idx % 4 = 0
     GROUP BY doc_id, frame_idx
     """,
-)  # FULL via the deterministic byte-stub decode: bare text payloads
-# carry no container magic, so _decode reproduces exactly the bytes
-# DuckDB reads via ascii(substr(...))
+)  # FULL: genuine PGM payloads, real P5 parse — the raster bytes
+# round-trip the container exactly, so DuckDB reproduces the sample
+# stream via ascii(substr(...))
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over binary payloads: split each payload into
-    fixed-size 'frames' (stub for video frame extraction), emit every
-    4th frame with its index and mean intensity — one-to-many binary op
-    via ``mapInPandas`` (UDTF-like fan-out, Arrow-batched)."""
+    """Frame sampling over binary payloads: split each payload's
+    decoded raster into fixed-size 'frames' (the video-frame-extraction
+    shape), emit every 4th frame with its index and mean intensity —
+    one-to-many binary op via ``mapInPandas`` (UDTF-like fan-out,
+    Arrow-batched).  Payloads are GENUINE binary-PGM files
+    (``_pgm_payloads``), so the decode is the real P5 raster parse —
+    FULL because the raster round-trips the container exactly."""
     t = Tables(spark, sf_dir)
-    src = t.documents.select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
-    )
+    src = _pgm_payloads(t)
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -361,13 +373,12 @@ def mm_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Features are 8-bin BYTE HISTOGRAMS (np.bincount of sample >> 5) and
     the distance is UNNORMALIZED integer squared-L2 — all-integer
     arithmetic end-to-end, so the kNN ordering has no cross-engine
-    float-ulp hazard and the row stays FULL despite the Python stage
-    (the stub is byte-deterministic, like ``mm_decode_features``). A
-    real decoder swap returns this row to WEAK."""
+    float-ulp hazard.  Payloads are GENUINE binary-PGM files
+    (``_pgm_payloads``) decoded by the real P5 parser, and the row
+    stays FULL because the raster round-trips the container exactly
+    (the ``mm_decode_features`` argument)."""
     t = Tables(spark, sf_dir)
-    src = t.documents.select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
-    )
+    src = _pgm_payloads(t)
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -551,15 +562,14 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample). Payloads shorter than the target width are dropped —
     upsampling is a different contract.
 
-    Arrow-batched ``mapInPandas`` like the other decode stages, stub
-    decoder swap-compatible; each output sample is an integer byte-sum
+    Arrow-batched ``mapInPandas`` like the other decode stages, over
+    GENUINE binary-PGM payloads (``_pgm_payloads`` — the real P5
+    parse, not the stub); each output sample is an integer byte-sum
     over its block divided once (exact inputs → identical floats in
     any engine). The mapping position→block is integer arithmetic
     (floor((i·W)/n)), so block boundaries are bit-identical too."""
     t = Tables(spark, sf_dir)
-    src = t.documents.select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
-    )
+    src = _pgm_payloads(t)
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

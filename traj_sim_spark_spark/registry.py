@@ -141,8 +141,11 @@ _MODULES = (
 # traj_frechet_pair_2d, traj_sample_workload, traj_session_batch)
 # plus the 3 never-checked round-10-continuation adds
 # (traj_dtw_knn_batch, traj_frechet_knn_batch, traj_edr_knn_batch —
-# they fall through PAST this window by design) are the round-11
-# rotation: 3 new keys outrank re-certs, 34 + 3 = 37 < 50 slots.
+# they fall through PAST this window by design) plus the 4 keys
+# rewritten AFTER this window froze (mm_frame_sample, mm_feature_knn,
+# mm_resize, mm_phash_nn — flipped to genuine-PGM payloads through
+# the real P5 parse; value-identical, triple-scale re-gated) are the
+# round-11 rotation: 3 new + 4 rewrites + 34 re-certs = 41 < 50.
 _WINDOW_FIRST: tuple[str, ...] = (
     # (a) round-10 additions, never driver-hash-checked
     "traj_erp_knn_batch",
