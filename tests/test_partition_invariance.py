@@ -193,6 +193,14 @@ KEYS = [
     # cross-multiplied CDF max must not leak hash order
     "rel_mann_whitney",
     "rel_ks_test",
+    # round-10 additions: the batch two-phase kNN rows (per-qid rank
+    # windows + broadcast tau; order-sensitive via top-k ties) and the
+    # streaming ingest ledger (commutative by design — pinned anyway)
+    "traj_erp_knn_batch",
+    "traj_lcss_knn_batch",
+    "traj_dtw_knn_batch",
+    "traj_edr_knn_batch",
+    "stream_ingest_dedup",
 ]
 
 
