@@ -118,6 +118,25 @@ def test_pgm_16bit_maxval_falls_back_to_stub():
     assert np.array_equal(_decode(payload), _fake_decode(payload))
 
 
+def test_phash_bands_rejects_non_pgm():
+    """mm_phash_nn's hash kernel enforces the PGM-only caller contract
+    (round-10 ADVICE): a payload _parse_pgm rejects must RAISE, never
+    silently fall back to the byte stub — a malformed container would
+    otherwise diverge from the ascii(substr(...)) oracle unnoticed."""
+    import pytest
+
+    from traj_sim_spark_spark.operators.extras2 import _phash_bands
+    from traj_sim_spark_spark.operators.multimodal import _encode_pgm
+
+    with pytest.raises(ValueError, match="binary PGM"):
+        _phash_bands(b"P5 is a chess opening, not this document", 8)
+    with pytest.raises(ValueError, match="binary PGM"):
+        _phash_bands(_encode_pgm(bytes(range(64)))[:-10], 8)  # short
+    # and a genuine container hashes fine
+    bands = _phash_bands(_encode_pgm(bytes(range(128))), 8)
+    assert len(bands) == 8 and all(0 <= b < 256 for b in bands)
+
+
 def test_wav_u8_encoder_roundtrip():
     """The REAL audio path: _encode_wav_u8 writes a genuine RIFF/WAVE
     container and _decode's wave branch extracts the PCM exactly."""

@@ -494,7 +494,14 @@ def _float_knn_batch(
     )
     pairs2 = (
         lb.join(F.broadcast(taus), "qid")
-        .filter(F.col("lb") <= F.col("tau"))
+        # tau is the 6-dp ROUNDED per-query k-th distance: a candidate
+        # whose true d lies in (tau, tau + 5e-7] rounds TO tau and can
+        # win the user_id tie-break, so admit the tie band (same
+        # widening as `_dp_knn`); the refine's tau + 1e-6 abandon pad
+        # still rounds every abandoned row strictly above tau.  The
+        # ERP/LCSS batch gates need no pad — their taus are exact
+        # integers (micro-units / cross-multiplied), never rounded.
+        .filter(F.col("lb") <= F.col("tau") + F.lit(1e-6))
         .join(pairs1, ["qid", "user_id"], "left_anti")
         .select("qid", "user_id", "tau")
     )

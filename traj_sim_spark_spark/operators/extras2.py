@@ -173,20 +173,31 @@ def _phash_bands(payload: bytes, n_bands: int) -> list[int]:
     """Block-average hash of a decoded sample stream, split into band
     values.
 
-    The decode routes through the codec-dispatching
-    ``multimodal._decode``: `mm_phash_nn` feeds GENUINE binary-PGM
-    payloads (the real P5 raster parse — no stub executes), and a bare
-    byte stream falls back to the deterministic byte stub.  Everything
-    downstream (block averaging, mean threshold, banding) is the
-    standard aHash pipeline either way.
+    PGM-ONLY CALLER CONTRACT: the only caller (`mm_phash_nn`) wraps
+    every payload in a genuine binary-PGM container (``_encode_pgm``),
+    so this decodes through the real P5 raster parse DIRECTLY and
+    RAISES if the parse fails — never the codec-dispatch fall-through.
+    (Routing through ``multimodal._decode`` would silently byte-stub a
+    malformed container, diverging from the ``ascii(substr(...))``
+    oracle; a raw text payload that happens to start with a well-formed
+    'P5 w h 255' header would be equally silent the other way.)
+    Everything downstream (block averaging, mean threshold, banding)
+    is the standard aHash pipeline.
 
     Bit b of the hash is 1 iff the mean of block b exceeds the global
     mean. Both comparisons are done in cross-multiplied INTEGERS
     (sum_b * n > total * cnt_b) so the bit pattern is bit-exact across
     engines — no float averaging."""
-    from .multimodal import _decode
+    from .multimodal import _parse_pgm
 
-    a = _decode(payload).astype(np.int64)
+    raster = _parse_pgm(payload)
+    if raster is None:
+        raise ValueError(
+            "mm_phash_nn payloads must be well-formed binary PGM "
+            "(caller wraps via _encode_pgm); refusing the byte-stub "
+            "fall-through"
+        )
+    a = raster.astype(np.int64)
     n = a.size
     blk = (np.arange(n) * _PH_BLOCKS) // n
     bsum = np.bincount(blk, weights=a, minlength=_PH_BLOCKS).astype(np.int64)
@@ -301,15 +312,6 @@ def mm_phash_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(32, "doc_id")  # decode parallelism (1 row group)
     )
 
-    def wrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["payload"] = [
-                _encode_pgm(bytes(p)) for p in pdf["payload"]
-            ]
-            yield pdf
-
-    src = raw.mapInPandas(wrap, schema="doc_id bigint, payload binary")
     n_docs = (
         t.documents.where(F.col("n_chars") >= _PH_MIN_BYTES).count()
     )
@@ -317,18 +319,27 @@ def mm_phash_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_cols = [f"b{i}" for i in range(n_bands)]
     schema = "doc_id bigint, " + ", ".join(f"{c} int" for c in band_cols)
 
-    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # FUSED wrap+hash: one Arrow pass encodes each payload into a
+    # genuine PGM container AND hashes it through the real P5 parse —
+    # the r10 split (separate wrap stage, then a hash stage re-reading
+    # the payload column) cost a second Arrow pass over the binary
+    # column for nothing; the container round-trip is still exercised
+    # end-to-end because _phash_bands RAISES unless _parse_pgm accepts
+    # the encoded bytes.
+    def wrap_and_hash(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = [
-                (doc_id, *_phash_bands(bytes(payload), n_bands))
-                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+                (doc_id, *_phash_bands(_encode_pgm(bytes(p)), n_bands))
+                for doc_id, p in zip(pdf["doc_id"], pdf["payload"])
             ]
             yield pd.DataFrame(out, columns=["doc_id", *band_cols])
 
     # ONE row per doc (doc_id, b0..b7) — the hash ARTIFACT a production
     # pipeline persists; wide layout so the Hamming re-rank reads both
     # signatures from the joined row itself (no 8-row re-join)
-    wide = src.mapInPandas(hash_batches, schema).localCheckpoint()
+    wide = raw.mapInPandas(wrap_and_hash, schema).localCheckpoint()
     a, c = wide.alias("a"), wide.alias("c")
     # LSH candidates: one equi-join per band, unioned — each keys on a
     # single band value (the bucket join); distinct folds multi-band hits

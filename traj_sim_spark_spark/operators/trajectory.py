@@ -434,7 +434,12 @@ def _dp_knn(lb: DataFrame, paired, kernel, extract, out_col: str) -> DataFrame:
         first.unpersist()
         lb.unpersist()
         return out
-    rest_ids = lb.filter(F.col("lb") <= tau_k).join(
+    # tau_k is the 6-dp ROUNDED k-th distance: a candidate whose true
+    # distance lies in (tau_k, tau_k + 5e-7] rounds TO tau_k and can
+    # beat the incumbent on the user_id tie-break, so the gate admits
+    # the tie band; the refine pad below still guarantees abandoned
+    # rows round strictly above tau_k.
+    rest_ids = lb.filter(F.col("lb") <= tau_k + 1e-6).join(
         F.broadcast(cand_ids.select("user_id")), "user_id", "left_anti"
     )
     rest = paired(rest_ids).mapInPandas(

@@ -124,83 +124,82 @@ _MODULES = (
 # keys (src_csv/jsonl, the traj_ hausdorff/assemble/range tier,
 # text_ classics, stream_ basics, udf_/udtf_).  That pool fits the
 # round-10 + round-11 windows with room for round-10 additions.
-# ROUND-10 WINDOW (evidence-freshness burn-down — the r09 verdict's
-# top item): after r09, every key has a hash-green row but 77 keys'
-# NEWEST row dates to rounds 1-2 (33 r01-only + 44 r02, recomputed
-# fresh from the raw CORRECTNESS JSONs this round).  Slots:
-# (a) the 3 round-10 additions (never checked — new keys outrank
-#     re-certs), (b) the 4 keys rewritten since their last green row
-#     (emb_silhouette single-arg-ROUND display recipe,
-#     stream_markov_transitions keep-max tail guard, and the two
-#     de-stubbed multimodal rows now running real PGM/WAV codecs —
-#     value-identical by design, triple-scale gates re-passed, but the
-#     mover protocol re-windows every rewritten key), (c) ALL 33
-#     r01-only keys, (d) the first 10 r02 keys alphabetically.  The
-# remaining 34 r02-evidence keys (text_* classics, the traj_
-# hausdorff/assemble/range tier, udf_/udtf_, traj_dtw_pair,
-# traj_frechet_pair_2d, traj_sample_workload, traj_session_batch)
-# plus the 3 never-checked round-10-continuation adds
-# (traj_dtw_knn_batch, traj_frechet_knn_batch, traj_edr_knn_batch —
-# they fall through PAST this window by design) plus the 4 keys
-# rewritten AFTER this window froze (mm_frame_sample, mm_feature_knn,
-# mm_resize, mm_phash_nn — flipped to genuine-PGM payloads through
-# the real P5 parse; value-identical, triple-scale re-gated) are the
-# round-11 rotation: 3 new + 4 rewrites + 34 re-certs = 41 < 50.
+# ROUND-11 WINDOW (evidence-freshness burn-down, phase 2 — the r10
+# verdict's top item): slots, in order:
+# (a) the 3 round-10-continuation batch-kNN adds, NEVER driver-hash-
+#     checked (fell past the r10 window; judge-green only),
+# (b) the 4 mm rows rewritten after their last driver row (the family-
+#     wide genuine-PGM codec flip; value-identical, triple-scale
+#     re-gated, but the mover protocol re-windows every rewritten key —
+#     mm_phash_nn is additionally rewritten THIS round: fused wrap+hash
+#     single mapInPandas stage per the r10 verdict's perf item),
+# (c) ALL 34 remaining keys whose newest hash-green row dates to
+#     round 2 (recomputed fresh from the raw CORRECTNESS JSONs this
+#     round: text_* classics, the traj_ hausdorff/assemble/range tier,
+#     udf_/udtf_, stream_tumbling, traj_dtw_pair, traj_frechet_pair_2d,
+#     traj_sample_workload, traj_session_batch, traj_layout_cells),
+# (d) round-11 additions staged by name (skipped until they land),
+# (e) fill to 50 with the oldest r3-evidence keys alphabetically.
+# After this window lands, no key's newest evidence predates round 3 —
+# plan the r12 window from the 48 r3-evidence keys (list recomputed
+# this round: emb_drift, graph_* octet, rel_ time-series tier,
+# sim_ knn variants, traj_ mining tier; recompute fresh before using).
 _WINDOW_FIRST: tuple[str, ...] = (
-    # (a) round-10 additions, never driver-hash-checked
-    "traj_erp_knn_batch",
-    "traj_lcss_knn_batch",
-    "stream_ingest_dedup",
-    # (b) round-10 rewrites since last green row
-    "emb_silhouette",
-    "stream_markov_transitions",
-    "mm_decode_features",
-    "mm_audio_energy",
-    # (c) the 33 keys whose only hash-green row dates to round 1
-    "rel_agg_basic",
-    "rel_agg_distinct",
-    "rel_agg_rollup",
-    "rel_agg_cube",
-    "rel_agg_having",
-    "rel_agg_percentile",
-    "rel_agg_stats",
-    "rel_win_rank",
-    "rel_win_lag",
-    "rel_win_moving",
-    "rel_win_range_time",
-    "rel_win_distribution",
-    "rel_win_nav",
-    "rel_topk_global",
-    "rel_topk_pergroup",
-    "rel_union_all",
-    "rel_intersect",
-    "rel_except",
-    "rel_scalar_string",
-    "rel_scalar_date",
-    "rel_scalar_math",
-    "rel_scalar_array",
-    "rel_scalar_map_json",
-    "sim_band_join",
-    "sim_centroid",
-    "sim_dedup_exact",
-    "sim_knn",
-    "sim_knn_ivf",
-    "sim_knn_ivf_centroid",
-    "sim_pair_distance",
-    "sim_threshold_join",
-    "sim_topk_join",
-    "traj_stats",
-    # (d) oldest r02-evidence keys, alphabetical — first 10 of 44
-    "mm_multimodal_join",
-    "src_csv_ingest",
-    "src_jsonl_ingest",
-    "stream_dedup",
-    "stream_session",
-    "stream_sliding",
-    "stream_stateful",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_topk_complete",
+    # (a) never driver-checked batch rows
+    "traj_dtw_knn_batch",
+    "traj_frechet_knn_batch",
+    "traj_edr_knn_batch",
+    # (b) post-codec-flip (+ r11 fuse) mm rewrites
+    "mm_frame_sample",
+    "mm_feature_knn",
+    "mm_resize",
+    "mm_phash_nn",
+    # (c) the 34 r02-evidence keys
+    "stream_tumbling",
+    "text_dedup_cluster",
+    "text_exact_dedup",
+    "text_fingerprint",
+    "text_jaccard_neardup",
+    "text_lang_stats",
+    "text_langid",
+    "text_minhash_neardup",
+    "text_quality_score",
+    "text_tfidf",
+    "text_token_count",
+    "text_tokens_topn",
+    "traj_assemble",
+    "traj_dtw_pair",
+    "traj_frechet_pair_2d",
+    "traj_hausdorff_knn",
+    "traj_hausdorff_knn_2d",
+    "traj_hausdorff_knn_2d_idx",
+    "traj_hausdorff_pair",
+    "traj_hausdorff_pair_2d",
+    "traj_hausdorff_segments",
+    "traj_hausdorff_threshold",
+    "traj_hausdorff_threshold_2d",
+    "traj_hausdorff_threshold_2d_idx",
+    "traj_layout_cells",
+    "traj_range_query_2d",
+    "traj_range_query_2d_pruned",
+    "traj_sample_workload",
+    "traj_segments",
+    "traj_session_batch",
+    "udf_agg_pandas",
+    "udf_grouped_map",
+    "udf_scalar_pandas",
+    "udtf_segmentize",
+    # (d) round-11 additions (staged; unknown names are skipped)
+    "sim_bm25_topk",
+    "traj_dtw_knn_batch_2d",
+    "traj_frechet_knn_batch_2d",
+    "mm_decode_png",
+    # (e) fill with oldest r3-evidence keys
+    "emb_drift",
+    "graph_assortativity",
+    "graph_bfs_hops",
+    "graph_cc",
+    "graph_copurchase",
 )
 
 _loaded = False
