@@ -78,6 +78,10 @@ HEADLINE = [
     # round-4 continuation: substring-dedup coverage (shingle-count +
     # interval-union representative of the exact-dedup family)
     "text_dup_ngram_coverage",
+    # round-11: BM25 lexical retrieval (exploded-token rank pipeline)
+    # and the genuine-PNG decode row (fused Arrow codec pass)
+    "sim_bm25_topk",
+    "mm_decode_png",
 ]
 
 # Heavy tier (round-3): the most expensive ops in the repo, invisible in
@@ -132,6 +136,10 @@ HEAVY = [
     # (EDR's dense-eps refine-mostly regime)
     "traj_dtw_knn_batch",
     "traj_edr_knn_batch",
+    # round-11: the 2-D batch tier (scalar-features lb + 2-D Arrow
+    # kernel passes) — pinned beside its 1-D siblings
+    "traj_dtw_knn_batch_2d",
+    "traj_frechet_knn_batch_2d",
 ]
 
 

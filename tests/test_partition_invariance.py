@@ -201,6 +201,106 @@ KEYS = [
     "traj_dtw_knn_batch",
     "traj_edr_knn_batch",
     "stream_ingest_dedup",
+    # ---- round-11 sweep extension (the r10 verdict's item 6): grow
+    # coverage toward the full registry, prioritizing the two classes
+    # where partitioning leaks — window/rank rows and float-display
+    # rows.  Exclusion rule for what stays unpinned: sink_* rows
+    # (filesystem writes, not result sets), src_* ingests and
+    # mm_binary_meta/mm_header_parse (per-row projections with no
+    # shuffle — invariance is structural), and stream_* rows already
+    # represented by stream_ingest_dedup (each invocation replays a
+    # bounded stream; their determinism is pinned by the oracle gate
+    # and tests/test_streaming.py instead).
+    # round-11 additions themselves:
+    "sim_bm25_topk",
+    "traj_dtw_knn_batch_2d",
+    "traj_frechet_knn_batch_2d",
+    "mm_decode_png",
+    # window/rank rows (rel_win_* + ranking aggregates):
+    "rel_win_rank",
+    "rel_win_lag",
+    "rel_win_moving",
+    "rel_win_nav",
+    "rel_win_distribution",
+    "rel_win_range_time",
+    "rel_win_pattern",
+    "rel_agg_percentile",
+    "rel_agg_stats",
+    "rel_skyline",
+    "rel_retention",
+    "rel_cohort_ltv",
+    "rel_funnel",
+    "rel_market_basket",
+    "rel_kanonymity",
+    "rel_entity_match",
+    "rel_skew_profile",
+    # float-display / quantized time-series rows:
+    "rel_autocorr",
+    "rel_ewma",
+    "rel_changepoint",
+    "rel_seasonal_anomaly",
+    "rel_holt_winters",
+    "rel_forecast_eval",
+    "rel_ols_multi",
+    "rel_cuped",
+    "rel_power_mde",
+    "rel_ttest_welch",
+    "rel_benford",
+    "rel_chi2_cells",
+    # float-ranked ANN shortlist rows:
+    "sim_knn",
+    "sim_knn_ivf",
+    "sim_knn_sq8",
+    "sim_knn_mrl",
+    "sim_knn_filtered",
+    "sim_mips",
+    "sim_ann_recall",
+    "sim_ann_recall_matrix",
+    "sim_topk_join",
+    "sim_threshold_join",
+    "sim_band_join",
+    "sim_centroid",
+    "sim_range_search",
+    # float DP search tier not yet pinned (top-k ties over doubles):
+    "traj_dtw_knn",
+    "traj_dtw_knn_banded",
+    "traj_dtw_knn_banded_2d",
+    "traj_frechet_knn_2d",
+    "traj_hausdorff_knn_2d",
+    "traj_erp_knn",
+    "traj_lcss_knn_2d",
+    "traj_edr_knn_2d",
+    "traj_hausdorff_knn_batch",
+    "traj_hausdorff_knn_2d_batch",
+    "traj_profile_knn",
+    "traj_simplify_dp",
+    "traj_speed_outliers",
+    # text float-display / rank rows:
+    "text_tfidf",
+    "text_zipf_fit",
+    "text_entropy",
+    "text_readability",
+    "text_langid_confusion",
+    "text_winnowing",
+    "text_ngram_jaccard",
+    # embedding / graph float+rank rows:
+    "emb_drift",
+    "emb_outliers",
+    "emb_neardup_lsh",
+    "emb_norm_hist",
+    "graph_pagerank",
+    "graph_modularity",
+    "graph_kcore",
+    "graph_assortativity",
+    # curation composites with split/sample hash predicates:
+    "pipe_dedup_semantic",
+    "pipe_stratified_sample",
+    "pipe_curriculum_order",
+    "pipe_train_split",
+    "pipe_leakage_safe_split",
+    # sketch top-k / quantile display rows:
+    "sketch_cms_topk",
+    "sketch_quantile_hist",
 ]
 
 

@@ -100,6 +100,118 @@ def _parse_pgm(payload: bytes) -> np.ndarray | None:
     return np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=i)
 
 
+def _encode_png(data: bytes) -> bytes:
+    """REAL image container encoder: wrap a u8 pixel stream in a PNG
+    file as a 1-row 8-bit grayscale image — pure stdlib (zlib + struct,
+    per the public PNG spec): signature, IHDR (color type 0, no
+    interlace), one zlib-deflated IDAT scanline with filter byte 0,
+    IEND, all chunks CRC32-stamped. The product is a genuine .png any
+    viewer accepts."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", len(data), 1, 8, 0, 0, 0, 0)
+    idat = zlib.compress(b"\x00" + data)  # one scanline, filter 0 (None)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def _parse_png(payload: bytes) -> np.ndarray | None:
+    """REAL image container parser for the 8-bit grayscale PNG subset —
+    pure stdlib + numpy, no PIL: chunk walk with CRC32 verification,
+    IHDR validation (bit depth 8, color type 0, deflate, adaptive
+    filtering, no interlace), IDAT concatenation, zlib inflate, then
+    per-scanline unfiltering implementing ALL FIVE standard filter
+    types (None/Sub/Up/Average/Paeth — the encoder above emits only 0,
+    but a genuine external grayscale PNG may use any). Returns the flat
+    raster, or None when the payload is not a well-formed member of the
+    subset (caller falls back to PIL-or-stub)."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    i, n = 8, len(payload)
+    w = h = None
+    idat = b""
+    try:
+        while i + 12 <= n:
+            (length,) = struct.unpack(">I", payload[i : i + 4])
+            typ = payload[i + 4 : i + 8]
+            if i + 12 + length > n:
+                return None
+            body = payload[i + 8 : i + 8 + length]
+            (crc,) = struct.unpack(
+                ">I", payload[i + 8 + length : i + 12 + length]
+            )
+            if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+                return None  # genuine-container discipline: bad CRC
+            if typ == b"IHDR":
+                w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                    ">IIBBBBB", body
+                )
+                if (depth, ctype, comp, filt, inter) != (8, 0, 0, 0, 0):
+                    return None  # outside the grayscale subset
+            elif typ == b"IDAT":
+                idat += body
+            elif typ == b"IEND":
+                break
+            i += 12 + length
+        if w is None or h is None or not idat:
+            return None
+        raw = zlib.decompress(idat)
+    except (struct.error, zlib.error):
+        return None
+    stride = w + 1
+    if w == 0 or len(raw) < stride * h:
+        return None
+    out = np.empty((h, w), dtype=np.uint8)
+    prev = np.zeros(w, dtype=np.int32)
+    for r in range(h):
+        line = raw[r * stride : (r + 1) * stride]
+        f = line[0]
+        cur = np.frombuffer(line, dtype=np.uint8, count=w, offset=1).astype(
+            np.int32
+        )
+        if f == 0:  # None
+            rec = cur
+        elif f == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: left-sequential
+            rec = np.empty(w, dtype=np.int32)
+            a = 0
+            for x in range(w):
+                b = int(prev[x])
+                c = int(prev[x - 1]) if x else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                a = (cur[x] + pred) & 0xFF
+                rec[x] = a
+        else:
+            return None  # not a standard filter type
+        out[r] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(-1)
+
+
 def _fake_decode(payload: bytes) -> np.ndarray:
     """STUB decoder — stands in for image/audio decode (PIL/librosa are
     not installed in this environment). Deterministic: interprets the
@@ -120,8 +232,13 @@ def _decode(payload: bytes) -> np.ndarray:
       pure integer math, no third-party dependency, so the image
       decode path is live in this container (mm_decode_features wraps
       its payloads in genuine PGM files and rides this branch).
-    - PNG / JPEG magic: PIL grayscale decode behind a guarded import —
-      activates where PIL exists, falls through to the stub here.
+    - PNG magic: REAL pure-stdlib decode (``_parse_png``: zlib +
+      struct + the five standard unfilters) for the 8-bit grayscale
+      non-interlaced subset — live in THIS container
+      (``mm_decode_png`` wraps payloads in genuine PNG files via
+      ``_encode_png`` and rides this branch); color/16-bit/interlaced
+      PNGs and JPEG fall to PIL behind a guarded import — activates
+      where PIL exists, falls through to the stub here.
     - anything else (incl. the utf-8 text payloads the fixtures
       derive): the deterministic byte stub, which is what keeps these
       rows FULL-oracle in this container.
@@ -152,6 +269,14 @@ def _decode(payload: bytes) -> np.ndarray:
         parsed = _parse_pgm(payload)
         if parsed is not None:
             return parsed  # REAL 8-bit PGM raster, pure integer parse
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # REAL pure-stdlib decode for the 8-bit grayscale subset first
+        # (zlib + struct — live in THIS container, no PIL needed);
+        # outside the subset (color, 16-bit, interlaced) fall through
+        # to PIL where it exists, else the stub.
+        parsed = _parse_png(payload)
+        if parsed is not None:
+            return parsed
     if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:3] == b"\xff\xd8\xff":
         try:
             import io

@@ -88,6 +88,8 @@ _MODULES = (
     "traj_sim_spark_spark.operators.extras11",
     # round-10 additions (windowed via _WINDOW_FIRST)
     "traj_sim_spark_spark.operators.extras12",
+    # round-11 additions (windowed via _WINDOW_FIRST)
+    "traj_sim_spark_spark.operators.extras13",
 )
 
 # Explicit driver-window ordering: after load_all() the first keys of
