@@ -142,10 +142,23 @@ _MODULES = (
 #     traj_sample_workload, traj_session_batch, traj_layout_cells),
 # (d) round-11 additions staged by name (skipped until they land),
 # (e) fill to 50 with the oldest r3-evidence keys alphabetically.
-# After this window lands, no key's newest evidence predates round 3 —
-# plan the r12 window from the 48 r3-evidence keys (list recomputed
-# this round: emb_drift, graph_* octet, rel_ time-series tier,
-# sim_ knn variants, traj_ mining tier; recompute fresh before using).
+# After this window lands, no key's newest evidence predates round 3.
+# ROUND-12 ROTATION PLAN (recompute fresh from the raw CORRECTNESS
+# JSONs before using): the 48 r3-evidence keys minus the 5 already
+# windowed below as fill (emb_drift, graph_assortativity,
+# graph_bfs_hops, graph_cc, graph_copurchase) = 43 re-certs —
+# graph_* (kcore/modularity/pagerank/triangles/copurchase…),
+# mm_phash_nn + mm_scene_cuts, pipe_quality_prune, the rel_
+# time-series tier (anomaly_mad/autocorr/changepoint/ewma/
+# join_asof_nearest/join_interval_overlap/merge_upsert/
+# seasonal_anomaly), sim_ knn variants (ann_recall/filtered/mrl/
+# sq8/mips), text_boilerplate, and the traj_ mining tier
+# (cluster_threshold/comovement/convoy/grid_dbscan/heatmap_density/
+# hotspot_gi/knn_join/mobility_entropy/od_flows/radius_gyration/
+# range_segments_2d/resample/segment_intersections/
+# self_intersections/simplify_dp/speed_outliers/staypoints/
+# transition_matrix + the hausdorff segments 2-D tier) — plus any
+# round-12 additions at the front.  43 + adds < 50: one window.
 _WINDOW_FIRST: tuple[str, ...] = (
     # (a) never driver-checked batch rows
     "traj_dtw_knn_batch",
