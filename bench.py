@@ -140,6 +140,10 @@ HEAVY = [
     # kernel passes) — pinned beside its 1-D siblings
     "traj_dtw_knn_batch_2d",
     "traj_frechet_knn_batch_2d",
+    # round-11 continuation: the integer-measure 2-D batch rows —
+    # EDR's (qid, cell) grid-bound + dense-eps refine regime is the
+    # heaviest of the trio; LCSS shares its bound pass
+    "traj_edr_knn_batch_2d",
 ]
 
 

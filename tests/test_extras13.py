@@ -85,6 +85,152 @@ def test_lb_batch_2d_is_admissible(spark, sf_dir):
         assert r["lb"] <= exact + 1e-9, (r["qid"], r["user_id"])
 
 
+def test_lcss_batch_2d_qid1_equals_single_query(spark, sf_dir):
+    from traj_sim_spark_spark.operators.extras6 import traj_lcss_knn_2d
+    from traj_sim_spark_spark.operators.extras13 import (
+        traj_lcss_knn_batch_2d,
+    )
+
+    batch = {
+        (r["user_id"], r["lcss_len"], r["lcss_sim"])
+        for r in traj_lcss_knn_batch_2d(spark, sf_dir)
+        .filter(F.col("qid") == 1)
+        .collect()
+    }
+    single = {
+        (r["user_id"], r["lcss_len"], r["lcss_sim"])
+        for r in traj_lcss_knn_2d(spark, sf_dir).collect()
+    }
+    assert batch == single and len(batch) > 0
+
+
+def test_edr_batch_2d_qid1_equals_single_query(spark, sf_dir):
+    from traj_sim_spark_spark.operators.extras6 import traj_edr_knn_2d
+    from traj_sim_spark_spark.operators.extras13 import (
+        traj_edr_knn_batch_2d,
+    )
+
+    batch = {
+        (r["user_id"], r["edr"], r["edr_norm"])
+        for r in traj_edr_knn_batch_2d(spark, sf_dir)
+        .filter(F.col("qid") == 1)
+        .collect()
+    }
+    single = {
+        (r["user_id"], r["edr"], r["edr_norm"])
+        for r in traj_edr_knn_2d(spark, sf_dir).collect()
+    }
+    assert batch == single and len(batch) > 0
+
+
+def test_erp_batch_2d_qid1_equals_single_query(spark, sf_dir):
+    from traj_sim_spark_spark.operators.extras6 import traj_erp_knn_2d
+    from traj_sim_spark_spark.operators.extras13 import (
+        traj_erp_knn_batch_2d,
+    )
+
+    batch = {
+        (r["user_id"], r["erp_micro"], r["erp"])
+        for r in traj_erp_knn_batch_2d(spark, sf_dir)
+        .filter(F.col("qid") == 1)
+        .collect()
+    }
+    single = {
+        (r["user_id"], r["erp_micro"], r["erp"])
+        for r in traj_erp_knn_2d(spark, sf_dir).collect()
+    }
+    assert batch == single and len(batch) > 0
+
+
+def test_matchable_2d_batch_bounds_are_admissible(spark, sf_dir):
+    """matchable must upper-bound exact plane-LCSS and the derived
+    max(|n-m|, max(n,m) - matchable) must lower-bound exact plane-EDR
+    for every (qid, user) pair — lossless pruning both ways."""
+    import numpy as np
+
+    from traj_sim_spark_spark.functions import kernels
+    from traj_sim_spark_spark.operators.extras6 import _EPS2_MICRO2
+    from traj_sim_spark_spark.operators.extras13 import (
+        _matchable_2d_batch,
+        _q2d_arrays,
+    )
+    from traj_sim_spark_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    arr = {
+        r["user_id"]: np.stack(
+            [
+                np.asarray(r["xs"], dtype=np.int64),
+                np.asarray(r["ys"], dtype=np.int64),
+            ],
+            axis=1,
+        )
+        for r in _q2d_arrays(t).collect()
+    }
+    rows = _matchable_2d_batch(spark, t).collect()
+    assert len(rows) > 0
+    for r in rows[:120]:
+        a, b = arr[r["user_id"]], arr[r["qid"]]
+        assert r["n"] == len(a) and r["m"] == len(b)
+        lcss = kernels.lcss_int2d(a, b, _EPS2_MICRO2)
+        edr = kernels.edr_int2d(a, b, _EPS2_MICRO2)
+        assert lcss <= r["matchable"], (r["qid"], r["user_id"])
+        lb = max(
+            abs(r["n"] - r["m"]),
+            max(r["n"], r["m"]) - r["matchable"],
+        )
+        assert lb <= edr, (r["qid"], r["user_id"])
+
+
+def test_bm25_batch_covers_workload_and_excludes_self(spark, sf_dir):
+    """Every workload query gets its own non-self top-10 with
+    positive, non-increasing scores."""
+    from traj_sim_spark_spark.operators.extras13 import sim_bm25_batch
+
+    rows = sim_bm25_batch(spark, sf_dir).collect()
+    by_qid = {}
+    for r in rows:
+        by_qid.setdefault(r["qid"], []).append(r)
+    assert set(by_qid) == {0, 1, 2}
+    for qid, rs in by_qid.items():
+        assert 0 < len(rs) <= 10
+        assert all(r["doc_id"] != qid for r in rs)
+        scores = [r["bm25"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s > 0 for s in scores)
+
+
+def test_hybrid_bm25_rrf_fuses_both_legs(spark, sf_dir):
+    """The fused top-10 must carry valid shortlist ranks (1..50), its
+    lexical ranks must agree with the BM25 row's ordering on the
+    shared prefix, and rrf must equal the two-term reciprocal sum."""
+    from traj_sim_spark_spark.operators.extras13 import (
+        sim_bm25_topk,
+        sim_hybrid_bm25_rrf,
+    )
+
+    rows = sim_hybrid_bm25_rrf(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    bm25_order = [r["doc_id"] for r in sim_bm25_topk(spark, sf_dir).collect()]
+    lex_by_doc = {
+        r["doc_id"]: r["lex_rank"]
+        for r in rows
+        if r["lex_rank"] is not None
+    }
+    for doc, rank in lex_by_doc.items():
+        assert 1 <= rank <= 50
+        if rank <= len(bm25_order):
+            assert bm25_order[rank - 1] == doc, (doc, rank)
+    for r in rows:
+        assert r["lex_rank"] is not None or r["vec_rank"] is not None
+        expect = 0.0
+        if r["lex_rank"] is not None:
+            expect += 1.0 / (60 + r["lex_rank"])
+        if r["vec_rank"] is not None:
+            expect += 1.0 / (60 + r["vec_rank"])
+        assert abs(r["rrf_score"] - round(expect, 6)) < 1e-9
+
+
 def test_bm25_ranks_matching_docs_only(spark, sf_dir):
     """Every returned doc must share at least one token with doc 0,
     carry a positive score, and scores must be non-increasing."""

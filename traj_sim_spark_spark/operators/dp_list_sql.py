@@ -173,10 +173,12 @@ c AS MATERIALIZED (
 )"""
 
 
-def series_2d_micro() -> str:
+def series_2d_micro(query_user: int = 1) -> str:
     """Micro-quantized integer plane series (the ``extras6._pts_2d_q``
-    projection): c(user_id, ax, ay, n) / q(bx, by, m)."""
-    return """
+    projection): c(user_id, ax, ay, n) / q(bx, by, m).
+    ``query_user`` as in ``series_1d`` (batch oracles build one copy
+    per query id)."""
+    return f"""
 t0 AS (SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0 FROM events),
 pts AS (
     SELECT user_id, ts, event_id,
@@ -193,18 +195,20 @@ s AS MATERIALIZED (
     FROM pts GROUP BY user_id
 ),
 q AS MATERIALIZED (
-    SELECT xs AS bx, ys AS by, len(xs) AS m FROM s WHERE user_id = 1
+    SELECT xs AS bx, ys AS by, len(xs) AS m
+    FROM s WHERE user_id = {query_user}
 ),
 c AS MATERIALIZED (
     SELECT user_id, xs AS ax, ys AS ay, len(xs) AS n
-    FROM s WHERE user_id <> 1
+    FROM s WHERE user_id <> {query_user}
 )"""
 
 
-def series_2d_erp() -> str:
+def series_2d_erp(query_user: int = 1) -> str:
     """Micro-quantized plane series with isqrt gap costs and inclusive
     prefix sums (plane ERP, gap g = origin): c(user_id, ax, ay, acs,
-    aps, n) / q(bx, by, qcs, qps, m)."""
+    aps, n) / q(bx, by, qcs, qps, m).  ``query_user`` as in
+    ``series_1d``."""
     nrm = sql_isqrt("qx * qx + qy * qy")
     return f"""
 t0 AS (SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0 FROM events),
@@ -237,12 +241,12 @@ s AS MATERIALIZED (
 ),
 q AS MATERIALIZED (
     SELECT xs AS bx, ys AS by, cs AS qcs, ps AS qps, len(xs) AS m
-    FROM s WHERE user_id = 1
+    FROM s WHERE user_id = {query_user}
 ),
 c AS MATERIALIZED (
     SELECT user_id, xs AS ax, ys AS ay, cs AS acs, ps AS aps,
            len(xs) AS n
-    FROM s WHERE user_id <> 1
+    FROM s WHERE user_id <> {query_user}
 )"""
 
 

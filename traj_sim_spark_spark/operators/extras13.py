@@ -13,8 +13,15 @@
   quantize-once recipe so the oracle is FULL.
 - ``traj_dtw_knn_batch_2d`` / ``traj_frechet_knn_batch_2d``: the
   batch-workload kNN tier in TWO dimensions, completing the plane for
-  the float DP measures (1-D landed round 10; ERP/LCSS/EDR batch rows
-  are 1-D by their oracles' construction).
+  the float DP measures (1-D landed round 10).
+- ``traj_lcss_knn_batch_2d`` / ``traj_edr_knn_batch_2d`` /
+  ``traj_erp_knn_batch_2d``: the same workload shape for the
+  integer-decided plane measures — one shared quantized assembly, the
+  (qid, cell) eps-grid matchable bound computed for ALL queries in one
+  pass (LCSS/EDR) or one isqrt-mass hash agg (ERP), broadcast integer
+  tau pairs, exact cross-multiplied phase-2 gates.  With these the
+  batch tier covers every measure x dimension cell the single-query
+  tier covers.
 """
 
 from __future__ import annotations
@@ -30,7 +37,16 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..tables import Tables
 
-__all__ = ["mm_decode_png", "sim_bm25_topk"]
+__all__ = [
+    "mm_decode_png",
+    "sim_bm25_topk",
+    "sim_hybrid_bm25_rrf",
+    "traj_dtw_knn_batch_2d",
+    "traj_frechet_knn_batch_2d",
+    "traj_lcss_knn_batch_2d",
+    "traj_edr_knn_batch_2d",
+    "traj_erp_knn_batch_2d",
+]
 
 # BM25 constants (Robertson k1/b defaults), carried as exact rationals:
 # k1 = 1.2 = 12/10, b = 0.75 = 3/4, k1*(1-b) = 0.3 = 3/10,
@@ -40,6 +56,54 @@ __all__ = ["mm_decode_png", "sim_bm25_topk"]
 #     22*T*tf  /  (10*T*tf + 3*T + 9*dl*N).
 _BM25_QUERY_DOC = 0  # query = document 0's distinct tokens (sim_hybrid_rrf)
 _BM25_TOP = 10
+
+#: the shared BM25 scoring CTE body (through ``scored``) — composed by
+#: the ``sim_bm25_topk`` oracle and the ``sim_hybrid_bm25_rrf`` oracle
+_BM25_CTE = f"""
+    qtok AS (
+        SELECT DISTINCT t.token
+        FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(token)
+        WHERE d.doc_id = {_BM25_QUERY_DOC}
+    ),
+    tok AS (
+        SELECT d.doc_id, t.token
+        FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(token)
+        WHERE d.doc_id <> {_BM25_QUERY_DOC}
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+           GROUP BY doc_id, token),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    corpus AS (
+        SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS t_total
+        FROM tok
+    ),
+    idf AS (
+        SELECT tf.token,
+               CAST(ROUND(LN(1.0 + ((SELECT n FROM corpus) - COUNT(*) + 0.5)
+                                   / (COUNT(*) + 0.5)) * 1e6) AS BIGINT)
+                   AS idf_micro
+        FROM tf
+        WHERE tf.token IN (SELECT token FROM qtok)
+        GROUP BY tf.token
+    ),
+    terms AS (
+        SELECT tf.doc_id,
+               CAST(ROUND(
+                   idf.idf_micro
+                   * (22.0 * (SELECT t_total FROM corpus) * tf.tf)
+                   / (10 * (SELECT t_total FROM corpus) * tf.tf
+                      + 3 * (SELECT t_total FROM corpus)
+                      + 9 * dl.dl * (SELECT n FROM corpus))
+               ) AS BIGINT) AS term_micro
+        FROM tf
+        JOIN idf ON tf.token = idf.token
+        JOIN dl ON tf.doc_id = dl.doc_id
+    ),
+    scored AS (
+        SELECT doc_id, SUM(term_micro) AS score_micro
+        FROM terms GROUP BY doc_id
+    )"""
 
 
 # --------------------------------------------------------------------------
@@ -127,50 +191,7 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_bm25_topk",
     oracle=f"""
-    WITH qtok AS (
-        SELECT DISTINCT t.token
-        FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(token)
-        WHERE d.doc_id = {_BM25_QUERY_DOC}
-    ),
-    tok AS (
-        SELECT d.doc_id, t.token
-        FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(token)
-        WHERE d.doc_id <> {_BM25_QUERY_DOC}
-    ),
-    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
-           GROUP BY doc_id, token),
-    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
-    corpus AS (
-        SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n,
-               CAST(COUNT(*) AS BIGINT) AS t_total
-        FROM tok
-    ),
-    idf AS (
-        SELECT tf.token,
-               CAST(ROUND(LN(1.0 + ((SELECT n FROM corpus) - COUNT(*) + 0.5)
-                                   / (COUNT(*) + 0.5)) * 1e6) AS BIGINT)
-                   AS idf_micro
-        FROM tf
-        WHERE tf.token IN (SELECT token FROM qtok)
-        GROUP BY tf.token
-    ),
-    terms AS (
-        SELECT tf.doc_id,
-               CAST(ROUND(
-                   idf.idf_micro
-                   * (22.0 * (SELECT t_total FROM corpus) * tf.tf)
-                   / (10 * (SELECT t_total FROM corpus) * tf.tf
-                      + 3 * (SELECT t_total FROM corpus)
-                      + 9 * dl.dl * (SELECT n FROM corpus))
-               ) AS BIGINT) AS term_micro
-        FROM tf
-        JOIN idf ON tf.token = idf.token
-        JOIN dl ON tf.doc_id = dl.doc_id
-    ),
-    scored AS (
-        SELECT doc_id, SUM(term_micro) AS score_micro
-        FROM terms GROUP BY doc_id
-    )
+    WITH {_BM25_CTE}
     SELECT doc_id, score_micro / 1e6 AS bm25
     FROM scored
     ORDER BY score_micro DESC, doc_id
@@ -202,6 +223,18 @@ def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Display = micro/1e6 (exact power-of-ten division of an integer).
     """
     t = Tables(spark, sf_dir)
+    return (
+        _bm25_scores(t)
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(_BM25_TOP)
+        .select("doc_id", (F.col("score_micro") / F.lit(1e6)).alias("bm25"))
+    )
+
+
+def _bm25_scores(t: Tables) -> DataFrame:
+    """(doc_id, score_micro): the integer-micro BM25 corpus scores vs
+    document 0's distinct-token query — the scoring engine shared by
+    ``sim_bm25_topk`` and ``sim_hybrid_bm25_rrf``'s lexical leg."""
     tok = t.doc_tokens().filter(F.col("doc_id") != _BM25_QUERY_DOC)
     qtok = (
         t.documents.filter(F.col("doc_id") == _BM25_QUERY_DOC)
@@ -240,12 +273,288 @@ def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("term_micro"),
         )
     )
+    return terms.groupBy("doc_id").agg(
+        F.sum("term_micro").alias("score_micro")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_bm25_batch — the batch-workload tier for lexical retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_BATCH_QIDS = (0, 1, 2)  # query docs (mirrors sim_knn_batch's shape)
+
+
+@query(
+    "sim_bm25_batch",
+    oracle=f"""
+    WITH tok AS (
+        SELECT d.doc_id, t.token
+        FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(token)
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+           GROUP BY doc_id, token),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    corpus AS (
+        SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS t_total
+        FROM tok
+    ),
+    qtok AS (
+        SELECT DISTINCT doc_id AS qid, token
+        FROM tok WHERE doc_id IN {_BM25_BATCH_QIDS}
+    ),
+    df AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+        WHERE token IN (SELECT token FROM qtok)
+        GROUP BY token
+    ),
+    idf AS (
+        SELECT qtok.qid, qtok.token,
+               CAST(ROUND(LN(1.0 + ((SELECT n FROM corpus) - df.df + 0.5)
+                                   / (df.df + 0.5)) * 1e6) AS BIGINT)
+                   AS idf_micro
+        FROM qtok JOIN df ON qtok.token = df.token
+    ),
+    terms AS (
+        SELECT idf.qid, tf.doc_id,
+               CAST(ROUND(
+                   idf.idf_micro
+                   * (22.0 * (SELECT t_total FROM corpus) * tf.tf)
+                   / (10 * (SELECT t_total FROM corpus) * tf.tf
+                      + 3 * (SELECT t_total FROM corpus)
+                      + 9 * dl.dl * (SELECT n FROM corpus))
+               ) AS BIGINT) AS term_micro
+        FROM tf
+        JOIN idf ON tf.token = idf.token
+        JOIN dl ON tf.doc_id = dl.doc_id
+        WHERE tf.doc_id <> idf.qid
+    ),
+    scored AS (
+        SELECT qid, doc_id, SUM(term_micro) AS score_micro
+        FROM terms GROUP BY qid, doc_id
+    ),
+    ranked AS (
+        SELECT qid, doc_id, score_micro,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY score_micro DESC, doc_id)
+                   AS rn
+        FROM scored
+    )
+    SELECT qid, doc_id, score_micro / 1e6 AS bm25
+    FROM ranked WHERE rn <= {_BM25_TOP}
+    """,
+)
+def sim_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH BM25 retrieval — the workload shape for the lexical
+    engine (the ``sim_knn_batch`` pattern applied to ``sim_bm25_topk``):
+    top-10 corpus documents for EVERY query in the sampled workload
+    (documents 0, 1, 2 as distinct-token queries), answered in one
+    shared run.
+
+    The amortization that matters at 100 TB: corpus statistics (tf,
+    dl, N, T) and the exploded-token pipeline are computed ONCE for
+    the whole workload — a 100-query batch costs one corpus pass plus
+    per-query broadcast joins, not 100 corpus passes.  Unlike the
+    single-query row (corpus excludes the query doc), the batch
+    semantics use the FULL corpus for statistics and exclude only
+    self-retrieval per query — the semantics shared by every batch
+    retrieval system (the index is built once, queries just query it).
+
+    Exactness: the same quantize-once recipe as ``sim_bm25_topk`` —
+    per-(qid, token) idf quantized once to integer micro-nats, the
+    all-integer tf-saturation ratio, exact BIGINT micro sums,
+    integer-decided per-query rank window (score DESC, doc_id)."""
+    t = Tables(spark, sf_dir)
+    tok = t.doc_tokens()
+    qtok = (
+        tok.filter(F.col("doc_id").isin(*_BM25_BATCH_QIDS))
+        .select(F.col("doc_id").alias("qid"), "token")
+        .distinct()
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = tok.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("t_total"),
+    )
+    df = (
+        tf.join(
+            F.broadcast(qtok.select("token").distinct()), "token"
+        )
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("df"))
+    )
+    idf = (
+        F.broadcast(qtok)
+        .join(F.broadcast(df), "token")
+        .join(F.broadcast(corpus))
+        .select(
+            "qid",
+            "token",
+            F.expr(
+                "CAST(ROUND(LN(1.0 + (n - df + 0.5) / (df + 0.5)) * 1e6)"
+                " AS BIGINT)"
+            ).alias("idf_micro"),
+        )
+    )
+    terms = (
+        tf.join(F.broadcast(idf), "token")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .join(dl, "doc_id")
+        .join(F.broadcast(corpus))
+        .select(
+            "qid",
+            "doc_id",
+            F.expr(
+                "CAST(ROUND(idf_micro * (22.0 * t_total * tf)"
+                " / (10 * t_total * tf + 3 * t_total + 9 * dl * n))"
+                " AS BIGINT)"
+            ).alias("term_micro"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_micro").desc(), "doc_id"
+    )
     return (
-        terms.groupBy("doc_id")
+        terms.groupBy("qid", "doc_id")
         .agg(F.sum("term_micro").alias("score_micro"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _BM25_TOP)
+        .select(
+            "qid",
+            "doc_id",
+            (F.col("score_micro") / F.lit(1e6)).alias("bm25"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_hybrid_bm25_rrf — the hybrid RAG stack with the REAL lexical leg
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard RRF damping constant (sim_hybrid_rrf's)
+_RRF_SHORTLIST = 50
+_RRF_TOP = 10
+
+
+@query(
+    "sim_hybrid_bm25_rrf",
+    oracle=f"""
+    WITH {_BM25_CTE},
+    lex AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY score_micro DESC, doc_id
+               ) AS INTEGER) AS lex_rank
+        FROM (SELECT * FROM scored
+              ORDER BY score_micro DESC, doc_id
+              LIMIT {_RRF_SHORTLIST})
+    ),
+    ev AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    qv AS (SELECT i, v FROM ev WHERE vec_id = 0),
+    qn AS (SELECT SQRT(SUM(v * v)) AS n FROM qv),
+    dots AS (
+        SELECT ev.vec_id,
+               SUM(ev.v * qv.v)
+               / (SQRT(SUM(ev.v * ev.v)) * (SELECT n FROM qn)) AS cs
+        FROM ev JOIN qv USING (i)
+        WHERE ev.vec_id <> 0
+        GROUP BY ev.vec_id
+    ),
+    vec AS (
+        SELECT vec_id AS doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY cs DESC, vec_id)
+                    AS INTEGER) AS vec_rank
+        FROM (SELECT * FROM dots ORDER BY cs DESC, vec_id
+              LIMIT {_RRF_SHORTLIST})
+    ),
+    fused AS (
+        SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+               lex.lex_rank, vec.vec_rank,
+               COALESCE(1.0 / ({_RRF_K} + lex.lex_rank), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + vec.vec_rank), 0.0) AS rrf
+        FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+    )
+    SELECT doc_id, lex_rank, vec_rank, ROUND(rrf, 6) AS rrf_score
+    FROM fused
+    ORDER BY rrf DESC, doc_id
+    LIMIT {_RRF_TOP}
+    """,
+)
+def sim_hybrid_bm25_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval with the REAL lexical ranking function —
+    ``sim_hybrid_rrf`` (extras4) with its raw token-overlap leg
+    replaced by BM25 (the production RAG stack: Elasticsearch/Vespa
+    default BM25 + dense kNN + RRF).  The BM25 corpus scores come from
+    the shared ``_bm25_scores`` engine (integer micro units — the
+    shortlist and its ranks are integer-decided); the vector leg is
+    the identical-DAG exact-cosine shortlist; fusion is
+    1/({_RRF_K}+rank) on small-integer ranks (exactly-rounded IEEE,
+    both engines evaluate the same two-term expression), doc_id
+    tie-break.
+
+    Scale shape: one postings equi-join with a broadcast query-token
+    list + one vector scan with TakeOrdered; rank windows only ever
+    see {_RRF_SHORTLIST}-row DataFrames; the fusion is a 50x50 full
+    outer join."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vector import cosine, to_double
+
+    t = Tables(spark, sf_dir)
+    lex_short = (
+        _bm25_scores(t)
         .orderBy(F.col("score_micro").desc(), "doc_id")
-        .limit(_BM25_TOP)
-        .select("doc_id", (F.col("score_micro") / F.lit(1e6)).alias("bm25"))
+        .limit(_RRF_SHORTLIST)
+    )
+    lex = lex_short.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("score_micro").desc(), "doc_id"))
+        .cast("int")
+        .alias("lex_rank"),
+    )
+    emb = t.embeddings.select(
+        "vec_id", to_double("embedding").alias("emb")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("q_emb")
+    )
+    vec_short = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .withColumn("cs", cosine(F.col("emb"), F.col("q_emb")))
+        .orderBy(F.col("cs").desc(), "vec_id")
+        .limit(_RRF_SHORTLIST)
+    )
+    vec = vec_short.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(W.orderBy(F.col("cs").desc(), "vec_id"))
+        .cast("int")
+        .alias("vec_rank"),
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank")), F.lit(0.0)
+    )
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .withColumn("rrf", rrf)
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(_RRF_TOP)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            F.round("rrf", 6).alias("rrf_score"),
+        )
     )
 
 
@@ -499,3 +808,471 @@ def traj_frechet_knn_batch_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import kernels
 
     return _float_knn_batch_2d(spark, sf_dir, kernels.frechet, "frechet")
+
+
+# ---------------------------------------------------------------------------
+# Batch LCSS / EDR / ERP kNN in TWO dimensions — the integer-decided
+# measures at workload scale, completing the 2-D batch tier
+# ---------------------------------------------------------------------------
+
+
+def _q2d_arrays(t: Tables) -> DataFrame:
+    """One micro-quantized plane assembly for the whole workload:
+    per user the int64 (xs, ys) arrays in engine order (the
+    ``extras6._pts_2d_q`` projection, collected)."""
+    from .extras6 import _pts_2d_q
+
+    return (
+        _pts_2d_q(t)
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("i", "qx", "qy"))).alias(
+                "p"
+            )
+        )
+        .select(
+            "user_id", F.col("p.qx").alias("xs"), F.col("p.qy").alias("ys")
+        )
+    )
+
+
+def _matchable_2d_batch(spark: SparkSession, t: Tables) -> DataFrame:
+    """(qid, user_id, n, m, matchable): ``extras6._matchable_2d``
+    generalized with the query dimension — every query's 9-neighbor
+    eps-cell set broadcast TOGETHER, matchability decided by one
+    (qid, cell) equi-join over the positioned corpus.  LCSS_2d <=
+    matchable and EDR_2d >= max(n, m) - matchable per (qid, user), both
+    LOSSLESS (each match consumes one matchable candidate point)."""
+    from .extras6 import _EPSM, _pts_2d_q
+    from .extras12 import _qids_df
+
+    pos = _pts_2d_q(t).localCheckpoint()  # query + candidate side
+    qids = _qids_df(spark)
+    q = pos.join(
+        F.broadcast(qids), F.col("user_id") == F.col("qid")
+    ).select("qid", "qx", "qy")
+    m_per_q = q.groupBy("qid").agg(F.count("*").alias("m"))
+    qcells = q.select(
+        "qid",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(-1, 1), dx ->"
+                f" transform(sequence(-1, 1), dy ->"
+                f" struct((qx div {_EPSM}) + dx AS cx,"
+                f" (qy div {_EPSM}) + dy AS cy))))"
+            )
+        ).alias("c"),
+        F.col("qx").alias("bx"),
+        F.col("qy").alias("by"),
+    ).select("qid", "c.cx", "c.cy", "bx", "by")
+    cand = (
+        pos.join(F.broadcast(qids), F.col("user_id") != F.col("qid"))
+        .select(
+            "qid",
+            "user_id",
+            "i",
+            "qx",
+            "qy",
+            F.expr(f"qx div {_EPSM}").alias("cx"),
+            F.expr(f"qy div {_EPSM}").alias("cy"),
+        )
+    )
+    matchable = (
+        cand.join(F.broadcast(qcells), ["qid", "cx", "cy"])
+        .filter(
+            (F.col("qx") - F.col("bx")) * (F.col("qx") - F.col("bx"))
+            + (F.col("qy") - F.col("by")) * (F.col("qy") - F.col("by"))
+            <= F.lit(_EPSM * _EPSM)
+        )
+        .select("qid", "user_id", "i")
+        .distinct()
+        .groupBy("qid", "user_id")
+        .agg(F.count("*").alias("matchable"))
+    )
+    return (
+        cand.groupBy("qid", "user_id")
+        .agg(F.count("*").alias("n"))
+        .join(matchable, ["qid", "user_id"], "left")
+        .join(F.broadcast(m_per_q), "qid")
+        .select(
+            "qid",
+            "user_id",
+            "n",
+            "m",
+            F.coalesce("matchable", F.lit(0)).alias("matchable"),
+        )
+    )
+
+
+def _int2d_batch_refine(
+    pairs: DataFrame,
+    arr: DataFrame,
+    qarr: DataFrame,
+    compute,
+    columns: list[str],
+    schema: str,
+) -> DataFrame:
+    """Exact integer plane kernel over (qid, user_id) pairs: candidate
+    arrays joined in, the 3 query arrays broadcast, one Arrow pass for
+    the whole workload.  ``compute(a, b)`` returns the per-pair output
+    tail (appended after qid, user_id)."""
+    paired = (
+        pairs.select("qid", "user_id")
+        .join(arr.select("user_id", "xs", "ys"), "user_id")
+        .join(F.broadcast(qarr.select("qid", "qxs", "qys")), "qid")
+        .repartition(pairs.sparkSession.sparkContext.defaultParallelism)
+    )
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                a = np.stack(
+                    [
+                        np.asarray(row.xs, dtype=np.int64),
+                        np.asarray(row.ys, dtype=np.int64),
+                    ],
+                    axis=1,
+                )
+                b = np.stack(
+                    [
+                        np.asarray(row.qxs, dtype=np.int64),
+                        np.asarray(row.qys, dtype=np.int64),
+                    ],
+                    axis=1,
+                )
+                out.append((row.qid, row.user_id, *compute(a, b)))
+            yield pd.DataFrame(out, columns=columns)
+
+    return paired.mapInPandas(refine, schema=schema)
+
+
+def _int2d_batch_qarr(arr: DataFrame) -> DataFrame:
+    from .extras12 import _BATCH_QIDS
+
+    return arr.filter(F.col("user_id").isin(*_BATCH_QIDS)).select(
+        F.col("user_id").alias("qid"),
+        F.col("xs").alias("qxs"),
+        F.col("ys").alias("qys"),
+    )
+
+
+def _lcss_batch_2d_oracle() -> str:
+    from .extras6 import _LCSS_SEL, _SEARCH_K, _lcss2_prefix
+    from .extras12 import _BATCH_QIDS
+
+    parts = [
+        f"SELECT CAST({qid} AS BIGINT) AS qid, * FROM ("
+        + _lcss2_prefix(qid)
+        + _LCSS_SEL
+        + "\nORDER BY CAST(val AS DOUBLE) / LEAST(n, m) DESC, user_id"
+        + f"\nLIMIT {_SEARCH_K})"
+        for qid in _BATCH_QIDS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("traj_lcss_knn_batch_2d", oracle=_lcss_batch_2d_oracle)
+def traj_lcss_knn_batch_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH plane-LCSS kNN — the workload shape (R17 -> R9) on the
+    2-D edit-similarity measure: top-10 most-similar users per sampled
+    query (users 1, 2, 3), one shared quantized assembly + ONE
+    (qid, cell) eps-grid pass bounding ALL queries together +
+    one Arrow kernel pass per phase.
+
+    Fully declarative two-phase (no driver scalar, unlike single-query
+    ``traj_lcss_knn_2d`` whose tau_k is a collected shortlist):
+    (1) refine the 30 best per query by the LOSSLESS matchable-count
+    UPPER bound matchable/min(n, m) >= LCSS_2d/min(n, m); (2) tau_k =
+    each query's 10th exact similarity as its integer (lcss_len,
+    min_len) PAIR, broadcast back and applied by exact
+    cross-multiplication (matchable * min_k >= lcss_k * min(n, m) —
+    ties kept, no float at the boundary); (3) survivors refine, union,
+    per-query rank window on the UNROUNDED ratio.  Oracle: UNFILTERED
+    per-query 2-D list-layer DP, UNION ALL'd — every gate re-certifies
+    the prune."""
+    from ..functions import kernels
+    from .extras6 import _EPS2_MICRO2, _SEARCH_K, _TAU_CK
+
+    t = Tables(spark, sf_dir)
+    arr = _q2d_arrays(t).localCheckpoint()
+    qarr = _int2d_batch_qarr(arr)
+    mb = _matchable_2d_batch(spark, t).localCheckpoint()
+
+    def compute(a, b):
+        ln = kernels.lcss_int2d(a, b, _EPS2_MICRO2)
+        ml = min(len(a), len(b))
+        return (ln, ml, round(ln / ml, 6))
+
+    def refine(pairs):
+        return _int2d_batch_refine(
+            pairs,
+            arr,
+            qarr,
+            compute,
+            ["qid", "user_id", "lcss_len", "min_len", "lcss_sim"],
+            "qid bigint, user_id bigint, lcss_len bigint,"
+            " min_len bigint, lcss_sim double",
+        )
+
+    w_lb = Window.partitionBy("qid").orderBy(
+        (F.col("matchable") / F.least("n", "m")).desc(), "user_id"
+    )
+    pairs1 = (
+        mb.withColumn("rn", F.row_number().over(w_lb))
+        .filter(F.col("rn") <= _TAU_CK)
+        .select("qid", "user_id")
+    )
+    first = refine(pairs1).localCheckpoint()
+    w_d = Window.partitionBy("qid").orderBy(
+        (F.col("lcss_len") / F.col("min_len")).desc(), "user_id"
+    )
+    taus = (
+        first.withColumn("rn", F.row_number().over(w_d))
+        .filter(F.col("rn") <= _SEARCH_K)
+        .groupBy("qid")
+        .agg(
+            F.expr(
+                "min_by(struct(lcss_len, min_len),"
+                " CAST(lcss_len AS DOUBLE) / min_len)"
+            ).alias("tk")
+        )
+        .select(
+            "qid",
+            F.col("tk.lcss_len").alias("lk"),
+            F.col("tk.min_len").alias("mk"),
+        )
+    )
+    pairs2 = (
+        mb.join(F.broadcast(taus), "qid")
+        .filter(
+            F.col("matchable") * F.col("mk")
+            >= F.col("lk") * F.least("n", "m")
+        )
+        .join(pairs1, ["qid", "user_id"], "left_anti")
+        .select("qid", "user_id")
+    )
+    rest = refine(pairs2)
+    allr = first.unionByName(rest)
+    return (
+        allr.withColumn("rn", F.row_number().over(w_d))
+        .filter(F.col("rn") <= _SEARCH_K)
+        .select("qid", "user_id", "lcss_len", "lcss_sim")
+    )
+
+
+def _edr_batch_2d_oracle() -> str:
+    from .extras6 import _EDR_SEL, _SEARCH_K, _edr2_prefix
+    from .extras12 import _BATCH_QIDS
+
+    parts = [
+        f"SELECT CAST({qid} AS BIGINT) AS qid, * FROM ("
+        + _edr2_prefix(qid)
+        + _EDR_SEL
+        + "\nORDER BY CAST(val AS DOUBLE) / GREATEST(n, m), user_id"
+        + f"\nLIMIT {_SEARCH_K})"
+        for qid in _BATCH_QIDS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("traj_edr_knn_batch_2d", oracle=_edr_batch_2d_oracle)
+def traj_edr_knn_batch_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH plane-EDR kNN — the workload shape on the 2-D
+    edit-distance measure: top-10 users by smallest normalized plane
+    EDR per sampled query.  The LOSSLESS lower bound max(|n - m|,
+    max(n, m) - matchable) for all queries in ONE (qid, cell) eps-grid
+    pass (shared with ``traj_lcss_knn_batch_2d``'s bound source);
+    tau_k per query is the k-th exact (edr, max_len) integer PAIR,
+    broadcast back and applied by exact cross-multiplication
+    (lb * max_k <= edr_k * max(n, m)) — no float at the pruning
+    boundary, no driver collect.  Oracle: UNFILTERED per-query 2-D
+    list-layer DP, UNION ALL — every gate re-certifies the prune."""
+    from ..functions import kernels
+    from .extras6 import _EPS2_MICRO2, _SEARCH_K, _TAU_CK
+
+    t = Tables(spark, sf_dir)
+    arr = _q2d_arrays(t).localCheckpoint()
+    qarr = _int2d_batch_qarr(arr)
+    lb = (
+        _matchable_2d_batch(spark, t)
+        .select(
+            "qid",
+            "user_id",
+            "n",
+            "m",
+            F.greatest(
+                F.abs(F.col("n") - F.col("m")),
+                F.greatest("n", "m") - F.col("matchable"),
+            ).alias("lb"),
+        )
+        .localCheckpoint()
+    )
+
+    def compute(a, b):
+        e = kernels.edr_int2d(a, b, _EPS2_MICRO2)
+        ml = max(len(a), len(b))
+        return (e, ml, round(e / ml, 6))
+
+    def refine(pairs):
+        return _int2d_batch_refine(
+            pairs,
+            arr,
+            qarr,
+            compute,
+            ["qid", "user_id", "edr", "max_len", "edr_norm"],
+            "qid bigint, user_id bigint, edr bigint,"
+            " max_len bigint, edr_norm double",
+        )
+
+    w_lb = Window.partitionBy("qid").orderBy(
+        F.col("lb") / F.greatest("n", "m"), "user_id"
+    )
+    pairs1 = (
+        lb.withColumn("rn", F.row_number().over(w_lb))
+        .filter(F.col("rn") <= _TAU_CK)
+        .select("qid", "user_id")
+    )
+    first = refine(pairs1).localCheckpoint()
+    w_d = Window.partitionBy("qid").orderBy(
+        F.col("edr") / F.col("max_len"), "user_id"
+    )
+    taus = (
+        first.withColumn("rn", F.row_number().over(w_d))
+        .filter(F.col("rn") <= _SEARCH_K)
+        .groupBy("qid")
+        .agg(
+            F.expr(
+                "max_by(struct(edr, max_len),"
+                " CAST(edr AS DOUBLE) / max_len)"
+            ).alias("tk")
+        )
+        .select(
+            "qid",
+            F.col("tk.edr").alias("nk"),
+            F.col("tk.max_len").alias("dk"),
+        )
+    )
+    pairs2 = (
+        lb.join(F.broadcast(taus), "qid")
+        .filter(
+            F.col("lb") * F.col("dk") <= F.col("nk") * F.greatest("n", "m")
+        )
+        .join(pairs1, ["qid", "user_id"], "left_anti")
+        .select("qid", "user_id")
+    )
+    rest = refine(pairs2)
+    allr = first.unionByName(rest)
+    return (
+        allr.withColumn("rn", F.row_number().over(w_d))
+        .filter(F.col("rn") <= _SEARCH_K)
+        .select("qid", "user_id", "edr", "edr_norm")
+    )
+
+
+def _erp_batch_2d_oracle() -> str:
+    from .extras6 import _ERP_SEL, _SEARCH_K, _erp2_prefix
+    from .extras12 import _BATCH_QIDS
+
+    parts = [
+        f"SELECT CAST({qid} AS BIGINT) AS qid, * FROM ("
+        + _erp2_prefix(qid)
+        + _ERP_SEL
+        + f"\nORDER BY val, user_id LIMIT {_SEARCH_K})"
+        for qid in _BATCH_QIDS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("traj_erp_knn_batch_2d", oracle=_erp_batch_2d_oracle)
+def traj_erp_knn_batch_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH plane-ERP kNN — the workload shape on the 2-D metric
+    measure: top-10 users by floored-norm plane ERP per sampled query.
+    The LOSSLESS slack-corrected mass bound (``extras6._erp2d_norms``:
+    lb = max(0, |M_f(a) - M_f(q)| - (n + m + max(n, m))) <= ERP_f,
+    Chen & Ng triangle + integer flooring slack) computed for all
+    queries from ONE per-user isqrt-mass hash agg + a 3-row broadcast;
+    tau_k per query is the k-th exact erp_micro INTEGER, broadcast
+    back (lb <= tau_k, exact — no rounding anywhere).  Oracle:
+    UNFILTERED per-query 2-D list-layer ERP DP, UNION ALL — every
+    gate re-certifies the prune."""
+    from ..functions import kernels
+    from .extras6 import _SEARCH_K, _TAU_CK, _pts_2d_q, _sql_isqrt
+    from .extras12 import _qids_df
+
+    t = Tables(spark, sf_dir)
+    arr = _q2d_arrays(t).localCheckpoint()
+    qarr = _int2d_batch_qarr(arr)
+    sums = (
+        _pts_2d_q(t)
+        .select(
+            "user_id",
+            F.expr(_sql_isqrt("qx * qx + qy * qy")).alias("nrm"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("nrm").alias("sn"), F.count("*").alias("n"))
+    )
+    qids = _qids_df(spark)
+    qsums = sums.join(
+        F.broadcast(qids), F.col("user_id") == F.col("qid")
+    ).select("qid", F.col("sn").alias("qn"), F.col("n").alias("qm"))
+    lb = (
+        sums.join(F.broadcast(qsums))
+        .filter(F.col("user_id") != F.col("qid"))
+        .select(
+            "qid",
+            "user_id",
+            F.greatest(
+                F.lit(0),
+                F.abs(F.col("sn") - F.col("qn"))
+                - (
+                    F.col("n")
+                    + F.col("qm")
+                    + F.greatest(F.col("n"), F.col("qm"))
+                ),
+            ).alias("lb"),
+        )
+        .localCheckpoint()
+    )
+
+    def compute(a, b):
+        e = kernels.erp_int2d(a, b)
+        return (e, round(e / 1e6, 6))
+
+    def refine(pairs):
+        return _int2d_batch_refine(
+            pairs,
+            arr,
+            qarr,
+            compute,
+            ["qid", "user_id", "erp_micro", "erp"],
+            "qid bigint, user_id bigint, erp_micro bigint, erp double",
+        )
+
+    w_lb = Window.partitionBy("qid").orderBy("lb", "user_id")
+    pairs1 = (
+        lb.withColumn("rn", F.row_number().over(w_lb))
+        .filter(F.col("rn") <= _TAU_CK)
+        .select("qid", "user_id")
+    )
+    first = refine(pairs1).localCheckpoint()
+    w_d = Window.partitionBy("qid").orderBy("erp_micro", "user_id")
+    taus = (
+        first.withColumn("rn", F.row_number().over(w_d))
+        .filter(F.col("rn") <= _SEARCH_K)
+        .groupBy("qid")
+        .agg(F.max("erp_micro").alias("tau"))
+    )
+    pairs2 = (
+        lb.join(F.broadcast(taus), "qid")
+        .filter(F.col("lb") <= F.col("tau"))
+        .join(pairs1, ["qid", "user_id"], "left_anti")
+        .select("qid", "user_id")
+    )
+    rest = refine(pairs2)
+    allr = first.unionByName(rest)
+    return (
+        allr.withColumn("rn", F.row_number().over(w_d))
+        .filter(F.col("rn") <= _SEARCH_K)
+        .select("qid", "user_id", "erp_micro", "erp")
+    )

@@ -628,9 +628,9 @@ def _lcss1_prefix() -> str:
     )
 
 
-def _lcss2_prefix() -> str:
+def _lcss2_prefix(query_user: int = 1) -> str:
     return _DL.layer_dp(
-        _DL.series_2d_micro(),
+        _DL.series_2d_micro(query_user),
         ("ax", "ay"),
         f"CASE WHEN {_DL.D2Q_INIT} <= {_EPS2_MICRO2}"
         " THEN CAST(1 AS BIGINT) ELSE 0 END",
@@ -695,9 +695,9 @@ def _edr1_prefix() -> str:
     )
 
 
-def _edr2_prefix() -> str:
+def _edr2_prefix(query_user: int = 1) -> str:
     return _DL.layer_dp(
-        _DL.series_2d_micro(),
+        _DL.series_2d_micro(query_user),
         ("ax", "ay"),
         f"CASE WHEN {_DL.D2Q_INIT} <= {_EPS2_MICRO2}"
         " THEN CAST(0 AS BIGINT) ELSE 1 END",
@@ -759,9 +759,9 @@ def _erp1_prefix() -> str:
     )
 
 
-def _erp2_prefix() -> str:
+def _erp2_prefix(query_user: int = 1) -> str:
     return _DL.layer_dp(
-        _DL.series_2d_erp(),
+        _DL.series_2d_erp(query_user),
         ("ax", "ay", "acs", "aps"),
         f"LEAST({_DL.sql_isqrt_bound(_DL.D2Q_INIT)},"
         " acs[1] + q.qcs[1])",

@@ -144,9 +144,8 @@ _MODULES = (
 # (e) fill to 50 with the oldest r3-evidence keys alphabetically.
 # After this window lands, no key's newest evidence predates round 3.
 # ROUND-12 ROTATION PLAN (recompute fresh from the raw CORRECTNESS
-# JSONs before using): the 48 r3-evidence keys minus the 5 already
-# windowed below as fill (emb_drift, graph_assortativity,
-# graph_bfs_hops, graph_cc, graph_copurchase) = 43 re-certs —
+# JSONs before using): all 48 r3-evidence keys re-cert — emb_drift,
+# graph_assortativity, graph_bfs_hops, graph_cc,
 # graph_* (kcore/modularity/pagerank/triangles/copurchase…),
 # mm_phash_nn + mm_scene_cuts, pipe_quality_prune, the rel_
 # time-series tier (anomaly_mad/autocorr/changepoint/ewma/
@@ -158,7 +157,7 @@ _MODULES = (
 # range_segments_2d/resample/segment_intersections/
 # self_intersections/simplify_dp/speed_outliers/staypoints/
 # transition_matrix + the hausdorff segments 2-D tier) — plus any
-# round-12 additions at the front.  43 + adds < 50: one window.
+# round-12 additions at the front.  48 + adds <= 50: one window.
 _WINDOW_FIRST: tuple[str, ...] = (
     # (a) never driver-checked batch rows
     "traj_dtw_knn_batch",
@@ -209,12 +208,13 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "traj_dtw_knn_batch_2d",
     "traj_frechet_knn_batch_2d",
     "mm_decode_png",
-    # (e) fill with oldest r3-evidence keys
-    "emb_drift",
-    "graph_assortativity",
-    "graph_bfs_hops",
-    "graph_cc",
-    "graph_copurchase",
+    "traj_lcss_knn_batch_2d",
+    "traj_edr_knn_batch_2d",
+    "traj_erp_knn_batch_2d",
+    "sim_hybrid_bm25_rrf",
+    "sim_bm25_batch",
+    # (e) round-11-continuation adds filled the window to exactly 50;
+    # the r3-evidence fill keys all move to the r12 pool.
 )
 
 _loaded = False
