@@ -142,6 +142,48 @@ def test_erp_batch_2d_qid1_equals_single_query(spark, sf_dir):
     assert batch == single and len(batch) > 0
 
 
+def test_dtw_banded_batch_qid1_equals_single_query(spark, sf_dir):
+    from traj_sim_spark_spark.operators.extras13 import (
+        traj_dtw_knn_batch_banded,
+    )
+    from traj_sim_spark_spark.operators.trajectory_ext import (
+        traj_dtw_knn_banded,
+    )
+
+    batch = {
+        (r["user_id"], r["dtw_banded"])
+        for r in traj_dtw_knn_batch_banded(spark, sf_dir)
+        .filter(F.col("qid") == 1)
+        .collect()
+    }
+    single = {
+        (r["user_id"], r["dtw_banded"])
+        for r in traj_dtw_knn_banded(spark, sf_dir).collect()
+    }
+    assert batch == single and len(batch) > 0
+
+
+def test_dtw_banded_batch_2d_qid1_equals_single_query(spark, sf_dir):
+    from traj_sim_spark_spark.operators.extras13 import (
+        traj_dtw_knn_batch_banded_2d,
+    )
+    from traj_sim_spark_spark.operators.trajectory_ext import (
+        traj_dtw_knn_banded_2d,
+    )
+
+    batch = {
+        (r["user_id"], r["dtw_banded_2d"])
+        for r in traj_dtw_knn_batch_banded_2d(spark, sf_dir)
+        .filter(F.col("qid") == 1)
+        .collect()
+    }
+    single = {
+        (r["user_id"], r["dtw_banded_2d"])
+        for r in traj_dtw_knn_banded_2d(spark, sf_dir).collect()
+    }
+    assert batch == single and len(batch) > 0
+
+
 def test_matchable_2d_batch_bounds_are_admissible(spark, sf_dir):
     """matchable must upper-bound exact plane-LCSS and the derived
     max(|n-m|, max(n,m) - matchable) must lower-bound exact plane-EDR

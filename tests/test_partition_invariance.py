@@ -221,6 +221,8 @@ KEYS = [
     "traj_erp_knn_batch_2d",
     "sim_hybrid_bm25_rrf",
     "sim_bm25_batch",
+    "traj_dtw_knn_batch_banded",
+    "traj_dtw_knn_batch_banded_2d",
     # window/rank rows (rel_win_* + ranking aggregates):
     "rel_win_rank",
     "rel_win_lag",

@@ -811,6 +811,87 @@ def traj_frechet_knn_batch_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch banded-DTW kNN (1-D and 2-D) — the constrained-alignment
+# variant at workload scale, completing the batch tier over every
+# search VARIANT the single-query tier covers
+# ---------------------------------------------------------------------------
+
+
+def _dtw_banded_batch_oracle() -> str:
+    from .trajectory import _KNN_K
+    from .trajectory_ext import _DTW_BAND_W
+    from . import dp_list_sql as _DL
+    from .extras12 import _BATCH_QIDS
+
+    parts = [
+        f"SELECT CAST({qid} AS BIGINT) AS qid, * FROM ("
+        + _DL.float_knn_sql(
+            False, "dtw_banded", _KNN_K, band_w=_DTW_BAND_W, query_user=qid
+        )
+        + ")"
+        for qid in _BATCH_QIDS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("traj_dtw_knn_batch_banded", oracle=_dtw_banded_batch_oracle)
+def traj_dtw_knn_batch_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH Sakoe-Chiba banded-DTW kNN (w=8) — the workload shape on
+    the constrained-alignment variant, completing the batch tier over
+    every search VARIANT the single-query tier covers.  Validity chain
+    unchanged from ``traj_dtw_knn_banded``: banded cost >= exact DTW
+    >= Fréchet >= the shared lower bound (restricting the coupling set
+    can only raise the minimum), so `_float_knn_batch`'s lb prune,
+    broadcast tau_k and phase-2 early-abandon apply verbatim; the
+    kernel's band-local gathers keep per-pair work at O(n*w) — the
+    production long-series regime.  Oracle: UNFILTERED per-query
+    banded list-layer DP, UNION ALL'd."""
+    from .extras12 import _float_knn_batch
+    from .trajectory_ext import _dtw_banded_kernel
+
+    return _float_knn_batch(
+        spark, sf_dir, _dtw_banded_kernel, "dtw_banded"
+    )
+
+
+def _dtw_banded_batch_2d_oracle() -> str:
+    from .trajectory import _KNN_K
+    from .trajectory_ext import _DTW_BAND_W
+    from . import dp_list_sql as _DL
+    from .extras12 import _BATCH_QIDS
+
+    parts = [
+        f"SELECT CAST({qid} AS BIGINT) AS qid, * FROM ("
+        + _DL.float_knn_sql(
+            True,
+            "dtw_banded_2d",
+            _KNN_K,
+            band_w=_DTW_BAND_W,
+            query_user=qid,
+        )
+        + ")"
+        for qid in _BATCH_QIDS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("traj_dtw_knn_batch_banded_2d", oracle=_dtw_banded_batch_2d_oracle)
+def traj_dtw_knn_batch_banded_2d(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BATCH banded-DTW kNN in the PLANE — the constrained-alignment
+    workload row over (time-in-days, value), sharing
+    ``_float_knn_batch_2d``'s scalar-features lower bound (banded 2-D
+    cost >= exact 2-D DTW >= 2-D Fréchet >= the bound), broadcast
+    tau_k with the rounded-tau tie band, band-local O(n*w) kernel."""
+    from .trajectory_ext import _dtw_banded_kernel
+
+    return _float_knn_batch_2d(
+        spark, sf_dir, _dtw_banded_kernel, "dtw_banded_2d"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Batch LCSS / EDR / ERP kNN in TWO dimensions — the integer-decided
 # measures at workload scale, completing the 2-D batch tier
 # ---------------------------------------------------------------------------

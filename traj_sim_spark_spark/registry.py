@@ -144,7 +144,11 @@ _MODULES = (
 # (e) fill to 50 with the oldest r3-evidence keys alphabetically.
 # After this window lands, no key's newest evidence predates round 3.
 # ROUND-12 ROTATION PLAN (recompute fresh from the raw CORRECTNESS
-# JSONs before using): all 48 r3-evidence keys re-cert — emb_drift,
+# JSONs before using): FIRST the 2 round-11-continuation adds that
+# overfilled the r11 window and have never been driver-checked
+# (traj_dtw_knn_batch_banded, traj_dtw_knn_batch_banded_2d — judge
+# evidence: triple-scale gates + qid=1 pytest pins recorded in
+# BASELINE.md), THEN all 48 r3-evidence keys re-cert — emb_drift,
 # graph_assortativity, graph_bfs_hops, graph_cc,
 # graph_* (kcore/modularity/pagerank/triangles/copurchase…),
 # mm_phash_nn + mm_scene_cuts, pipe_quality_prune, the rel_
@@ -157,7 +161,7 @@ _MODULES = (
 # range_segments_2d/resample/segment_intersections/
 # self_intersections/simplify_dp/speed_outliers/staypoints/
 # transition_matrix + the hausdorff segments 2-D tier) — plus any
-# round-12 additions at the front.  48 + adds <= 50: one window.
+# round-12 additions at the front.  2 + 48 + adds <= 50: one window.
 _WINDOW_FIRST: tuple[str, ...] = (
     # (a) never driver-checked batch rows
     "traj_dtw_knn_batch",
@@ -213,8 +217,12 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "traj_erp_knn_batch_2d",
     "sim_hybrid_bm25_rrf",
     "sim_bm25_batch",
-    # (e) round-11-continuation adds filled the window to exactly 50;
-    # the r3-evidence fill keys all move to the r12 pool.
+    "traj_dtw_knn_batch_banded",
+    "traj_dtw_knn_batch_banded_2d",
+    # (e) round-11-continuation adds OVERFILL the window by 2 — the
+    # last two list entries above fall past slot 50 and lead the r12
+    # window instead (staged there by name); the r3-evidence fill keys
+    # all move to the r12 pool.
 )
 
 _loaded = False
