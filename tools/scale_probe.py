@@ -62,7 +62,9 @@ def build_clone(src_dir: str, factor: int) -> str:
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
-    clones = ", ".join(str(i) for i in range(factor))
+    # k as BIGINT: at factor >= 215 the k * stride offset overflows
+    # INT32 if k keeps DuckDB's default integer literal type
+    clones = ", ".join(f"CAST({i} AS BIGINT)" for i in range(factor))
     con.execute(
         f"""
         COPY (
