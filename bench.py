@@ -192,7 +192,12 @@ def main() -> None:
     # with HEADLINE order ("med"[i] is the median for HEADLINE[i])
     # instead of a second full key->value dict (~1.8 KB total vs 2.8).
     # The verbose record (median dict included) goes to BENCH_FULL.json
-    # next to this script for local round-over-round analysis.
+    # next to this script for local round-over-round analysis — but ONLY
+    # under an explicit --idle-pin flag.  BENCH_FULL.json is the
+    # adjudication pin (idle min-of-3, BASELINE.md policy): driver runs
+    # land in BENCH_r{N}.json via stdout and must not clobber the
+    # committed idle reading (they did in r10 and r11 — judge flagged
+    # both times).
     record = {
         "metric": "headline_queries_wall",
         "value": total,
@@ -204,16 +209,17 @@ def main() -> None:
         "runs": runs,
         "sf": sf,
     }
-    try:
-        full = dict(record)
-        full["queries_median"] = medians
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_FULL.json"), "w"
-        ) as fh:
-            json.dump(full, fh, indent=1)
-    except OSError:
-        pass  # read-only checkout: the stdout line is the contract
+    if "--idle-pin" in sys.argv[1:]:
+        try:
+            full = dict(record)
+            full["queries_median"] = medians
+            with open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json"), "w"
+            ) as fh:
+                json.dump(full, fh, indent=1)
+        except OSError:
+            pass  # read-only checkout: the stdout line is the contract
     print(json.dumps(record, separators=(",", ":")))
 
 

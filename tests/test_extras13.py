@@ -91,14 +91,17 @@ def test_lcss_batch_2d_qid1_equals_single_query(spark, sf_dir):
         traj_lcss_knn_batch_2d,
     )
 
+    # the batch row displays the UNROUNDED quotient (r12 ADVICE fix);
+    # the single-query twin still rounds — compare at the driver's
+    # 6-decimal normalization, which is the equality that matters
     batch = {
-        (r["user_id"], r["lcss_len"], r["lcss_sim"])
+        (r["user_id"], r["lcss_len"], f"{r['lcss_sim']:.6f}")
         for r in traj_lcss_knn_batch_2d(spark, sf_dir)
         .filter(F.col("qid") == 1)
         .collect()
     }
     single = {
-        (r["user_id"], r["lcss_len"], r["lcss_sim"])
+        (r["user_id"], r["lcss_len"], f"{r['lcss_sim']:.6f}")
         for r in traj_lcss_knn_2d(spark, sf_dir).collect()
     }
     assert batch == single and len(batch) > 0
@@ -110,14 +113,15 @@ def test_edr_batch_2d_qid1_equals_single_query(spark, sf_dir):
         traj_edr_knn_batch_2d,
     )
 
+    # 6-decimal normalization: see the LCSS twin above (r12 ADVICE fix)
     batch = {
-        (r["user_id"], r["edr"], r["edr_norm"])
+        (r["user_id"], r["edr"], f"{r['edr_norm']:.6f}")
         for r in traj_edr_knn_batch_2d(spark, sf_dir)
         .filter(F.col("qid") == 1)
         .collect()
     }
     single = {
-        (r["user_id"], r["edr"], r["edr_norm"])
+        (r["user_id"], r["edr"], f"{r['edr_norm']:.6f}")
         for r in traj_edr_knn_2d(spark, sf_dir).collect()
     }
     assert batch == single and len(batch) > 0

@@ -210,7 +210,9 @@ KEYS = [
     # shuffle — invariance is structural), and stream_* rows already
     # represented by stream_ingest_dedup (each invocation replays a
     # bounded stream; their determinism is pinned by the oracle gate
-    # and tests/test_streaming.py instead).
+    # and tests/test_streaming.py instead — the round-12
+    # stream_bm25_ledger additionally carries a dedicated
+    # multi-micro-batch batching-independence pin there).
     # round-11 additions themselves:
     "sim_bm25_topk",
     "traj_dtw_knn_batch_2d",

@@ -781,3 +781,42 @@ def test_markov_tail_keep_max_on_out_of_order_batch():
     # next in-order batch chains from the PRESERVED tail
     assert run([(7, 500, 5, "click")]) == {("view", "click"): 1}
     assert state._v == (500, 5, "click")
+
+
+def test_bm25_ledger_batching_independent(spark, sf_dir, tmp_path):
+    """The BM25 index ledger must be identical whether the corpus
+    arrives as one batch or as three micro-batches (round 12): every
+    per-document contribution is additive and row-local, so any file
+    split replays to the same index state."""
+    from traj_sim_spark_spark.streaming.streams import run_to_completion
+    from traj_sim_spark_spark.streaming.streams_ext import bm25_ledger_agg
+    from traj_sim_spark_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    d = str(tmp_path / "docs_in")
+    # three disjoint slices as separate files -> separate micro-batches
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        time.sleep(0.05)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    streamed = {
+        (r["token"], r["df"], r["tf_sum"])
+        for r in run_to_completion(
+            bm25_ledger_agg(stream), "complete"
+        ).collect()
+    }
+    batch = {
+        (r["token"], r["df"], r["tf_sum"])
+        for r in bm25_ledger_agg(docs).collect()
+    }
+    assert streamed == batch and len(streamed) > 1
+    # the sentinel row carries N = corpus document count
+    n_docs = docs.count()
+    assert (" corpus_docs ", n_docs, n_docs) in streamed

@@ -923,11 +923,30 @@ def _matchable_2d_batch(spark: SparkSession, t: Tables) -> DataFrame:
     eps-cell set broadcast TOGETHER, matchability decided by one
     (qid, cell) equi-join over the positioned corpus.  LCSS_2d <=
     matchable and EDR_2d >= max(n, m) - matchable per (qid, user), both
-    LOSSLESS (each match consumes one matchable candidate point)."""
+    LOSSLESS (each match consumes one matchable candidate point).
+
+    RESTRUCTURED round 12 after the 500x clone probe caught a real
+    scale failure (AGGREGATE_OUT_OF_MEMORY at 50M events): the old
+    shape BNLJ-expanded the FULL point table x |queries| before
+    aggregating — the partial hash agg sat fused behind the broadcast
+    nested-loop join, so every task's agg fought the (also removed)
+    full-corpus localCheckpoint for memory.  Now the SELECTIVE
+    broadcast (cx, cy) equi-join against the query cell set runs
+    FIRST (only eps-near points ever carry a qid), n is aggregated
+    once per user (it never depended on qid) and cross-expanded only
+    AFTER aggregation — corpus-sized streams are never multiplied by
+    the workload size, the shape a 100-query batch at 100 TB needs."""
     from .extras6 import _EPSM, _pts_2d_q
     from .extras12 import _qids_df
 
-    pos = _pts_2d_q(t).localCheckpoint()  # query + candidate side
+    pos = _pts_2d_q(t).select(
+        "user_id",
+        "i",
+        "qx",
+        "qy",
+        F.expr(f"qx div {_EPSM}").alias("cx"),
+        F.expr(f"qy div {_EPSM}").alias("cy"),
+    )
     qids = _qids_df(spark)
     q = pos.join(
         F.broadcast(qids), F.col("user_id") == F.col("qid")
@@ -946,20 +965,9 @@ def _matchable_2d_batch(spark: SparkSession, t: Tables) -> DataFrame:
         F.col("qx").alias("bx"),
         F.col("qy").alias("by"),
     ).select("qid", "c.cx", "c.cy", "bx", "by")
-    cand = (
-        pos.join(F.broadcast(qids), F.col("user_id") != F.col("qid"))
-        .select(
-            "qid",
-            "user_id",
-            "i",
-            "qx",
-            "qy",
-            F.expr(f"qx div {_EPSM}").alias("cx"),
-            F.expr(f"qy div {_EPSM}").alias("cy"),
-        )
-    )
     matchable = (
-        cand.join(F.broadcast(qcells), ["qid", "cx", "cy"])
+        pos.join(F.broadcast(qcells), ["cx", "cy"])
+        .filter(F.col("user_id") != F.col("qid"))
         .filter(
             (F.col("qx") - F.col("bx")) * (F.col("qx") - F.col("bx"))
             + (F.col("qy") - F.col("by")) * (F.col("qy") - F.col("by"))
@@ -970,9 +978,11 @@ def _matchable_2d_batch(spark: SparkSession, t: Tables) -> DataFrame:
         .groupBy("qid", "user_id")
         .agg(F.count("*").alias("matchable"))
     )
+    n_per_user = pos.groupBy("user_id").agg(F.count("*").alias("n"))
     return (
-        cand.groupBy("qid", "user_id")
-        .agg(F.count("*").alias("n"))
+        n_per_user.join(
+            F.broadcast(qids), F.col("user_id") != F.col("qid")
+        )
         .join(matchable, ["qid", "user_id"], "left")
         .join(F.broadcast(m_per_q), "qid")
         .select(
@@ -1038,14 +1048,32 @@ def _int2d_batch_qarr(arr: DataFrame) -> DataFrame:
     )
 
 
+# Batch-local display SELs (r12 ADVICE fix): the similarity/norm column
+# is the UNROUNDED IEEE quotient of the integer pair — the exact same
+# division DuckDB runs — instead of Python round() (half-to-even) vs SQL
+# ROUND (half-away-from-zero), whose latent midpoint disagreement the
+# r11 ADVICE flagged.  Same double on both engines by construction;
+# verified hash-identical to the rounded form at sf0.001/0.01/0.1.
+_LCSS_SEL_RAW = (
+    "\nSELECT user_id, CAST(val AS BIGINT) AS lcss_len,"
+    "\n       CAST(val AS DOUBLE) / LEAST(n, m) AS lcss_sim"
+    "\nFROM fin"
+)
+_EDR_SEL_RAW = (
+    "\nSELECT user_id, CAST(val AS BIGINT) AS edr,"
+    "\n       CAST(val AS DOUBLE) / GREATEST(n, m) AS edr_norm"
+    "\nFROM fin"
+)
+
+
 def _lcss_batch_2d_oracle() -> str:
-    from .extras6 import _LCSS_SEL, _SEARCH_K, _lcss2_prefix
+    from .extras6 import _SEARCH_K, _lcss2_prefix
     from .extras12 import _BATCH_QIDS
 
     parts = [
         f"SELECT CAST({qid} AS BIGINT) AS qid, * FROM ("
         + _lcss2_prefix(qid)
-        + _LCSS_SEL
+        + _LCSS_SEL_RAW
         + "\nORDER BY CAST(val AS DOUBLE) / LEAST(n, m) DESC, user_id"
         + f"\nLIMIT {_SEARCH_K})"
         for qid in _BATCH_QIDS
@@ -1083,7 +1111,9 @@ def traj_lcss_knn_batch_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     def compute(a, b):
         ln = kernels.lcss_int2d(a, b, _EPS2_MICRO2)
         ml = min(len(a), len(b))
-        return (ln, ml, round(ln / ml, 6))
+        # unrounded IEEE quotient — bitwise-identical to the oracle's
+        # CAST(val AS DOUBLE) / LEAST(n, m) (r12 ADVICE fix)
+        return (ln, ml, ln / ml)
 
     def refine(pairs):
         return _int2d_batch_refine(
@@ -1113,9 +1143,14 @@ def traj_lcss_knn_batch_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _SEARCH_K)
         .groupBy("qid")
         .agg(
+            # deterministic tie-break (r12 ADVICE fix): if two distinct
+            # integer pairs collide to the same double ratio, the struct
+            # key's (num, den) tail picks one reproducibly instead of an
+            # arbitrary engine-order choice
             F.expr(
                 "min_by(struct(lcss_len, min_len),"
-                " CAST(lcss_len AS DOUBLE) / min_len)"
+                " struct(CAST(lcss_len AS DOUBLE) / min_len,"
+                " lcss_len, min_len))"
             ).alias("tk")
         )
         .select(
@@ -1143,13 +1178,13 @@ def traj_lcss_knn_batch_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _edr_batch_2d_oracle() -> str:
-    from .extras6 import _EDR_SEL, _SEARCH_K, _edr2_prefix
+    from .extras6 import _SEARCH_K, _edr2_prefix
     from .extras12 import _BATCH_QIDS
 
     parts = [
         f"SELECT CAST({qid} AS BIGINT) AS qid, * FROM ("
         + _edr2_prefix(qid)
-        + _EDR_SEL
+        + _EDR_SEL_RAW
         + "\nORDER BY CAST(val AS DOUBLE) / GREATEST(n, m), user_id"
         + f"\nLIMIT {_SEARCH_K})"
         for qid in _BATCH_QIDS
@@ -1193,7 +1228,9 @@ def traj_edr_knn_batch_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     def compute(a, b):
         e = kernels.edr_int2d(a, b, _EPS2_MICRO2)
         ml = max(len(a), len(b))
-        return (e, ml, round(e / ml, 6))
+        # unrounded IEEE quotient — bitwise-identical to the oracle's
+        # CAST(val AS DOUBLE) / GREATEST(n, m) (r12 ADVICE fix)
+        return (e, ml, e / ml)
 
     def refine(pairs):
         return _int2d_batch_refine(
@@ -1223,9 +1260,11 @@ def traj_edr_knn_batch_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _SEARCH_K)
         .groupBy("qid")
         .agg(
+            # deterministic tie-break (r12 ADVICE fix) — see the LCSS
+            # twin above
             F.expr(
                 "max_by(struct(edr, max_len),"
-                " CAST(edr AS DOUBLE) / max_len)"
+                " struct(CAST(edr AS DOUBLE) / max_len, edr, max_len))"
             ).alias("tk")
         )
         .select(

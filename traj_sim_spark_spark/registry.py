@@ -162,67 +162,90 @@ _MODULES = (
 # self_intersections/simplify_dp/speed_outliers/staypoints/
 # transition_matrix + the hausdorff segments 2-D tier) — plus any
 # round-12 additions at the front.  2 + 48 + adds <= 50: one window.
+# ROUND-12 WINDOW (EXECUTED — evidence-freshness burn-down, phase 3,
+# recomputed fresh from the raw CORRECTNESS_r01..r11 JSONs this round:
+# the r11 verdict said "48 r3-evidence keys"; the fresh count is 47).
+# Slots, in order:
+# (a) the 2 round-11-continuation adds with NO driver row ever
+#     (overfilled the r11 window by design; judge re-executed them
+#     green at sf0.01 in the r11 verdict),
+# (b) ALL 47 keys whose newest hash-green row dates to round 3 —
+#     after this window lands, no key's evidence predates round 4,
+# (c) sim_ann_recall_matrix — REWRITTEN this round (extended from 4
+#     recall tiers to all 8 shipped ANN shapes per the r11 verdict's
+#     optional-depth item; semantic change => mover-protocol re-window),
+# 2 + 47 + 1 = 50: one exact window.
+# OVERFLOW (slots 51-52, staged by name to LEAD the r13 window): the 2
+# ADVICE-fix rewrites traj_lcss_knn_batch_2d / traj_edr_knn_batch_2d
+# (display ratio now the same IEEE division on both engines instead of
+# round()/ROUND, and deterministic tau tie-break — verified
+# hash-identical at sf0.001/0.01/0.1 before staging, see BASELINE.md).
+# ROUND-13 ROTATION PLAN (recompute fresh before using): the 2 staged
+# rewrites above FIRST, then stream_bm25_ledger (the r12 add), then
+# the 17 r4-evidence keys, then oldest-first
+# (r5 cohort ~49 keys — takes r13 + r14 windows), plus any r13 adds.
 _WINDOW_FIRST: tuple[str, ...] = (
-    # (a) never driver-checked batch rows
-    "traj_dtw_knn_batch",
-    "traj_frechet_knn_batch",
-    "traj_edr_knn_batch",
-    # (b) post-codec-flip (+ r11 fuse) mm rewrites
-    "mm_frame_sample",
-    "mm_feature_knn",
-    "mm_resize",
-    "mm_phash_nn",
-    # (c) the 34 r02-evidence keys
-    "stream_tumbling",
-    "text_dedup_cluster",
-    "text_exact_dedup",
-    "text_fingerprint",
-    "text_jaccard_neardup",
-    "text_lang_stats",
-    "text_langid",
-    "text_minhash_neardup",
-    "text_quality_score",
-    "text_tfidf",
-    "text_token_count",
-    "text_tokens_topn",
-    "traj_assemble",
-    "traj_dtw_pair",
-    "traj_frechet_pair_2d",
-    "traj_hausdorff_knn",
-    "traj_hausdorff_knn_2d",
-    "traj_hausdorff_knn_2d_idx",
-    "traj_hausdorff_pair",
-    "traj_hausdorff_pair_2d",
-    "traj_hausdorff_segments",
-    "traj_hausdorff_threshold",
-    "traj_hausdorff_threshold_2d",
-    "traj_hausdorff_threshold_2d_idx",
-    "traj_layout_cells",
-    "traj_range_query_2d",
-    "traj_range_query_2d_pruned",
-    "traj_sample_workload",
-    "traj_segments",
-    "traj_session_batch",
-    "udf_agg_pandas",
-    "udf_grouped_map",
-    "udf_scalar_pandas",
-    "udtf_segmentize",
-    # (d) round-11 additions (staged; unknown names are skipped)
-    "sim_bm25_topk",
-    "traj_dtw_knn_batch_2d",
-    "traj_frechet_knn_batch_2d",
-    "mm_decode_png",
-    "traj_lcss_knn_batch_2d",
-    "traj_edr_knn_batch_2d",
-    "traj_erp_knn_batch_2d",
-    "sim_hybrid_bm25_rrf",
-    "sim_bm25_batch",
+    # (a) never driver-checked round-11-continuation adds
     "traj_dtw_knn_batch_banded",
     "traj_dtw_knn_batch_banded_2d",
-    # (e) round-11-continuation adds OVERFILL the window by 2 — the
-    # last two list entries above fall past slot 50 and lead the r12
-    # window instead (staged there by name); the r3-evidence fill keys
-    # all move to the r12 pool.
+    # (b) the 47 r3-evidence keys (alphabetical)
+    "emb_drift",
+    "graph_assortativity",
+    "graph_bfs_hops",
+    "graph_cc",
+    "graph_copurchase",
+    "graph_kcore",
+    "graph_modularity",
+    "graph_pagerank",
+    "graph_triangles",
+    "mm_scene_cuts",
+    "pipe_quality_prune",
+    "rel_anomaly_mad",
+    "rel_autocorr",
+    "rel_changepoint",
+    "rel_ewma",
+    "rel_join_asof_nearest",
+    "rel_join_interval_overlap",
+    "rel_merge_upsert",
+    "rel_seasonal_anomaly",
+    "sim_ann_recall",
+    "sim_knn_filtered",
+    "sim_knn_mrl",
+    "sim_knn_sq8",
+    "sim_mips",
+    "text_boilerplate",
+    "traj_cluster_threshold",
+    "traj_comovement",
+    "traj_convoy",
+    "traj_grid_dbscan",
+    "traj_hausdorff_segments_knn_2d",
+    "traj_hausdorff_segments_pair_2d",
+    "traj_hausdorff_segments_threshold_2d",
+    "traj_hausdorff_segments_threshold_2d_idx",
+    "traj_heatmap_density",
+    "traj_hotspot_gi",
+    "traj_knn_join",
+    "traj_mobility_entropy",
+    "traj_od_flows",
+    "traj_radius_gyration",
+    "traj_range_segments_2d",
+    "traj_resample",
+    "traj_segment_intersections",
+    "traj_self_intersections",
+    "traj_simplify_dp",
+    "traj_speed_outliers",
+    "traj_staypoints",
+    "traj_transition_matrix",
+    # (c) round-12 rewrite: recall matrix extended to all ANN shapes
+    "sim_ann_recall_matrix",
+    # OVERFLOW — slots 51+, staged by name to lead the r13 window:
+    # the 2 hash-identical ADVICE-fix rewrites, then the round-12
+    # addition (streaming BM25 index ledger — triple-scale gates +
+    # the multi-micro-batch pin in tests/test_streaming.py until its
+    # driver row lands in r13):
+    "traj_lcss_knn_batch_2d",
+    "traj_edr_knn_batch_2d",
+    "stream_bm25_ledger",
 )
 
 _loaded = False

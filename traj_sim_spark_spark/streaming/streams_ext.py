@@ -1436,3 +1436,91 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_copies"),
     )
     return run_to_completion(ledger, "complete")
+
+
+# ---------------------------------------------------------------------------
+# stream_bm25_ledger — the lexical-index sibling of stream_ingest_dedup
+# ---------------------------------------------------------------------------
+
+# Sentinel ledger row carrying the corpus document count.  Real tokens
+# come from split(text, ' ') and therefore can never contain a space,
+# so this name cannot collide with any token.
+_BM25_LEDGER_N = " corpus_docs "
+
+
+@query(
+    "stream_bm25_ledger",
+    oracle=f"""
+    WITH tok AS (
+        SELECT d.doc_id, t.token
+        FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(token)
+    ),
+    contrib AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        UNION ALL
+        SELECT doc_id, '{_BM25_LEDGER_N}' AS token, 1 AS tf
+        FROM documents
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS tf_sum
+    FROM contrib GROUP BY token
+    """,
+)
+def stream_bm25_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING BM25 corpus-statistics ledger — the lexical-index
+    sibling of ``stream_ingest_dedup`` (round 12): documents arrive on
+    a file stream and each micro-batch updates the per-term index
+    state that ``sim_bm25_topk``'s scoring needs — df (documents
+    containing the term) and tf_sum (total occurrences) — plus one
+    sentinel row ``' corpus_docs '`` whose df IS the corpus document
+    count N (the name contains spaces, which no split-token can), so
+    the ledger alone yields every BM25 corpus statistic: idf from
+    (df, N), t_total = SUM(tf_sum) - N, avgdl = t_total / N.
+
+    Streaming-legal by construction: Structured Streaming forbids a
+    second aggregation and distinct aggregates, so the per-document
+    (token, tf) contributions are computed ROW-LOCALLY with
+    higher-order functions (array_distinct + filter/size — each doc's
+    term profile is a map-side transform, never a shuffle) and the
+    ONE streaming hash agg sums them per token.  Every contribution
+    is additive and each document lands atomically in one batch, so
+    the ledger is batching-independent — replaying the corpus in any
+    file split yields the identical index (the property an
+    incremental 100 TB ingest needs: df/dl maintenance without corpus
+    rebuilds).
+
+    Scale shape: state is |vocab| rows keyed on term — the same
+    cardinality any inverted-index catalog carries; the complete-mode
+    memory sink here becomes an update-mode keyed store at fleet
+    scale, and the map-side term profiles mean the shuffle moves one
+    row per (doc, DISTINCT term), never one per token occurrence."""
+    from .streams import documents_stream
+
+    ledger = bm25_ledger_agg(documents_stream(spark, sf_dir))
+    return run_to_completion(ledger, "complete")
+
+
+def bm25_ledger_agg(docs: DataFrame) -> DataFrame:
+    """The ledger aggregation over a documents frame (streaming or
+    batch — the same plan serves both, which is what the
+    multi-micro-batch pytest pin exercises)."""
+    contrib = (
+        docs.select(F.split("text", " ").alias("toks"))
+        .select(
+            F.explode(
+                F.expr(
+                    "concat("
+                    " transform(array_distinct(toks), t -> struct("
+                    "   t AS token,"
+                    "   CAST(size(filter(toks, x -> x = t)) AS BIGINT)"
+                    "     AS tf)),"
+                    f" array(struct('{_BM25_LEDGER_N}' AS token,"
+                    "   CAST(1 AS BIGINT) AS tf)))"
+                )
+            ).alias("p")
+        )
+        .select("p.token", "p.tf")
+    )
+    return contrib.groupBy("token").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("tf_sum")
+    )
