@@ -131,9 +131,6 @@ def test_knn_2d_pruned_survives_duplicate_trajectories(
     eps-grid prune, and both kNN branches must agree on the duplicate
     corpus."""
     monkeypatch.setenv("SPARK_GRAFT_KNN2D_PRUNE_MIN_EVENTS", "0")
-    from traj_sim_spark_spark.operators import trajectory as tr
-
-    tr._EVENTS_COUNT_CACHE.clear()
     pruned = sorted(
         tuple(r)
         for r in registry.QUERIES["traj_hausdorff_knn_2d"](

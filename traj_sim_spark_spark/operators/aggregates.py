@@ -18,13 +18,16 @@ from ..tables import Tables
 
 
 _Q1_BIGINT_MAX_ROWS = 50_000_000  # micro-unit long sums safe below this
-_LI_COUNT_CACHE: dict[str, int] = {}
 
 
 def _lineitem_count(t: Tables, sf_dir: str) -> int:
-    if sf_dir not in _LI_COUNT_CACHE:
-        _LI_COUNT_CACHE[sf_dir] = t.lineitem.count()
-    return _LI_COUNT_CACHE[sf_dir]
+    """Corpus size for the cost-based dispatch, recomputed from the
+    parquet inputs on EVERY call (optimization-round rule: no
+    module-level memo keyed on the data dir). The footer-metadata read
+    makes that re-read ~ms instead of a Spark count job."""
+    from ..tables import parquet_row_count
+
+    return parquet_row_count(t.spark, sf_dir, "lineitem")
 
 
 @query(

@@ -1086,26 +1086,24 @@ def traj_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EDGE_CACHE: dict[str, DataFrame] = {}
-
-
 def comovement_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The co-movement edge list ``(u, v)`` as a SESSION-SHARED
-    materialized artifact: built once per sf_dir (localCheckpoint — no
-    cache to leak), reused by every graph query (triangles, k-core, CC,
-    BFS, common-neighbors, assortativity). This is the production
-    pattern — a 100 TB pipeline persists the edge table once and runs
-    the whole graph suite against it; before this cache each graph
-    query re-derived the identical ~edges build (~1.3 s at sf0.1,
-    dominating the family's cost). Keyed by sf_dir; single-session
-    processes only (tests, bench, driver)."""
-    if sf_dir not in _EDGE_CACHE:
-        _EDGE_CACHE[sf_dir] = (
-            traj_comovement(spark, sf_dir)
-            .select(F.col("user_a").alias("u"), F.col("user_b").alias("v"))
-            .localCheckpoint()
-        )
-    return _EDGE_CACHE[sf_dir]
+    """The co-movement edge list ``(u, v)``, built FRESH from parquet on
+    every call and materialized once per consuming query
+    (localCheckpoint) so iterative/graph consumers that reference the
+    edges several times inside ONE plan pay the build exactly once.
+
+    The former module-level per-sf_dir memo (rounds 5-11) is gone: the
+    optimization-round contract forbids result/intermediate caches
+    keyed on the data dir — a memo makes bench reruns (min-of-N) skip
+    the edge build entirely, which is gaming, not speed. A 100 TB
+    deployment would persist the edge TABLE as a real artifact with its
+    own refresh job; within this engine every query must compute from
+    the raw inputs."""
+    return (
+        traj_comovement(spark, sf_dir)
+        .select(F.col("user_a").alias("u"), F.col("user_b").alias("v"))
+        .localCheckpoint()
+    )
 
 
 # Dense-regime participant cap for the CAPPED edge variant below: in
@@ -1119,9 +1117,6 @@ def comovement_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # consuming oracles via the same ROW_NUMBER() OVER (dy, cell ORDER BY
 # user_id) predicate.
 _DENSE_CELL_CAP = 64
-
-_EDGE_CAPPED_CACHE: dict[str, DataFrame] = {}
-
 
 def comovement_base_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(user, day) MIN-value representatives with the per-(day,
@@ -1146,39 +1141,38 @@ def comovement_base_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def comovement_edges_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``comovement_edges`` built from the capped base (session-shared
-    artifact, same contract): identical result wherever no (day, cell)
-    bucket exceeds the cap, bounded-degree by construction where one
-    does."""
-    if sf_dir not in _EDGE_CAPPED_CACHE:
-        b = comovement_base_capped(spark, sf_dir)
-        probe = b.withColumn(
-            "cell",
-            F.explode(
-                F.array(
-                    F.col("cell") - 1, F.col("cell"), F.col("cell") + 1
-                )
-            ),
-        )
-        a, c = probe.alias("a"), b.alias("c")
-        _EDGE_CAPPED_CACHE[sf_dir] = (
-            a.join(
-                c,
-                (F.col("a.dy") == F.col("c.dy"))
-                & (F.col("a.cell") == F.col("c.cell"))
-                & (F.col("a.user_id") < F.col("c.user_id"))
-                & (F.abs(F.col("a.v") - F.col("c.v")) <= _CO_EPS),
+    """``comovement_edges`` built from the capped base: identical result
+    wherever no (day, cell) bucket exceeds the cap, bounded-degree by
+    construction where one does. Built fresh per call (no per-sf_dir
+    memo — see ``comovement_edges``); the localCheckpoint keeps the
+    within-plan reuse (wedge joins reference the edges 3x)."""
+    b = comovement_base_capped(spark, sf_dir)
+    probe = b.withColumn(
+        "cell",
+        F.explode(
+            F.array(
+                F.col("cell") - 1, F.col("cell"), F.col("cell") + 1
             )
-            .groupBy(
-                F.col("a.user_id").alias("u"),
-                F.col("c.user_id").alias("v"),
-            )
-            .agg(F.count("*").alias("n_days"))
-            .filter(F.col("n_days") >= _CO_MIN_DAYS)
-            .select("u", "v")
-            .localCheckpoint()
+        ),
+    )
+    a, c = probe.alias("a"), b.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.dy") == F.col("c.dy"))
+            & (F.col("a.cell") == F.col("c.cell"))
+            & (F.col("a.user_id") < F.col("c.user_id"))
+            & (F.abs(F.col("a.v") - F.col("c.v")) <= _CO_EPS),
         )
-    return _EDGE_CAPPED_CACHE[sf_dir]
+        .groupBy(
+            F.col("a.user_id").alias("u"),
+            F.col("c.user_id").alias("v"),
+        )
+        .agg(F.count("*").alias("n_days"))
+        .filter(F.col("n_days") >= _CO_MIN_DAYS)
+        .select("u", "v")
+        .localCheckpoint()
+    )
 
 
 # SQL fragment mirroring comovement_base_capped for consuming oracles:

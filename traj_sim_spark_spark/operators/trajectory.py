@@ -1112,16 +1112,14 @@ def traj_hausdorff_knn_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hausdorff_knn_2d_pruned(t)
 
 
-_EVENTS_COUNT_CACHE: dict[str, int] = {}
-
-
 def _events_count(t: Tables, sf_dir: str) -> int:
-    """Corpus size for the cost-based dispatch — a Parquet
-    metadata-only count, memoized per sf_dir so repeated queries (and
-    bench reruns) don't pay even the metadata pass twice."""
-    if sf_dir not in _EVENTS_COUNT_CACHE:
-        _EVENTS_COUNT_CACHE[sf_dir] = t.events.count()
-    return _EVENTS_COUNT_CACHE[sf_dir]
+    """Corpus size for the cost-based dispatch, recomputed from the
+    parquet inputs on EVERY call (optimization-round rule: no
+    module-level memo keyed on the data dir). The footer-metadata read
+    makes that re-read ~ms instead of a Spark count job."""
+    from ..tables import parquet_row_count
+
+    return parquet_row_count(t.spark, sf_dir, "events")
 
 
 def _hausdorff_knn_2d_single(t: Tables) -> DataFrame:

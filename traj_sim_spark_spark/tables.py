@@ -151,6 +151,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parquet_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Row count of one fixture table, read fresh from the parquet
+    footer metadata on every call — no Spark job, no memoization (the
+    optimization-round contract: every invocation computes from the
+    parquet inputs). Falls back to a Spark metadata-only count for
+    multi-file/directory layouts where the single-footer read does not
+    apply (the 100 TB deployment shape)."""
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    try:
+        import pyarrow.parquet as pq
+
+        return int(pq.ParquetFile(path).metadata.num_rows)
+    except Exception:
+        return load(spark, sf_dir, name).count()
+
+
 class Tables:
     """Thin per-(session, sf_dir) accessor: ``t.lineitem``, ``t['orders']``."""
 
