@@ -729,12 +729,20 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST({_AA_SCALE} div lnq AS BIGINT)").alias("w"),
         )
     )
-    a = und.select(F.col("node").alias("user_a"), "nbr")
+    # Attach the per-common-neighbor weight to the LEFT incidence rows
+    # BEFORE the wedge self-join (broadcast: rw is node-count-sized,
+    # 1.5k rows at sf0.1), so the 21.6M-row wedge stream feeds the pair
+    # aggregate directly instead of making a second sort-merge pass
+    # against rw (plan: SortMergeJoin x2 -> x1; guide §3.1/§2.4).  The
+    # wedge rows and their weights are identical — rw's d >= 2 filter
+    # never drops a wedge (a wedge through w implies deg(w) >= 2).
+    a = und.join(F.broadcast(rw), "nbr").select(
+        F.col("node").alias("user_a"), "nbr", "w"
+    )
     b = und.select(F.col("node").alias("user_b"), "nbr")
     pairs = (
         a.join(b, "nbr")
         .filter(F.col("user_a") < F.col("user_b"))
-        .join(rw, "nbr")
         .groupBy("user_a", "user_b")
         .agg(
             F.count("*").cast("bigint").alias("common_cnt"),
