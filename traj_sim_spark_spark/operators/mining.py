@@ -211,6 +211,26 @@ def traj_comovement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``traj_range_query_2d`` applied to the social dimension. A
     dense-city day cannot quadratically explode one key."""
     t = Tables(spark, sf_dir)
+    b = _comovement_base(t)
+    return _comovement_pairs(b, b)
+
+
+def _comovement_base(t: Tables, ckpt: bool = False) -> DataFrame:
+    """(user_id, dy, v, cell): the per-(user, day) MIN-value
+    representatives.
+
+    With ``ckpt`` the base is aggregated ONCE and materialized
+    (localCheckpoint): every co-movement pair join is a self-join of
+    this base (probe side = 3-cell explode, build side = the base
+    itself) and Catalyst duplicates a self-joined subtree — 2 parquet
+    scans + 2 full (user, day) aggregations per build (guide §2.4:
+    compute once, reuse).  The base is user-days-sized (40k rows at
+    sf0.1, ~1% of events), so the materialization is tiny.  The
+    checkpointed form is for the SHARED edge builders (consumed by a
+    whole graph query downstream); the single-query pair rows keep the
+    lazy form — for one consumer the extra serial materialization job
+    costs more than the saved duplicate aggregation (measured both
+    ways at sf0.1)."""
     b = (
         t.events.groupBy(
             "user_id",
@@ -219,10 +239,19 @@ def traj_comovement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("value").alias("v"))
         .withColumn("cell", F.floor(F.col("v") / _CO_EPS))
     )
+    return b.localCheckpoint() if ckpt else b
+
+
+def _comovement_pairs(b: DataFrame, build_side: DataFrame) -> DataFrame:
+    """The banded (day, eps-cell) pair join over a comovement base:
+    probe side explodes its 3 neighbor cells, ``build_side`` is the
+    base (broadcast-hinted by callers whose base is checkpointed — the
+    RDD-backed plan has no stats, so without the hint the planner
+    falls back to sort-merge)."""
     probe = b.withColumn(
         "cell", F.explode(F.array(F.col("cell") - 1, F.col("cell"), F.col("cell") + 1))
     )
-    a, c = probe.alias("a"), b.alias("c")
+    a, c = probe.alias("a"), build_side.alias("c")
     return (
         a.join(
             c,
@@ -471,14 +500,7 @@ def traj_convoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over the (already small) pair-day stream. No new scale
     surface beyond the co-movement join itself."""
     t = Tables(spark, sf_dir)
-    b = (
-        t.events.groupBy(
-            "user_id",
-            F.floor(F.unix_micros("ts") / 86400e6).alias("dy"),
-        )
-        .agg(F.min("value").alias("v"))
-        .withColumn("cell", F.floor(F.col("v") / _CO_EPS))
-    )
+    b = _comovement_base(t)
     probe = b.withColumn(
         "cell",
         F.explode(
@@ -1098,9 +1120,15 @@ def comovement_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edge build entirely, which is gaming, not speed. A 100 TB
     deployment would persist the edge TABLE as a real artifact with its
     own refresh job; within this engine every query must compute from
-    the raw inputs."""
+    the raw inputs.
+
+    The (user, day) base is aggregated once and checkpointed
+    (``_comovement_base(ckpt=True)``) so the pair self-join does not
+    scan + aggregate events twice, and the build side is broadcast
+    explicitly (RDD-backed plan, no stats)."""
+    b = _comovement_base(Tables(spark, sf_dir), ckpt=True)
     return (
-        traj_comovement(spark, sf_dir)
+        _comovement_pairs(b, F.broadcast(b))
         .select(F.col("user_a").alias("u"), F.col("user_b").alias("v"))
         .localCheckpoint()
     )
@@ -1124,19 +1152,13 @@ def comovement_base_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense-regime graph consumers (``graph_clustering_coeff``,
     ``graph_temporal_reach``) pair from."""
     t = Tables(spark, sf_dir)
-    b = (
-        t.events.groupBy(
-            "user_id",
-            F.floor(F.unix_micros("ts") / 86400e6).alias("dy"),
-        )
-        .agg(F.min("value").alias("v"))
-        .withColumn("cell", F.floor(F.col("v") / _CO_EPS))
-    )
+    b = _comovement_base(t)
     w = W.partitionBy("dy", "cell").orderBy("user_id")
     return (
         b.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _DENSE_CELL_CAP)
         .drop("rn")
+        .localCheckpoint()
     )
 
 
@@ -1155,7 +1177,7 @@ def comovement_edges_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    a, c = probe.alias("a"), b.alias("c")
+    a, c = probe.alias("a"), F.broadcast(b).alias("c")
     return (
         a.join(
             c,
