@@ -322,99 +322,57 @@ def _qids_df(spark: SparkSession) -> DataFrame:
     )
 
 
-def _haus_lb_batch(spark: SparkSession, t: Tables) -> DataFrame:
+def _haus_lb_batch(arr: DataFrame, qarr: DataFrame) -> DataFrame:
     """(qid, user_id, lb): max(1-D Hausdorff, endpoint distances) for
-    EVERY (query, candidate) pair in ONE sort-merge marker pass — the
-    `traj_hausdorff_knn_batch` qid-dimensioned stream trick reused as
-    the Fréchet/DTW lower bound (Fréchet >= Hausdorff and every
-    coupling matches first-with-first / last-with-last, so the
-    endpoint distances are free; DTW >= Fréchet — `traj_dtw_knn`'s
-    argument), plus one endpoints hash agg shared by all queries."""
-    from pyspark.sql import Window as W
+    EVERY (query, candidate) pair — the Fréchet/DTW lower bound
+    (Fréchet >= Hausdorff and every coupling matches first-with-first /
+    last-with-last, so the endpoint distances are free; DTW >= Fréchet
+    — `traj_dtw_knn`'s argument).
 
-    ev = t.events
-    inf = F.lit(float("inf"))
-    qids = _qids_df(spark)
-    qv = (
-        ev.join(F.broadcast(qids), F.col("user_id") == F.col("qid"))
-        .select("qid", "value")
-        .distinct()
+    Computed as ONE Arrow pass over the already-checkpointed series
+    (guide §2.4/§4.2): the previous form re-scanned events into a
+    qid-replicated marker stream and ran two corpus-sized window sorts
+    (4-7 s at sf0.1, the dominant batch-build stage); per-user sorted
+    values + binary search against the 3 broadcast query arrays give
+    the identical min-distance maxima in milliseconds, with no shuffle
+    at all.  Endpoints are the seq-ordered series' first/last — the
+    same (ts, event_id)-ordered values the min_by/max_by aggregate
+    produced."""
+    import numpy as np
+    import pandas as pd
+
+    paired = (
+        arr.select("user_id", "a")
+        .join(F.broadcast(qarr.select("qid", "qa")))
+        .filter(F.col("user_id") != F.col("qid"))
+        .repartition(arr.sparkSession.sparkContext.defaultParallelism)
     )
-    points = (
-        ev.select("user_id", "value")
-        .join(F.broadcast(qids), F.col("user_id") != F.col("qid"))
-        .withColumn("is_q", F.lit(0))
-    )
-    users = points.select("qid", "user_id").distinct()
-    markers = (
-        users.join(F.broadcast(qv), "qid")
-        .select("qid", "user_id", "value")
-        .withColumn("is_q", F.lit(1))
-    )
-    w_prev = (
-        W.partitionBy("qid", "user_id")
-        .orderBy("value", "is_q")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    w_next = (
-        W.partitionBy("qid", "user_id")
-        .orderBy("value", "is_q")
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
-    )
-    ev_val = F.when(F.col("is_q") == 0, F.col("value"))
-    q_val = F.when(F.col("is_q") == 1, F.col("value"))
-    stream = points.unionByName(markers).withColumn(
-        "d",
-        F.when(
-            F.col("is_q") == 1,
-            F.least(
-                F.coalesce(
-                    F.col("value") - F.last(ev_val, True).over(w_prev), inf
-                ),
-                F.coalesce(
-                    F.first(ev_val, True).over(w_next) - F.col("value"), inf
-                ),
-            ),
-        ).otherwise(
-            F.least(
-                F.coalesce(
-                    F.col("value") - F.last(q_val, True).over(w_prev), inf
-                ),
-                F.coalesce(
-                    F.first(q_val, True).over(w_next) - F.col("value"), inf
-                ),
-            )
-        ),
-    )
-    h = stream.groupBy("qid", "user_id").agg(
-        F.greatest(
-            F.max(F.when(F.col("is_q") == 1, F.col("d"))),
-            F.max(F.when(F.col("is_q") == 0, F.col("d"))),
-        ).alias("hd")
-    )
-    ends = ev.groupBy("user_id").agg(
-        F.expr("min_by(value, struct(ts, event_id))").alias("v_first"),
-        F.expr("max_by(value, struct(ts, event_id))").alias("v_last"),
-    )
-    q_ends = ends.join(
-        F.broadcast(qids), F.col("user_id") == F.col("qid")
-    ).select(
-        "qid",
-        F.col("v_first").alias("q_first"),
-        F.col("v_last").alias("q_last"),
-    )
-    return (
-        h.join(ends, "user_id")
-        .join(F.broadcast(q_ends), "qid")
-        .select(
-            "qid",
-            "user_id",
-            F.greatest(
-                "hd",
-                F.abs(F.col("v_first") - F.col("q_first")),
-                F.abs(F.col("v_last") - F.col("q_last")),
-            ).alias("lb"),
+
+    def directed(sa: "np.ndarray", sq: "np.ndarray") -> float:
+        # max over x in sa of min |x - y| over y in sq (both sorted)
+        idx = np.searchsorted(sq, sa)
+        lo = np.where(idx > 0, sa - sq[np.maximum(idx - 1, 0)], np.inf)
+        hi = np.where(
+            idx < len(sq), sq[np.minimum(idx, len(sq) - 1)] - sa, np.inf
         )
+        return float(np.max(np.minimum(lo, hi)))
+
+    def lbf(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                a = np.asarray(row.a, dtype=np.float64)
+                q = np.asarray(row.qa, dtype=np.float64)
+                sa, sq = np.sort(a), np.sort(q)
+                hd = max(directed(sa, sq), directed(sq, sa))
+                lb = max(
+                    hd, abs(a[0] - q[0]), abs(a[-1] - q[-1])
+                )
+                out.append((row.qid, row.user_id, lb))
+            yield pd.DataFrame(out, columns=["qid", "user_id", "lb"])
+
+    return paired.mapInPandas(
+        lbf, schema="qid bigint, user_id bigint, lb double"
     )
 
 
@@ -475,7 +433,7 @@ def _float_knn_batch(
     qarr = arr.filter(F.col("user_id").isin(*_BATCH_QIDS)).select(
         F.col("user_id").alias("qid"), F.col("a").alias("qa")
     )
-    lb = _haus_lb_batch(spark, t).localCheckpoint()
+    lb = _haus_lb_batch(arr, qarr).localCheckpoint()
     w_lb = Window.partitionBy("qid").orderBy("lb", "user_id")
     pairs1 = (
         lb.withColumn("rn", F.row_number().over(w_lb))
@@ -576,60 +534,59 @@ def traj_frechet_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _edr_lb_batch(spark: SparkSession, t: Tables) -> DataFrame:
+def _edr_lb_batch(arr: DataFrame, qarr: DataFrame) -> DataFrame:
     """(qid, user_id, n, m, lb): the `extras6._edr_candidates` LOWER
     bound — max(|n - m|, max(n, m) - matchable) — for EVERY (query,
-    candidate) pair in ONE pass over the positioned corpus: query
-    cells for all three queries broadcast together (3 adjacent
-    eps-cells each), matchability decided by one cell equi-join."""
-    from .extras6 import _user_positions
+    candidate) pair.
 
-    pos = _user_positions(t).localCheckpoint()  # query + candidate side
-    qids = _qids_df(spark)
-    q = pos.join(
-        F.broadcast(qids), F.col("user_id") == F.col("qid")
-    ).select("qid", "i", "v")
-    m_per_q = q.groupBy("qid").agg(F.count("*").alias("m"))
-    qcells = (
-        q.withColumn("cell", F.floor(F.col("v") / _SEARCH_EPS))
-        .withColumn(
-            "cell",
-            F.explode(
-                F.array(
-                    F.col("cell") - 1, F.col("cell"), F.col("cell") + 1
+    Computed as ONE Arrow pass over the already-checkpointed series
+    (guide §2.4/§4.2): the previous form re-positioned the corpus and
+    ran an eps-cell equi-join + position-distinct + three aggregations
+    (multiple shuffles per build); per-user sorted query values +
+    binary search decide each position's matchability (min |a_i - q_j|
+    <= eps — exactly the cell join's predicate, every position counted
+    once) with no shuffle at all."""
+    import numpy as np
+    import pandas as pd
+
+    paired = (
+        arr.select("user_id", "a")
+        .join(F.broadcast(qarr.select("qid", "qa")))
+        .filter(F.col("user_id") != F.col("qid"))
+        .repartition(arr.sparkSession.sparkContext.defaultParallelism)
+    )
+
+    def lbf(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                a = np.asarray(row.a, dtype=np.float64)
+                sq = np.sort(np.asarray(row.qa, dtype=np.float64))
+                idx = np.searchsorted(sq, a)
+                lo = np.where(
+                    idx > 0, a - sq[np.maximum(idx - 1, 0)], np.inf
                 )
-            ),
-        )
-        .select("qid", "cell", F.col("v").alias("qv"))
-    )
-    cand = (
-        pos.join(F.broadcast(qids), F.col("user_id") != F.col("qid"))
-        .withColumn("cell", F.floor(F.col("v") / _SEARCH_EPS))
-    )
-    matchable = (
-        cand.join(F.broadcast(qcells), ["qid", "cell"])
-        .filter(F.abs(F.col("v") - F.col("qv")) <= _SEARCH_EPS)
-        .select("qid", "user_id", "i")
-        .distinct()
-        .groupBy("qid", "user_id")
-        .agg(F.count("*").alias("matchable"))
-    )
-    return (
-        cand.groupBy("qid", "user_id")
-        .agg(F.count("*").alias("n"))
-        .join(matchable, ["qid", "user_id"], "left")
-        .join(F.broadcast(m_per_q), "qid")
-        .select(
-            "qid",
-            "user_id",
-            "n",
-            "m",
-            F.greatest(
-                F.abs(F.col("n") - F.col("m")),
-                F.greatest(F.col("n"), F.col("m"))
-                - F.coalesce("matchable", F.lit(0)),
-            ).alias("lb"),
-        )
+                hi = np.where(
+                    idx < len(sq),
+                    sq[np.minimum(idx, len(sq) - 1)] - a,
+                    np.inf,
+                )
+                matchable = int(
+                    np.count_nonzero(
+                        np.minimum(lo, hi) <= _SEARCH_EPS
+                    )
+                )
+                n, m = len(a), len(sq)
+                lb = max(abs(n - m), max(n, m) - matchable)
+                out.append((row.qid, row.user_id, n, m, lb))
+            yield pd.DataFrame(
+                out, columns=["qid", "user_id", "n", "m", "lb"]
+            )
+
+    return paired.mapInPandas(
+        lbf,
+        schema="qid bigint, user_id bigint, n bigint, m bigint,"
+        " lb bigint",
     )
 
 
@@ -719,7 +676,7 @@ def traj_edr_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     qarr = arr.filter(F.col("user_id").isin(*_BATCH_QIDS)).select(
         F.col("user_id").alias("qid"), F.col("a").alias("qa")
     )
-    lb = _edr_lb_batch(spark, t).localCheckpoint()
+    lb = _edr_lb_batch(arr, qarr).localCheckpoint()
     w_lb = Window.partitionBy("qid").orderBy(
         F.col("lb") / F.greatest("n", "m"), "user_id"
     )
