@@ -590,7 +590,7 @@ def _float_arrays_2d(t: Tables) -> DataFrame:
     )
 
 
-def _lb_batch_2d(spark: SparkSession, t: Tables) -> DataFrame:
+def _lb_batch_2d(spark: SparkSession, arr: DataFrame) -> DataFrame:
     """(qid, user_id, lb): a batch-friendly 2-D Fréchet lower bound
     from ONE hash aggregate per user — max of the Euclidean endpoint
     distances and the four bbox-side gaps.
@@ -602,24 +602,30 @@ def _lb_batch_2d(spark: SparkSession, t: Tables) -> DataFrame:
     max_x(B)| (same for min_x / min_y / max_y).  DTW >= Fréchet (sum
     vs max over the same couplings), so one bound serves both rows.
     Unlike the 1-D batch bound (a qid-dimensioned Hausdorff marker
-    pass), this is per-user SCALARS + a 3-row broadcast — no window."""
+    pass), this is per-user SCALARS + a 3-row broadcast — no window.
+
+    Round 12: the scalars are array expressions over the
+    already-checkpointed assembly (endpoints = the seq-ordered arrays'
+    first/last — the same (ts, event_id)-ordered values the old
+    min_by/max_by produced; extrema = array_min/array_max over the
+    same doubles), instead of a second events scan + hash aggregate
+    per build (guide §2.4)."""
     from .extras12 import _qids_df
 
-    t0 = t.events.agg(F.min(F.unix_micros("ts")).alias("t0"))
-    pts = t.events.join(F.broadcast(t0)).select(
+    feats = arr.select(
         "user_id",
-        "ts",
-        "event_id",
-        ((F.unix_micros("ts") - F.col("t0")) / 86400000000.0).alias("x"),
-        F.col("value").alias("y"),
-    )
-    feats = pts.groupBy("user_id").agg(
-        F.expr("min_by(struct(x, y), struct(ts, event_id))").alias("p0"),
-        F.expr("max_by(struct(x, y), struct(ts, event_id))").alias("p1"),
-        F.min("x").alias("minx"),
-        F.max("x").alias("maxx"),
-        F.min("y").alias("miny"),
-        F.max("y").alias("maxy"),
+        F.struct(
+            F.element_at("xs", 1).alias("x"),
+            F.element_at("ys", 1).alias("y"),
+        ).alias("p0"),
+        F.struct(
+            F.element_at("xs", -1).alias("x"),
+            F.element_at("ys", -1).alias("y"),
+        ).alias("p1"),
+        F.array_min("xs").alias("minx"),
+        F.array_max("xs").alias("maxx"),
+        F.array_min("ys").alias("miny"),
+        F.array_max("ys").alias("maxy"),
     )
     qids = _qids_df(spark)
     qf = feats.join(
@@ -718,7 +724,7 @@ def _float_knn_batch_2d(
         F.col("xs").alias("qxs"),
         F.col("ys").alias("qys"),
     )
-    lb = _lb_batch_2d(spark, t).localCheckpoint()
+    lb = _lb_batch_2d(spark, arr).localCheckpoint()
     w_lb = Window.partitionBy("qid").orderBy("lb", "user_id")
     pairs1 = (
         lb.withColumn("rn", F.row_number().over(w_lb))
@@ -917,81 +923,61 @@ def _q2d_arrays(t: Tables) -> DataFrame:
     )
 
 
-def _matchable_2d_batch(spark: SparkSession, t: Tables) -> DataFrame:
+def _matchable_2d_batch(arr: DataFrame, qarr: DataFrame) -> DataFrame:
     """(qid, user_id, n, m, matchable): ``extras6._matchable_2d``
-    generalized with the query dimension — every query's 9-neighbor
-    eps-cell set broadcast TOGETHER, matchability decided by one
-    (qid, cell) equi-join over the positioned corpus.  LCSS_2d <=
-    matchable and EDR_2d >= max(n, m) - matchable per (qid, user), both
-    LOSSLESS (each match consumes one matchable candidate point).
+    generalized with the query dimension.  LCSS_2d <= matchable and
+    EDR_2d >= max(n, m) - matchable per (qid, user), both LOSSLESS
+    (each match consumes one matchable candidate point).
 
-    RESTRUCTURED round 12 after the 500x clone probe caught a real
-    scale failure (AGGREGATE_OUT_OF_MEMORY at 50M events): the old
-    shape BNLJ-expanded the FULL point table x |queries| before
-    aggregating — the partial hash agg sat fused behind the broadcast
-    nested-loop join, so every task's agg fought the (also removed)
-    full-corpus localCheckpoint for memory.  Now the SELECTIVE
-    broadcast (cx, cy) equi-join against the query cell set runs
-    FIRST (only eps-near points ever carry a qid), n is aggregated
-    once per user (it never depended on qid) and cross-expanded only
-    AFTER aggregation — corpus-sized streams are never multiplied by
-    the workload size, the shape a 100-query batch at 100 TB needs."""
-    from .extras6 import _EPSM, _pts_2d_q
-    from .extras12 import _qids_df
+    Computed as ONE Arrow pass over the already-checkpointed quantized
+    assembly (guide §2.4/§4.2, round 12): the previous shape
+    re-positioned the corpus and ran a broadcast 9-cell equi-join +
+    position-distinct + three aggregations per build.  The per-point
+    matchability decision stays INTEGER-EXACT: |dx|, |dy| are clipped
+    to eps+1 before squaring (a clipped coordinate already exceeds the
+    eps ball, and clipping keeps the squares overflow-free), so the
+    compare is the same int64 (dx^2 + dy^2 <= eps^2) the cell join
+    evaluated.  The workload-expansion discipline the 500x probe
+    forced (corpus streams never multiplied by |queries| before
+    aggregation) is preserved: the only per-(qid, user) relation is
+    the 3-row-per-user output itself."""
+    import numpy as np
+    import pandas as pd
 
-    pos = _pts_2d_q(t).select(
-        "user_id",
-        "i",
-        "qx",
-        "qy",
-        F.expr(f"qx div {_EPSM}").alias("cx"),
-        F.expr(f"qy div {_EPSM}").alias("cy"),
-    )
-    qids = _qids_df(spark)
-    q = pos.join(
-        F.broadcast(qids), F.col("user_id") == F.col("qid")
-    ).select("qid", "qx", "qy")
-    m_per_q = q.groupBy("qid").agg(F.count("*").alias("m"))
-    qcells = q.select(
-        "qid",
-        F.explode(
-            F.expr(
-                f"flatten(transform(sequence(-1, 1), dx ->"
-                f" transform(sequence(-1, 1), dy ->"
-                f" struct((qx div {_EPSM}) + dx AS cx,"
-                f" (qy div {_EPSM}) + dy AS cy))))"
-            )
-        ).alias("c"),
-        F.col("qx").alias("bx"),
-        F.col("qy").alias("by"),
-    ).select("qid", "c.cx", "c.cy", "bx", "by")
-    matchable = (
-        pos.join(F.broadcast(qcells), ["cx", "cy"])
+    from .extras6 import _EPSM
+
+    eps2 = _EPSM * _EPSM
+    clip = _EPSM + 1
+    paired = (
+        arr.select("user_id", "xs", "ys")
+        .join(F.broadcast(qarr.select("qid", "qxs", "qys")))
         .filter(F.col("user_id") != F.col("qid"))
-        .filter(
-            (F.col("qx") - F.col("bx")) * (F.col("qx") - F.col("bx"))
-            + (F.col("qy") - F.col("by")) * (F.col("qy") - F.col("by"))
-            <= F.lit(_EPSM * _EPSM)
-        )
-        .select("qid", "user_id", "i")
-        .distinct()
-        .groupBy("qid", "user_id")
-        .agg(F.count("*").alias("matchable"))
+        .repartition(arr.sparkSession.sparkContext.defaultParallelism)
     )
-    n_per_user = pos.groupBy("user_id").agg(F.count("*").alias("n"))
-    return (
-        n_per_user.join(
-            F.broadcast(qids), F.col("user_id") != F.col("qid")
-        )
-        .join(matchable, ["qid", "user_id"], "left")
-        .join(F.broadcast(m_per_q), "qid")
-        .select(
-            "qid",
-            "user_id",
-            "n",
-            "m",
-            F.coalesce("matchable", F.lit(0)).alias("matchable"),
-        )
+
+    def mbf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                ax = np.asarray(row.xs, dtype=np.int64)
+                ay = np.asarray(row.ys, dtype=np.int64)
+                qx = np.asarray(row.qxs, dtype=np.int64)
+                qy = np.asarray(row.qys, dtype=np.int64)
+                dx = np.minimum(np.abs(ax[:, None] - qx[None, :]), clip)
+                dy = np.minimum(np.abs(ay[:, None] - qy[None, :]), clip)
+                hit = (dx * dx + dy * dy) <= eps2
+                matchable = int(np.count_nonzero(hit.any(axis=1)))
+                out.append(
+                    (row.qid, row.user_id, len(ax), len(qx), matchable)
+                )
+            yield pd.DataFrame(
+                out, columns=["qid", "user_id", "n", "m", "matchable"]
+            )
+
+    return paired.mapInPandas(
+        mbf,
+        schema="qid bigint, user_id bigint, n bigint, m bigint,"
+        " matchable bigint",
     )
 
 
@@ -1106,7 +1092,7 @@ def traj_lcss_knn_batch_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     arr = _q2d_arrays(t).localCheckpoint()
     qarr = _int2d_batch_qarr(arr)
-    mb = _matchable_2d_batch(spark, t).localCheckpoint()
+    mb = _matchable_2d_batch(arr, qarr).localCheckpoint()
 
     def compute(a, b):
         ln = kernels.lcss_int2d(a, b, _EPS2_MICRO2)
@@ -1211,7 +1197,7 @@ def traj_edr_knn_batch_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = _q2d_arrays(t).localCheckpoint()
     qarr = _int2d_batch_qarr(arr)
     lb = (
-        _matchable_2d_batch(spark, t)
+        _matchable_2d_batch(arr, qarr)
         .select(
             "qid",
             "user_id",

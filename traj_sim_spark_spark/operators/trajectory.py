@@ -242,84 +242,89 @@ def _paired_series(
     return traj.filter(F.col("user_id") != query_user).join(F.broadcast(q))
 
 
-def _hausdorff_lb(t: Tables, query_user: int) -> DataFrame:
-    """Per-user Hausdorff distance to the query user, by SORT-MERGE
-    rather than pair join.
+def _haus_directed_np(sa, sq):
+    """max over x in sa of min |x - y| over y in sq (both sorted numpy
+    float64) — binary search against the flanking neighbors, the same
+    subtraction/min/max chain (hence the same IEEE doubles) the old
+    marker-window form evaluated."""
+    import numpy as np
 
-    In 1-D, nearest-neighbor distance is a sorted-order problem: union
-    the (broadcast) query values as markers into every user's point
-    stream, sort each user's stream once, and each row's nearest
-    other-side point is its closest flanking marker — one window pass
-    yields BOTH directed Hausdorff maxima. O((E + U*Q) log) work instead
-    of the O(E*Q) blow-up of the join formulation; this is the engine's
-    replacement for the reference's per-partition R-tree lookups
-    [P §4.2] — same locality, zero index structures, one shuffle on
-    user_id. (Also a valid Fréchet lower bound: Fréchet >= Hausdorff
-    [P §5.1].)"""
+    idx = np.searchsorted(sq, sa)
+    lo = np.where(idx > 0, sa - sq[np.maximum(idx - 1, 0)], np.inf)
+    hi = np.where(
+        idx < len(sq), sq[np.minimum(idx, len(sq) - 1)] - sa, np.inf
+    )
+    return float(np.max(np.minimum(lo, hi)))
+
+
+def _hausdorff_lb(t: Tables, query_user: int, ends: bool = False) -> DataFrame:
+    """Per-user Hausdorff distance to the query user — ONE hash
+    aggregate + ONE Arrow pass (guide §2.4/§4.2).
+
+    In 1-D, nearest-neighbor distance is a sorted-order problem: sort
+    each user's values once and each point's nearest query point is a
+    flanking neighbor by binary search (and vice versa for the reverse
+    direction).  Hausdorff is set-based, so the per-user arrays come
+    from an UNORDERED collect_list — a single hash aggregate over
+    events with map-side partial combal, no window sort, no marker
+    union (the previous form union'd broadcast query markers into
+    every user's stream and paid two corpus-sized window sorts).  This
+    is the engine's replacement for the reference's per-partition
+    R-tree lookups [P §4.2] — same locality, zero index structures,
+    one shuffle on user_id.  (Also a valid Fréchet lower bound:
+    Fréchet >= Hausdorff [P §5.1].)
+
+    With ``ends`` the same aggregate also carries the (ts, event_id)-
+    ordered first/last values and the bound becomes
+    max(Hausdorff, |endpoint deltas|) — ``_frechet_lb``'s tightening,
+    fused so the Fréchet/DTW consumers pay no second aggregate."""
+    import numpy as np
+    import pandas as pd
+
     ev = t.events
-    inf = F.lit(float("inf"))
-    qv = (
-        ev.filter(F.col("user_id") == query_user)
-        .select("value")
-        .distinct()
+    aggs = [F.collect_list("value").alias("vs")]
+    if ends:
+        aggs += [
+            F.expr("min_by(value, struct(ts, event_id))").alias("v_first"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("v_last"),
+        ]
+    per_user = ev.groupBy("user_id").agg(*aggs)
+    q = per_user.filter(F.col("user_id") == query_user).select(
+        F.col("vs").alias("qvs"),
+        *(
+            [
+                F.col("v_first").alias("q_first"),
+                F.col("v_last").alias("q_last"),
+            ]
+            if ends
+            else []
+        ),
     )
-    points = (
-        ev.filter(F.col("user_id") != query_user)
-        .select("user_id", "value")
-        .withColumn("is_q", F.lit(0))
+    paired = (
+        per_user.filter(F.col("user_id") != query_user)
+        .crossJoin(F.broadcast(q))
     )
-    users = points.select("user_id").distinct()
-    markers = (
-        users.join(F.broadcast(qv))
-        .select("user_id", "value")
-        .withColumn("is_q", F.lit(1))
-    )
-    # events sort before q-markers at equal value, so the "previous"
-    # frame always sees an exact tie (distance 0) on either side
-    w_prev = (
-        W.partitionBy("user_id")
-        .orderBy("value", "is_q")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    w_next = (
-        W.partitionBy("user_id")
-        .orderBy("value", "is_q")
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
-    )
-    ev_val = F.when(F.col("is_q") == 0, F.col("value"))
-    q_val = F.when(F.col("is_q") == 1, F.col("value"))
-    stream = (
-        points.unionByName(markers)
-        .withColumn(
-            "d",
-            F.when(
-                F.col("is_q") == 1,
-                F.least(
-                    F.coalesce(
-                        F.col("value") - F.last(ev_val, True).over(w_prev), inf
-                    ),
-                    F.coalesce(
-                        F.first(ev_val, True).over(w_next) - F.col("value"), inf
-                    ),
-                ),
-            ).otherwise(
-                F.least(
-                    F.coalesce(
-                        F.col("value") - F.last(q_val, True).over(w_prev), inf
-                    ),
-                    F.coalesce(
-                        F.first(q_val, True).over(w_next) - F.col("value"), inf
-                    ),
+
+    def lbf(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                a = np.asarray(row.vs, dtype=np.float64)
+                sq = np.sort(np.asarray(row.qvs, dtype=np.float64))
+                sa = np.sort(a)
+                lb = max(
+                    _haus_directed_np(sa, sq), _haus_directed_np(sq, sa)
                 )
-            ),
-        )
-    )
-    return stream.groupBy("user_id").agg(
-        F.greatest(
-            F.max(F.when(F.col("is_q") == 1, F.col("d"))),
-            F.max(F.when(F.col("is_q") == 0, F.col("d"))),
-        ).alias("lb")
-    )
+                if ends:
+                    lb = max(
+                        lb,
+                        abs(row.v_first - row.q_first),
+                        abs(row.v_last - row.q_last),
+                    )
+                out.append((row.user_id, lb))
+            yield pd.DataFrame(out, columns=["user_id", "lb"])
+
+    return paired.mapInPandas(lbf, schema="user_id bigint, lb double")
 
 
 _KNN_K = 10
@@ -334,30 +339,10 @@ def _frechet_lb(t: Tables, query_user: int) -> DataFrame:
     and for drifting 1-D series they prune far harder than Hausdorff
     (which is near-zero whenever value RANGES overlap, order ignored).
 
-    Endpoints come straight off the raw events as min_by/max_by over the
-    (ts, event_id) ordering key — a HASH aggregate, not the
-    ``user_points()`` row_number window (which would cost a full
-    per-user sort just to read two rows of it)."""
-    ends = t.events.groupBy("user_id").agg(
-        F.expr("min_by(value, struct(ts, event_id))").alias("v_first"),
-        F.expr("max_by(value, struct(ts, event_id))").alias("v_last"),
-    )
-    q_ends = ends.filter(F.col("user_id") == query_user).select(
-        F.col("v_first").alias("q_first"), F.col("v_last").alias("q_last")
-    )
-    return (
-        _hausdorff_lb(t, query_user)
-        .join(ends, "user_id")
-        .crossJoin(F.broadcast(q_ends))
-        .select(
-            "user_id",
-            F.greatest(
-                "lb",
-                F.abs(F.col("v_first") - F.col("q_first")),
-                F.abs(F.col("v_last") - F.col("q_last")),
-            ).alias("lb"),
-        )
-    )
+    Endpoints come straight off the raw events as min_by/max_by inside
+    ``_hausdorff_lb``'s single hash aggregate (round 12: fused — the
+    bound is one aggregate + one Arrow pass, no separate ends join)."""
+    return _hausdorff_lb(t, query_user, ends=True)
 
 
 def _series_1d(row) -> tuple[np.ndarray, np.ndarray]:
