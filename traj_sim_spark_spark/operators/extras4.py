@@ -1278,14 +1278,7 @@ def traj_viterbi_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, n_points long, total_cost long, end_seg long"
     )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        if n_seg == 0 or len(pdf) == 0:
-            return pd.DataFrame(
-                columns=["user_id", "n_points", "total_cost", "end_seg"]
-            )
-        pdf = pdf.sort_values("seq")
-        X = pdf["x"].to_numpy(dtype=np.int64)
-        Y = pdf["y"].to_numpy(dtype=np.int64)
+    def user_cost(user_id, X, Y):
         dx, dy = x2 - x1, y2 - y1
         ab2 = dx * dx + dy * dy
         axb = X[:, None] - x1[None, :]
@@ -1316,21 +1309,48 @@ def traj_viterbi_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             c = d2c[ti] + np.minimum(fwd, bwd)
         total = int(c.min())
         end_seg = int(r[c == total].min())
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_points": [len(X)],
-                "total_cost": [total],
-                "end_seg": [end_seg],
-            }
-        )
+        return (int(user_id), len(X), total, end_seg)
 
-    return (
+    def kernel(batches):
+        for pdf in batches:
+            if n_seg == 0:  # degenerate route: no matchable states
+                yield pd.DataFrame(
+                    columns=[
+                        "user_id", "n_points", "total_cost", "end_seg"
+                    ]
+                )
+                continue
+            out = [
+                user_cost(
+                    row.user_id,
+                    np.asarray(row.xs, dtype=np.int64),
+                    np.asarray(row.ys, dtype=np.int64),
+                )
+                for row in pdf.itertuples()
+            ]
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "n_points", "total_cost", "end_seg"],
+            )
+
+    # one assembly + mapInPandas instead of per-user applyInPandas:
+    # 1.5k tiny groups each paid a pandas group-frame + sort; the
+    # seq-sorted arrays come from the same grouping shuffle via
+    # array_sort(collect_list(...)) and the kernel loops rows (guide
+    # §4.1: batch the boundary, not the groups)
+    arr = (
         pts.filter(F.col("user_id") != _VIT_Q)
-        .repartition(32, "user_id")
         .groupBy("user_id")
-        .applyInPandas(kernel, schema)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("seq", "x", "y"))
+            ).alias("p")
+        )
+        .select(
+            "user_id", F.col("p.x").alias("xs"), F.col("p.y").alias("ys")
+        )
     )
+    return arr.mapInPandas(kernel, schema)
 
 
 # ---------------------------------------------------------------------------
