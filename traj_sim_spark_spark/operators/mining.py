@@ -564,10 +564,13 @@ def _sig_hausdorff_pairs(t: Tables, tau: float) -> DataFrame:
     a row, so the result is complete for any ``h <= tau`` filter.
     Returned materialized (localCheckpoint) — both callers iterate or
     window over it more than once."""
+    import pandas as pd
+
     # signature in ONE aggregation: sorted distinct values per user, then
     # the evenly-ranked picks by array index (rank r = 1 + floor(j*(nv-1)
     # / (m-1)), j = 0..m-1 — endpoints always included, same formula the
-    # oracle's picks CTE evaluates row-wise)
+    # oracle's picks CTE evaluates row-wise).  Kept as an ARRAY
+    # (round 12): the refine no longer needs the exploded row form.
     sig = (
         t.events.select("user_id", F.col("value").alias("v"))
         .distinct()
@@ -575,29 +578,31 @@ def _sig_hausdorff_pairs(t: Tables, tau: float) -> DataFrame:
         .agg(F.array_sort(F.collect_set("v")).alias("vs"))
         .select(
             "user_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(_SIG_M - 1)),
-                        lambda j: F.element_at(
-                            "vs",
-                            (
-                                1
-                                + F.floor(
-                                    j
-                                    * (F.size("vs") - 1)
-                                    / (_SIG_M - 1.0)
-                                )
-                            ).cast("int"),
-                        ),
-                    )
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(_SIG_M - 1)),
+                    lambda j: F.element_at(
+                        "vs",
+                        (
+                            1
+                            + F.floor(
+                                j
+                                * (F.size("vs") - 1)
+                                / (_SIG_M - 1.0)
+                            )
+                        ).cast("int"),
+                    ),
                 )
-            ).alias("v"),
+            ).alias("sv"),
         )
-        .persist()
+        .localCheckpoint()  # consumed by the summary AND both join sides
     )
-    s = sig.groupBy("user_id").agg(
-        F.min("v").alias("mn"), F.max("v").alias("mx")
+    # picks are ascending (evenly-spaced ranks over a sorted array), so
+    # the summary min/max are the array ends
+    s = sig.select(
+        "user_id",
+        F.element_at("sv", 1).alias("mn"),
+        F.element_at("sv", -1).alias("mx"),
     )
     # banded candidate join: |dmin|<=tau => cells adjacent (3-cell probe)
     a = s.select(
@@ -627,31 +632,42 @@ def _sig_hausdorff_pairs(t: Tables, tau: float) -> DataFrame:
         )
         .select("u", "v")
     )
-    sa = sig.select(F.col("user_id").alias("u"), F.col("v").alias("av"))
-    sb = sig.select(F.col("user_id").alias("v"), F.col("v").alias("bv"))
-    d = (
+    # EXACT signature-Hausdorff refine as ONE Arrow pass (round 12,
+    # guide §2.4/§4.2): the previous row-explode form shipped 16x16
+    # value pairs per candidate through four aggregations + a join;
+    # sorted arrays + binary search give the identical grouped-min /
+    # max chain (same IEEE doubles) with no shuffle beyond the two
+    # array-attach joins.
+    from .trajectory import _haus_directed_np
+
+    sa = sig.select(F.col("user_id").alias("u"), F.col("sv").alias("av"))
+    sb = sig.select(F.col("user_id").alias("v"), F.col("sv").alias("bv"))
+    paired = (
         cand.join(sa, "u")
         .join(sb, "v")
-        .select(
-            "u", "v", "av", "bv",
-            F.abs(F.col("av") - F.col("bv")).alias("dd"),
-        )
+        # fan the kernel out: AQE coalesces the tiny attach joins to a
+        # couple of partitions, which would run the Arrow pass on 1-2
+        # cores (the _erp_batch_refine discipline)
+        .repartition(t.spark.sparkContext.defaultParallelism)
     )
-    h1 = (
-        d.groupBy("u", "v", "av").agg(F.min("dd").alias("md"))
-        .groupBy("u", "v").agg(F.max("md").alias("h1"))
-    )
-    h2 = (
-        d.groupBy("u", "v", "bv").agg(F.min("dd").alias("md"))
-        .groupBy("u", "v").agg(F.max("md").alias("h2"))
-    )
-    pairs = (
-        h1.join(h2, ["u", "v"])
-        .select("u", "v", F.greatest("h1", "h2").alias("h"))
-        .localCheckpoint()
-    )
-    sig.unpersist()
-    return pairs
+
+    def href(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                av = np.asarray(row.av, dtype=np.float64)
+                bv = np.asarray(row.bv, dtype=np.float64)
+                h = max(
+                    _haus_directed_np(av, bv), _haus_directed_np(bv, av)
+                )
+                out.append((row.u, row.v, h))
+            yield pd.DataFrame(out, columns=["u", "v", "h"])
+
+    return paired.mapInPandas(
+        href, schema="u bigint, v bigint, h double"
+    ).localCheckpoint()
 
 
 @query(
