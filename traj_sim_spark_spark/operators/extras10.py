@@ -165,29 +165,29 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "m", F.col("s.i").alias("i"),
         F.col("s.gram").alias("gram"),
     )
-    dup = (
+    # duplicate filter + ownership in ONE gram-keyed aggregate (round
+    # 12, guide §2.3/§2.4): min(struct(doc_id, i)) is the lexicographic
+    # argmin — MIN(doc_id) per gram, then MIN(i) within that doc, the
+    # exact two-step ownership rule — and it is map-side combinable, so
+    # the previous chain (dup semi-join + per-gram o1 aggregate + owner
+    # join, four gram-keyed shuffles of the heavy gram strings) becomes
+    # one aggregate + one join.
+    ginfo = (
         starts.groupBy("gram")
-        .agg(F.sum("m").alias("c"))  # corpus count = group-weighted
-        .filter(F.col("c") >= 2)
-        .select("gram")
-    )
-    occ = starts.select("doc_id", "i", "gram").join(
-        dup, "gram", "left_semi"
-    )
-    o1 = occ.groupBy("gram").agg(F.min("doc_id").alias("od")).select(
-        F.col("gram").alias("g1"), "od"
-    )
-    owner = (
-        occ.join(
-            o1,
-            (F.col("gram") == F.col("g1"))
-            & (F.col("doc_id") == F.col("od")),
+        .agg(
+            F.sum("m").alias("c"),  # corpus count = group-weighted
+            F.min(F.struct("doc_id", "i")).alias("o"),
         )
-        .groupBy(F.col("g1").alias("g"), "od")
-        .agg(F.min("i").alias("oi"))
+        .filter(F.col("c") >= 2)
+        .select(
+            "gram",
+            F.col("o.doc_id").alias("od"),
+            F.col("o.i").alias("oi"),
+        )
     )
     cut = (
-        occ.join(owner, F.col("gram") == F.col("g"))
+        starts.select("doc_id", "i", "gram")
+        .join(ginfo, "gram")
         .filter(
             ~((F.col("doc_id") == F.col("od")) & (F.col("i") == F.col("oi")))
         )
@@ -532,29 +532,29 @@ def text_substring_dedup_apply(
         "doc_id", "m", F.col("s.i").alias("i"),
         F.col("s.gram").alias("gram"),
     )
-    dup = (
+    # duplicate filter + ownership in ONE gram-keyed aggregate (round
+    # 12, guide §2.3/§2.4): min(struct(doc_id, i)) is the lexicographic
+    # argmin — MIN(doc_id) per gram, then MIN(i) within that doc, the
+    # exact two-step ownership rule — and it is map-side combinable, so
+    # the previous chain (dup semi-join + per-gram o1 aggregate + owner
+    # join, four gram-keyed shuffles of the heavy gram strings) becomes
+    # one aggregate + one join.
+    ginfo = (
         starts.groupBy("gram")
-        .agg(F.sum("m").alias("c"))  # corpus count = group-weighted
-        .filter(F.col("c") >= 2)
-        .select("gram")
-    )
-    occ = starts.select("doc_id", "i", "gram").join(
-        dup, "gram", "left_semi"
-    )
-    o1 = occ.groupBy("gram").agg(F.min("doc_id").alias("od")).select(
-        F.col("gram").alias("g1"), "od"
-    )
-    owner = (
-        occ.join(
-            o1,
-            (F.col("gram") == F.col("g1"))
-            & (F.col("doc_id") == F.col("od")),
+        .agg(
+            F.sum("m").alias("c"),  # corpus count = group-weighted
+            F.min(F.struct("doc_id", "i")).alias("o"),
         )
-        .groupBy(F.col("g1").alias("g"), "od")
-        .agg(F.min("i").alias("oi"))
+        .filter(F.col("c") >= 2)
+        .select(
+            "gram",
+            F.col("o.doc_id").alias("od"),
+            F.col("o.i").alias("oi"),
+        )
     )
     cut = (
-        occ.join(owner, F.col("gram") == F.col("g"))
+        starts.select("doc_id", "i", "gram")
+        .join(ginfo, "gram")
         .filter(
             ~((F.col("doc_id") == F.col("od")) & (F.col("i") == F.col("oi")))
         )
