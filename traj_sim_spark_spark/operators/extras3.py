@@ -195,15 +195,35 @@ def _seg_d2(px: Column, py: Column) -> Column:
 
 
 def _seg_within(px: Column, py: Column, tau_u: int) -> Column:
-    """Integer-exact membership: point within tau of the segment."""
+    """Integer-exact membership: point within tau of the segment.
+
+    The interior case needs 128-bit arithmetic (crs² vs tau²·ab2), but
+    Java BigDecimal multiplies are ~20x an int64/double op and this
+    predicate runs per (point, segment) pair in the broadcast joins —
+    so a DOUBLE prefilter decides the far-from-the-boundary pairs
+    first (round 12, guide §1.2 per-task work).  Exactness: int64 →
+    double conversion and one multiply are each exactly rounded (rel
+    err ≤ 2⁻⁵³ per step, ≤ ~5e-16 end to end), so comparisons with a
+    1e-9 relative guard band can never misclassify; only pairs inside
+    the band — within float noise of the exact boundary — fall through
+    to the DECIMAL(38,0) compare, which remains the decision of
+    record.  Same decision on every pair as the pure-decimal form by
+    construction."""
     ab2, dotp, ap2, bp2, crs, at_a = _seg_cases(px, py)
     t2 = tau_u * tau_u
+    crsf = crs.cast("double")
+    lhs = crsf * crsf
+    rhs = F.lit(float(t2)) * ab2.cast("double")
+    exact = crs.cast(_DEC) * crs <= F.lit(t2).cast(_DEC) * ab2
+    interior = (
+        F.when(lhs <= rhs * F.lit(1.0 - 1e-9), F.lit(True))
+        .when(lhs > rhs * F.lit(1.0 + 1e-9), F.lit(False))
+        .otherwise(exact)
+    )
     return (
         F.when(at_a, ap2 <= t2)
         .when(dotp >= ab2, bp2 <= t2)
-        .otherwise(
-            crs.cast(_DEC) * crs <= F.lit(t2).cast(_DEC) * ab2
-        )
+        .otherwise(interior)
     )
 
 
