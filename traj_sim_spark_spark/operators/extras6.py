@@ -951,7 +951,11 @@ def traj_lcss_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     20·lcss >= 11·min(n,m) — no float at the boundary.  Brute-force
     equality pinned in tests/test_twophase.py."""
     t = Tables(spark, sf_dir)
-    m = t.user_points().filter(F.col("user_id") == 1).count()
+    # query length: a plain pushdown-filtered events count — NOT a
+    # user_points() count, which sorted the whole corpus through the
+    # seq window to count one user's rows (round 12; row counts are
+    # window-invariant)
+    m = t.events.filter(F.col("user_id") == 1).count()
     cand = _lcss_candidates(spark, t).filter(
         F.col("ub") * _LCSS_TAU_DEN
         >= F.least(F.col("n"), F.lit(m)) * _LCSS_TAU_NUM
@@ -982,7 +986,11 @@ def traj_lcss_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver artifacts: the query-length scalar and the <=10-row tau
     shortlist.  Brute-force equality pinned in tests/test_twophase.py."""
     t = Tables(spark, sf_dir)
-    m = t.user_points().filter(F.col("user_id") == 1).count()
+    # query length: a plain pushdown-filtered events count — NOT a
+    # user_points() count, which sorted the whole corpus through the
+    # seq window to count one user's rows (round 12; row counts are
+    # window-invariant)
+    m = t.events.filter(F.col("user_id") == 1).count()
     bound = _lcss_candidates(spark, t).select(
         "user_id",
         F.col("ub").alias("bnum"),
@@ -1013,7 +1021,11 @@ def traj_edr_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplication 5·edr <= 3·max(n,m).  Brute-force equality
     pinned in tests/test_twophase.py."""
     t = Tables(spark, sf_dir)
-    m = t.user_points().filter(F.col("user_id") == 1).count()
+    # query length: a plain pushdown-filtered events count — NOT a
+    # user_points() count, which sorted the whole corpus through the
+    # seq window to count one user's rows (round 12; row counts are
+    # window-invariant)
+    m = t.events.filter(F.col("user_id") == 1).count()
     cand = _edr_candidates(spark, t).filter(
         F.col("lb") * _EDR_TAU_DEN
         <= F.greatest(F.col("n"), F.lit(m)) * _EDR_TAU_NUM
@@ -1040,7 +1052,11 @@ def traj_edr_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee as ``traj_lcss_knn``.  Brute pinned in
     tests/test_twophase.py."""
     t = Tables(spark, sf_dir)
-    m = t.user_points().filter(F.col("user_id") == 1).count()
+    # query length: a plain pushdown-filtered events count — NOT a
+    # user_points() count, which sorted the whole corpus through the
+    # seq window to count one user's rows (round 12; row counts are
+    # window-invariant)
+    m = t.events.filter(F.col("user_id") == 1).count()
     bound = _edr_candidates(spark, t).select(
         "user_id",
         F.col("lb").alias("bnum"),
@@ -1993,7 +2009,11 @@ def traj_lcss_threshold_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel; exact integer membership 20·lcss >= 11·min(n,m); brute
     equality pinned in tests/test_twophase.py."""
     t = Tables(spark, sf_dir)
-    m = t.user_points().filter(F.col("user_id") == 1).count()
+    # query length: a plain pushdown-filtered events count — NOT a
+    # user_points() count, which sorted the whole corpus through the
+    # seq window to count one user's rows (round 12; row counts are
+    # window-invariant)
+    m = t.events.filter(F.col("user_id") == 1).count()
     cand = _matchable_2d(t).filter(
         F.col("matchable") * _LCSS_TAU_DEN
         >= F.least(F.col("n"), F.lit(m)) * _LCSS_TAU_NUM
@@ -2015,7 +2035,11 @@ def traj_lcss_knn_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound (matchable >= LCSS_2d); bit-identical to refine-all, brute
     pinned in tests/test_twophase.py."""
     t = Tables(spark, sf_dir)
-    m = t.user_points().filter(F.col("user_id") == 1).count()
+    # query length: a plain pushdown-filtered events count — NOT a
+    # user_points() count, which sorted the whole corpus through the
+    # seq window to count one user's rows (round 12; row counts are
+    # window-invariant)
+    m = t.events.filter(F.col("user_id") == 1).count()
     bound = _matchable_2d(t).select(
         "user_id",
         F.col("matchable").alias("bnum"),
@@ -2043,7 +2067,11 @@ def traj_edr_threshold_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossless lower bound max(|n-m|, max(n,m) - matchable) gates the
     kernel, integer membership 5·edr <= 3·max(n,m); brute pinned."""
     t = Tables(spark, sf_dir)
-    m = t.user_points().filter(F.col("user_id") == 1).count()
+    # query length: a plain pushdown-filtered events count — NOT a
+    # user_points() count, which sorted the whole corpus through the
+    # seq window to count one user's rows (round 12; row counts are
+    # window-invariant)
+    m = t.events.filter(F.col("user_id") == 1).count()
     cand = _matchable_2d(t).select(
         "user_id",
         "n",
@@ -2072,7 +2100,11 @@ def traj_edr_knn_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     max(|n-m|, max(n,m) - matchable); bit-identical to refine-all,
     brute pinned in tests/test_twophase.py."""
     t = Tables(spark, sf_dir)
-    m = t.user_points().filter(F.col("user_id") == 1).count()
+    # query length: a plain pushdown-filtered events count — NOT a
+    # user_points() count, which sorted the whole corpus through the
+    # seq window to count one user's rows (round 12; row counts are
+    # window-invariant)
+    m = t.events.filter(F.col("user_id") == 1).count()
     bound = _matchable_2d(t).select(
         "user_id",
         F.greatest(
