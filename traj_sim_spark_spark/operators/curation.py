@@ -208,7 +208,7 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = (
         t.documents.filter(F.length("text") > 0)
         .select("doc_id", "text")
-        .repartition(32, "doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select(
             "doc_id",
             "text",

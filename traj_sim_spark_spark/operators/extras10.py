@@ -132,7 +132,7 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup-saturated clone probe)."""
     n = _SSD_N
     t = Tables(spark, sf_dir)
-    docs = t.documents.repartition(32, "doc_id").select(
+    docs = t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
         "doc_id", "text"
     )
     reps = docs.groupBy("text").agg(
@@ -369,7 +369,7 @@ def text_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row totals broadcast, a top-N window over the (bounded) token
     vocabulary, and 50 final display rows."""
     t = Tables(spark, sf_dir)
-    tok = t.documents.repartition(32, "doc_id").select(
+    tok = t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
         (F.col("doc_id") % 2).alias("half"),
         F.explode(F.split("text", " ")).alias("token"),
     )
@@ -499,7 +499,7 @@ def text_substring_dedup_apply(
     rebuild anti-join shuffles on (rep, position) hash keys."""
     n = _SSD_N
     t = Tables(spark, sf_dir)
-    docs = t.documents.repartition(32, "doc_id").select(
+    docs = t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
         "doc_id", "text"
     )
     reps = docs.groupBy("text").agg(

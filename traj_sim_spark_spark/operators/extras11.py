@@ -1505,7 +1505,7 @@ def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     toks = (
         t.documents.select("source", "text")
-        .repartition(32, "source", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "source", "text")
         .select("source", F.split("text", " ").alias("l"))
         # shorter-than-shingle docs: sequence(1, len-4) would count
         # DOWN through 0 and slice(l, 0, .) throws — the floor-corpus

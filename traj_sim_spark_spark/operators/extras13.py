@@ -155,7 +155,7 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     raw = t.documents.select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
-    ).repartition(32, "doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
     def wrap_and_hist(
         batches: Iterator[pd.DataFrame],

@@ -309,7 +309,7 @@ def mm_phash_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         # gate on the SAMPLE stream length BEFORE wrapping (mirrors
         # the oracle's n_chars filter; PGM header bytes don't count)
         .where(F.octet_length("payload") >= _PH_MIN_BYTES)
-        .repartition(32, "doc_id")  # decode parallelism (1 row group)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")  # decode parallelism (1 row group)
     )
 
     n_docs = (
@@ -1309,7 +1309,7 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pixel-difference SAD instead of byte sums)."""
     t = Tables(spark, sf_dir)
     docs = (
-        t.documents.repartition(32, "doc_id")
+        t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .where(F.col("n_chars") >= 2 * _SC_FRAME)
         .select(
             "doc_id",

@@ -292,7 +292,7 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tok = (
         t.documents.filter(F.col("doc_id") != 0)
-        .repartition(32, "doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     )
     lex_short = (
@@ -613,7 +613,7 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized work is one explode + distinct per half; everything
     downstream is driver-free joins of 64-row DataFrames."""
     t = Tables(spark, sf_dir)
-    tok = t.documents.repartition(32, "doc_id").select(
+    tok = t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     )
     hv = F.conv(F.substring(F.md5("token"), 1, 13), 16, 10).cast("long")
@@ -1572,7 +1572,7 @@ def text_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     tok = (
-        t.documents.repartition(32, "doc_id")
+        t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.explode(shingles).alias("token"))
         .distinct()
     )
@@ -2106,7 +2106,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sh = t.documents.repartition(32, "doc_id").select(
+    sh = t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
         "doc_id", F.explode(shingles).alias("shingle")
     )
     first_doc = sh.groupBy("shingle").agg(F.min("doc_id").alias("fd"))

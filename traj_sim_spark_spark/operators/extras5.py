@@ -689,7 +689,7 @@ def text_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     tok = (
-        t.documents.repartition(32, "doc_id")
+        t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .distinct()
     )
@@ -978,7 +978,7 @@ def text_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen.  Re-scoring 100 TB with new weights is a projection-only
     job — no shuffle."""
     t = Tables(spark, sf_dir)
-    tok = t.documents.repartition(32, "doc_id").select(
+    tok = t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     )
     feats = tok.groupBy("doc_id").agg(
@@ -1222,7 +1222,7 @@ def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = _DUPCOV_N
     t = Tables(spark, sf_dir)
-    toks = t.documents.repartition(32, "doc_id").select(
+    toks = t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
         "doc_id", F.split("text", " ").alias("l")
     )
     starts = toks.select(
@@ -2335,7 +2335,7 @@ def text_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = _DUPCOV_N
     t = Tables(spark, sf_dir)
-    toks = t.documents.repartition(32, "doc_id").select(
+    toks = t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
         "doc_id", F.split("text", " ").alias("l")
     )
     pos = toks.select(

@@ -1315,7 +1315,7 @@ def pipe_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     one window + one group — all keyed on doc_id, corpus-linear."""
     t = Tables(spark, sf_dir)
     tok = (
-        t.documents.repartition(32, "doc_id")
+        t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select(
             "doc_id",
             F.posexplode(F.split("text", " ")).alias("p0", "w"),
@@ -1540,7 +1540,7 @@ def pipe_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     traj_resample discipline: no calendar/driver involvement), one
     slice+concat projection each, zero shuffles beyond the scan."""
     t = Tables(spark, sf_dir)
-    d = t.documents.repartition(32, "doc_id").select(
+    d = t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
         "doc_id", F.split("text", " ").alias("w")
     )
     starts = d.select(

@@ -64,7 +64,7 @@ def _jaccard_capped_tokens(t: Tables) -> DataFrame:
     the guard is a broadcast anti-join — no extra shuffle on the skewed
     key itself."""
     tok = (
-        t.documents.repartition(32, "doc_id").select(
+        t.documents.repartition(t.spark.sparkContext.defaultParallelism, "doc_id").select(
             "doc_id",
             "lang",
             "source",
@@ -446,7 +446,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-min sketch with k=1) + distinct-shingle count. Shingles come from a
     window over the position-exploded token table."""
     t = Tables(spark, sf_dir)
-    tok = t.documents.repartition(32, "doc_id").select(
+    tok = t.documents.repartition(t.spark.sparkContext.defaultParallelism, "doc_id").select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     )
     w = W.partitionBy("doc_id").orderBy("pos")
@@ -566,7 +566,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "cand string, token string",
     )
-    tok = t.documents.repartition(32, "doc_id").select(
+    tok = t.documents.repartition(t.spark.sparkContext.defaultParallelism, "doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     )
     hits = (

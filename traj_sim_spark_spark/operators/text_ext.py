@@ -51,7 +51,7 @@ def _word_shingles(docs: DataFrame, n: int) -> DataFrame:
     # on a single task; measured 3.7 s -> ~1 s for text_boilerplate at
     # sf0.1 local[32]
     return (
-        docs.repartition(32, "doc_id").select(
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc_id").select(
             "doc_id",
             "lang",
             "source",
@@ -378,7 +378,7 @@ def text_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     tok = (
-        t.documents.repartition(32, "doc_id").select(
+        t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
             "doc_id", F.explode(F.split("text", " ")).alias("token")
         )
         .distinct()
@@ -603,7 +603,7 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = (
         t.documents.filter(F.length("text") > 1)
         .select("doc_id", "text")
-        .repartition(32, "doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select(
             "doc_id",
             "text",
@@ -695,7 +695,7 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     kg = (
         t.documents.filter(F.length("text") >= _WIN_K)
         .select("doc_id", "text")
-        .repartition(32, "doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select(
             "doc_id",
             "text",

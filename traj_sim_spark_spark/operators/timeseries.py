@@ -173,7 +173,7 @@ def sketch_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pre-explode repartition (house tokenizer idiom): the docs fixture
     # is one row group; without this the tokenize + 4x md5 hashing runs
     # on a single task
-    tok = t.documents.repartition(32, "doc_id").select(
+    tok = t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
         F.explode(F.split("text", " ")).alias("token")
     )
     rows = spark.range(_CMS_D).select(F.col("id").cast("int").alias("j"))
@@ -490,7 +490,7 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct hash agg is the only data-sized work."""
     t = Tables(spark, sf_dir)
     h = (
-        t.documents.repartition(32, "doc_id")
+        t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select(F.explode(F.split("text", " ")).alias("token"))
         .select(
             F.conv(F.substring(F.md5("token"), 1, 13), 16, 10)
@@ -574,7 +574,7 @@ def sketch_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, j, bucket) aggregate is still map-side combinable; nothing
     data-sized crosses the network twice."""
     t = Tables(spark, sf_dir)
-    tok = t.documents.repartition(32, "doc_id").select(
+    tok = t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
         "source", F.explode(F.split("text", " ")).alias("token")
     )
     rows = spark.range(_CMS_D).select(F.col("id").cast("int").alias("j"))
