@@ -72,13 +72,16 @@ def test_lb_batch_2d_is_admissible(spark, sf_dir):
     import numpy as np
 
     t = Tables(spark, sf_dir)
+    arrdf = _float_arrays_2d(t)
     arr = {
         r["user_id"]: np.column_stack(
             (np.asarray(r["xs"]), np.asarray(r["ys"]))
         ).astype(np.float64)
-        for r in _float_arrays_2d(t).collect()
+        for r in arrdf.collect()
     }
-    lbs = _lb_batch_2d(spark, t).collect()
+    # r12 signature: the bound's scalar features derive from the
+    # assembly DataFrame itself, not a second events scan
+    lbs = _lb_batch_2d(spark, arrdf).collect()
     assert len(lbs) > 0
     for r in lbs[:200]:
         exact = kernels.frechet(arr[r["user_id"]], arr[r["qid"]])
@@ -202,7 +205,10 @@ def test_matchable_2d_batch_bounds_are_admissible(spark, sf_dir):
     )
     from traj_sim_spark_spark.tables import Tables
 
+    from traj_sim_spark_spark.operators.extras13 import _int2d_batch_qarr
+
     t = Tables(spark, sf_dir)
+    arrdf = _q2d_arrays(t)
     arr = {
         r["user_id"]: np.stack(
             [
@@ -211,9 +217,10 @@ def test_matchable_2d_batch_bounds_are_admissible(spark, sf_dir):
             ],
             axis=1,
         )
-        for r in _q2d_arrays(t).collect()
+        for r in arrdf.collect()
     }
-    rows = _matchable_2d_batch(spark, t).collect()
+    # r12 signature: matchability is an Arrow pass over the assembly
+    rows = _matchable_2d_batch(arrdf, _int2d_batch_qarr(arrdf)).collect()
     assert len(rows) > 0
     for r in rows[:120]:
         a, b = arr[r["user_id"]], arr[r["qid"]]
