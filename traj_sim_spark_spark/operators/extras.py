@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine, to_double
+from ..functions.vector import dot, norm2, to_double
 from ..registry import query
 from ..tables import Tables
 
@@ -327,24 +327,45 @@ def _emb_lsh_pairs(embd: DataFrame) -> DataFrame:
     ``emb_neardup_lsh`` over an arbitrary (vec_id, embedding) set —
     shared with the rep-collapsed semantic dedup pipeline
     (``text_ext.pipe_dedup_semantic``)."""
-    emb = embd.select(
-        "vec_id", to_double("embedding").alias("emb")
-    ).withColumn(
-        "bucket",
-        F.concat_ws(
-            "",
-            F.transform(
-                F.slice("emb", 1, 4),
-                lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+    # per-vector L2 norm computed ONCE before the pair join (guide
+    # §4.1: higher-order array folds are not codegen'd, so the three
+    # folds per pair — dot + both norms — were 2/3 redundant; the
+    # per-row norm2 is the identical expression on the identical
+    # input, hence the same IEEE double and the same cosine)
+    emb = (
+        embd.select("vec_id", to_double("embedding").alias("emb"))
+        .withColumn(
+            "bucket",
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.slice("emb", 1, 4),
+                    lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+                ),
             ),
-        ),
+        )
+        .withColumn("nrm", norm2("emb"))
     )
-    a = emb.select("bucket", F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"))
-    b = emb.select("bucket", F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"))
+    a = emb.select(
+        "bucket",
+        F.col("vec_id").alias("id_a"),
+        F.col("emb").alias("ea"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = emb.select(
+        "bucket",
+        F.col("vec_id").alias("id_b"),
+        F.col("emb").alias("eb"),
+        F.col("nrm").alias("nrm_b"),
+    )
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cs", cosine(F.col("ea"), F.col("eb")))
+        .withColumn(
+            "cs",
+            dot(F.col("ea"), F.col("eb"))
+            / (F.col("nrm_a") * F.col("nrm_b")),
+        )
         .filter(F.col("cs") >= 0.4)
         .select("id_a", "id_b", (F.round("cs", 6) + 0.0).alias("cos_sim"))
     )

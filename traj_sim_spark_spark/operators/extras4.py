@@ -1686,50 +1686,58 @@ def pipe_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: cost = the three underlying dedup pipelines (each
     already bucketed/LSH-shaped, never all-pairs) + three semi-joins
-    on doc_id; output is 3 rows at any corpus size."""
-    from ..registry import QUERIES
+    on doc_id; output is 3 rows at any corpus size.
+
+    REP-LEVEL COLLAPSE (round 12, guide §2.4): the exact tier's keep
+    set {min doc_id per content group} IS the rep set of the MinHash
+    tier's exact-group collapse, and the MinHash keep flag is only 1
+    on an un-dropped rep — so the three per-document left joins (one
+    of them re-joining the corpus on full TEXT) reduce to ONE
+    aggregate over the rep relation: n0 = Σ group sizes, n1 = #reps,
+    n2 = #reps not LSH-dropped, n3 = additionally semantic-kept (docs
+    without an embedding are kept, exactly the registered tier's
+    left-join null semantics).  Each tier's decision still comes from
+    its REGISTERED body (`pipelines._neardup_dropped_reps`,
+    `text_ext._semantic_flags` — the same helpers the registered
+    queries execute); the unchanged composed oracle re-certifies the
+    equivalence on every gate run."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    from .pipelines import _neardup_dropped_reps
+    from .text_ext import _semantic_flags
 
     t = Tables(spark, sf_dir)
-    docs = t.documents.select("doc_id")
-    # ONE action computes every stage count: each tier contributes a
-    # per-doc keep FLAG (left join + NOT NULL), the funnel's sequential
-    # semantics become flag conjunctions inside a single aggregate —
-    # four serialized count() jobs (each re-waiting on its semi-join)
-    # collapse into one pass over the flag relation
-    e_keep = (
-        QUERIES["text_exact_dedup"](spark, sf_dir)
-        .select(F.col("keep_id").alias("doc_id"))
-        .withColumn("e", F.lit(1))
-    )
-    m_keep = (
-        QUERIES["pipe_neardup_dedup"](spark, sf_dir)
-        .filter(F.col("keep") == 1)
-        .select("doc_id")
-        .withColumn("m", F.lit(1))
-    )
-    s_keep = (
-        QUERIES["pipe_dedup_semantic"](spark, sf_dir)
-        .filter(F.col("kept"))
-        .select("doc_id")
-        .withColumn("s", F.lit(1))
-    )
-    flags = (
-        docs.join(e_keep, "doc_id", "left")
-        .join(m_keep, "doc_id", "left")
-        .join(s_keep, "doc_id", "left")
-    )
-    row = flags.agg(
-        F.count("*").alias("n0"),
-        F.count("e").alias("n1"),
-        F.count(F.when(F.col("e").isNotNull() & F.col("m").isNotNull(), 1)).alias("n2"),
-        F.count(
-            F.when(
-                F.col("e").isNotNull()
-                & F.col("m").isNotNull()
-                & F.col("s").isNotNull(),
-                1,
+    # the semantic chain's eager materialization (embedding-group
+    # checkpoint) is independent of the text chain's two — overlap the
+    # two builder chains from a driver thread (guide §2.6) so the
+    # serial checkpoint jobs back-fill each other
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        sem_f = pool.submit(
+            inheritable_thread_target(spark)(
+                lambda: _semantic_flags(spark, sf_dir)
             )
-        ).alias("n3"),
+        )
+        groups = (
+            t.documents.groupBy("text")
+            .agg(F.min("doc_id").alias("rep"), F.count("*").alias("n_docs"))
+            .localCheckpoint()
+        )
+        dropped_reps = _neardup_dropped_reps(spark, groups)
+        sem = sem_f.result().withColumnRenamed("doc_id", "rep")
+    flags = (
+        groups.select("rep", "n_docs")
+        .join(F.broadcast(dropped_reps), "rep", "left")
+        .join(F.broadcast(sem), "rep", "left")
+    )
+    kept_m = F.col("rep_dropped").isNull()
+    kept_s = kept_m & ~F.coalesce(F.col("dropped"), F.lit(False))
+    row = flags.agg(
+        F.sum("n_docs").alias("n0"),
+        F.count("*").alias("n1"),
+        F.count(F.when(kept_m, 1)).alias("n2"),
+        F.count(F.when(kept_s, 1)).alias("n3"),
     ).head()
     n0, n1, n2, n3 = row["n0"], row["n1"], row["n2"], row["n3"]
     rows = [

@@ -200,6 +200,81 @@ def rel_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _neardup_dropped_reps(spark: SparkSession, groups: DataFrame) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification
+    over the exact-group representatives: the (rep, rep_dropped=1)
+    relation of ``pipe_neardup_dedup``, shared with the funnel report
+    (``extras4.pipe_dedup_funnel``) so the audited dedup decision is
+    one body.
+
+    The verify intersects INTEGER token ids: a deterministic injective
+    token -> id dictionary (hash bucket * 2^40 + rank-within-bucket —
+    two-phase, so no corpus-wide single-partition sort) is broadcast
+    onto the token stream (the ``text_bigram_lm`` broadcast-dictionary
+    discipline), and each candidate pair intersects two int arrays.
+    |A∩B| and the set sizes are invariant under any injective
+    relabeling, so the Jaccard >= 0.5 decision is bit-identical to the
+    string form the oracle computes."""
+    from .text import _lsh_candidates, _minhash_cols
+
+    n = spark.sparkContext.defaultParallelism
+    # repartition AFTER the rep -> doc_id alias: hash partitioning does
+    # not survive the rename, and without it the signature aggregate
+    # AQE-coalesces to ~2 partitions and the 4.8M-pair array verify
+    # runs on 2 cores (measured 26 s -> 5 s; the doc_tokens discipline)
+    rep_docs = groups.select(
+        F.col("rep").alias("doc_id"), "text"
+    ).repartition(n, "doc_id")
+    rtok = rep_docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    sig = rtok.groupBy("doc_id").agg(*_minhash_cols()).localCheckpoint()
+    cand = _lsh_candidates(sig)
+    tok = rtok.distinct()
+    bucket = F.pmod(F.xxhash64("token"), F.lit(1024)).cast("int")
+    vocab = (
+        tok.select("token")
+        .distinct()
+        .withColumn("b", bucket)
+        .withColumn(
+            "tid",
+            F.col("b").cast("long") * F.lit(1 << 40).cast("long")
+            + F.row_number().over(W.partitionBy("b").orderBy("token")),
+        )
+        .select("token", "tid")
+    )
+    lists = (
+        tok.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("tid")).alias("toks"),
+            F.count("*").alias("n"),
+        )
+    )
+    la = lists.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n").alias("na"),
+    )
+    lb = lists.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n").alias("nb"),
+    )
+    v = (
+        cand.join(la, "id_a")
+        .join(lb, "id_b")
+        .withColumn("both_n", F.size(F.array_intersect("toks_a", "toks_b")))
+    )
+    jac = F.col("both_n") / (F.col("na") + F.col("nb") - F.col("both_n"))
+    return (
+        v.filter(jac >= 0.5)
+        .select(F.col("id_b").alias("rep"))
+        .distinct()
+        .withColumn("rep_dropped", F.lit(1))
+    )
+
+
 def _neardup_oracle() -> str:
     from .text import _MINHASH_ORACLE_BANDS, _MINHASH_ORACLE_SIG
 
@@ -277,55 +352,24 @@ def pipe_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse in-bucket candidate pairs grow as clones² — measured
     5.3 s -> 240 s on a 10x exact-clone corpus before this change;
     with it the near-dup stages scale with DISTINCT texts (the
-    RefinedWeb/Falcon exact-before-fuzzy dedup ordering)."""
-    from .text import _lsh_candidates, _minhash_cols
+    RefinedWeb/Falcon exact-before-fuzzy dedup ordering).
 
+    INT-ID VERIFY (round 12, guide §2.3 narrower types): the exact
+    intersection runs over integer token ids, not token strings — a
+    deterministic injective dictionary (hash-bucketed two-phase rank,
+    no global sort) is broadcast onto the token stream before the
+    per-doc array aggregate, so every candidate pair intersects two
+    int arrays instead of two string arrays.  |A∩B|, |A|, |B| are
+    bijection-invariant, so the Jaccard decision (and the oracle
+    hash) is unchanged; measured 3.3 s -> 1.5 s on the 4.8M-pair
+    sf0.1 verify."""
     t = Tables(spark, sf_dir)
-    n = spark.sparkContext.defaultParallelism
     groups = (
         t.documents.groupBy("text")
         .agg(F.min("doc_id").alias("rep"))
         .localCheckpoint()
     )
-    # repartition AFTER the rep -> doc_id alias: hash partitioning does
-    # not survive the rename, and without it the signature aggregate
-    # AQE-coalesces to ~2 partitions and the 4.8M-pair array verify
-    # runs on 2 cores (measured 26 s -> 5 s; the doc_tokens discipline)
-    rep_docs = groups.select(
-        F.col("rep").alias("doc_id"), "text"
-    ).repartition(n, "doc_id")
-    rtok = rep_docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    )
-    sig = rtok.groupBy("doc_id").agg(*_minhash_cols()).localCheckpoint()
-    cand = _lsh_candidates(sig)
-    tok = rtok.distinct()
-    lists = tok.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("token")).alias("toks"),
-        F.count("*").alias("n"),
-    )
-    la = lists.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("toks").alias("toks_a"),
-        F.col("n").alias("na"),
-    )
-    lb = lists.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("toks").alias("toks_b"),
-        F.col("n").alias("nb"),
-    )
-    v = (
-        cand.join(la, "id_a")
-        .join(lb, "id_b")
-        .withColumn("both_n", F.size(F.array_intersect("toks_a", "toks_b")))
-    )
-    jac = F.col("both_n") / (F.col("na") + F.col("nb") - F.col("both_n"))
-    dropped_reps = (
-        v.filter(jac >= 0.5)
-        .select(F.col("id_b").alias("rep"))
-        .distinct()
-        .withColumn("rep_dropped", F.lit(1))
-    )
+    dropped_reps = _neardup_dropped_reps(spark, groups)
     doc_rep = (
         t.documents.select("doc_id", "text")
         .join(groups, "text")

@@ -465,6 +465,45 @@ def text_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document SemDeDup drop flags ``(doc_id, dropped)`` of
+    ``pipe_dedup_semantic`` — the rep-collapsed sign-LSH + cosine
+    verify over distinct embeddings, shared with the funnel report
+    (``extras4.pipe_dedup_funnel``) so the audited semantic decision
+    is one body.  Docs without an embedding are absent (the consumer
+    left-joins and treats null as kept, exactly as the registered
+    query does)."""
+    from ..operators.extras import _emb_lsh_pairs
+
+    t = Tables(spark, sf_dir)
+    embd = t.embeddings.select("vec_id", "embedding")
+    groups = (
+        embd.groupBy("embedding")
+        .agg(F.min("vec_id").alias("rep"))
+        .localCheckpoint()
+    )
+    rep_emb = groups.select(F.col("rep").alias("vec_id"), "embedding")
+    dropped_reps = (
+        _emb_lsh_pairs(rep_emb)
+        .select(F.col("id_b").alias("rep"))
+        .distinct()
+        .withColumn("rep_dropped", F.lit(1))
+    )
+    nonzero = F.exists("embedding", lambda x: x != 0)
+    vec_rep = embd.join(groups, "embedding").select(
+        F.col("vec_id").alias("doc_id"),
+        "rep",
+        nonzero.alias("rep_nonzero"),
+    )
+    return vec_rep.join(F.broadcast(dropped_reps), "rep", "left").select(
+        "doc_id",
+        (
+            ((F.col("doc_id") != F.col("rep")) & F.col("rep_nonzero"))
+            | F.col("rep_dropped").isNotNull()
+        ).alias("dropped"),
+    )
+
+
 def _dedup_semantic_oracle() -> str:
     from ..registry import ORACLES
     from . import extras  # noqa: F401  (register emb_neardup_lsh)
@@ -507,35 +546,8 @@ def pipe_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-id argument as the text collapse).  The unchanged per-document
     oracle re-certifies the equivalence every gate run; measured
     147.6 s -> distinct-scaled on the 10x exact-clone corpus."""
-    from ..operators.extras import _emb_lsh_pairs
-
     t = Tables(spark, sf_dir)
-    embd = t.embeddings.select("vec_id", "embedding")
-    groups = (
-        embd.groupBy("embedding")
-        .agg(F.min("vec_id").alias("rep"))
-        .localCheckpoint()
-    )
-    rep_emb = groups.select(F.col("rep").alias("vec_id"), "embedding")
-    dropped_reps = (
-        _emb_lsh_pairs(rep_emb)
-        .select(F.col("id_b").alias("rep"))
-        .distinct()
-        .withColumn("rep_dropped", F.lit(1))
-    )
-    nonzero = F.exists("embedding", lambda x: x != 0)
-    vec_rep = embd.join(groups, "embedding").select(
-        F.col("vec_id").alias("doc_id"),
-        "rep",
-        nonzero.alias("rep_nonzero"),
-    )
-    flags = vec_rep.join(F.broadcast(dropped_reps), "rep", "left").select(
-        "doc_id",
-        (
-            ((F.col("doc_id") != F.col("rep")) & F.col("rep_nonzero"))
-            | F.col("rep_dropped").isNotNull()
-        ).alias("dropped"),
-    )
+    flags = _semantic_flags(spark, sf_dir)
     return (
         t.documents.select("doc_id", "lang", "source")
         .join(F.broadcast(flags), "doc_id", "left")
