@@ -1432,13 +1432,14 @@ def emb_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     openly at each rung — the standard LSH width trade, and this row
     is a calibration HISTOGRAM, not a dedup verdict. Output is <= 20
     rows at any corpus size."""
-    from ..functions.vector import cosine, to_double
+    from ..functions.vector import dot, norm2, to_double
+    from ..tables import parquet_row_count
 
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select(
         "vec_id", to_double("embedding").alias("emb")
     )
-    n_vec = t.embeddings.count()
+    n_vec = parquet_row_count(spark, sf_dir, "embeddings")
     if n_vec < 2000:
         width = 4
     elif n_vec < 50000:
@@ -1451,21 +1452,34 @@ def emb_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"concat_ws('', transform(slice(emb, 1, {width}),"
         " x -> IF(x >= double(0), '1', '0')))"
     )
-    sig = emb.select("vec_id", "emb", bucket.alias("bucket"))
+    # per-vector L2 norm once per ROW before the pair join (guide §4.1,
+    # the `_emb_lsh_pairs` cure: higher-order folds are not codegen'd,
+    # so dot + both norms per PAIR was 2/3 redundant; `norm2` here is
+    # the identical fold on the identical array -> the same IEEE double
+    # -> `dot/(nrm_a*nrm_b)` is bit-equal to the old cosine())
+    sig = emb.select(
+        "vec_id", "emb", bucket.alias("bucket"), norm2("emb").alias("nrm")
+    )
     a = sig.select(
         F.col("vec_id").alias("id_a"),
         F.col("emb").alias("ea"),
+        F.col("nrm").alias("nrm_a"),
         "bucket",
     )
     b = sig.select(
         F.col("vec_id").alias("id_b"),
         F.col("emb").alias("eb"),
+        F.col("nrm").alias("nrm_b"),
         "bucket",
     )
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cs", cosine(F.col("ea"), F.col("eb")))
+        .withColumn(
+            "cs",
+            dot(F.col("ea"), F.col("eb"))
+            / (F.col("nrm_a") * F.col("nrm_b")),
+        )
     )
     return (
         pairs.select(

@@ -693,9 +693,33 @@ def text_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .distinct()
     )
-    df = tok.groupBy("token").agg(F.count("*").alias("df"))
+    # INT-ID DICTIONARY (round 12, guide §2.3 narrower types): the df
+    # aggregate doubles as the vocabulary, and each token gets a
+    # deterministic injective int64 id (hash bucket * 2^40 +
+    # rank-within-bucket — two-phase, so no vocab-wide single-partition
+    # sort; the `pipe_neardup_dedup` dictionary discipline).  The
+    # prefix self-join then collides on a LONG instead of a ~40-char
+    # string, and the exact verify intersects two INT arrays.  |A∩B|,
+    # |A|, |B| are invariant under any injective relabeling and every
+    # threshold/argmax decision is integer arithmetic on those sizes,
+    # so the output — and the string-side oracle — is unchanged.
+    # Broadcasting the vocab also keeps the token stream partitioned
+    # by doc_id straight into the rank window (the string-keyed df
+    # join re-shuffled it by token and back).
+    bucket = F.pmod(F.xxhash64("token"), F.lit(1024)).cast("int")
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .withColumn("b", bucket)
+        .withColumn(
+            "tid",
+            F.col("b").cast("long") * F.lit(1 << 40).cast("long")
+            + F.row_number().over(W.partitionBy("b").orderBy("token")),
+        )
+        .select("token", "df", "tid")
+    )
     ranked = (
-        tok.join(df, "token")
+        tok.join(F.broadcast(vocab), "token")
         .withColumn(
             "rn",
             F.row_number().over(
@@ -712,16 +736,16 @@ def text_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div {_PFX_TAU_DEN}"
         )
         + 1
-    ).select("doc_id", "token", "rn", "n")
+    ).select("doc_id", "tid", "rn", "n")
     a = pfx.select(
         F.col("doc_id").alias("id_a"),
-        "token",
+        "tid",
         F.col("rn").alias("pa"),
         F.col("n").alias("na_p"),
     )
     b = pfx.select(
         F.col("doc_id").alias("id_b"),
-        "token",
+        "tid",
         F.col("rn").alias("pb"),
         F.col("n").alias("nb_p"),
     )
@@ -734,7 +758,7 @@ def text_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (14.2 s -> 5.8 s at sf0.1); the oracle keeps the plain prefix
     # candidate set, so the gate also certifies the prunes lossless.
     raw = (
-        a.join(b, "token")
+        a.join(b, "tid")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             F.lit(_PFX_TAU_NUM) * F.greatest("na_p", "nb_p")
@@ -753,9 +777,13 @@ def text_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cand = raw.select("id_a", "id_b").distinct()
-    lists = tok.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("token")).alias("toks"),
-        F.count("*").alias("n"),
+    lists = (
+        tok.join(F.broadcast(vocab.select("token", "tid")), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("tid")).alias("toks"),
+            F.count("*").alias("n"),
+        )
     )
     la = lists.select(
         F.col("doc_id").alias("id_a"),

@@ -499,11 +499,15 @@ _SEARCH_K = 10
 
 
 def _user_positions(t: Tables) -> DataFrame:
-    """(user_id, i, v): each user's series with 1-based positions."""
-    w = Window.partitionBy("user_id").orderBy("seq")
+    """(user_id, i, v): each user's series with 1-based positions.
+
+    ``seq`` IS the 1-based dense per-user position (``user_points``
+    defines it as row_number over the same (user_id; ts, event_id)
+    order), so re-ranking it through a second row_number window was the
+    identity — round 12 (guide §2.4) drops the redundant window pass."""
     return t.user_points().select(
         "user_id",
-        F.row_number().over(w).alias("i"),
+        F.col("seq").alias("i"),
         F.col("value").alias("v"),
     )
 
@@ -559,9 +563,17 @@ def _edr_candidates(spark: SparkSession, t: Tables) -> DataFrame:
     everything else costs >= 1), and EDR >= |n - m|.  Matchability is
     an eps-cell semi-join against the broadcast query values (probe
     the 3 adjacent cells).  Lossless; same dense-regime selectivity
-    note as the LCSS bound.  Returns (user_id, n, lb)."""
-    pos = _user_positions(t)
-    q = pos.filter(F.col("user_id") == 1)
+    note as the LCSS bound.  Returns (user_id, n, lb).
+
+    Round 12 (guide §2.4): the bound never uses series ORDER — point
+    identity within a user is (ts, event_id), counts are
+    window-invariant — so the corpus-wide row_number window (an
+    Exchange + Sort) and the windowed query-length count are gone;
+    everything reads ``events`` directly."""
+    pts = t.events.select(
+        "user_id", "ts", "event_id", F.col("value").alias("v")
+    )
+    q = pts.filter(F.col("user_id") == 1)
     m = q.count()
     qcells = (
         q.withColumn("cell", F.floor(F.col("v") / _SEARCH_EPS))
@@ -575,13 +587,13 @@ def _edr_candidates(spark: SparkSession, t: Tables) -> DataFrame:
         )
         .select("cell", F.col("v").alias("qv"))
     )
-    cand = pos.filter(F.col("user_id") != 1).withColumn(
+    cand = pts.filter(F.col("user_id") != 1).withColumn(
         "cell", F.floor(F.col("v") / _SEARCH_EPS)
     )
     matchable = (
         cand.join(F.broadcast(qcells), "cell")
         .filter(F.abs(F.col("v") - F.col("qv")) <= _SEARCH_EPS)
-        .select("user_id", "i")
+        .select("user_id", "ts", "event_id")
         .distinct()
         .groupBy("user_id")
         .agg(F.count("*").alias("matchable"))
@@ -1857,15 +1869,18 @@ _EPSM = 10_000_000  # eps in micro units (10.0 plane units)
 
 def _pts_2d_q(t: Tables) -> DataFrame:
     """(user_id, i, qx, qy): micro-quantized plane points with 1-based
-    per-user positions (same ordering as the 2-D assemblies)."""
+    per-user positions (same ordering as the 2-D assemblies).
+
+    ``seq`` IS that position (``user_points`` ranks by the same
+    (user_id; ts, event_id) order), so the former second row_number
+    window was the identity — dropped in round 12 (guide §2.4)."""
     ev = t.user_points()
     t0 = t.events.agg(F.min(F.unix_micros("ts")).alias("t0"))
-    w = Window.partitionBy("user_id").orderBy("seq")
     return (
         ev.join(F.broadcast(t0))
         .select(
             "user_id",
-            F.row_number().over(w).alias("i"),
+            F.col("seq").alias("i"),
             F.expr(
                 "CAST(ROUND((unix_micros(ts) - t0) / 86400000000.0"
                 " * 1e6) AS BIGINT)"
