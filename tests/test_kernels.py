@@ -431,3 +431,90 @@ def test_erp_int2d_matches_reference_dp():
             np.int64
         )
         assert kernels.erp_int2d(A, B) == erp2_ref(A, B)
+
+
+def test_segment_intersections_kernel_matches_catalyst_join(spark, sf_dir):
+    """The round-12 vectorized Arrow kernel for
+    ``traj_segment_intersections`` must be row-identical to the
+    Catalyst join form it replaced (same day/block decomposition, same
+    bbox + canonical-day + four-orientation predicates as SQL
+    expressions) — an independent in-Spark twin on top of the DuckDB
+    oracle gate."""
+    from pyspark.sql import functions as F
+
+    from traj_sim_spark_spark import registry
+    from traj_sim_spark_spark.operators.extras2 import (
+        _SI_DAY_US,
+        _int_segments,
+        _proper_crossing,
+    )
+    from traj_sim_spark_spark.tables import Tables
+
+    registry.load_all()
+
+    seg = _int_segments(Tables(spark, sf_dir)).withColumn(
+        "day",
+        F.explode(
+            F.sequence(
+                F.expr(f"x1 div {_SI_DAY_US}"),
+                F.expr(f"x2 div {_SI_DAY_US}"),
+            )
+        ),
+    )
+    B = 6
+    blocks = F.explode(F.sequence(F.lit(0), F.lit(B - 1)))
+    a = (
+        seg.withColumn("blk", F.pmod("user_id", F.lit(B)))
+        .withColumn("obk", blocks)
+        .alias("a")
+    )
+    b = (
+        seg.withColumn("obk", F.pmod("user_id", F.lit(B)))
+        .withColumn("blk", blocks)
+        .alias("b")
+    )
+    cand = a.join(
+        b,
+        (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.obk") == F.col("b.obk"))
+        & (F.col("a.user_id") < F.col("b.user_id"))
+        & (
+            F.col("a.day")
+            == F.greatest(
+                F.expr(f"a.x1 div {_SI_DAY_US}"),
+                F.expr(f"b.x1 div {_SI_DAY_US}"),
+            )
+        )
+        & (F.greatest("a.x1", "b.x1") <= F.least("a.x2", "b.x2"))
+        & (
+            F.greatest(F.least("a.y1", "a.y2"), F.least("b.y1", "b.y2"))
+            <= F.least(
+                F.greatest("a.y1", "a.y2"), F.greatest("b.y1", "b.y2")
+            )
+        ),
+    ).select(
+        F.col("a.user_id").alias("ua"),
+        F.col("a.x1").alias("ax1"),
+        F.col("a.y1").alias("ay1"),
+        F.col("a.x2").alias("ax2"),
+        F.col("a.y2").alias("ay2"),
+        F.col("b.user_id").alias("ub"),
+        F.col("b.x1").alias("bx1"),
+        F.col("b.y1").alias("by1"),
+        F.col("b.x2").alias("bx2"),
+        F.col("b.y2").alias("by2"),
+    )
+    twin = (
+        cand.filter(_proper_crossing())
+        .groupBy(F.col("ua").alias("user_a"), F.col("ub").alias("user_b"))
+        .agg(F.count("*").alias("n_crossings"))
+    )
+    want = sorted(tuple(r) for r in twin.collect())
+    got = sorted(
+        tuple(r)
+        for r in registry.QUERIES["traj_segment_intersections"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert got == want

@@ -1036,7 +1036,20 @@ def traj_segment_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossing pair shares the cell containing its intersection point,
     so the bucketing is lossless. All joins are equi-joins; the only
     quadratic term is within-bucket, bounded by per-day segment
-    density (the same argument as ``traj_comovement``)."""
+    density (the same argument as ``traj_comovement``).
+
+    Execution (round 12, guide §4.2 per-task work): the within-bucket
+    quadratic is evaluated by a VECTORIZED Arrow kernel instead of a
+    sort-merge join streaming the grid row-at-a-time — at sf0.1 the
+    (day, block) buckets hold ~673M grid cells, and codegen'd join-row
+    production was the entire cost (~4.8 s action; the same cells as
+    int64 NumPy lattice masks evaluate in well under a second). The
+    pair SPACE is untouched: segments replicate to the identical
+    (day, blk, obk) key space, each unordered pair still meets in
+    exactly one group of one canonical day, every predicate (user
+    order, bbox overlap, canonical-day attribution, four-orientation
+    CCW signs) is the same INT64 arithmetic — NumPy int64 and Catalyst
+    BIGINT make identical decisions, so the oracle needs no mirror."""
     seg = _int_segments(Tables(spark, sf_dir)).withColumn(
         "day",
         F.explode(
@@ -1046,71 +1059,182 @@ def traj_segment_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    # Pair-block decomposition: ~30 day keys alone cap the join at 30
-    # tasks while the within-day work is quadratic. Each side replicates
-    # B ways so the (day, block_a, block_b) key space has 30*B^2 keys
-    # and every user pair meets in EXACTLY one of them (a's own block
-    # crossed with b's own block) — pure physical re-distribution, the
-    # logical pair set is untouched (so the oracle needs no mirror).
+    # Pair-block decomposition: ~30 day keys alone cap the work at 30
+    # tasks while the within-day work is quadratic. The a-side of each
+    # pair lands in its OWN block crossed with every opposite block
+    # (and vice versa for the b-side), so the (day, blk, obk) key space
+    # has 30*B^2 keys and every user pair meets in EXACTLY one of them
+    # — pure physical re-distribution, the logical pair set is
+    # untouched (so the oracle needs no mirror).
     _B = 6
-    blocks = F.explode(F.sequence(F.lit(0), F.lit(_B - 1)))
-    a = (
-        seg.withColumn("blk", F.pmod("user_id", F.lit(_B)))
-        .withColumn("obk", blocks)
-        .alias("a")
-    )
-    b = (
-        seg.withColumn("obk", F.pmod("user_id", F.lit(_B)))
-        .withColumn("blk", blocks)
-        .alias("b")
-    )
-    # a pair found in several shared days is counted ONCE by attributing
-    # it to the canonical cell — the first day both segments cover,
-    # GREATEST of the two start days, which the x-overlap guarantees is
-    # shared. This replaces a wide-row DISTINCT (a full shuffle of every
-    # candidate pair: 116 s at sf0.1) with a predicate evaluated inside
-    # the join itself.
-    cand = a.join(
-        b,
-        (F.col("a.day") == F.col("b.day"))
-        & (F.col("a.blk") == F.col("b.blk"))
-        & (F.col("a.obk") == F.col("b.obk"))
-        & (F.col("a.user_id") < F.col("b.user_id"))
-        & (
-            F.col("a.day")
-            == F.greatest(
-                F.expr(f"a.x1 div {_SI_DAY_US}"),
-                F.expr(f"b.x1 div {_SI_DAY_US}"),
-            )
+    # ONE explode produces both roles' replicas (2B struct entries per
+    # segment-day row) — a two-sided union would re-run the whole
+    # assembly subtree (corpus window included) once per side.
+    grp = F.explode(
+        F.expr(
+            f"concat("
+            f"transform(sequence(0, {_B - 1}), o -> struct("
+            f"  CAST(pmod(user_id, {_B}) AS INT) AS blk,"
+            f"  CAST(o AS INT) AS obk, 0 AS role)),"
+            f"transform(sequence(0, {_B - 1}), o -> struct("
+            f"  CAST(o AS INT) AS blk,"
+            f"  CAST(pmod(user_id, {_B}) AS INT) AS obk, 1 AS role))"
+            f")"
         )
-        & (F.greatest("a.x1", "b.x1") <= F.least("a.x2", "b.x2"))
-        & (
-            F.greatest(
-                F.least("a.y1", "a.y2"), F.least("b.y1", "b.y2")
-            )
-            <= F.least(
-                F.greatest("a.y1", "a.y2"), F.greatest("b.y1", "b.y2")
-            )
-        ),
+    ).alias("g")
+    both = seg.select(
+        "user_id", "x1", "y1", "x2", "y2", "day", grp
     ).select(
-        F.col("a.user_id").alias("ua"),
-        F.col("a.x1").alias("ax1"),
-        F.col("a.y1").alias("ay1"),
-        F.col("a.x2").alias("ax2"),
-        F.col("a.y2").alias("ay2"),
-        F.col("b.user_id").alias("ub"),
-        F.col("b.x1").alias("bx1"),
-        F.col("b.y1").alias("by1"),
-        F.col("b.x2").alias("bx2"),
-        F.col("b.y2").alias("by2"),
+        "day",
+        F.col("g.blk").alias("blk"),
+        F.col("g.obk").alias("obk"),
+        F.col("g.role").alias("role"),
+        "user_id",
+        "x1",
+        "y1",
+        "x2",
+        "y2",
     )
 
+    day_us = _SI_DAY_US
+
+    def kern_part(batches):
+        """One call per shuffle PARTITION (mapInPandas, not a per-group
+        applyInPandas: 1080 tiny groups paid ~2 s of per-group Arrow
+        machinery; one Arrow stream per partition does not). Batches
+        are concatenated — a partition holds ~50k narrow rows — and the
+        (day, blk, obk) groups are processed with in-kernel slicing."""
+        import numpy as np
+        import pandas as pd
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True)
+        )
+        role_c = pdf["role"].to_numpy()
+        u_c = pdf["user_id"].to_numpy(np.int64)
+        x1_c = pdf["x1"].to_numpy(np.int64)
+        y1_c = pdf["y1"].to_numpy(np.int64)
+        x2_c = pdf["x2"].to_numpy(np.int64)
+        y2_c = pdf["y2"].to_numpy(np.int64)
+        day_c = pdf["day"].to_numpy(np.int64)
+        blk_c = pdf["blk"].to_numpy(np.int64)
+        obk_c = pdf["obk"].to_numpy(np.int64)
+        if u_c.size and int(u_c.max()) >> 31:
+            raise ValueError("user_id exceeds 31-bit pack range")
+        if y1_c.size and max(
+            abs(int(y1_c.max())),
+            abs(int(y1_c.min())),
+            abs(int(y2_c.max())),
+            abs(int(y2_c.min())),
+        ) >> 31:
+            raise ValueError("centi-value exceeds 31-bit lattice range")
+        # group rows by (day, blk, obk) via one packed-key sort
+        gkey = (day_c << 16) | (blk_c << 8) | obk_c
+        order = np.argsort(gkey, kind="stable")
+        gsorted = gkey[order]
+        starts = np.flatnonzero(
+            np.r_[True, gsorted[1:] != gsorted[:-1]]
+        )
+        ends = np.r_[starts[1:], gsorted.size]
+        packed = []
+        for g0, g1 in zip(starts, ends):
+            idx = order[g0:g1]
+            day = int(day_c[idx[0]])
+            role = role_c[idx]
+            am, bm = role == 0, role == 1
+            if not am.any() or not bm.any():
+                continue
+            ia, ib = idx[am], idx[bm]
+            ua, ax1, ay1 = u_c[ia], x1_c[ia], y1_c[ia]
+            ax2, ay2 = x2_c[ia], y2_c[ia]
+            ub, bx1, by1 = u_c[ib], x1_c[ib], y1_c[ib]
+            bx2, by2 = x2_c[ib], y2_c[ib]
+            # int32 lattice phase: the full (na x nb) masks are the
+            # memory-bandwidth cost of the kernel (measured 3x slowdown
+            # at 32-way concurrency on int64 lattices), and user ids,
+            # day indices and centi-values all fit int32 (guarded
+            # above).  Only x needs int64 — evaluated COMPRESSED on
+            # the lattice survivors, never as a lattice.
+            ua32, ub32 = ua.astype(np.int32), ub.astype(np.int32)
+            aylo = np.minimum(ay1, ay2).astype(np.int32)
+            ayhi = np.maximum(ay1, ay2).astype(np.int32)
+            bylo = np.minimum(by1, by2).astype(np.int32)
+            byhi = np.maximum(by1, by2).astype(np.int32)
+            # canonical-day attribution: a pair found in several shared
+            # days counts once, in the FIRST day both cover (x coords
+            # are non-negative, so // equals SQL's truncating div).
+            ad = (ax1 // day_us).astype(np.int32)
+            bd = (bx1 // day_us).astype(np.int32)
+            # slab the a-side so the (slab x nb) lattice stays ~2M
+            # cells regardless of per-day density (the B-block split is
+            # the primary scale lever; this bounds kernel memory)
+            nb = ub.size
+            slab = max(1, 2_000_000 // max(nb, 1))
+            for s in range(0, ua.size, slab):
+                e = s + slab
+                m = ua32[s:e, None] < ub32[None, :]
+                m &= np.maximum(ad[s:e, None], bd[None, :]) == day
+                m &= (
+                    np.maximum(aylo[s:e, None], bylo[None, :])
+                    <= np.minimum(ayhi[s:e, None], byhi[None, :])
+                )
+                ii, jj = np.nonzero(m)
+                if ii.size == 0:
+                    continue
+                ii += s
+                keep = (
+                    np.maximum(ax1[ii], bx1[jj])
+                    <= np.minimum(ax2[ii], bx2[jj])
+                )
+                if not keep.any():
+                    continue
+                ii, jj = ii[keep], jj[keep]
+                dax = ax2[ii] - ax1[ii]
+                day_ = ay2[ii] - ay1[ii]
+                dbx = bx2[jj] - bx1[jj]
+                dby = by2[jj] - by1[jj]
+                d1 = np.sign(
+                    dax * (by1[jj] - ay1[ii]) - day_ * (bx1[jj] - ax1[ii])
+                )
+                d2 = np.sign(
+                    dax * (by2[jj] - ay1[ii]) - day_ * (bx2[jj] - ax1[ii])
+                )
+                d3 = np.sign(
+                    dbx * (ay1[ii] - by1[jj]) - dby * (ax1[ii] - bx1[jj])
+                )
+                d4 = np.sign(
+                    dbx * (ay2[ii] - by1[jj]) - dby * (ax2[ii] - bx1[jj])
+                )
+                ok = (d1 * d2 < 0) & (d3 * d4 < 0)
+                if ok.any():
+                    # pack the pair key into one int64 (user ids are
+                    # below 2^31 at every probed scale; guarded above)
+                    packed.append((ua[ii[ok]] << 31) | ub[jj[ok]])
+        if packed:
+            uniq, cnt = np.unique(
+                np.concatenate(packed), return_counts=True
+            )
+            yield pd.DataFrame(
+                {
+                    "ua": uniq >> 31,
+                    "ub": uniq & ((1 << 31) - 1),
+                    "c": cnt.astype(np.int64),
+                }
+            )
+
+    partial = both.repartition(
+        spark.sparkContext.defaultParallelism, "day", "blk", "obk"
+    ).mapInPandas(kern_part, schema="ua bigint, ub bigint, c bigint")
     return (
-        cand.filter(_proper_crossing())
-        .groupBy(
+        partial.groupBy(
             F.col("ua").alias("user_a"), F.col("ub").alias("user_b")
         )
-        .agg(F.count("*").alias("n_crossings"))
+        .agg(F.sum("c").cast("bigint").alias("n_crossings"))
     )
 
 
