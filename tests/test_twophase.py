@@ -1212,3 +1212,50 @@ def test_erp_2d_norm_bound_is_admissible(spark, sf_dir):
         if u == 1:
             continue
         assert lbs[u] <= kernels.erp_int2d(s, q), u
+
+
+def test_hausdorff_2d_engine_matches_catalyst_join(spark, sf_dir):
+    """The round-12 Arrow (h1, h2) engine must be BIT-equal to the
+    point-join + grouped-minima Catalyst form it replaced (same IEEE
+    subtract/multiply/add/sqrt sequence, min/max order-insensitive) —
+    an in-Spark twin on top of the DuckDB oracle gates."""
+    import pyspark.sql.functions as F
+
+    from traj_sim_spark_spark.operators.trajectory import (
+        _hausdorff_2d_per_user,
+        _pts_2d,
+    )
+
+    t = Tables(spark, sf_dir)
+    pts = _pts_2d(t)
+    q = pts.filter(F.col("user_id") == 1).select(
+        F.col("x").alias("qx"), F.col("y").alias("qy")
+    )
+    d = (
+        pts.filter(F.col("user_id") != 1)
+        .join(F.broadcast(q))
+        .withColumn(
+            "d",
+            F.sqrt(
+                (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))
+                + (F.col("y") - F.col("qy")) * (F.col("y") - F.col("qy"))
+            ),
+        )
+    )
+    h1 = (
+        d.groupBy("user_id", "qx", "qy")
+        .agg(F.min("d").alias("md"))
+        .groupBy("user_id")
+        .agg(F.max("md").alias("h1"))
+    )
+    h2 = (
+        d.groupBy("user_id", "x", "y")
+        .agg(F.min("d").alias("md"))
+        .groupBy("user_id")
+        .agg(F.max("md").alias("h2"))
+    )
+    want = sorted(tuple(r) for r in h1.join(h2, "user_id").collect())
+    got = sorted(
+        tuple(r) for r in _hausdorff_2d_per_user(t, 1).collect()
+    )
+    assert got == want

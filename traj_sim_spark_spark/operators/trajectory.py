@@ -984,41 +984,66 @@ def _hausdorff_2d_per_user(
 ) -> DataFrame:
     """Per-user directed 2-D Hausdorff maxima (h1, h2) to the query user
     in the (time-in-days, value) plane — shared engine of the 2-D kNN
-    and threshold searches. ``ids`` restricts the probe to candidate
-    users (semi-join pushed below the distance join), so a spatial prune
-    can gate the exact O(|U|x|Q|) work."""
+    and threshold searches (and `_frechet_lb_2d`). ``ids`` restricts
+    the probe to candidate users (semi-join pushed below the work), so
+    a spatial prune can gate the exact O(|U|x|Q|) distances.
+
+    Round 12 (guide §2.4/§4.2): ONE unordered collect_list hash
+    aggregate + ONE Arrow pass, replacing a point-level broadcast join
+    (|corpus points| x |Q| rows) through TWO grouped-minima aggregation
+    chains. The kernel evaluates the identical subtract/multiply/add/
+    sqrt IEEE sequence on the identical doubles, and min/max are
+    order-insensitive over the same multisets (duplicate points
+    collapse under max-of-minima exactly as the old GROUP BYs did), so
+    (h1, h2) are bit-equal to the join form's."""
+    import numpy as np
+    import pandas as pd
+
     pts = _pts_2d(t)
-    q = pts.filter(F.col("user_id") == query_user).select(
-        F.col("x").alias("qx"), F.col("y").alias("qy")
+    per_user = pts.groupBy("user_id").agg(
+        F.collect_list("x").alias("xs"), F.collect_list("y").alias("ys")
     )
-    probe = pts.filter(F.col("user_id") != query_user)
+    q = per_user.filter(F.col("user_id") == query_user).select(
+        F.col("xs").alias("qxs"), F.col("ys").alias("qys")
+    )
+    probe = per_user.filter(F.col("user_id") != query_user)
     if ids is not None:
         probe = probe.join(
             F.broadcast(ids.select("user_id")), "user_id", "left_semi"
         )
-    d = (
-        probe.join(F.broadcast(q))
-        .withColumn(
-            "d",
-            F.sqrt(
-                (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))
-                + (F.col("y") - F.col("qy")) * (F.col("y") - F.col("qy"))
-            ),
-        )
+    # fan out: AQE coalesces the small per-user aggregate to 1-2
+    # partitions, which would run the kernel on 1-2 cores (the
+    # `_lcss_refine` single-file-fixture discipline)
+    paired = probe.crossJoin(F.broadcast(q)).repartition(
+        t.spark.sparkContext.defaultParallelism
     )
-    h1 = (
-        d.groupBy("user_id", "qx", "qy")
-        .agg(F.min("d").alias("md"))
-        .groupBy("user_id")
-        .agg(F.max("md").alias("h1"))
+
+    def hk(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                ax = np.asarray(row.xs, dtype=np.float64)
+                ay = np.asarray(row.ys, dtype=np.float64)
+                qx = np.asarray(row.qxs, dtype=np.float64)
+                qy = np.asarray(row.qys, dtype=np.float64)
+                dx = ax[:, None] - qx[None, :]
+                dy = ay[:, None] - qy[None, :]
+                d = np.sqrt(dx * dx + dy * dy)
+                # h1: per query point (column) nearest-probe distance,
+                # maximized; h2: per probe point (row) nearest-query
+                # distance, maximized — the two directed maxima.
+                out.append(
+                    (
+                        row.user_id,
+                        float(d.min(axis=0).max()),
+                        float(d.min(axis=1).max()),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["user_id", "h1", "h2"])
+
+    return paired.mapInPandas(
+        hk, schema="user_id bigint, h1 double, h2 double"
     )
-    h2 = (
-        d.groupBy("user_id", "x", "y")
-        .agg(F.min("d").alias("md"))
-        .groupBy("user_id")
-        .agg(F.max("md").alias("h2"))
-    )
-    return h1.join(h2, "user_id")
 
 
 @query(
