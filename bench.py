@@ -187,23 +187,25 @@ def main() -> None:
     # The driver's tail capture keeps only the LAST 2000 characters of
     # stdout, so the one-line record must stay under that budget or the
     # per-query mins get front-truncated (BENCH_r07/r08 both lost them,
-    # turning box noise into false regression signals).  Compact form:
-    # no separators whitespace, and medians as a parallel ARRAY aligned
-    # with HEADLINE order ("med"[i] is the median for HEADLINE[i])
-    # instead of a second full key->value dict (~1.8 KB total vs 2.8).
-    # The verbose record (median dict included) goes to BENCH_FULL.json
-    # next to this script for local round-over-round analysis — but ONLY
-    # under an explicit --idle-pin flag.  BENCH_FULL.json is the
-    # adjudication pin (idle min-of-3, BASELINE.md policy): driver runs
-    # land in BENCH_r{N}.json via stdout and must not clobber the
-    # committed idle reading (they did in r10 and r11 — judge flagged
-    # both times).
+    # turning box noise into false regression signals; the r11 line at
+    # ~3.5 KB truncated so badly the driver could not parse it at all
+    # and PERF_r12 compared NOTHING — n_common: 0).  Compact form: no
+    # separator whitespace, and the per-key MEDIANS are NOT on stdout
+    # any more (r12 carried them as a parallel array; with 42 headline
+    # + 24 heavy keys that pushed the line to ~2.1 KB).  The medians
+    # still exist — they go to BENCH_FULL.json (queries_median) under
+    # --idle-pin.  The stdout record is ~1.86 KB: the whole line fits
+    # in the driver's 2000-char tail.  Timing methodology (min-of-N
+    # per key, noop sink, same key lists) is UNCHANGED from r12.
+    # BENCH_FULL.json is the adjudication pin (idle min-of-3,
+    # BASELINE.md policy): driver runs land in BENCH_r{N}.json via
+    # stdout and must not clobber the committed idle reading (they did
+    # in r10 and r11 — judge flagged both times).
     record = {
         "metric": "headline_queries_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "med": [medians[k] for k in HEADLINE],
         "heavy": heavy,
         "heavy_total": round(sum(heavy.values()), 3),
         "runs": runs,
@@ -212,6 +214,7 @@ def main() -> None:
     if "--idle-pin" in sys.argv[1:]:
         try:
             full = dict(record)
+            full["med"] = [medians[k] for k in HEADLINE]
             full["queries_median"] = medians
             with open(
                 os.path.join(os.path.dirname(os.path.abspath(__file__)),

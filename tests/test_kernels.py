@@ -518,3 +518,32 @@ def test_segment_intersections_kernel_matches_catalyst_join(spark, sf_dir):
         ).collect()
     )
     assert got == want
+
+
+def test_pairwise_dist_cell_bound_raises():
+    """Scale guard: a pathological pair whose dense matrix would exceed
+    the kernel cell bound fails loudly instead of OOMing an executor.
+    Shapes only — the check fires before any allocation."""
+    import pytest
+
+    a = np.zeros(20_000)
+    b = np.zeros(20_000)  # 4e8 cells > _MAX_DP_CELLS (2^27)
+    with pytest.raises(ValueError, match="cell bound"):
+        kernels.pairwise_dist(a, b)
+
+
+def test_hausdorff_2d_kernel_point_bound_raises(spark, sf_dir, monkeypatch):
+    """Scale guard on the collect_list-fed 2-D Hausdorff engine: an
+    oversized user raises (with the bound in the message) rather than
+    inflating executor memory. The bound is captured by value in the
+    pickled closure, so patching the module global on the driver
+    propagates to the executors."""
+    import pytest
+
+    from traj_sim_spark_spark.operators import trajectory
+    from traj_sim_spark_spark.tables import Tables
+
+    monkeypatch.setattr(trajectory, "_HAUS_2D_MAX_PTS", 3)
+    df = trajectory._hausdorff_2d_per_user(Tables(spark, sf_dir), 1)
+    with pytest.raises(Exception, match="kernel bound"):
+        df.collect()

@@ -18,10 +18,21 @@ from __future__ import annotations
 import numpy as np
 
 
+#: dense-matrix cell bound for the pair kernels: a heavy-tailed user at
+#: scale fails loudly here (~1 GiB of float64) instead of OOMing an
+#: executor (the extras2 segment-kernel discipline)
+_MAX_DP_CELLS = 1 << 27
+
+
 def pairwise_dist(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """|a_i - b_j| matrix for 1-D series, Euclidean for (n,d) series."""
     a = np.asarray(a, dtype=np.float64)
     b = np.asarray(b, dtype=np.float64)
+    if a.shape[0] * b.shape[0] > _MAX_DP_CELLS:
+        raise ValueError(
+            f"pair matrix {a.shape[0]}x{b.shape[0]} exceeds the kernel "
+            f"cell bound ({_MAX_DP_CELLS})"
+        )
     if a.ndim == 1:
         return np.abs(a[:, None] - b[None, :])
     diff = a[:, None, :] - b[None, :, :]

@@ -1115,6 +1115,10 @@ def traj_segment_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
             if len(chunks) == 1
             else pd.concat(chunks, ignore_index=True)
         )
+        if not len(pdf):
+            # a zero-row Arrow batch inside a non-empty partition would
+            # otherwise produce one degenerate group below
+            return
         role_c = pdf["role"].to_numpy()
         u_c = pdf["user_id"].to_numpy(np.int64)
         x1_c = pdf["x1"].to_numpy(np.int64)
@@ -1133,7 +1137,15 @@ def traj_segment_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
             abs(int(y2_c.min())),
         ) >> 31:
             raise ValueError("centi-value exceeds 31-bit lattice range")
-        # group rows by (day, blk, obk) via one packed-key sort
+        # group rows by (day, blk, obk) via one packed-key sort.
+        # Packing invariants (alongside the 31-bit guards above): the
+        # 8-bit block fields assume _B <= 256 and the shift assumes
+        # non-negative days — violating either would silently alias
+        # groups, so fail loudly instead.
+        if day_c.size and int(day_c.min()) < 0:
+            raise ValueError("negative day index breaks group packing")
+        if blk_c.size and max(int(blk_c.max()), int(obk_c.max())) > 255:
+            raise ValueError("block index exceeds 8-bit pack range")
         gkey = (day_c << 16) | (blk_c << 8) | obk_c
         order = np.argsort(gkey, kind="stable")
         gsorted = gkey[order]

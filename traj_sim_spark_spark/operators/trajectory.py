@@ -979,6 +979,13 @@ def _grid_prune_2d(t: Tables, query_user: int, eps: float) -> DataFrame:
     )
 
 
+# Per-user point-count bound for the collect_list-fed Arrow kernels: a
+# heavy-tailed user at scale fails loudly here instead of inflating
+# executor memory quadratically (the matrix is additionally slabbed, so
+# this guards the collected arrays themselves, not the lattice).
+_HAUS_2D_MAX_PTS = 1 << 25
+
+
 def _hausdorff_2d_per_user(
     t: Tables, query_user: int, ids: DataFrame | None = None
 ) -> DataFrame:
@@ -1018,6 +1025,10 @@ def _hausdorff_2d_per_user(
         t.spark.sparkContext.defaultParallelism
     )
 
+    # bound captured at build time so it ships by value inside the
+    # pickled closure (and tests can patch the module global)
+    max_pts = _HAUS_2D_MAX_PTS
+
     def hk(batches):
         for pdf in batches:
             out = []
@@ -1026,18 +1037,34 @@ def _hausdorff_2d_per_user(
                 ay = np.asarray(row.ys, dtype=np.float64)
                 qx = np.asarray(row.qxs, dtype=np.float64)
                 qy = np.asarray(row.qys, dtype=np.float64)
-                dx = ax[:, None] - qx[None, :]
-                dy = ay[:, None] - qy[None, :]
-                d = np.sqrt(dx * dx + dy * dy)
+                # loud failure for a pathological user instead of an
+                # executor OOM at scale (segment-kernel discipline)
+                if max(ax.size, qx.size) > max_pts:
+                    raise ValueError(
+                        "per-user point count exceeds the 2-D Hausdorff "
+                        f"kernel bound ({max_pts})"
+                    )
                 # h1: per query point (column) nearest-probe distance,
                 # maximized; h2: per probe point (row) nearest-query
                 # distance, maximized — the two directed maxima.
+                # Slab the probe axis so the dense (slab x nq) matrix
+                # stays ~2M cells regardless of points-per-user; min
+                # and max are exactly associative, so folding running
+                # column-minima / per-row maxima across slabs yields
+                # bit-identical (h1, h2) to the one-shot matrix.
+                nq = qx.size
+                slab = max(1, 2_000_000 // max(nq, 1))
+                col_min = np.full(nq, np.inf)
+                h2 = -np.inf
+                for s in range(0, ax.size, slab):
+                    e = s + slab
+                    dx = ax[s:e, None] - qx[None, :]
+                    dy = ay[s:e, None] - qy[None, :]
+                    d = np.sqrt(dx * dx + dy * dy)
+                    np.minimum(col_min, d.min(axis=0), out=col_min)
+                    h2 = max(h2, float(d.min(axis=1).max()))
                 out.append(
-                    (
-                        row.user_id,
-                        float(d.min(axis=0).max()),
-                        float(d.min(axis=1).max()),
-                    )
+                    (row.user_id, float(col_min.max()), h2)
                 )
             yield pd.DataFrame(out, columns=["user_id", "h1", "h2"])
 
