@@ -312,11 +312,7 @@ def mm_phash_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")  # decode parallelism (1 row group)
     )
 
-    n_docs = (
-        t.documents.where(F.col("n_chars") >= _PH_MIN_BYTES).count()
-    )
-    n_bands = _PH_BANDS_WIDE if n_docs >= _PH_WIDE_MIN_DOCS else _PH_BANDS
-    band_cols = [f"b{i}" for i in range(n_bands)]
+    band_cols = [f"b{i}" for i in range(_PH_BANDS)]
     schema = "doc_id bigint, " + ", ".join(f"{c} int" for c in band_cols)
 
     # FUSED wrap+hash: one Arrow pass encodes each payload into a
@@ -325,54 +321,137 @@ def mm_phash_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the payload column) cost a second Arrow pass over the binary
     # column for nothing; the container round-trip is still exercised
     # end-to-end because _phash_bands RAISES unless _parse_pgm accepts
-    # the encoded bytes.
+    # the encoded bytes.  The hash always lands as the 8 narrow 8-bit
+    # band values (the raw 64 bits in fixed fields); the corpus-derived
+    # BANDING is applied afterwards by bit arithmetic — wide 16-bit
+    # band j is exactly b_{2j} + 256·b_{2j+1}, the same field split
+    # _phash_bands(n_bands=4) produced, so the bucket values are
+    # unchanged in both regimes.
     def wrap_and_hash(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = [
-                (doc_id, *_phash_bands(_encode_pgm(bytes(p)), n_bands))
+                (doc_id, *_phash_bands(_encode_pgm(bytes(p)), _PH_BANDS))
                 for doc_id, p in zip(pdf["doc_id"], pdf["payload"])
             ]
             yield pd.DataFrame(out, columns=["doc_id", *band_cols])
 
     # ONE row per doc (doc_id, b0..b7) — the hash ARTIFACT a production
-    # pipeline persists; wide layout so the Hamming re-rank reads both
-    # signatures from the joined row itself (no 8-row re-join)
-    wide = raw.mapInPandas(wrap_and_hash, schema).localCheckpoint()
-    a, c = wide.alias("a"), wide.alias("c")
-    # LSH candidates: one equi-join per band, unioned — each keys on a
-    # single band value (the bucket join); distinct folds multi-band hits
-    cand = None
-    for bc in band_cols:
-        p = a.join(
-            c,
-            (F.col(f"a.{bc}") == F.col(f"c.{bc}"))
-            & (F.col("a.doc_id") != F.col("c.doc_id")),
-        ).select(F.col("a.doc_id").alias("da"), F.col("c.doc_id").alias("db"))
-        cand = p if cand is None else cand.unionAll(p)
-    cand = cand.distinct()
-    x, y = wide.alias("x"), wide.alias("y")
-    hamming = sum(
-        F.bit_count(
-            (F.col(f"x.{bc}").bitwiseXOR(F.col(f"y.{bc}"))).cast("bigint")
-        )
-        for bc in band_cols
-    ).cast("int")
-    ham = (
-        cand.join(x, F.col("x.doc_id") == F.col("da"))
-        .join(y, F.col("y.doc_id") == F.col("db"))
-        .select("da", "db", hamming.alias("hamming"))
+    # pipeline persists.  With the kernel below it has exactly one
+    # consumer, so the r12 localCheckpoint is gone: the decode+hash
+    # pass runs once, lazily, inside the single returned plan.
+    wide = raw.mapInPandas(wrap_and_hash, schema)
+    # corpus-width dispatch: a column-pruned metadata-cheap count on
+    # n_chars (predicate pushdown, no payload decode) — the same
+    # number the oracle's CASE computes
+    n_docs = (
+        t.documents.where(F.col("n_chars") >= _PH_MIN_BYTES).count()
     )
-    w = W.partitionBy("da").orderBy("hamming", "db")
-    return (
-        ham.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            F.col("da").alias("doc_id"),
-            F.col("db").alias("nn_doc"),
-            "hamming",
+    n_bands = _PH_BANDS_WIDE if n_docs >= _PH_WIDE_MIN_DOCS else _PH_BANDS
+    # packed 64-bit signature: disjoint 8-bit fields, so Hamming over
+    # the packed word equals the per-band XOR popcount sum (shiftleft
+    # of b7 into bits 56..63 may wrap the sign — XOR/popcount are
+    # bit-pattern operations, sign-independent on both sides)
+    sig = None
+    for i, bc in enumerate(band_cols):
+        term = F.shiftleft(F.col(bc).cast("long"), 8 * i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    if n_bands == _PH_BANDS_WIDE:
+        band_vals = [
+            (F.col(f"b{2 * j}") + F.col(f"b{2 * j + 1}") * 256).cast(
+                "int"
+            )
+            for j in range(_PH_BANDS_WIDE)
+        ]
+    else:
+        band_vals = [F.col(bc).cast("int") for bc in band_cols]
+    flat = wide.select(
+        "doc_id",
+        sig.alias("sig"),
+        F.posexplode(F.array(*band_vals)).alias("band", "bv"),
+    )
+
+    # ONE Arrow kernel instead of the n_bands self-joins + union +
+    # distinct + two signature re-joins + row_number window (round 13,
+    # guide §4.2 / §2.4): rows replicate once per band to their
+    # (band, band_val) LSH bucket; within a bucket the kernel takes the
+    # packed-XOR popcount lattice (uint8 table lookup — vectorized
+    # popcount) and folds each doc's running minimum of the packed
+    # (hamming << 56 | partner_id) key, which is exactly the oracle's
+    # (hamming ASC, db ASC) order.  A pair sharing several bands meets
+    # in several buckets; the global min is idempotent, so the old
+    # pair-DISTINCT is unnecessary.  Candidate coverage is unchanged:
+    # (da, db) collide in the old union iff they share a band value
+    # iff they meet in that bucket here.
+    def nn_part(batches):
+        import numpy as np
+        import pandas as pd
+
+        pop = np.array(
+            [bin(v).count("1") for v in range(256)], np.uint8
         )
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True)
+        )
+        if not len(pdf):
+            return
+        band = pdf["band"].to_numpy(np.int64)
+        bv = pdf["bv"].to_numpy(np.int64)
+        ids = pdf["doc_id"].to_numpy(np.int64)
+        sigs = pdf["sig"].to_numpy(np.int64)
+        if ids.size and (int(ids.max()) >> 56 or int(ids.min()) < 0):
+            raise ValueError("doc_id exceeds the 56-bit pack range")
+        gkey = (band << 17) | bv  # band < 8, band_val < 2^16
+        order = np.argsort(gkey, kind="stable")
+        gs = gkey[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        ends = np.r_[starts[1:], gs.size]
+        out_d, out_k = [], []
+        for g0, g1 in zip(starts, ends):
+            idx = order[g0:g1]
+            m = idx.size
+            if m < 2:
+                continue
+            s, d = sigs[idx], ids[idx]
+            # slab the probe axis so the lattice stays ~2M cells
+            # (the segment-kernel memory discipline)
+            slab = max(1, 2_000_000 // m)
+            for r0 in range(0, m, slab):
+                r1 = min(r0 + slab, m)
+                x = s[r0:r1, None] ^ s[None, :]
+                ham = (
+                    pop[x.view(np.uint8).reshape(r1 - r0, m, 8)]
+                    .sum(axis=2)
+                    .astype(np.int64)
+                )
+                key = (ham << 56) | d[None, :]
+                key[np.arange(r1 - r0), np.arange(r0, r1)] = np.iinfo(
+                    np.int64
+                ).max  # exclude self
+                out_d.append(d[r0:r1])
+                out_k.append(key.min(axis=1))
+        if out_d:
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(out_d),
+                    "k": np.concatenate(out_k),
+                }
+            )
+
+    part_best = flat.repartition(
+        spark.sparkContext.defaultParallelism, "band", "bv"
+    ).mapInPandas(nn_part, "doc_id bigint, k bigint")
+    best = part_best.groupBy("doc_id").agg(F.min("k").alias("k"))
+    return best.select(
+        "doc_id",
+        (F.col("k").bitwiseAND(F.lit((1 << 56) - 1))).alias("nn_doc"),
+        F.shiftright("k", 56).cast("int").alias("hamming"),
     )
 
 

@@ -211,7 +211,17 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     division).  Scale shape: one distinct edge projection, then each
     round is a broadcast join of the previous (small, one row per
     node) score table against edges plus a hash agg — map-side
-    partial, no driver state."""
+    partial, no driver state.
+
+    The edge projection is materialized ONCE per call
+    (localCheckpoint, round 13, guide §2.4/§3.3): the unrolled
+    h1→a1→h2→a2 chain plus the two output branches reference ``e``
+    seven times in one lazy plan, and each reference re-ran the
+    lineitem⋈orders distinct (the round's dominant cost — 2.7 s of a
+    3.4 s action at sf0.1).  ``h2`` is likewise materialized (it is
+    |customers|-sized and read by BOTH the hubs branch and a2's
+    subtree).  Same rows, same aggregation arithmetic — only the
+    number of times the edge build executes changes."""
     t = Tables(spark, sf_dir)
     e = (
         t.lineitem.join(
@@ -222,6 +232,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_suppkey").alias("s"),
         )
         .distinct()
+        .localCheckpoint()
     )
     h1 = e.groupBy("c").agg(F.count("*").cast("long").alias("h"))
     a1 = (
@@ -233,6 +244,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(F.broadcast(a1), "s")
         .groupBy("c")
         .agg(F.sum("a").cast("long").alias("h"))
+        .localCheckpoint()
     )
     a2 = (
         e.join(F.broadcast(h2), "c")
