@@ -41,12 +41,15 @@ def _micro_arrays(t: Tables) -> DataFrame:
     value series (engine (ts, event_id) order via ``seq``) and its L1
     norm — the ERP gap-cost total, which doubles as the lossless
     triangle bound |L1(a) - L1(q)| <= ERP(a, q) (Chen & Ng)."""
+    # ONE hash aggregate, no window (round 13, guide §2.4): seq was
+    # only the sort key, and it is row_number over (ts, event_id) — an
+    # in-array sort on the same total key gives the identical order
+    # without user_points' partition-sort pass (bit-equality measured)
     arr = (
-        t.user_points()
-        .groupBy("user_id")
+        t.events.groupBy("user_id")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct("seq", "value"))
+                F.collect_list(F.struct("ts", "event_id", "value"))
             ).alias("p")
         )
         .select(
@@ -67,12 +70,12 @@ def _float_arrays(t: Tables) -> DataFrame:
     """Per-user raw float series (LCSS matches on |a_i - q_j| <= eps in
     value units, so no quantization is needed — the kernel decision is
     a float comparison with identical semantics on both engines)."""
+    # one hash aggregate, no window — see _micro_arrays
     return (
-        t.user_points()
-        .groupBy("user_id")
+        t.events.groupBy("user_id")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct("seq", "value"))
+                F.collect_list(F.struct("ts", "event_id", "value"))
             ).alias("p")
         )
         .select("user_id", F.col("p.value").alias("a"))

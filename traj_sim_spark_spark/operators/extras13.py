@@ -569,20 +569,22 @@ def _float_arrays_2d(t: Tables) -> DataFrame:
     coordinate arrays in the (time-in-days, value) plane, engine
     (ts, event_id) order via ``seq`` (the ``_paired_series_2d`` float
     projection, minus the pairing)."""
-    ev = t.user_points()
+    # one hash aggregate, no window (round 13, guide §2.4): the sort
+    # key (ts, event_id) IS the order seq encoded, applied in-array
     t0 = t.events.agg(F.min(F.unix_micros("ts")).alias("t0"))
-    pts = ev.join(F.broadcast(t0)).select(
+    pts = t.events.join(F.broadcast(t0)).select(
         "user_id",
-        "seq",
+        "ts",
+        "event_id",
         ((F.unix_micros("ts") - F.col("t0")) / 86400000000.0).alias("x"),
         F.col("value").alias("y"),
     )
     return (
         pts.groupBy("user_id")
         .agg(
-            F.array_sort(F.collect_list(F.struct("seq", "x", "y"))).alias(
-                "p"
-            )
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "x", "y"))
+            ).alias("p")
         )
         .select(
             "user_id", F.col("p.x").alias("xs"), F.col("p.y").alias("ys")
@@ -907,15 +909,27 @@ def _q2d_arrays(t: Tables) -> DataFrame:
     """One micro-quantized plane assembly for the whole workload:
     per user the int64 (xs, ys) arrays in engine order (the
     ``extras6._pts_2d_q`` projection, collected)."""
-    from .extras6 import _pts_2d_q
-
+    # one hash aggregate, no window (round 13, guide §2.4): the
+    # position i was only the sort key and it ranks by (ts, event_id),
+    # so the same total key sorts in-array — the _pts_2d_q projection
+    # inlined minus its user_points window
+    t0 = t.events.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    pts = t.events.join(F.broadcast(t0)).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(
+            "CAST(ROUND((unix_micros(ts) - t0) / 86400000000.0"
+            " * 1e6) AS BIGINT)"
+        ).alias("qx"),
+        F.expr("CAST(ROUND(value * 1e6) AS BIGINT)").alias("qy"),
+    )
     return (
-        _pts_2d_q(t)
-        .groupBy("user_id")
+        pts.groupBy("user_id")
         .agg(
-            F.array_sort(F.collect_list(F.struct("i", "qx", "qy"))).alias(
-                "p"
-            )
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "qx", "qy"))
+            ).alias("p")
         )
         .select(
             "user_id", F.col("p.qx").alias("xs"), F.col("p.qy").alias("ys")

@@ -1240,72 +1240,107 @@ def traj_segment_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
             am, bm = role == 0, role == 1
             if not am.any() or not bm.any():
                 continue
-            ia, ib = idx[am], idx[bm]
-            ua, ax1, ay1 = u_c[ia], x1_c[ia], y1_c[ia]
-            ax2, ay2 = x2_c[ia], y2_c[ia]
-            ub, bx1, by1 = u_c[ib], x1_c[ib], y1_c[ib]
-            bx2, by2 = x2_c[ib], y2_c[ib]
-            # int32 lattice phase: the full (na x nb) masks are the
-            # memory-bandwidth cost of the kernel (measured 3x slowdown
-            # at 32-way concurrency on int64 lattices), and user ids,
-            # day indices and centi-values all fit int32 (guarded
-            # above).  Only x needs int64 — evaluated COMPRESSED on
-            # the lattice survivors, never as a lattice.
-            ua32, ub32 = ua.astype(np.int32), ub.astype(np.int32)
-            aylo = np.minimum(ay1, ay2).astype(np.int32)
-            ayhi = np.maximum(ay1, ay2).astype(np.int32)
-            bylo = np.minimum(by1, by2).astype(np.int32)
-            byhi = np.maximum(by1, by2).astype(np.int32)
-            # canonical-day attribution: a pair found in several shared
-            # days counts once, in the FIRST day both cover (x coords
-            # are non-negative, so // equals SQL's truncating div).
-            ad = (ax1 // day_us).astype(np.int32)
-            bd = (bx1 // day_us).astype(np.int32)
-            # slab the a-side so the (slab x nb) lattice stays ~2M
-            # cells regardless of per-day density (the B-block split is
-            # the primary scale lever; this bounds kernel memory)
-            nb = ub.size
-            slab = max(1, 2_000_000 // max(nb, 1))
-            for s in range(0, ua.size, slab):
-                e = s + slab
-                m = ua32[s:e, None] < ub32[None, :]
-                m &= np.maximum(ad[s:e, None], bd[None, :]) == day
-                m &= (
-                    np.maximum(aylo[s:e, None], bylo[None, :])
-                    <= np.minimum(ayhi[s:e, None], byhi[None, :])
-                )
-                ii, jj = np.nonzero(m)
-                if ii.size == 0:
+            ia0, ib0 = idx[am], idx[bm]
+            # canonical-day attribution WITHOUT a lattice (round 13):
+            # a pair found in several shared days still counts once, in
+            # the FIRST day both cover, but a segment's start day never
+            # exceeds a day it covers, so ad, bd <= day and
+            # max(ad, bd) == day  ⟺  ad == day OR bd == day.  Split
+            # the b-side on bd == day — (all a) × (bd == day) plus
+            # (ad == day) × (bd < day) — and the third int32 lattice
+            # (the max/== day mask) disappears while the (ad < day AND
+            # bd < day) cells are never evaluated at all.  The two
+            # sub-lattices partition exactly the pairs the day mask
+            # kept, so the counted pair set is bit-identical (twin test
+            # re-pins it).  x is non-negative, so // equals SQL's
+            # truncating div.
+            ad0 = x1_c[ia0] // day_us
+            bd0 = x1_c[ib0] // day_us
+            b_new = bd0 == day
+            for ia, ib in (
+                (ia0, ib0[b_new]),
+                (ia0[ad0 == day], ib0[~b_new]),
+            ):
+                if not ia.size or not ib.size:
                     continue
-                ii += s
-                keep = (
-                    np.maximum(ax1[ii], bx1[jj])
-                    <= np.minimum(ax2[ii], bx2[jj])
-                )
-                if not keep.any():
-                    continue
-                ii, jj = ii[keep], jj[keep]
-                dax = ax2[ii] - ax1[ii]
-                day_ = ay2[ii] - ay1[ii]
-                dbx = bx2[jj] - bx1[jj]
-                dby = by2[jj] - by1[jj]
-                d1 = np.sign(
-                    dax * (by1[jj] - ay1[ii]) - day_ * (bx1[jj] - ax1[ii])
-                )
-                d2 = np.sign(
-                    dax * (by2[jj] - ay1[ii]) - day_ * (bx2[jj] - ax1[ii])
-                )
-                d3 = np.sign(
-                    dbx * (ay1[ii] - by1[jj]) - dby * (ax1[ii] - bx1[jj])
-                )
-                d4 = np.sign(
-                    dbx * (ay2[ii] - by1[jj]) - dby * (ax2[ii] - bx1[jj])
-                )
-                ok = (d1 * d2 < 0) & (d3 * d4 < 0)
-                if ok.any():
-                    # pack the pair key into one int64 (user ids are
-                    # below 2^31 at every probed scale; guarded above)
-                    packed.append((ua[ii[ok]] << 31) | ub[jj[ok]])
+                # SORTED-SUFFIX user-order prune (round 13): with both
+                # sides sorted by user id, the columns satisfying
+                # ua < ub form a suffix, located by one binary search
+                # per slab — on average half the lattice is never
+                # allocated or scanned (same pairs, the mask still
+                # applies the exact per-row ua < ub on the slice).
+                ia = ia[np.argsort(u_c[ia], kind="stable")]
+                ib = ib[np.argsort(u_c[ib], kind="stable")]
+                ua, ax1, ay1 = u_c[ia], x1_c[ia], y1_c[ia]
+                ax2, ay2 = x2_c[ia], y2_c[ia]
+                ub, bx1, by1 = u_c[ib], x1_c[ib], y1_c[ib]
+                bx2, by2 = x2_c[ib], y2_c[ib]
+                # int32 lattice phase: the full (na x nb) masks are the
+                # memory-bandwidth cost of the kernel (measured 3x
+                # slowdown at 32-way concurrency on int64 lattices), and
+                # user ids and centi-values all fit int32 (guarded
+                # above).  Only x needs int64 — evaluated COMPRESSED on
+                # the lattice survivors, never as a lattice.
+                ua32, ub32 = ua.astype(np.int32), ub.astype(np.int32)
+                aylo = np.minimum(ay1, ay2).astype(np.int32)
+                ayhi = np.maximum(ay1, ay2).astype(np.int32)
+                bylo = np.minimum(by1, by2).astype(np.int32)
+                byhi = np.maximum(by1, by2).astype(np.int32)
+                # slab the a-side so the (slab x nb) lattice stays ~2M
+                # cells regardless of per-day density (the B-block split
+                # is the primary scale lever; this bounds kernel memory)
+                nb = ub.size
+                slab = max(1, 2_000_000 // max(nb, 1))
+                for s in range(0, ua.size, slab):
+                    e = s + slab
+                    # slab rows are ua-ascending: columns with
+                    # ub <= ua[s] pair with no row in the slab
+                    j0 = int(np.searchsorted(ub, ua[s], side="right"))
+                    if j0 >= nb:
+                        continue
+                    m = ua32[s:e, None] < ub32[None, j0:]
+                    m &= (
+                        np.maximum(aylo[s:e, None], bylo[None, j0:])
+                        <= np.minimum(ayhi[s:e, None], byhi[None, j0:])
+                    )
+                    ii, jj = np.nonzero(m)
+                    if ii.size == 0:
+                        continue
+                    ii += s
+                    jj += j0
+                    keep = (
+                        np.maximum(ax1[ii], bx1[jj])
+                        <= np.minimum(ax2[ii], bx2[jj])
+                    )
+                    if not keep.any():
+                        continue
+                    ii, jj = ii[keep], jj[keep]
+                    dax = ax2[ii] - ax1[ii]
+                    day_ = ay2[ii] - ay1[ii]
+                    dbx = bx2[jj] - bx1[jj]
+                    dby = by2[jj] - by1[jj]
+                    d1 = np.sign(
+                        dax * (by1[jj] - ay1[ii])
+                        - day_ * (bx1[jj] - ax1[ii])
+                    )
+                    d2 = np.sign(
+                        dax * (by2[jj] - ay1[ii])
+                        - day_ * (bx2[jj] - ax1[ii])
+                    )
+                    d3 = np.sign(
+                        dbx * (ay1[ii] - by1[jj])
+                        - dby * (ax1[ii] - bx1[jj])
+                    )
+                    d4 = np.sign(
+                        dbx * (ay2[ii] - by1[jj])
+                        - dby * (ax2[ii] - bx1[jj])
+                    )
+                    ok = (d1 * d2 < 0) & (d3 * d4 < 0)
+                    if ok.any():
+                        # pack the pair key into one int64 (user ids
+                        # are below 2^31 at every probed scale;
+                        # guarded above)
+                        packed.append((ua[ii[ok]] << 31) | ub[jj[ok]])
         if packed:
             uniq, cnt = np.unique(
                 np.concatenate(packed), return_counts=True

@@ -223,14 +223,18 @@ def _paired_series(
     shuffle moves only candidate trajectories — the reference's
     PartitionPruningRDD fetch [P §4.3] as predicate pushdown. The query
     user's own series is always assembled."""
-    pts = t.user_points()
+    # one hash aggregate, no window (round 13, guide §2.4): seq was
+    # only the sort key and it ranks by (ts, event_id) — the in-array
+    # sort on the same total key gives the identical order without the
+    # user_points partition-sort pass
+    pts = t.events.select("user_id", "ts", "event_id", "value")
     if ids is not None:
         pts = pts.join(
             F.broadcast(ids.select("user_id")), "user_id", "left_semi"
         ).unionByName(pts.filter(F.col("user_id") == query_user))
     traj = pts.groupBy("user_id").agg(
         F.array_sort(
-            F.collect_list(F.struct("seq", "value"))
+            F.collect_list(F.struct("ts", "event_id", "value"))
         ).alias("pts")
     ).select(
         "user_id", F.col("pts.value").alias("vals")
@@ -1772,11 +1776,12 @@ def _paired_series_2d(
     """2-D analog of ``_paired_series``: per-user (xs, ys) coordinate
     arrays in the (time-in-days, value) plane, joined to the broadcast
     query arrays; ``ids`` pushes the candidate filter below assembly."""
-    ev = t.user_points()
+    # one hash aggregate, no window — see _paired_series
     t0 = t.events.agg(F.min(F.unix_micros("ts")).alias("t0"))
-    pts = ev.join(F.broadcast(t0)).select(
+    pts = t.events.join(F.broadcast(t0)).select(
         "user_id",
-        "seq",
+        "ts",
+        "event_id",
         ((F.unix_micros("ts") - F.col("t0")) / 86400000000.0).alias("x"),
         F.col("value").alias("y"),
     )
@@ -1786,7 +1791,11 @@ def _paired_series_2d(
         ).unionByName(pts.filter(F.col("user_id") == query_user))
     traj = (
         pts.groupBy("user_id")
-        .agg(F.array_sort(F.collect_list(F.struct("seq", "x", "y"))).alias("p"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "x", "y"))
+            ).alias("p")
+        )
         .select(
             "user_id", F.col("p.x").alias("xs"), F.col("p.y").alias("ys")
         )
