@@ -84,38 +84,56 @@ def _bpe_rounds(
     action, no data to the driver)."""
     vocab = _vocab(t).localCheckpoint()
     merges: list[DataFrame] = []
-    for rnd in range(1, rounds + 1):
-        pairs = (
-            vocab.select("f", F.explode(F.expr(_PAIRS)).alias("p"))
-            .groupBy("p.lhs", "p.rhs")
-            .agg(F.sum("f").alias("cnt"))
-        )
-        # tie-break on UTF-8 BYTES, not strings: Spark compares strings
-        # by UTF-16 code units, DuckDB by UTF-8 bytes — binary-encoding
-        # both sides makes a count tie collation-independent (the
-        # oracle mirrors with DuckDB encode() -> BLOB compares).
-        best = (
-            pairs.orderBy(
-                F.col("cnt").desc(),
-                F.encode("lhs", "utf-8"),
-                F.encode("rhs", "utf-8"),
+    # iteration economics (the graph_pagerank discipline, round 13):
+    # every in-loop action is vocab-bounded (tens of thousands of
+    # rows), so each round's pair aggregate at the session's full
+    # shuffle width is pure near-empty-task scheduling overhead — the
+    # loop runs its own narrow width (every action executes inside the
+    # loop, so the restored conf never leaks to the returned plan).
+    spark = t.documents.sparkSession
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(int(before), 4))
+    )
+    try:
+        for rnd in range(1, rounds + 1):
+            pairs = (
+                vocab.select("f", F.explode(F.expr(_PAIRS)).alias("p"))
+                .groupBy("p.lhs", "p.rhs")
+                .agg(F.sum("f").alias("cnt"))
             )
-            .limit(1)
-            .localCheckpoint()
-        )
-        # exhausted-merges guard: if no adjacent pair remains (every
-        # vocab word already a single symbol), stop — cross-joining the
-        # 0-row best would silently EMPTY the vocabulary for all later
-        # rounds.  The oracle mirrors via v{r}'s NOT-EXISTS fallback.
-        if not best.head(1):
-            break
-        merges.append(best.select(F.lit(rnd).alias("rnd"), "lhs", "rhs", "cnt"))
-        vocab = (
-            vocab.crossJoin(F.broadcast(best.select("lhs", "rhs")))
-            .withColumn("syms", F.expr(_FOLD))
-            .drop("lhs", "rhs")
-            .localCheckpoint()
-        )
+            # tie-break on UTF-8 BYTES, not strings: Spark compares
+            # strings by UTF-16 code units, DuckDB by UTF-8 bytes —
+            # binary-encoding both sides makes a count tie
+            # collation-independent (the oracle mirrors with DuckDB
+            # encode() -> BLOB compares).
+            best = (
+                pairs.orderBy(
+                    F.col("cnt").desc(),
+                    F.encode("lhs", "utf-8"),
+                    F.encode("rhs", "utf-8"),
+                )
+                .limit(1)
+                .localCheckpoint()
+            )
+            # exhausted-merges guard: if no adjacent pair remains (every
+            # vocab word already a single symbol), stop — cross-joining
+            # the 0-row best would silently EMPTY the vocabulary for all
+            # later rounds.  The oracle mirrors via v{r}'s NOT-EXISTS
+            # fallback.
+            if not best.head(1):
+                break
+            merges.append(
+                best.select(F.lit(rnd).alias("rnd"), "lhs", "rhs", "cnt")
+            )
+            vocab = (
+                vocab.crossJoin(F.broadcast(best.select("lhs", "rhs")))
+                .withColumn("syms", F.expr(_FOLD))
+                .drop("lhs", "rhs")
+                .localCheckpoint()
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
     if not merges:
         spark = t.documents.sparkSession
         table = spark.createDataFrame(
